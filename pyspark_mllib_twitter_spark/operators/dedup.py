@@ -1,0 +1,330 @@
+"""Deduplication operators for LLM-data pipelines (north-star surface).
+
+Five families, all shuffle-disciplined for 100 TB:
+
+- **exact**        — hash-groupBy on content digest; one shuffle on a 128-bit
+                     key, no full-text comparison.
+- **MinHash+LSH**  — shingle → MinHash signature → banded bucket join; only
+                     same-bucket pairs are compared (sub-quadratic).
+- **SimHash**      — 64-bit signature built JVM-side from token hashes;
+                     near-dup candidates via 16-bit band equi-join + hamming
+                     distance filter (bit_count of XOR).
+- **n-gram Jaccard** — exact pairwise similarity inside blocking keys.
+- **embedding cosine** — near-dup pairs by cosine threshold (exact within a
+                     broadcastable query set, LSH otherwise).
+
+Generalizes the reference's text-vectorize-and-compare pattern
+(``/root/reference/COMP5349_2.py:151-188``) from "find similar users" to
+"find and remove near-duplicate documents".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions import vectors
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact row dedup — Spark's hash-based dropDuplicates (one shuffle)."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def content_dedup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group documents by content digest (md5 of normalized text); emit one
+    row per distinct content: ``keep_id`` (min id — deterministic keep-one
+    policy) and ``n_copies``. Shuffles 16-byte digests, never the text."""
+    return (
+        docs.select(F.col(id_col), TXT.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def content_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return the surviving rows (keep-one-per-content). Left-semi join back
+    on the kept ids — no row data moves through the aggregate."""
+    keep = content_dedup_groups(docs, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_features: int = 1 << 18,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via word-shingle MinHash LSH.
+
+    Pipeline: tokens → ``shingle_n``-gram shingles → hashed sparse binary
+    vector (HashingTF, binary) → MinHashLSH → ``approxSimilarityJoin`` at
+    Jaccard distance <= ``max_jaccard_distance``. Output:
+    ``(id_a, id_b, jaccard_dist)`` with ``id_a < id_b``.
+
+    Scale: LSH banding means only same-bucket pairs join — candidate count
+    scales with true-duplicate density, not |docs|^2.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = docs.select(
+        F.col(id_col),
+        TXT.word_ngrams(TXT.tokens(text_col), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            "jaccard_dist",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def keep_one_representatives(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id", max_iters: int = 5
+) -> DataFrame:
+    """Map every document to a duplicate-cluster representative (min id in
+    its connected component) via iterative label propagation over the
+    candidate-pair graph.
+
+    Each iteration is two shuffles (join + min-agg); near-dup clusters are
+    shallow in practice so ``max_iters`` ~5 converges. Returns
+    ``(doc_id, rep_id)`` for every id in ``all_ids``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("rep_id")
+    )
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "rep_id")
+        )
+        new_labels = (
+            labels.select("node", "rep_id")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("rep_id").alias("rep_id"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per iter
+        labels = new_labels
+    return labels.select(F.col("node").alias(id_col), "rep_id")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Fuzzy dedup end-to-end: survivors after MinHash-LSH clustering."""
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, **kwargs)
+    reps = keep_one_representatives(pairs, docs.select(id_col), id_col)
+    keep = reps.filter(F.col(id_col) == F.col("rep_id")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup (pure DataFrame ops, no MLlib)
+# ---------------------------------------------------------------------------
+
+#: SimHash width. Bit 63 is dropped so the signature reassembly (a SUM of
+#: distinct powers of two) cannot overflow signed int64.
+SIMHASH_BITS = 63
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """63-bit SimHash per document, entirely JVM-side.
+
+    explode(tokens) → xxhash64(token) → per-bit +/-1 vote aggregated per
+    document → signature reassembled as SUM(2^i for winning bits i).
+    One shuffle (groupBy id); whole-stage codegen throughout — no Python.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the signature into 4 x 16-bit
+    bands; two docs are candidates iff they agree on >= 1 band (guaranteed to
+    catch all pairs with hamming distance <= 3); verify with exact hamming
+    distance = bit_count(xor). The join is an equi-join on (band_idx,
+    band_value) — shuffle scales with collision density, not |docs|^2.
+    """
+    sigs = simhash_signatures(docs, id_col, text_col)
+    bands = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs within a blocking key.
+
+    ``jaccard = |A ∩ B| / |A ∪ B|`` over distinct word n-grams, computed with
+    JVM array functions. The self-join is an equi-join on ``block_col``
+    (never a cross join); use MinHash LSH when no natural block exists.
+    """
+    g = docs.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.array_distinct(TXT.word_ngrams(TXT.tokens(text_col), n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    join_keys = [block_col] if block_col else []
+    a = g.select(*join_keys, F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    b = g.select(*join_keys, F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    pairs = (a.join(b, join_keys) if join_keys else a.crossJoin(b)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.nullif(union, F.lit(0))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    num_hash_tables: int = 6,
+    bucket_length: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= ``min_cosine`` via
+    random-projection LSH on L2-normalized vectors (unit-sphere euclidean
+    distance sqrt(2-2c) <=> cosine c). Output ``(id_a, id_b, cos_sim)``."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    import math
+
+    normed = embeddings.select(
+        F.col(id_col),
+        array_to_vector(vectors.l2_normalize(vec_col)).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    max_dist = math.sqrt(max(0.0, 2.0 - 2.0 * min_cosine))
+    joined = model.approxSimilarityJoin(normed, normed, max_dist, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            (1 - F.col("dist") * F.col("dist") / 2).alias("cos_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

@@ -1,0 +1,269 @@
+"""North-star queries: dedup, similarity search, text analysis, multimodal.
+
+Oracle-checkable ones carry equivalent DuckDB SQL (text analytics and exact
+math are engine-agnostic); MinHash/SimHash/LSH/KMeans results depend on
+engine-internal hashing/initialization, so those entries are rows-only here
+and property-tested in ``tests/`` (recall vs exact, idempotence, hamming
+bounds) per SURVEY §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..operators import dedup, multimodal, similarity
+from ..sources import read_table
+from .registry import query
+
+# Tiny stopword lists shared with the DuckDB oracle text below.
+_SW = TXT.STOPWORDS
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ns_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_char
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_ns_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenization, JVM-side)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            TXT.token_count("text").cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_char"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_ns_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS n_alpha,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      FROM documents)
+    SELECT doc_id,
+           n_alpha / nullif(n, 0) AS alpha_ratio,
+           list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+             / nullif(len(toks), 0) AS avg_tok_len,
+           round((least(n / 200.0, 1.0)
+                  + coalesce(n_alpha / nullif(n, 0), 0)
+                  + (CASE WHEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                               / nullif(len(toks), 0) BETWEEN 3 AND 10
+                          THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_ns_quality(spark, sf_dir):
+    """Quality scoring: length / letter-ratio / word-length heuristics."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TXT.alpha_ratio("text").alias("alpha_ratio"),
+        TXT.avg_token_len("text").cast("double").alias("avg_tok_len"),
+        TXT.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _langid_oracle() -> str:
+    toks = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+    hits = {
+        lang: f"len(list_intersect({toks}, {words!r}))"
+        for lang, words in ((lang, list(ws)) for lang, ws in _SW.items())
+    }
+    best = "greatest(" + ", ".join(hits[lang] for lang in TXT.LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in TXT.LANG_ORDER:
+        case += f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    cols = ", ".join(
+        f"CAST({hits[lang]} AS BIGINT) AS hits_{lang}" for lang in TXT.LANG_ORDER
+    )
+    return f"SELECT doc_id, {cols}, {case} AS lang_guess FROM documents ORDER BY doc_id"
+
+
+@query("q_ns_langid", oracle=_langid_oracle())
+def q_ns_langid(spark, sf_dir):
+    """Language ID: stopword-overlap argmax with alphabetical tie-break."""
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens("text")
+    return d.select(
+        "doc_id",
+        *[
+            TXT.stopword_hits(toks, lang).cast("bigint").alias(f"hits_{lang}")
+            for lang in TXT.LANG_ORDER
+        ],
+        TXT.lang_guess("text").alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_ns_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_ns_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of canonicalized text."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TXT.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ns_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ORDER BY keep_id
+    """,
+)
+def q_ns_dedup_exact(spark, sf_dir):
+    """Exact (content-hash) dedup groups with keep-min-id policy."""
+    return (
+        dedup.content_dedup_groups(_docs(spark, sf_dir))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "q_ns_jaccard_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      FROM (SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 300)
+      WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams))::DOUBLE
+             / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+            / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ns_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by source (restricted to
+    doc_id < 300 to keep the oracle-side O(n^2) small; the operator itself
+    is unrestricted)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return (
+        dedup.ngram_jaccard_pairs(d, block_col="source", n=3, min_jaccard=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q_ns_dedup_minhash", oracle=None)  # MinHash sig depends on engine hashing
+def q_ns_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH fuzzy dedup: surviving doc ids (property-tested: recall
+    vs exact Jaccard, idempotence)."""
+    survivors = dedup.minhash_dedup(_docs(spark, sf_dir))
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+@query("q_ns_dedup_simhash", oracle=None)  # xxhash64-based signature, engine-specific
+def q_ns_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidate pairs (hamming <= 3 over 63-bit sigs)."""
+    return dedup.simhash_candidate_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ns_knn_exact",
+    oracle="""
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               c.embedding::DOUBLE[]) DESC,
+                        c.vec_id) AS BIGINT) AS rn
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+    WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+)
+def q_ns_knn_exact(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors — the ANN
+    baseline. Corpus streams, queries broadcast, JVM-side dot products."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.brute_force_top_k(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return res.select(
+        "query_id", "neighbor_id", "sim", F.col("rn").cast("bigint").alias("rn")
+    ).orderBy("query_id", "rn")
+
+
+@query("q_ns_ann_lsh", oracle=None)  # LSH bucketing is engine-specific
+def q_ns_ann_lsh(spark, sf_dir):
+    """Random-projection LSH ANN, same contract as q_ns_knn_exact
+    (property-tested: recall >= 0.6 vs exact)."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.lsh_top_k(corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5)
+    return res.orderBy("query_id", "rn")
+
+
+@query("q_ns_ann_ivf", oracle=None)  # KMeans centroids are engine-specific
+def q_ns_ann_ivf(spark, sf_dir):
+    """IVF (KMeans-partitioned) ANN — the large-|Q| scale path."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.ivf_top_k(corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5)
+    return res.orderBy("query_id", "rn")
+
+
+@query("q_ns_multimodal", oracle=None)  # synthetic payloads, Python feature UDF
+def q_ns_multimodal(spark, sf_dir):
+    """Multimodal plumbing: binary assets → Arrow-batched feature extraction
+    via mapInPandas (decode step is a deterministic fake — see
+    operators.multimodal)."""
+    assets = multimodal.synthetic_assets(spark, n=256)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    ).orderBy("asset_id")

@@ -1,0 +1,826 @@
+"""Relational operator surface — SURVEY.md §2.12 declared queries.
+
+Each query re-expresses one inventory row from the reference
+(``/root/reference/COMP5349_2.py``) or a ∅-ref built-in the target surface
+requires, as an idiomatic DataFrame plan. Scale notes are inline: what
+Catalyst pushes down, which joins broadcast, where shuffles land.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark recipe and the DuckDB oracle (the driver sorts columns by name and
+hashes values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scans (S1) and projections/filters (P1-P5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_s1_scan",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+)
+def q_s1_scan(spark, sf_dir):
+    """S1: parquet scan (reference: multiline-JSON scan, COMP5349_2.py:138).
+    Columnar read, column pruning at the scan."""
+    return _t(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@query(
+    "q_p1_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_shipdate IS NOT NULL AND l_discount > 0.05
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_p1_filter(spark, sf_dir):
+    """P1/P2: null-test + predicate filter (COMP5349_2.py:146,196). Both
+    predicates reach the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").isNotNull() & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_p3_project",
+    oracle="SELECT o_orderkey AS k, o_totalprice * 0.9 AS p FROM orders ORDER BY k",
+)
+def q_p3_project(spark, sf_dir):
+    """P3/P4: projection + alias + computed column (COMP5349_2.py:146,197)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 0.9).alias("p"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 re-expressed natively + ∅-ref join types)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_j_inner",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    ORDER BY c_custkey
+    """,
+)
+def q_j_inner(spark, sf_dir):
+    """J2-style equi-inner join chain, replacing the reference's broadcast
+    linear-scan lookup (COMP5349_2.py:93-99). Dimension tables are broadcast —
+    no shuffle of the fact side at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_j_outer",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(SUM(o_totalprice), 0) AS total_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def q_j_outer(spark, sf_dir):
+    """∅-ref: left outer join + aggregate over the nullable side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_j_semi",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_j_semi(spark, sf_dir):
+    """∅-ref: left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_j_anti",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_j_anti(spark, sf_dir):
+    """∅-ref: left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_j_theta",
+    oracle="""
+    SELECT r_regionkey, n_nationkey, r_name, n_name
+    FROM region, nation
+    WHERE r_regionkey <> n_regionkey
+    ORDER BY r_regionkey, n_nationkey
+    """,
+)
+def q_j_theta(spark, sf_dir):
+    """J1: theta/cross join — the reference's all-pairs Python loop over a
+    broadcast dict (COMP5349_2.py:29-47) as a BroadcastNestedLoopJoin."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_regionkey", "n_nationkey", "r_name", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    )
+
+
+@query(
+    "q_j_asof",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def q_j_asof(spark, sf_dir):
+    """∅-ref: as-of join (latest click at-or-before each event, per user),
+    expressed as a running last_value window instead of a per-probe scan.
+    One shuffle on user_id; no O(N^2) pairing — survives 100x scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        ev.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .select("event_id", "user_id", "last_click_ts")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A4 + ∅-ref agg suite / grouping sets / pivot)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_a1_collect_list",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_a1_collect_list(spark, sf_dir):
+    """A1: per-key document build — groupBy + collect_list + join-to-string
+    (COMP5349_2.py:146). List sorted for determinism (ObjectHashAggregate;
+    partial aggregation still applies map-side)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys")
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_a2_pair_count",
+    oracle="""
+    SELECT l_orderkey, l_partkey, COUNT(*) AS y
+    FROM lineitem GROUP BY l_orderkey, l_partkey
+    ORDER BY l_orderkey, l_partkey
+    """,
+)
+def q_a2_pair_count(spark, sf_dir):
+    """A2: pair-frequency implicit rating (COMP5349_2.py:197) — partial+final
+    HashAggregate, map-side combine halves the shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.count("*").alias("y"))
+        .orderBy("l_orderkey", "l_partkey")
+    )
+
+
+@query(
+    "q_a3_distinct",
+    oracle="SELECT DISTINCT c_nationkey FROM customer ORDER BY c_nationkey",
+)
+def q_a3_distinct(spark, sf_dir):
+    """A3: distinct (COMP5349_2.py:207)."""
+    return _t(spark, sf_dir, "customer").select("c_nationkey").distinct().orderBy("c_nationkey")
+
+
+@query(
+    "q_a4_agg_suite",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                              AS sum_qty,
+           SUM(l_extendedprice * (1 - l_discount))      AS revenue,
+           AVG(l_extendedprice)                         AS avg_price,
+           MIN(l_extendedprice)                         AS min_price,
+           MAX(l_extendedprice)                         AS max_price,
+           STDDEV_SAMP(l_discount)                      AS std_disc,
+           COUNT(DISTINCT l_orderkey)                   AS n_orders,
+           COUNT(*)                                     AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_a4_agg_suite(spark, sf_dir):
+    """∅-ref agg suite, TPC-H Q1 shape: 2-col groupBy + 8 aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.stddev_samp("l_discount").alias("std_disc"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q_a6_approx_distinct", oracle=None)  # HLL sketch — engine-specific, rows-only check
+def q_a6_approx_distinct(spark, sf_dir):
+    """∅-ref: approx_count_distinct (HyperLogLog++). At 100 TB this replaces
+    exact COUNT(DISTINCT) wherever a ~2% error is acceptable — no per-key
+    shuffle of distinct values, just mergeable sketches."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_a5_id_dictionary",
+    oracle="""
+    SELECT user_id, CAST(DENSE_RANK() OVER (ORDER BY user_id) AS BIGINT) AS dense_id
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ORDER BY user_id
+    """,
+)
+def q_a5_id_dictionary(spark, sf_dir):
+    """F3 replacement: dense-rank ID dictionary. The reference hashes 64-bit
+    IDs into 32 bits for ALS (f.hash, COMP5349_2.py:197 — birthday-bound
+    collisions at ~77k users). A dense dictionary is collision-free.
+
+    Scale note: a global dense_rank is a single-partition sort — fine for
+    vocabulary-sized dictionaries (what ALS needs); for billions of IDs use
+    the zipWithIndex-style recipe in workloads.recommend instead.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .withColumn("dense_id", F.dense_rank().over(W.orderBy("user_id")).cast("bigint"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_g1_rollup",
+    oracle="""
+    SELECT COALESCE(n_regionkey, -1) AS rk, COALESCE(n_nationkey, -1) AS nk,
+           COUNT(*) AS n
+    FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)
+    ORDER BY rk, nk
+    """,
+)
+def q_g1_rollup(spark, sf_dir):
+    """∅-ref: ROLLUP grouping sets; NULL group markers normalized to -1."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("n_regionkey"), F.lit(-1)).alias("rk"),
+            F.coalesce(F.col("n_nationkey"), F.lit(-1)).alias("nk"),
+            "n",
+        )
+        .orderBy("rk", "nk")
+    )
+
+
+@query(
+    "q_g2_cube",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, '(all)') AS seg, COALESCE(c_nationkey, -1) AS nk,
+           COUNT(*) AS n, SUM(c_acctbal) AS bal
+    FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+    ORDER BY seg, nk
+    """,
+)
+def q_g2_cube(spark, sf_dir):
+    """∅-ref: CUBE over two dimensions."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("c_acctbal").alias("bal"))
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("seg"),
+            F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nk"),
+            "n",
+            "bal",
+        )
+        .orderBy("seg", "nk")
+    )
+
+
+@query(
+    "q_g3_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_O,
+           SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_g3_pivot(spark, sf_dir):
+    """∅-ref: pivot with explicit value list (one shuffle; values list keeps
+    Catalyst from an extra distinct pass)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, sort/limit, top-k (W1 + ∅-ref analytic suite)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_w1_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 5 ORDER BY o_custkey, rn
+    """,
+)
+def q_w1_topk(spark, sf_dir):
+    """W1: top-k per group with the reference's tie-break (score DESC, id
+    DESC — pinned by the notebook golden output, nb:220-230). Replaces the
+    driver-side ``sorted(...)[:5]`` (COMP5349_2.py:188). Rank ≤ k predicates
+    get pushed into the shuffle as a per-partition top-k at scale."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q_w2_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS drnk,
+           LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_w2_ranking(spark, sf_dir):
+    """∅-ref: rank/dense_rank/lag/lead analytic functions."""
+    by_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    by_time = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(by_price).cast("bigint").alias("rnk"),
+            F.dense_rank().over(by_price).cast("bigint").alias("drnk"),
+            F.lag("o_totalprice").over(by_time).alias("prev_price"),
+            F.lead("o_totalprice").over(by_time).alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q_w3_frames",
+    oracle="""
+    SELECT user_id, event_id,
+           SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv_sum,
+           SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q_w3_frames(spark, sf_dir):
+    """∅-ref: ROWS-frame moving and running aggregates."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("value").over(w.rowsBetween(-2, 0)).alias("mv_sum"),
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q_t1_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_t1_sort_limit(spark, sf_dir):
+    """∅-ref: global sort + limit (TakeOrderedAndProject — per-partition
+    top-N then a single merge, never a full global sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_u1_setops",
+    oracle="""
+    SELECT 'all' AS tag, k FROM
+      (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'both' AS tag, k FROM
+      (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'customer_only' AS tag, k FROM
+      (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    ORDER BY tag, k
+    """,
+)
+def q_u1_setops(spark, sf_dir):
+    """∅-ref: UNION / INTERSECT / EXCEPT (distinct set semantics)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    tagged = (
+        c.union(o).distinct().select(F.lit("all").alias("tag"), "k")
+        .unionAll(c.intersect(o).select(F.lit("both").alias("tag"), "k"))
+        .unionAll(c.subtract(o).select(F.lit("customer_only").alias("tag"), "k"))
+    )
+    return tagged.orderBy("tag", "k")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suites (F1-F5 + ∅-ref string/date/math/array/json/cond)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_f_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)            AS lo,
+           upper(p_brand)           AS up_brand,
+           substring(p_name, 1, 8)  AS sub8,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           trim(p_name)             AS trimmed,
+           string_split(p_name, ' ')[1] AS first_tok,
+           regexp_extract(p_name, '([0-9]+)', 1) AS digits
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_f_string(spark, sf_dir):
+    """∅-ref string suite: lower/upper/substring/length/trim/split/regexp."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("lo"),
+            F.upper("p_brand").alias("up_brand"),
+            F.substring("p_name", 1, 8).alias("sub8"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.trim("p_name").alias("trimmed"),
+            F.split("p_name", " ").getItem(0).alias("first_tok"),
+            F.regexp_extract("p_name", "([0-9]+)", 1).alias("digits"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_f_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)    AS BIGINT) AS y,
+           CAST(month(o_orderdate)   AS BIGINT) AS m,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_f_date(spark, sf_dir):
+    """∅-ref date suite: year/month/quarter/date_trunc/datediff."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.quarter("o_orderdate").cast("bigint").alias("q"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("bigint").alias("days_since"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_f_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)            AS rnd,
+           abs(l_discount - 0.05)               AS ab,
+           sqrt(l_quantity)                     AS sq,
+           ln(l_extendedprice)                  AS logp,
+           power(1 + l_discount, 2)             AS pw,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice)  AS BIGINT) AS ce
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_f_math(spark, sf_dir):
+    """∅-ref math suite: round/abs/sqrt/ln/power/floor/ceil."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("rnd"),
+            F.abs(F.col("l_discount") - 0.05).alias("ab"),
+            F.sqrt("l_quantity").alias("sq"),
+            F.log("l_extendedprice").alias("logp"),
+            F.pow(F.lit(1) + F.col("l_discount"), 2).alias("pw"),
+            F.floor("l_extendedprice").cast("bigint").alias("fl"),
+            F.ceil("l_extendedprice").cast("bigint").alias("ce"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_f_array",
+    oracle="""
+    SELECT o_custkey,
+           CAST(len(keys) AS BIGINT)  AS n_keys,
+           keys[1]                    AS first_key,
+           keys[-1]                   AS last_key,
+           CAST(len(list_filter(keys, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+           array_to_string(keys[1:3], ',') AS first3
+    FROM (SELECT o_custkey, list_sort(list(o_orderkey)) AS keys
+          FROM orders GROUP BY o_custkey)
+    ORDER BY o_custkey
+    """,
+)
+def q_f_array(spark, sf_dir):
+    """∅-ref array suite: size/element_at/filter/slice over built lists."""
+    arr = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("keys"))
+    )
+    return arr.select(
+        "o_custkey",
+        F.size("keys").cast("bigint").alias("n_keys"),
+        F.element_at("keys", 1).alias("first_key"),
+        F.element_at("keys", -1).alias("last_key"),
+        F.size(F.filter("keys", lambda x: x % 2 == 0)).cast("bigint").alias("n_even"),
+        F.array_join(
+            F.transform(F.slice("keys", 1, 3), lambda x: x.cast("string")), ","
+        ).alias("first3"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "q_f_explode",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n, MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_f_explode(spark, sf_dir):
+    """F5: explode round-trip — build per-key arrays, explode back to rows,
+    re-aggregate (COMP5349_2.py:196). Oracle is the algebraic identity."""
+    arr = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.collect_list("o_orderkey").alias("keys"))
+    )
+    return (
+        arr.select("o_custkey", F.explode("keys").alias("k"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_f_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events ORDER BY event_id
+    """,
+)
+def q_f_json(spark, sf_dir):
+    """∅-ref JSON suite: get_json_object over events.props."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_f_cond",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 100 THEN 'high'
+                WHEN value > 10  THEN 'mid'
+                ELSE 'low' END AS bucket,
+           COALESCE(NULLIF(event_type, 'click'), '(clicked)') AS etype
+    FROM events ORDER BY event_id
+    """,
+)
+def q_f_cond(spark, sf_dir):
+    """∅-ref conditional suite: CASE WHEN / coalesce / nullif (F1 shape)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.when(F.col("value") > 100, "high")
+            .when(F.col("value") > 10, "mid")
+            .otherwise("low")
+            .alias("bucket"),
+            F.coalesce(F.nullif(F.col("event_type"), F.lit("click")), F.lit("(clicked)")).alias(
+                "etype"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end relational shapes of the reference's two workloads
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_e2e_w1doc",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CASE WHEN value > 50 THEN CAST(event_id AS VARCHAR) END AS r,
+             CASE WHEN NOT (value > 50) THEN CAST(event_id AS VARCHAR) END AS s
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT user_id, string_agg(iv, ' ' ORDER BY iv) AS doc
+    FROM (SELECT user_id, concat_ws('-', r, s) AS iv
+          FROM t WHERE r IS NOT NULL OR s IS NOT NULL)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_e2e_w1doc(spark, sf_dir):
+    """W1 document-build prefix (P1 + F1 + A1, COMP5349_2.py:146) transplanted
+    onto events: two mutually-exclusive nullable picks, null-skipping
+    concat_ws, group-collect into a sorted document string."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    r = F.when(F.col("value") > 50, F.col("event_id").cast("string"))
+    s = F.when(~(F.col("value") > 50), F.col("event_id").cast("string"))
+    t = ev.select("user_id", r.alias("r"), s.alias("s"))
+    return (
+        t.filter(F.col("r").isNotNull() | F.col("s").isNotNull())
+        .select("user_id", F.concat_ws("-", "r", "s").alias("iv"))
+        .groupBy("user_id")
+        .agg(F.array_join(F.sort_array(F.collect_list("iv")), " ").alias("doc"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_e2e_w2pairs",
+    oracle="""
+    SELECT lang, token, COUNT(*) AS y
+    FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY lang, token ORDER BY lang, token
+    """,
+)
+def q_e2e_w2pairs(spark, sf_dir):
+    """W2 rating-build shape (F5 explode + P2 filter + A2 pair count,
+    COMP5349_2.py:196-197) on documents: explode tokens, count pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("y"))
+        .orderBy("lang", "token")
+    )

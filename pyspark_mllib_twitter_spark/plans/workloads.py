@@ -1,0 +1,60 @@
+"""The reference's two workloads as declared queries over the fixture data.
+
+W1/W2 run on tweet-shaped data in the golden tests (tests/test_workloads.py,
+against the committed tweets fixture). Here the same pipelines run on
+events-derived inputs so the driver can exercise them at any scale factor.
+ML outputs (TF-IDF weights, ALS factors) are not SQL-expressible, so these
+are rows-only entries; correctness is pinned by the golden tests instead
+(SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from ..workloads.w1_similarity import user_similarity_top_k
+from ..workloads.w2_recommend import implicit_als_recommend
+from .registry import query
+
+
+@query("q_w1_user_similarity", oracle=None)  # TF-IDF/CV cosine — golden-tested
+def q_w1_user_similarity(spark, sf_dir):
+    """W1 end-to-end on events: per-user documents of interacted "items"
+    (the props.k payload), TF-IDF + CountVectorizer cosine top-5 for 3 query
+    users (COMP5349_2.py:140-188 shape)."""
+    ev = read_table(spark, sf_dir, "events")
+    docs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.get_json_object("props", "$.k").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id")
+        .agg(F.collect_list("item").alias("tokens"))
+    )
+    query_ids = [r.user_id for r in docs.select("user_id").orderBy("user_id").limit(3).collect()]
+    return user_similarity_top_k(docs, query_ids, k=5)
+
+
+@query("q_w2_als_recommend", oracle=None)  # ALS factors — golden-tested
+def q_w2_als_recommend(spark, sf_dir):
+    """W2 end-to-end on events: (user, item=props.k) mention-count implicit
+    ratings → dense-ID dictionary → ALS(seed=0, reference hyperparameters) →
+    top-5 per user, joined back to original ids (COMP5349_2.py:191-211)."""
+    ev = read_table(spark, sf_dir, "events")
+    pairs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("mention_id"),
+        )
+        .filter(F.col("mention_id").isNotNull())
+        .groupBy("user_id", "mention_id")
+        .agg(F.count("*").alias("y"))
+    )
+    recs = implicit_als_recommend(pairs, k=5)
+    return recs.select(
+        "user_id",
+        F.col("rec_rank").cast("bigint").alias("rec_rank"),
+        "rec_item_id",
+        F.col("rating").cast("double").alias("rating"),
+    ).orderBy("user_id", "rec_rank")

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+The reference configures only the Kryo serializer
+(``/root/reference/COMP5349_2.py:121``). The new engine pins the configs that
+matter for correctness (UTC session timezone for oracle comparison, Arrow for
+vectorized Python interop) and for scale (AQE with partition coalescing and
+skew-join handling, shuffle partitions sized to the local core count; on a
+real cluster these come from the submit config instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-twitter-engine",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode uses ``local[$SPARK_GRAFT_CPUS]`` (default all cores). On a
+    real cluster the master/executor topology comes from spark-submit and
+    everything here remains valid.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime coalescing of shuffle partitions, skew-join splitting,
+        # runtime conversion to broadcast join — core of the 100 TB story.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas_udf / mapInPandas / toPandas — the only sanctioned
+        # Python boundary (reference used pickled RDD rows instead).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics for the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Kryo kept for RDD-path parity with the reference
+        # (COMP5349_2.py:121); Tungsten encoders dominate the DataFrame path.
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

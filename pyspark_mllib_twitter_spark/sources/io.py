@@ -1,0 +1,95 @@
+"""Schema'd sources and sinks.
+
+The reference reads ONE multiline JSON file with inferred schema
+(``/root/reference/COMP5349_2.py:138``) and writes stringified Python tuples
+via ``rdd.saveAsTextFile`` (``COMP5349_2.py:188,211``). Both are non-starters
+at 100 TB: multiline JSON is unsplittable (one task parses the whole file) and
+schema inference costs an extra full scan. The new engine declares explicit
+``StructType`` schemas, prefers splittable formats (JSONL, Parquet), and sinks
+to Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Tables materialized by the test-data generator (TESTDATA.md / FIXTURES.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Explicit schema for the tweets table — the fields the reference touches
+#: (COMP5349_2.py:138,146,196) declared instead of inferred.
+TWEETS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("replyto_id", T.LongType(), True),
+        T.StructField("retweet_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField(
+            "user_mentions",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.LongType(), True),
+                        T.StructField("indices", T.ArrayType(T.IntegerType()), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → columnar, vectorized, with
+    predicate pushdown and column pruning for free."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in FIXTURE_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_tweets_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Splittable JSON-lines tweets source with declared schema.
+
+    This is the scale path: line-delimited JSON splits into one task per
+    HDFS/S3 block, and the declared schema skips the inference scan.
+    """
+    return spark.read.schema(TWEETS_SCHEMA).json(path)
+
+
+def read_tweets_json_array(spark: SparkSession, path: str) -> DataFrame:
+    """Fidelity-mode reader matching the reference's multiline JSON array
+    (COMP5349_2.py:138). Unsplittable — kept only for parity tests."""
+    return spark.read.schema(TWEETS_SCHEMA).option("multiLine", "true").json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Default sink (replaces the reference's saveAsTextFile)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
