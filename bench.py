@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Bench harness — times every registry query and prints ONE JSON line.
+
+Contract (BASELINE.md): run the declared query suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``; per-query seconds are the median of
+``--runs`` warm runs (default 2, after 1 untimed warm-up of the session);
+output is a single JSON line::
+
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {"q_a1_collect_list": 0.41, ...}, "sf": 0.1}
+
+Timing is wall-clock around a full plan execution. Queries are *executed*
+via a cheap but complete action (``df.foreach(noop)``-equivalent
+``count()`` on the already-ordered result would skip column evaluation, so
+we use ``df.write.format("noop")`` — Spark's measurement sink: every row is
+fully computed and serialized, nothing is collected to the driver).
+
+Heavy ML/iterative entries (ALS, MinHash label propagation) run once
+instead of ``--runs`` times — flagged in ``--verbose`` output; medians of
+one run are that run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+#: Queries that fit ALS / run iterative jobs — timed with a single run so the
+#: whole suite stays within the driver's per-round budget.
+SINGLE_RUN = {
+    "q_w1_user_similarity",
+    "q_w2_als_recommend",
+    "q_ns_dedup_minhash",
+    "q_ns_ann_ivf",
+}
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _execute(df) -> None:
+    """Force full computation of every row/column without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=2, help="timed runs per query (median)")
+    ap.add_argument("--only", nargs="*", default=None, help="subset of query names")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf_dir = args.sf_dir
+
+    names = sorted(REGISTRY)
+    if args.only:
+        names = [n for n in names if n in set(args.only)]
+
+    # Session warm-up: JVM/codegen/parquet-footer caches, one tiny query.
+    _execute(REGISTRY["q_s1_scan"].spark(spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        runs = 1 if name in SINGLE_RUN else args.runs
+        samples = []
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                _execute(spec.spark(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+        except Exception as e:  # keep benching; a broken query is reported, not fatal
+            failures[name] = f"{type(e).__name__}: {e}"
+            if args.verbose:
+                print(f"# FAIL {name}: {failures[name]}", file=sys.stderr)
+            continue
+        per_query[name] = round(statistics.median(samples), 3)
+        if args.verbose:
+            print(f"# {name}: {per_query[name]}s ({runs} run(s))", file=sys.stderr)
+        spark.catalog.clearCache()  # caches inside workloads must not leak across queries
+
+    result = {
+        "metric": "suite_seconds",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

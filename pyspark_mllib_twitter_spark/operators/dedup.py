@@ -109,24 +109,31 @@ def minhash_candidate_pairs(
 
 
 def keep_one_representatives(
-    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id", max_iters: int = 5
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id", max_iters: int = 20
 ) -> DataFrame:
     """Map every document to a duplicate-cluster representative (min id in
     its connected component) via iterative label propagation over the
-    candidate-pair graph.
+    candidate-pair graph, **run to fixpoint**.
 
-    Each iteration is two shuffles (join + min-agg); near-dup clusters are
-    shallow in practice so ``max_iters`` ~5 converges. Returns
-    ``(doc_id, rep_id)`` for every id in ``all_ids``.
+    Each iteration is two shuffles (join + min-agg) plus a cheap
+    changed-label probe (anti-join limit-1 count); iteration stops as soon as
+    no label changed, so a duplicate chain longer than a fixed cap can no
+    longer get a silently split cluster. ``max_iters`` is a safety cap
+    (label propagation needs at most graph-diameter rounds) — hitting it
+    emits a warning. Returns ``(doc_id, rep_id)`` for every id in
+    ``all_ids``.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
     )
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("rep_id")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
@@ -139,7 +146,21 @@ def keep_one_representatives(
             .agg(F.min("rep_id").alias("rep_id"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per iter
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.rep_id") != F.col("o.rep_id"))
+            .limit(1)
+            .count()
+        )
         labels = new_labels
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"keep_one_representatives hit max_iters={max_iters} before "
+            "converging; representatives may split long duplicate chains"
+        )
     return labels.select(F.col("node").alias(id_col), "rep_id")
 
 
@@ -254,18 +275,41 @@ def ngram_jaccard_pairs(
     block_col: str | None = "source",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs within a blocking key.
 
     ``jaccard = |A ∩ B| / |A ∪ B|`` over distinct word n-grams, computed with
     JVM array functions. The self-join is an equi-join on ``block_col``
     (never a cross join); use MinHash LSH when no natural block exists.
+
+    Within a block the pairing is O(block²) — a skewed block (one dominant
+    ``block_col`` value) would dominate the job at scale. ``max_block_size``
+    guards that: blocks larger than the cap fail fast with the offending
+    keys instead of silently running a quadratic stage; route those blocks
+    through :func:`minhash_candidate_pairs` instead. ``None`` disables the
+    guard (and the extra count job) for trusted inputs.
     """
     g = docs.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),
         F.array_distinct(TXT.word_ngrams(TXT.tokens(text_col), n)).alias("grams"),
     ).filter(F.size("grams") > 0)
+
+    if max_block_size is not None:
+        counts = (
+            g.groupBy(*( [block_col] if block_col else [F.lit(1).alias("_all")] ))
+            .count()
+            .filter(F.col("count") > max_block_size)
+            .limit(5)
+            .collect()
+        )
+        if counts:
+            raise ValueError(
+                f"ngram_jaccard_pairs: block(s) exceed max_block_size="
+                f"{max_block_size}: {[tuple(r) for r in counts]}; "
+                "use minhash_candidate_pairs for these blocks"
+            )
 
     join_keys = [block_col] if block_col else []
     a = g.select(*join_keys, F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))

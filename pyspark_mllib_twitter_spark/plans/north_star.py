@@ -162,31 +162,31 @@ def q_ns_dedup_exact(spark, sf_dir):
     "q_ns_jaccard_pairs",
     oracle="""
     WITH g AS (
-      SELECT doc_id, source,
-             list_distinct(list_transform(
-               generate_series(1, greatest(len(toks) - 2, 0)),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+      SELECT doc_id, source, list_distinct(toks) AS grams
       FROM (SELECT doc_id, source,
                    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                x -> x <> '') AS toks
             FROM documents WHERE doc_id < 300)
-      WHERE len(toks) >= 3)
+      WHERE len(toks) >= 1)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.grams, b.grams))::DOUBLE
              / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) AS jaccard
     FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
-            / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.2
+            / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0) >= 0.5
     ORDER BY id_a, id_b
     """,
 )
 def q_ns_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs, blocked by source (restricted to
-    doc_id < 300 to keep the oracle-side O(n^2) small; the operator itself
-    is unrestricted)."""
+    """Exact token-set (1-gram) Jaccard near-dup pairs, blocked by source
+    (restricted to doc_id < 300 to keep the oracle-side O(n^2) small; the
+    operator itself is unrestricted). Unigrams at threshold 0.5 catch the
+    fixture's shuffled-word duplicates — ~1.5k real pairs at every sf, so the
+    hash match is non-vacuous (3-grams found nothing: the duplicates reorder
+    words)."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
     return (
-        dedup.ngram_jaccard_pairs(d, block_col="source", n=3, min_jaccard=0.2)
+        dedup.ngram_jaccard_pairs(d, block_col="source", n=1, min_jaccard=0.5)
         .orderBy("id_a", "id_b")
     )
 

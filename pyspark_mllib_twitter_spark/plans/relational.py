@@ -106,7 +106,7 @@ def q_j_inner(spark, sf_dir):
     oracle="""
     SELECT c_custkey,
            COUNT(o_orderkey) AS n_orders,
-           COALESCE(SUM(o_totalprice), 0) AS total_price
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS DOUBLE) AS total_price
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey ORDER BY c_custkey
     """,
@@ -120,7 +120,10 @@ def q_j_outer(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_price"),
+            # decimal sum: order-independent (float-sum hash hazard at scale)
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), F.lit(0))
+            .cast("double")
+            .alias("total_price"),
         )
         .orderBy("c_custkey")
     )
@@ -190,9 +193,10 @@ def q_j_theta(spark, sf_dir):
     "q_j_asof",
     oracle="""
     SELECT event_id, user_id,
-           LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           CAST(LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS TIMESTAMP) AS last_click_ts
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -279,8 +283,9 @@ def q_a3_distinct(spark, sf_dir):
     "q_a4_agg_suite",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           SUM(l_quantity)                              AS sum_qty,
-           SUM(l_extendedprice * (1 - l_discount))      AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE)                              AS revenue,
            AVG(l_extendedprice)                         AS avg_price,
            MIN(l_extendedprice)                         AS min_price,
            MAX(l_extendedprice)                         AS max_price,
@@ -293,13 +298,20 @@ def q_a3_distinct(spark, sf_dir):
     """,
 )
 def q_a4_agg_suite(spark, sf_dir):
-    """∅-ref agg suite, TPC-H Q1 shape: 2-col groupBy + 8 aggregates."""
+    """∅-ref agg suite, TPC-H Q1 shape: 2-col groupBy + 8 aggregates.
+
+    Money sums go through DECIMAL(38,6): float summation order differs
+    between engines (and between partitionings of the same engine), and at
+    ~5e8 magnitude the error exceeds the 6dp comparison tolerance. Decimal
+    addition is exact and order-independent — same cast in the oracle SQL."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
             F.avg("l_extendedprice").alias("avg_price"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
@@ -382,7 +394,7 @@ def q_g1_rollup(spark, sf_dir):
     "q_g2_cube",
     oracle="""
     SELECT COALESCE(c_mktsegment, '(all)') AS seg, COALESCE(c_nationkey, -1) AS nk,
-           COUNT(*) AS n, SUM(c_acctbal) AS bal
+           COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
     FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
     ORDER BY seg, nk
     """,
@@ -392,7 +404,11 @@ def q_g2_cube(spark, sf_dir):
     return (
         _t(spark, sf_dir, "customer")
         .cube("c_mktsegment", "c_nationkey")
-        .agg(F.count("*").alias("n"), F.sum("c_acctbal").alias("bal"))
+        .agg(
+            F.count("*").alias("n"),
+            # decimal sum: order-independent (float-sum hash hazard at scale)
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("bal"),
+        )
         .select(
             F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("seg"),
             F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nk"),

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics for the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) columns (events.ts) are not a Spark SQL
+        # type; read them as raw nanosecond longs and let read_table convert
+        # to a real timestamp (micros) — see sources/io.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Kryo kept for RDD-path parity with the reference
         # (COMP5349_2.py:121); Tungsten encoders dominate the DataFrame path.
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Tables materialized by the test-data generator (TESTDATA.md / FIXTURES.md).
@@ -57,8 +58,17 @@ TWEETS_SCHEMA = T.StructType(
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar, vectorized, with
-    predicate pushdown and column pruning for free."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    predicate pushdown and column pruning for free.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
+    session.get_spark) it arrives as a nanosecond-epoch long and is converted
+    here to a microsecond timestamp (``ts DIV 1000`` — exact integer
+    division, truncation matches DuckDB's CAST(ns AS TIMESTAMP))."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
