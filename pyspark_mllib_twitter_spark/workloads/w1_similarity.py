@@ -28,31 +28,51 @@ from ..functions import vectors
 from ..operators.topk import top_k_per_group
 
 
-def build_user_documents(tweets: DataFrame) -> DataFrame:
+def build_user_documents(tweets: DataFrame, fidelity: bool = True) -> DataFrame:
     """P1 + F1 + A1 (COMP5349_2.py:146): per-user interaction-ID documents.
 
-    Returns ``(user_id, tokens array<string>)``. The reference joins the list
-    into one string and re-tokenizes it (M1); we keep the token array and
-    skip the round-trip (SURVEY §1.4) — same token multiset, since Tokenizer
-    splits on the same whitespace it was joined with.
+    Returns ``(user_id, tokens array<string>)``.
 
-    Fidelity note: ``concat_ws('-', replyto_id, retweet_id)`` (not
-    ``coalesce``) — if both were non-null the IDs would join with '-',
-    exactly as the reference would (F1 hazard, SURVEY §7).
+    ``fidelity=True`` (default) reproduces the reference's exact token
+    semantics (COMP5349_2.py:146,151-152): the collected IDs are joined with
+    ``', '`` into one document string and re-tokenized by whitespace
+    (Tokenizer semantics: lowercase + ``\\s+`` split), so **every token but
+    the last carries a trailing comma** (``'123,'``), which changes the
+    CountVectorizer vocabulary and cosine scores vs bare tokens. Two
+    deliberate deviations, both required for determinism and pinned by the
+    golden tests: the collected list is sorted (``sort_array``) before the
+    join — the reference relies on nondeterministic ``collect_list`` order,
+    which decides *which* ID ends up comma-less — and that is the only
+    difference. The reference also does NOT filter null ``user_id`` in W1
+    (only W2 does), so the null-author group forms a document that
+    participates in the vocabulary and can appear as a neighbor; we keep it.
+
+    ``fidelity=False`` keeps bare sorted tokens and drops the null-user row
+    — the sane-semantics mode for new pipelines.
     """
-    return (
-        tweets.filter("replyto_id IS NOT NULL OR retweet_id IS NOT NULL")
-        .filter(F.col("user_id").isNotNull())
-        .select(
-            "user_id",
-            F.concat_ws(
-                "-",
-                F.col("replyto_id").cast("string"),
-                F.col("retweet_id").cast("string"),
-            ).alias("interaction"),
-        )
-        .groupBy("user_id")
-        .agg(F.collect_list("interaction").alias("tokens"))
+    filtered = tweets.filter("replyto_id IS NOT NULL OR retweet_id IS NOT NULL")
+    if not fidelity:
+        filtered = filtered.filter(F.col("user_id").isNotNull())
+    interactions = filtered.select(
+        "user_id",
+        # F1 hazard kept verbatim: concat_ws('-') would join BOTH ids with
+        # '-' if both were non-null, exactly as the reference would.
+        F.concat_ws(
+            "-",
+            F.col("replyto_id").cast("string"),
+            F.col("retweet_id").cast("string"),
+        ).alias("interaction"),
+    )
+    grouped = interactions.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("interaction")).alias("sorted_ids")
+    )
+    if not fidelity:
+        return grouped.select("user_id", F.col("sorted_ids").alias("tokens"))
+    # The reference's join → Tokenizer round-trip: 'a, b, c' → ['a,','b,','c']
+    doc = F.concat_ws(", ", "sorted_ids")
+    return grouped.select(
+        "user_id",
+        F.filter(F.split(F.lower(doc), r"\s+"), lambda t: t != "").alias("tokens"),
     )
 
 

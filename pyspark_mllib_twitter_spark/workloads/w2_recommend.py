@@ -66,6 +66,7 @@ def implicit_als_recommend(
     reg_param: float = 0.1,
     alpha: float = 1.0,
     user_subset: DataFrame | None = None,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Fit implicit-feedback ALS with the reference's hyperparameters
     (COMP5349_2.py:204) and return top-``k`` recommendations per user mapped
@@ -73,6 +74,11 @@ def implicit_als_recommend(
 
     Output: ``(user_id, rec_rank int 1..k, rec_item_id, rating float)``,
     rank order preserved from ALS.
+
+    ``num_blocks`` pins ALS's internal user/item block count; the default
+    (None) lets ALS derive it from parallelism, but golden tests set it
+    explicitly because factor initialization is seeded per block — a fixed
+    seed is only reproducible across machines with a fixed block count.
     """
     from pyspark.ml.recommendation import ALS
 
@@ -98,6 +104,8 @@ def implicit_als_recommend(
         ratingCol="y",
         coldStartStrategy="drop",
     )
+    if num_blocks is not None:
+        als = als.setNumUserBlocks(num_blocks).setNumItemBlocks(num_blocks)
     model = als.fit(encoded)
 
     if user_subset is not None:

@@ -1,0 +1,119 @@
+"""Golden tests for the reference's two workloads (SURVEY §5, FIXTURES.md §B).
+
+The committed tweets fixture (tools/make_tweets_fixture.py, seeded) plus the
+committed goldens (tools/make_goldens.py) pin the full M1-M7 surface:
+document build fidelity (comma-carrying tokens), HashingTF/IDF/
+CountVectorizer/Normalizer vectorization, cosine top-5 with the reference's
+score-DESC/id-DESC tie-break (nb:220-230), and ALS(seed=0, reference
+hyperparameters) recommendation with dictionary join-back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+QUERY_USER = 20000001
+
+
+@pytest.fixture(scope="module")
+def tweets(spark):
+    from pyspark_mllib_twitter_spark.sources.io import read_tweets_jsonl
+
+    return read_tweets_jsonl(spark, os.path.join(FIXTURES, "tweets.jsonl")).cache()
+
+
+def _load(name):
+    with open(os.path.join(FIXTURES, name)) as f:
+        return json.load(f)
+
+
+def test_w1_golden_top5(tweets):
+    """W1 end-to-end: exact top-5 ids and 6dp scores under both vectorizers."""
+    from pyspark_mllib_twitter_spark.workloads.w1_similarity import (
+        build_user_documents,
+        user_similarity_top_k,
+    )
+
+    golden = _load("w1_top5.json")
+    docs = build_user_documents(tweets, fidelity=True)
+    rows = user_similarity_top_k(docs, [QUERY_USER], k=5).collect()
+    got = {"tfidf": [], "cv": []}
+    for r in rows:  # already ordered by (query_id, vectorizer, rn)
+        got[r.vectorizer].append([r.neighbor_id, round(r.sim, 6)])
+    assert got["tfidf"] == golden["tfidf"]
+    assert got["cv"] == golden["cv"]
+
+
+def test_w1_tie_break_is_desc_id(tweets):
+    """The golden CV list contains at least one exact score tie, and within
+    every tied score run the neighbor ids are strictly descending — the
+    tie-break the notebook's golden output pins (nb:220-230)."""
+    golden = _load("w1_top5.json")
+    scores = [s for _, s in golden["cv"]]
+    assert len(scores) != len(set(scores)), "fixture lost its tie — regenerate"
+    for (id1, s1), (id2, s2) in zip(golden["cv"], golden["cv"][1:]):
+        assert s1 > s2 or (s1 == s2 and id1 > id2)
+
+
+def test_w1_fidelity_tokens_carry_commas(tweets):
+    """The reference joins with ', ' then re-tokenizes (COMP5349_2.py:146,
+    151-152): all tokens but the last end with ','. Also: the null-author
+    document exists in fidelity mode (no user_id filter in W1)."""
+    from pyspark_mllib_twitter_spark.workloads.w1_similarity import build_user_documents
+
+    docs = build_user_documents(tweets, fidelity=True)
+    row = docs.filter(docs.user_id == QUERY_USER).first()
+    assert row is not None and len(row.tokens) >= 10
+    assert all(t.endswith(",") for t in row.tokens[:-1])
+    assert not row.tokens[-1].endswith(",")
+    assert docs.filter(docs.user_id.isNull()).count() == 1
+
+    clean = build_user_documents(tweets, fidelity=False)
+    crow = clean.filter(clean.user_id == QUERY_USER).first()
+    assert all(not t.endswith(",") for t in crow.tokens)
+    assert clean.filter(clean.user_id.isNull()).count() == 0
+
+
+def test_w2_golden_recs(tweets):
+    """W2 end-to-end: exact per-user top-5 item ids + 6dp ratings from
+    ALS(seed=0, rank=10, maxIter=5, regParam=0.1, implicit, alpha=1.0,
+    num_blocks pinned)."""
+    from pyspark_mllib_twitter_spark.workloads.w2_recommend import (
+        build_mention_pairs,
+        implicit_als_recommend,
+    )
+
+    golden = _load("w2_recs.json")
+    pairs = build_mention_pairs(tweets)
+    recs = implicit_als_recommend(pairs, k=5, num_blocks=8).collect()
+    got: dict[str, list] = {}
+    for r in sorted(recs, key=lambda r: (r.user_id, r.rec_rank)):
+        got.setdefault(str(r.user_id), []).append(
+            [r.rec_item_id, round(float(r.rating), 6)]
+        )
+    assert set(got) == set(golden)
+    mismatches = {u: (got[u], golden[u]) for u in golden if got[u] != golden[u]}
+    assert not mismatches, f"{len(mismatches)} users differ, e.g. {next(iter(mismatches.items()))}"
+
+
+def test_w2_no_null_users(tweets):
+    """W2 keeps the reference's P2 filter: null authors contribute no pairs."""
+    from pyspark_mllib_twitter_spark.workloads.w2_recommend import build_mention_pairs
+
+    pairs = build_mention_pairs(tweets)
+    assert pairs.filter(pairs.user_id.isNull()).count() == 0
+
+
+def test_multiline_json_reader_matches_jsonl(spark, tweets):
+    """Fidelity reader (multiline JSON array, the reference's input shape —
+    COMP5349_2.py:138) parses to exactly the same rows as the JSONL reader."""
+    from pyspark_mllib_twitter_spark.sources.io import read_tweets_json_array
+
+    ml = read_tweets_json_array(spark, os.path.join(FIXTURES, "tweets.json"))
+    a = sorted((tuple(str(x) for x in r) for r in tweets.collect()))
+    b = sorted((tuple(str(x) for x in r) for r in ml.collect()))
+    assert a == b
