@@ -1,0 +1,102 @@
+"""Streaming queries (SURVEY §2.B) as registry entries.
+
+Each entry replays the ``events`` fixture as real micro-batches (file
+source, one chunk per trigger) and runs a watermarked streaming plan to an
+in-memory sink. Late rows in the replay stay within the watermark delay, so
+no row is dropped and the flush sentinel closes every real window — which
+makes the tumbling-window query *oracle-checkable*: its final append-mode
+output must equal the plain batch/SQL aggregation of the same table.
+Session windows and stateful counters have engine-specific output shapes
+(merge timing, update cadence) → rows-only here, semantics pinned in
+tests/test_streaming.py against batch twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from ..streaming import (
+    FLUSH_EVENT_TYPE,
+    read_events_stream,
+    replay_events_dir,
+    run_to_memory,
+    sessionized,
+    stream_dedup,
+    tumbling_window_counts,
+)
+from .registry import query
+
+
+#: The events fixture spans ~1 month and the replayer shifts late rows by 2
+#: of 8 batches → worst-case event-time lateness ~1/4 of the span (~8 days).
+#: The oracle-checked entries need ZERO dropped rows, so their watermark
+#: delay must exceed that lateness, and the flush sentinel must sit beyond
+#: delay + window so the final watermark still closes every real window.
+REPLAY_WATERMARK = "45 days"
+REPLAY_FLUSH_MARGIN = "60 days"
+
+
+def _replayed_stream(spark, sf_dir, **replay_kwargs):
+    ev = read_table(spark, sf_dir, "events")
+    replay_kwargs.setdefault("flush_margin", REPLAY_FLUSH_MARGIN)
+    replay_dir = replay_events_dir(ev, **replay_kwargs)
+    return read_events_stream(spark, replay_dir)
+
+
+@query(
+    "q_stream_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+           time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+             + INTERVAL '10 minutes' AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY w_start, event_type
+    """,
+)
+def q_stream_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window counts, streamed over replayed
+    micro-batches, checked against the batch SQL aggregation (valid because
+    replay lateness < watermark delay → zero dropped rows, and the flush
+    sentinel closes every real window)."""
+    stream = tumbling_window_counts(
+        _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+    )
+    out = run_to_memory(stream, output_mode="append")
+    # Sentinel windows never close (the watermark never passes them), so
+    # none should appear; the batch-side filter is belt-and-braces — it must
+    # live HERE, not in the streaming plan, where it would be pushed into
+    # the scan and starve the watermark of the flush rows.
+    return out.filter(F.col("event_type") != FLUSH_EVENT_TYPE).orderBy(
+        "w_start", "event_type"
+    )
+
+
+@query("q_stream_session", oracle=None)  # session merge shape is engine-specific
+def q_stream_session(spark, sf_dir):
+    """Per-user session windows (30 min gap) over the replayed stream;
+    equivalence with batch session_window is pinned in test_streaming.py."""
+    stream = sessionized(_replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK)
+    out = run_to_memory(stream, output_mode="append")
+    return out.filter(F.col("user_id") != -1).orderBy("user_id", "s_start")
+
+
+@query("q_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
+def q_stream_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a replay that re-delivers every
+    20th event one batch later: output must contain each event_id once."""
+    stream = stream_dedup(
+        _replayed_stream(spark, sf_dir, duplicate_every=20),
+        watermark=REPLAY_WATERMARK,
+    )
+    out = run_to_memory(stream, output_mode="append")
+    return (
+        out.filter(F.col("event_id") >= 0)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_copies"))
+        .orderBy("event_id")
+    )

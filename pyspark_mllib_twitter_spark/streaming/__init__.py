@@ -1,0 +1,11 @@
+from .streams import (  # noqa: F401
+    FLUSH_EVENT_TYPE,
+    replay_events_dir,
+    read_events_stream,
+    run_to_memory,
+    sessionized,
+    sliding_window_stats,
+    stream_dedup,
+    stateful_user_stats,
+    tumbling_window_counts,
+)

@@ -1,0 +1,341 @@
+"""Structured Streaming surface (SURVEY §2.B, FIXTURES.md §C).
+
+The reference is batch-only; the target surface requires the streaming
+operators a 100 TB event pipeline needs: watermarked tumbling/sliding
+windows, session windows, watermark-bounded dedup, and a custom stateful
+operator (``applyInPandasWithState``). Everything here is expressed on a
+streaming DataFrame and works identically on a real source (Kafka, file
+drop) — the replay harness below exists so tests and the bench can drive
+the operators deterministically from the ``events`` fixture table.
+
+Design notes for scale:
+
+- Watermarks bound state: every stateful operator here REQUIRES an
+  up-front ``withWatermark`` so state for closed windows/sessions is
+  evicted; unbounded state is the streaming scale-killer.
+- Aggregations shuffle on (window, key) exactly like their batch twins —
+  partial aggregation applies per micro-batch, AQE does not (streaming),
+  so ``spark.sql.shuffle.partitions`` matters more here than in batch.
+- The flush sentinel trick: in append mode a window emits only once the
+  watermark passes its end. Replays append far-future sentinel rows so
+  every real window provably closes — the deterministic-test equivalent
+  of a stream that keeps flowing.
+- Sentinels must NOT be filtered inside the streaming plan: a
+  deterministic predicate on a non-watermark column is pushed through the
+  EventTimeWatermark node into the parquet scan, so the sentinel row never
+  reaches the watermark tracker and the watermark never advances (verified
+  empirically: the flush batch reports numInputRows=0, eventTime.max
+  absent). Sentinel groups simply never close — append mode never emits
+  them — and batch-land consumers filter any residue after the sink.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: event_type of the far-future flush sentinel appended by the replayer.
+FLUSH_EVENT_TYPE = "__flush__"
+
+#: Schema of the replayed events stream (events fixture after read_table's
+#: nanos→micros conversion).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Replay harness (test/bench utility, not a production operator)
+# ---------------------------------------------------------------------------
+
+def replay_events_dir(
+    events: DataFrame,
+    out_dir: str | None = None,
+    n_batches: int = 8,
+    late_fraction_pct: int = 5,
+    late_batch_shift: int = 2,
+    flush_margin: str = "2 days",
+    duplicate_every: int | None = None,
+) -> str:
+    """Materialize ``events`` as ordered parquet chunk files for file-source
+    replay: chunk *i* becomes micro-batch *i* (``maxFilesPerTrigger=1``).
+
+    Rows are event-time ordered, then a deterministic ``late_fraction_pct``%
+    (by ``event_id`` hash) are shifted ``late_batch_shift`` batches later —
+    late arrivals within a bounded delay, per FIXTURES.md §C. A final flush
+    sentinel (``event_type='__flush__'``, ts = max + ``flush_margin``)
+    closes all real windows. ``duplicate_every=k`` re-appends every k-th row
+    one batch later (same ``event_id``) to exercise
+    ``dropDuplicatesWithinWatermark``.
+
+    Driver-side by design: this is the deterministic test/bench replayer
+    (bounded fixture sizes), not a scale path — production streams come
+    from Kafka/file-drop sources and never pass through the driver.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = events.orderBy("ts", "event_id").toPandas()
+    n = len(pdf)
+    if n == 0:
+        raise ValueError("replay_events_dir: empty events input")
+
+    batch = [min(i * n_batches // n, n_batches - 1) for i in range(n)]
+    # Deterministic late shift: Knuth-hash of event_id, no RNG state.
+    late = [(int(e) * 2654435761 % 100) < late_fraction_pct for e in pdf["event_id"]]
+    batch = [
+        min(b + late_batch_shift, n_batches - 1) if is_late else b
+        for b, is_late in zip(batch, late)
+    ]
+    pdf = pdf.assign(_batch=batch)
+
+    dups = None
+    if duplicate_every:
+        dups = pdf.iloc[::duplicate_every].copy()
+        dups["_batch"] = [min(b + 1, n_batches - 1) for b in dups["_batch"]]
+
+    # TWO trailing sentinel batches: the watermark computed from flush #1 is
+    # only *applied* (and append-mode emission happens) while processing a
+    # subsequent batch — flush #2 is that batch.
+    import pandas as pd
+
+    flushes = []
+    for j in (0, 1):
+        flush = pdf.iloc[-1:].copy()
+        flush["event_id"] = -1 - j
+        flush["user_id"] = -1
+        flush["event_type"] = FLUSH_EVENT_TYPE
+        flush["value"] = 0.0
+        flush["props"] = None
+        flush["ts"] = pdf["ts"].max() + _pd_interval(flush_margin) + pd.Timedelta(j, "h")
+        flush["_batch"] = n_batches + j
+        flushes.append(flush)
+
+    full = pd.concat([x for x in (pdf, dups, *flushes) if x is not None])
+    out_dir = out_dir or os.path.join(
+        "/tmp", f"events_replay_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    # FileStreamSource orders by (mtime, path) — pin both. Mtimes must be
+    # strictly increasing AND in the past: a future mtime can fall outside
+    # the source's start-time snapshot and the file is silently skipped.
+    base = time.time() - (n_batches + 2)
+    for b in range(n_batches + 2):
+        chunk = full[full["_batch"] == b].drop(columns="_batch")
+        path = os.path.join(out_dir, f"batch_{b:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False), path
+        )
+        os.utime(path, (base + b, base + b))
+    return out_dir
+
+
+def _pd_interval(spec: str):
+    import pandas as pd
+
+    qty, unit = spec.split()
+    return pd.Timedelta(int(qty), unit={"day": "d", "days": "d", "hours": "h",
+                                        "hour": "h", "minutes": "m",
+                                        "minute": "m"}[unit])
+
+
+def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source stream over a replay dir: one chunk file per micro-batch,
+    declared schema (no inference scan — same discipline as batch)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming plan over all available input (availableNow
+    trigger → real micro-batch sequence, watermarks advance batch to
+    batch), sink to an in-memory table, return it as a DataFrame."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming operators
+# ---------------------------------------------------------------------------
+
+def tumbling_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    State: one row per (window, event_type); evicted once the watermark
+    passes window end. Money-style sums go through decimal — same
+    order-independence discipline as the batch agg suite."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window per-type averages (each event lands in
+    window/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-based). Sessions merge as events
+    arrive; a session closes — and its state is evicted — when the
+    watermark passes session end + gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once by key within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each key
+    and drops re-deliveries until the key ages out of state — the
+    bounded-state streaming twin of batch ``dropDuplicates`` (state size
+    ~ keys per watermark window, not the whole stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys or ["event_id"])
+    )
+
+
+#: Output/state schemas for stateful_user_stats.
+_USER_STATS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_ts", T.TimestampType()),
+    ]
+)
+_USER_STATS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("mx", T.TimestampType()),
+    ]
+)
+
+
+def stateful_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (count, sum(value), max ts), one updated row per user per
+    micro-batch in which the user appears.
+
+    This is the escape hatch for operators window aggs can't express
+    (counters, custom sessionization, CEP-ish logic). Arrow-batched per
+    group; state is one tiny tuple per user, watermark-bounded timeout
+    would evict idle users in production (omitted here so replays keep
+    every user's final row observable — counts are monotone, tests take
+    the max)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            mx = batch_max if mx is None or batch_max > mx else mx
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_ts": [mx]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_USER_STATS_OUT,
+            stateStructType=_USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,229 @@
+"""Streaming semantics pinned against batch twins (SURVEY §5, FIXTURES.md §C).
+
+The oracle equivalence of the tumbling-window query runs in test_oracle.py
+(q_stream_window_counts carries DuckDB SQL). Here: the semantics a SQL
+oracle can't express — watermark late-row dropping, session-window
+equivalence with batch, exactly-once dedup under re-delivery, sliding
+windows, and the custom stateful operator.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_mllib_twitter_spark.sources import read_table
+from pyspark_mllib_twitter_spark.streaming import (
+    read_events_stream,
+    replay_events_dir,
+    run_to_memory,
+    sessionized,
+    sliding_window_stats,
+    stateful_user_stats,
+    stream_dedup,
+    tumbling_window_counts,
+)
+
+WATERMARK = "45 days"  # > replay lateness (~span/4) → no fixture row dropped
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_smoke):
+    return read_table(spark, sf_smoke, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, events):
+    return replay_events_dir(events, flush_margin="60 days")
+
+
+def test_sliding_windows_match_batch(spark, events, replay_dir):
+    streamed = run_to_memory(
+        sliding_window_stats(read_events_stream(spark, replay_dir), watermark=WATERMARK)
+    )
+    got = {
+        (r.w_start, r.event_type): (r.n, round(r.avg_value, 6))
+        for r in streamed.collect()
+        if r.event_type != "__flush__"
+    }
+    batch = (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, round(r.avg_value, 6)) for r in batch}
+    assert got == want
+
+
+def test_session_windows_match_batch(spark, events, replay_dir):
+    streamed = run_to_memory(
+        sessionized(read_events_stream(spark, replay_dir), watermark=WATERMARK)
+    )
+    got = {
+        (r.user_id, r.s_start): (r.s_end, r.n_events, round(r.sum_value, 6))
+        for r in streamed.collect()
+        if r.user_id is None or r.user_id >= 0
+    }
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    )
+    want = {
+        (r.user_id, r.w.start): (r.w.end, r.n_events, round(r.sum_value, 6))
+        for r in batch
+    }
+    assert got == want
+
+
+def test_stream_dedup_exactly_once(spark, events):
+    d = replay_events_dir(events, flush_margin="60 days", duplicate_every=10)
+    streamed = run_to_memory(
+        stream_dedup(read_events_stream(spark, d), watermark=WATERMARK)
+    )
+    real = streamed.filter(F.col("event_id") >= 0)
+    assert real.count() == events.count()
+    assert real.select("event_id").distinct().count() == events.count()
+
+
+def test_stateful_user_stats_match_batch(spark, events, replay_dir):
+    streamed = run_to_memory(
+        stateful_user_stats(read_events_stream(spark, replay_dir), watermark=WATERMARK),
+        output_mode="update",
+    )
+    # update mode appends one row per (user, batch); counts are monotone →
+    # the final state is the per-user max.
+    final = (
+        streamed.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("sum_value").alias("s"))
+    )
+    got = {r.user_id: (r.n, round(r.s, 4)) for r in final.collect()}
+    batch = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    want = {r.user_id: (r.n, round(r.s, 4)) for r in batch.collect()}
+    assert got == want
+
+
+def _write_chunks(chunks: list[list[tuple]]) -> str:
+    """Hand-built replay dir: one file per micro-batch, rows are
+    (event_id, ts_iso, user_id, event_type, value)."""
+    import datetime as dt
+
+    out = os.path.join("/tmp", f"late_replay_{uuid.uuid4().hex[:8]}")
+    os.makedirs(out)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    base = time.time() - len(chunks) - 1
+    for i, rows in enumerate(chunks):
+        t = pa.Table.from_pylist(
+            [
+                {
+                    "event_id": e,
+                    "ts": dt.datetime.fromisoformat(ts),
+                    "user_id": u,
+                    "event_type": et,
+                    "value": v,
+                    "props": None,
+                }
+                for (e, ts, u, et, v) in rows
+            ],
+            schema=schema,
+        )
+        path = os.path.join(out, f"batch_{i:05d}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (base + i, base + i))
+    return out
+
+
+def test_watermark_drops_too_late_row(spark):
+    """A row older than (max seen - delay) whose window already closed must
+    be dropped from the aggregation — the one semantics a no-drop replay
+    can't show. Timeline (10-min windows, 30-min watermark delay):
+    batch 0 has 09:00-10:00 data; batch 1 jumps to 12:00, advancing the
+    watermark to 09:30 and EVICTING the 09:xx windows at its end; batch 2
+    re-delivers a 09:05 row — its window is gone and the watermark is past,
+    so the row must drop (a late row arriving in the same batch the
+    watermark first crosses its window may still merge — Spark only
+    guarantees dropping after eviction, which is why the re-delivery gets
+    its own batch); flush batches close the rest.
+    """
+    d = _write_chunks(
+        [
+            [
+                (1, "2024-01-01 09:05:00", 1, "click", 1.0),
+                (2, "2024-01-01 09:15:00", 1, "click", 1.0),
+                (3, "2024-01-01 10:00:00", 1, "click", 1.0),
+            ],
+            [(4, "2024-01-01 12:00:00", 1, "click", 1.0)],
+            [(5, "2024-01-01 09:05:00", 1, "click", 1.0)],  # too late → dropped
+            [(-1, "2024-01-02 12:00:00", -1, "__flush__", 0.0)],
+            [(-2, "2024-01-02 13:00:00", -1, "__flush__", 0.0)],
+        ]
+    )
+    out = run_to_memory(
+        tumbling_window_counts(
+            read_events_stream(spark, d), window="10 minutes", watermark="30 minutes"
+        )
+    )
+    counts = {
+        r.w_start.isoformat(sep=" "): r.n
+        for r in out.filter(F.col("event_type") == "click").collect()
+    }
+    assert counts["2024-01-01 09:00:00"] == 1  # event 1 only; late #5 dropped
+    assert counts["2024-01-01 09:10:00"] == 1
+    assert counts["2024-01-01 10:00:00"] == 1
+    assert counts["2024-01-01 12:00:00"] == 1
+    assert sum(counts.values()) == 4  # 5 arrivals, 1 dropped
+
+
+def test_late_within_delay_is_kept(spark):
+    """Same shape, but the late arrival is within the watermark delay →
+    aggregated normally (no drop)."""
+    d = _write_chunks(
+        [
+            [
+                (1, "2024-01-01 09:05:00", 1, "click", 1.0),
+                (2, "2024-01-01 09:15:00", 1, "click", 1.0),
+            ],
+            [
+                (3, "2024-01-01 09:30:00", 1, "click", 1.0),
+                (4, "2024-01-01 09:06:00", 1, "click", 1.0),  # late but in delay
+            ],
+            [(-1, "2024-01-02 12:00:00", -1, "__flush__", 0.0)],
+            [(-2, "2024-01-02 13:00:00", -1, "__flush__", 0.0)],
+        ]
+    )
+    out = run_to_memory(
+        tumbling_window_counts(
+            read_events_stream(spark, d), window="10 minutes", watermark="30 minutes"
+        )
+    )
+    counts = {
+        r.w_start.isoformat(sep=" "): r.n
+        for r in out.filter(F.col("event_type") == "click").collect()
+    }
+    assert counts["2024-01-01 09:00:00"] == 2  # events 1 + late 4
+    assert sum(counts.values()) == 4
