@@ -142,11 +142,23 @@ def ivf_top_k(
     nearest centroids per query. The coarse quantizer is tiny (centroids are
     broadcast); the fine search is an equi-join on centroid id — shuffle
     scales with corpus size / n_centroids * n_probe, not |Q| x |corpus|.
+
+    Vectors are L2-normalized before clustering so KMeans' Euclidean
+    assignment and the cosine probe ranking agree (on the unit sphere
+    ||a-b||^2 = 2 - 2*cos — with raw vectors the coarse quantizer and the
+    fine ranking optimize different metrics). Note recall on *unstructured*
+    (near-random) embeddings approaches the probed fraction n_probe /
+    n_centroids by construction; IVF pays off when the corpus actually
+    clusters, and n_probe is the recall/cost dial (measured on the random
+    fixture: 0.55 @ 4/16, 0.79 @ 8/16).
     """
     from pyspark.ml.clustering import KMeans
 
     c_ml = _to_ml_vectors(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("arr")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            vectors.l2_normalize(vec_col).alias("arr"),
+        ),
         "arr",
         "features",
     )
@@ -161,7 +173,7 @@ def ivf_top_k(
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        vectors.as_double_array(vec_col).alias("q_vec"),
+        vectors.l2_normalize(vec_col).alias("q_vec"),
     )
     # nearest n_probe centroids per query (centroid table is tiny → broadcast)
     q_cent = top_k_per_group(

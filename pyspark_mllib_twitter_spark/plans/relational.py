@@ -348,20 +348,21 @@ def q_a6_approx_distinct(spark, sf_dir):
     """,
 )
 def q_a5_id_dictionary(spark, sf_dir):
-    """F3 replacement: dense-rank ID dictionary. The reference hashes 64-bit
+    """F3 replacement: dense ID dictionary. The reference hashes 64-bit
     IDs into 32 bits for ALS (f.hash, COMP5349_2.py:197 — birthday-bound
     collisions at ~77k users). A dense dictionary is collision-free.
 
-    Scale note: a global dense_rank is a single-partition sort — fine for
-    vocabulary-sized dictionaries (what ALS needs); for billions of IDs use
-    the zipWithIndex-style recipe in workloads.recommend instead.
+    Built by the distributed recipe in workloads.w2_recommend
+    (range-repartition + per-partition rank + broadcast offsets) — the
+    DENSE_RANK oracle semantics without any single-partition global window
+    in the physical plan.
     """
+    from ..workloads.w2_recommend import dense_id_dictionary
+
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.select("user_id")
-        .where(F.col("user_id").isNotNull())
-        .distinct()
-        .withColumn("dense_id", F.dense_rank().over(W.orderBy("user_id")).cast("bigint"))
+        dense_id_dictionary(ev, "user_id", "dense_id")
+        .select("user_id", F.col("dense_id").cast("bigint").alias("dense_id"))
         .orderBy("user_id")
     )
 

@@ -37,20 +37,49 @@ def build_mention_pairs(tweets: DataFrame) -> DataFrame:
     )
 
 
-def dense_id_dictionary(df: DataFrame, id_col: str, out_col: str = "dense_id") -> DataFrame:
-    """Collision-free long→int dictionary: DENSE_RANK over distinct IDs.
+def dense_id_dictionary(
+    df: DataFrame, id_col: str, out_col: str = "dense_id"
+) -> DataFrame:
+    """Collision-free long→int dictionary: ids 1..N in ascending-id order
+    (identical contract to ``DENSE_RANK() OVER (ORDER BY id)``), built
+    WITHOUT a global window.
 
-    Replaces F3 ``f.hash`` (COMP5349_2.py:197). A global dense_rank sorts the
-    distinct-ID set on one partition — correct and fast up to ~10^8 distinct
-    IDs (the set is post-distinct, tiny relative to the data). Beyond that,
-    switch to the two-phase recipe: sort distinct IDs, zipWithIndex per
-    partition, add partition offsets — same contract, fully distributed.
+    Replaces F3 ``f.hash`` (COMP5349_2.py:197) — 32-bit murmur over 64-bit
+    Twitter IDs silently merges users from ~77k ids (birthday bound). A
+    naive dense_rank fix would funnel every distinct id through ONE
+    partition (no-partition window = single-partition sort) — the W2
+    scale-killer at ~10^8+ ids. Distributed recipe instead:
+
+    1. distinct ids, range-repartitioned by id → globally ordered across
+       partitions, sorted within each (one shuffle);
+    2. per-partition counts → driver (numPartitions rows, bounded) →
+       cumulative offsets, broadcast back;
+    3. dense id = partition offset + row_number within the partition —
+       the window is partitioned by ``spark_partition_id()``, so every
+       partition ranks locally in parallel.
     """
+    ids = df.select(id_col).where(F.col(id_col).isNotNull()).distinct()
+    parts = ids.repartitionByRange(F.col(id_col)).sortWithinPartitions(id_col)
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+
+    counts = sorted(
+        (tuple(r) for r in with_pid.groupBy("_pid").count().collect())
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset long"
+    )
+
+    local_rank = F.row_number().over(W.partitionBy("_pid").orderBy(id_col))
     return (
-        df.select(id_col)
-        .where(F.col(id_col).isNotNull())
-        .distinct()
-        .withColumn(out_col, F.dense_rank().over(W.orderBy(id_col)).cast("int"))
+        with_pid.join(F.broadcast(offsets_df), "_pid")
+        .select(
+            id_col,
+            (F.col("_offset") + local_rank).cast("int").alias(out_col),
+        )
     )
 
 
