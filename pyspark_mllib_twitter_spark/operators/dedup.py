@@ -92,7 +92,10 @@ def minhash_candidate_pairs(
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )
-    feats = tf.transform(toks)
+    # Cached: the self-join reads the featurized side twice (datasetA and
+    # datasetB) and the LSH fit scans it once more — without the cache the
+    # shingling + hashing runs three times.
+    feats = tf.transform(toks).cache()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
     )
