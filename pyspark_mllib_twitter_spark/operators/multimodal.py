@@ -49,21 +49,39 @@ class DecoderNotAvailable(NotImplementedError):
 
 
 def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table for tests: payload bytes derived from
-    the asset id, metadata consistent with payload size."""
-    rows = []
-    for i in range(n):
-        payload = bytes(((i * 2654435761 + j * (seed + 1)) % 251) for j in range(64 + i % 64))
-        mime = ["image/png", "image/jpeg", "audio/wav"][i % 3]
-        rows.append(
-            (
-                i,
-                mime,
-                payload,
-                (64 + i % 32, 48 + i % 24, 1000 * (i % 30), len(payload)),
-            )
-        )
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+    """Deterministic fake asset table: payload bytes derived from the asset
+    id, metadata consistent with payload size.
+
+    Generated DISTRIBUTED: ``spark.range`` partitions the id space and an
+    Arrow-batched ``mapInPandas`` materializes payloads on executors — no
+    driver-side row building, so the same generator scales to millions of
+    fake assets for load tests."""
+    mimes = ["image/png", "image/jpeg", "audio/wav"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                payload = bytes(
+                    ((i * 2654435761 + j * (seed + 1)) % 251) for j in range(64 + i % 64)
+                )
+                rows.append(
+                    {
+                        "asset_id": i,
+                        "mime": mimes[i % 3],
+                        "payload": payload,
+                        "meta": {
+                            "width": 64 + i % 32,
+                            "height": 48 + i % 24,
+                            "duration_ms": 1000 * (i % 30),
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> list[float]:

@@ -120,6 +120,94 @@ def q_ns_langid(spark, sf_dir):
 
 
 @query(
+    "q_ns_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS n_bpe,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')[1] AS first_tok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_ns_token_bpe(spark, sf_dir):
+    """BPE-ish regex token counting: letter runs, digit runs, and single
+    punctuation marks as separate tokens (the pre-tokenization split most
+    BPE vocabularies assume), alongside the whitespace counter of
+    q_ns_token_stats. Pure JVM regexp — no Python in the scan."""
+    # idx=0 = whole match (the pattern is alternation, no capture groups)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_bpe"),
+            F.element_at(toks, 1).alias("first_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_udf_pandas_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 100
+    ORDER BY id_a
+    """,
+)
+def q_udf_pandas_cosine(spark, sf_dir):
+    """∅-ref UDF surface (SURVEY §2.A.8): an Arrow-vectorized pandas_udf
+    registered as a SQL function and invoked from ``spark.sql`` — the
+    sanctioned escape hatch when built-ins can't express the math. The
+    same cosine exists JVM-side in functions.vectors (preferred in hot
+    paths); this entry pins that the Python boundary produces bit-equal
+    results, oracle-checked against DuckDB."""
+    from pyspark.sql.functions import pandas_udf
+
+    # No type annotations: this module uses `from __future__ import
+    # annotations`, which stringifies them and pandas_udf can't resolve
+    # 'pd.Series' strings — the return-type argument carries the contract.
+    def _cosine(a, b):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for x, y in zip(a, b):
+            xv, yv = np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
+            denom = float(np.sqrt(xv @ xv) * np.sqrt(yv @ yv))
+            out.append(float(xv @ yv) / denom if denom else None)
+        return pd.Series(out)
+
+    spark.udf.register("cosine_pd", pandas_udf(_cosine, "double"))
+    _emb(spark, sf_dir).createOrReplaceTempView("emb_udf_view")
+    return spark.sql(
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               cosine_pd(a.embedding, b.embedding) AS cos_sim
+        FROM emb_udf_view a JOIN emb_udf_view b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 100
+        ORDER BY id_a
+        """
+    )
+
+
+@query("q_ns_emb_neardup", oracle=None)  # LSH bucketing engine-specific
+def q_ns_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via random-projection LSH on
+    L2-normalized vectors (the 5th dedup family). Threshold chosen so the
+    random fixture yields a small, stable candidate set; recall properties
+    are covered by the LSH ANN tests."""
+    pairs = dedup.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), min_cosine=0.30, num_hash_tables=8, bucket_length=1.0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "q_ns_fingerprint",
     oracle="""
     SELECT doc_id,

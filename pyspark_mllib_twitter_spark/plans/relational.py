@@ -219,6 +219,44 @@ def q_j_asof(spark, sf_dir):
     )
 
 
+@query(
+    "q_j_asof_generic",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           c.event_id AS asof_click_event_id,
+           CAST(c.ts AS TIMESTAMP) AS asof_click_ts
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.user_id, e.event_id
+    """,
+)
+def q_j_asof_generic(spark, sf_dir):
+    """Two-table as-of join via operators.asof.as_of_join (the union-trick
+    plan: one shuffle, no per-probe range scan), oracle-checked against
+    DuckDB's native ASOF LEFT JOIN. q_j_asof keeps the same-table window
+    recipe; this entry is the reusable operator."""
+    from ..operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        payload_cols=["click_event_id", "ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_event_id"),
+        F.col("asof_ts").alias("asof_click_ts"),
+    ).orderBy("user_id", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1-A4 + ∅-ref agg suite / grouping sets / pivot)
 # ---------------------------------------------------------------------------
@@ -732,6 +770,73 @@ def q_f_explode(spark, sf_dir):
             F.max("k").alias("max_k"),
         )
         .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_f_map",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(cardinality(MAP {'status': o_orderstatus, 'priority': o_orderpriority})
+                AS BIGINT) AS n_keys,
+           list_sort(map_keys(MAP {'status': o_orderstatus, 'priority': o_orderpriority}))
+             AS keys,
+           element_at(MAP {'status': o_orderstatus, 'priority': o_orderpriority},
+                      'status')[1] AS status_val,
+           element_at(MAP {'status': o_orderstatus, 'priority': o_orderpriority},
+                      'missing')[1] AS missing_val
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_f_map(spark, sf_dir):
+    """∅-ref map suite: create_map / map_keys / element_at (SURVEY §2.A.6).
+    Map values are emitted as scalar/array columns (not raw map columns) so
+    the cross-engine hash compare never depends on map key order."""
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.size(m).cast("bigint").alias("n_keys"),
+            F.sort_array(F.map_keys(m)).alias("keys"),
+            F.element_at(m, "status").alias("status_val"),
+            F.element_at(m, "missing").alias("missing_val"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_a7_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_a7_percentiles(spark, sf_dir):
+    """∅-ref: exact percentiles (median/p90/p99) with linear interpolation —
+    matches DuckDB quantile_cont. At 100 TB swap to approx_percentile
+    (mergeable t-digest-style sketch, no per-group sort) — kept exact here
+    because approximate sketches are engine-specific (see q_a6's HLL note).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
