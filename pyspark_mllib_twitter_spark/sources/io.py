@@ -103,3 +103,26 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink for interop exports. Header on; timestamps as ISO-8601 so a
+    schema'd read round-trips losslessly (micros precision)."""
+    (
+        df.write.mode(mode)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema'd CSV source — header skipped, declared types, NO inference
+    (inference costs a full extra scan and guesses; same discipline as the
+    JSON readers). CSV splits by line, so it parallelizes like JSONL."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(path)
+    )

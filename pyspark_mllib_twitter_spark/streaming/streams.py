@@ -172,21 +172,41 @@ def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming plan over all available input (availableNow
     trigger → real micro-batch sequence, watermarks advance batch to
-    batch), sink to an in-memory table, return it as a DataFrame."""
+    batch), sink to an in-memory table, return it as a DataFrame.
+
+    ``state_partitions`` temporarily overrides ``spark.sql.shuffle
+    .partitions`` for the stream: a stateful query runs one state-store
+    task per shuffle partition EVERY micro-batch, so replaying N batches at
+    the batch-tuned 32 partitions costs 32*N mostly-empty state tasks. The
+    stream's state partitioning is fixed at its first batch; the session
+    conf is restored right after the run so batch queries keep their
+    tuning. Pass ``None`` to inherit the session value (production streams
+    size this to real key cardinality instead).
+    """
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

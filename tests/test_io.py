@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_mllib_twitter_spark.sources import read_table
-from pyspark_mllib_twitter_spark.sources.io import write_parquet
+from pyspark_mllib_twitter_spark.sources.io import read_csv, write_csv, write_parquet
 
 
 @pytest.fixture()
@@ -50,6 +50,18 @@ def test_overwrite_mode_replaces(spark, sf_smoke, tmp_out):
     write_parquet(region, tmp_out)
     write_parquet(region.limit(2), tmp_out)  # overwrite default
     assert spark.read.parquet(tmp_out).count() == 2
+
+
+def test_csv_round_trip(spark, sf_smoke, tmp_out):
+    """CSV sink → schema'd CSV source is lossless for orders (incl. the
+    timestamp column, via the pinned ISO format)."""
+    orders = read_table(spark, sf_smoke, "orders")
+    write_csv(orders, tmp_out)
+    back = read_csv(spark, tmp_out, orders.schema)
+    assert back.schema == orders.schema
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
 
 
 def test_events_ts_is_timestamp(spark, sf_smoke):

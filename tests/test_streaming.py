@@ -119,6 +119,32 @@ def test_stateful_user_stats_match_batch(spark, events, replay_dir):
     assert got == want
 
 
+def test_streaming_parquet_sink(spark, events, replay_dir):
+    """writeStream → parquet files with a checkpoint: the durable-sink path
+    (memory sink is tests-only). Output rows equal the memory-sink run."""
+    out_dir = os.path.join("/tmp", f"stream_sink_{uuid.uuid4().hex[:8]}")
+    ckpt = out_dir + "_ckpt"
+    stream = tumbling_window_counts(
+        read_events_stream(spark, replay_dir), watermark=WATERMARK
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.read.parquet(out_dir).filter(F.col("event_type") != "__flush__")
+    mem = run_to_memory(
+        tumbling_window_counts(read_events_stream(spark, replay_dir), watermark=WATERMARK)
+    ).filter(F.col("event_type") != "__flush__")
+    a = sorted(tuple(r) for r in sunk.collect())
+    b = sorted(tuple(r) for r in mem.collect())
+    assert a == b and len(a) > 0
+
+
 def _write_chunks(chunks: list[list[tuple]]) -> str:
     """Hand-built replay dir: one file per micro-batch, rows are
     (event_id, ts_iso, user_id, event_type, value)."""
