@@ -353,10 +353,11 @@ def embedding_near_dup_pairs(
 
     import math
 
+    # Cached: LSH fit + both sides of the self-join read this (3 scans).
     normed = embeddings.select(
         F.col(id_col),
         array_to_vector(vectors.l2_normalize(vec_col)).alias("features"),
-    )
+    ).cache()
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

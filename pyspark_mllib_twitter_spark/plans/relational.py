@@ -152,14 +152,18 @@ def q_j_semi(spark, sf_dir):
     "q_j_anti",
     oracle="""
     SELECT c_custkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     ORDER BY c_custkey
     """,
 )
 def q_j_anti(spark, sf_dir):
-    """∅-ref: left-anti join (NOT EXISTS)."""
+    """∅-ref: left-anti join (NOT EXISTS). The subquery is restricted to
+    big-ticket orders so the anti side is non-empty at every sf (a bare
+    customers-without-orders anti-join returns 0 rows on this data — a
+    vacuous hash-match that proves nothing)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
