@@ -76,6 +76,60 @@ def q_stream_window_counts(spark, sf_dir):
     )
 
 
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             UNNEST([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                       - INTERVAL '5 minutes']) AS w_start
+      FROM events)
+    SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, event_type,
+           COUNT(*) AS n, AVG(value) AS avg_value
+    FROM starts
+    GROUP BY 1, 2, 3
+    ORDER BY w_start, event_type
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding windows (10 min / 5 min hop), streamed with watermark and
+    checked against batch SQL: each event belongs to exactly two hops —
+    the 5-minute bucket containing it and the previous one."""
+    from ..streaming import sliding_window_stats
+
+    stream = sliding_window_stats(
+        _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+    )
+    out = run_to_memory(stream, output_mode="append")
+    return out.filter(F.col("event_type") != FLUSH_EVENT_TYPE).orderBy(
+        "w_start", "event_type"
+    )
+
+
+@query("q_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): final running
+    per-user stats after replay — counts are monotone so max(n_events) per
+    user is the final state; batch equivalence pinned in
+    tests/test_streaming.py."""
+    from ..streaming import stateful_user_stats
+
+    stream = stateful_user_stats(
+        _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+    )
+    out = run_to_memory(stream, output_mode="update")
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("sum_value"), 6).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("q_stream_session", oracle=None)  # session merge shape is engine-specific
 def q_stream_session(spark, sf_dir):
     """Per-user session windows (30 min gap) over the replayed stream;
