@@ -45,6 +45,8 @@ SINGLE_RUN = {
     "q_stream_window_counts",
     "q_stream_session",
     "q_stream_dedup",
+    "q_stream_sliding",
+    "q_stream_stateful",
 }
 
 

@@ -261,6 +261,43 @@ def q_j_asof_generic(spark, sf_dir):
     ).orderBy("user_id", "event_id")
 
 
+@query(
+    "q_j_range",
+    oracle="""
+    SELECT b.band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN (SELECT i AS band_id, i * 10000.0 AS lo, i * 10000.0 + 20000.0 AS hi
+          FROM generate_series(0, 60) t(i)) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+)
+def q_j_range(spark, sf_dir):
+    """∅-ref: interval/range join via the bin equi-join recipe
+    (operators.rangejoin — hash join on bins + exact containment recheck,
+    never a nested-loop cross product). 50%-overlapping price bands, so
+    every order lands in 1-2 bands; oracle is DuckDB's plain BETWEEN
+    join."""
+    from ..operators.rangejoin import interval_join
+
+    bands = spark.range(0, 61).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10000.0).alias("lo"),
+        (F.col("id") * 10000.0 + 20000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = interval_join(orders, bands, "o_totalprice", "lo", "hi", bin_width=10000.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("band_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1-A4 + ∅-ref agg suite / grouping sets / pivot)
 # ---------------------------------------------------------------------------
