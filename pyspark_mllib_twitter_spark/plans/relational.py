@@ -614,6 +614,121 @@ def q_w3_frames(spark, sf_dir):
 
 
 @query(
+    "q_w4_time_rollup",
+    oracle="""
+    SELECT COALESCE(b, TIMESTAMP '1970-01-01') AS bucket,
+           COALESCE(event_type, '(all)') AS etype,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           COUNT(DISTINCT user_id) AS users
+    FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+                 event_type, value, user_id
+          FROM events)
+    GROUP BY ROLLUP (b, event_type)
+    ORDER BY bucket, etype
+    """,
+)
+def q_w4_time_rollup(spark, sf_dir):
+    """∅-ref: hypertable-style time-bucket rollup — hourly buckets x
+    event_type with ROLLUP subtotals (per-hour and grand total), the batch
+    twin of the streaming tumbling window. ``date_trunc`` stays in the scan
+    stage (codegen'd), so the only shuffle is the grouping-sets aggregate;
+    partial aggregation happens map-side per bucket before the exchange.
+    Money-sum routed through DECIMAL(38,6) for order-independent totals."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.col("event_type").alias("etype"),
+        "value",
+        "user_id",
+    )
+    return (
+        ev.rollup("bucket", "etype")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            F.coalesce(F.col("bucket"), F.lit("1970-01-01").cast("timestamp")).alias("bucket"),
+            F.coalesce(F.col("etype"), F.lit("(all)")).alias("etype"),
+            "n",
+            "total",
+            "users",
+        )
+        .orderBy("bucket", "etype")
+    )
+
+
+@query(
+    "q_w5_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events WHERE user_id IS NOT NULL
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM sessions GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def q_w5_sessionize(spark, sf_dir):
+    """∅-ref: batch sessionization — gap-based sessions (30-min inactivity
+    timeout) via the lag + running-sum recipe, the batch twin of the
+    streaming ``session_window``. One shuffle on user_id serves both window
+    functions AND the final groupBy (same partitioning, Catalyst reuses the
+    exchange); no per-row Python anywhere."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                # micros, not a seconds cast: a 1800.5s gap must sessionize
+                # exactly like the oracle's INTERVAL compare
+                | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@query(
     "q_t1_sort_limit",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
