@@ -143,6 +143,63 @@ def extract_features(
     return assets.mapInPandas(batches, out_schema)
 
 
+def resize_assets(
+    assets: DataFrame,
+    target_width: int,
+    target_height: int,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize every image asset to ``target_width x target_height`` via
+    ``mapInPandas`` — binary in, binary out, metadata updated in the same
+    batch. Non-image assets pass through untouched (single branch-free plan;
+    the mime routing is a batch-level mask, not a per-row Python branch).
+
+    The pixel work is the stubbed step (deterministic payload transform
+    sized to the target dims); the Spark side — binary columns through
+    Arrow both directions, struct metadata rewrite, pass-through routing —
+    is the real 100 TB shape: payload bytes only ever move executor-local,
+    one Python batch per Arrow record batch.
+    """
+    if use_real_decoder:
+        raise DecoderNotAvailable(
+            "real image codecs are not installed in this environment; "
+            "use use_real_decoder=False for the deterministic fake path"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fake transcode: output size scales with target pixel count so
+        # downstream size accounting stays consistent with the metadata
+        out_len = max(16, (target_width * target_height) // 64)
+        for pdf in it:
+            is_img = pdf["mime"].str.startswith("image/")
+            payloads, metas = [], []
+            for p, m, img in zip(pdf["payload"], pdf["meta"], is_img):
+                if not img or p is None:
+                    payloads.append(p)
+                    metas.append(m)
+                    continue
+                stretched = bytes(p[i % len(p)] for i in range(out_len))
+                payloads.append(stretched)
+                metas.append(
+                    {
+                        "width": target_width,
+                        "height": target_height,
+                        "duration_ms": m["duration_ms"] if m else None,
+                        "n_bytes": out_len,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": pdf["mime"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return assets.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (asset, frame_ts).
     The expansion is pure SQL (sequence + explode) — only the decode of each

@@ -344,11 +344,14 @@ def q_ns_ann_ivf(spark, sf_dir):
 
 @query("q_ns_multimodal", oracle=None)  # synthetic payloads, Python feature UDF
 def q_ns_multimodal(spark, sf_dir):
-    """Multimodal plumbing: binary assets → Arrow-batched feature extraction
-    via mapInPandas (decode step is a deterministic fake — see
-    operators.multimodal)."""
+    """Multimodal plumbing end-to-end: binary assets → resize (images
+    normalized to 64x48) → Arrow-batched feature extraction, all via
+    mapInPandas (the codec steps are deterministic fakes — see
+    operators.multimodal; the batch shapes and binary round-trips are
+    real)."""
     assets = multimodal.synthetic_assets(spark, n=256)
-    feats = multimodal.extract_features(assets)
+    resized = multimodal.resize_assets(assets, 64, 48)
+    feats = multimodal.extract_features(resized)
     return feats.select(
         "asset_id",
         "mime",

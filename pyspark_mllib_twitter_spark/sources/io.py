@@ -105,6 +105,22 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink — the other splittable columnar format Spark ships natively;
+    same predicate-pushdown/column-pruning story as parquet for warehouses
+    standardized on ORC (Hive-lineage)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — vectorized read with pushdown, schema from file footer."""
+    return spark.read.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink for interop exports. Header on; timestamps as ISO-8601 so a
     schema'd read round-trips losslessly (micros precision)."""

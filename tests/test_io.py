@@ -10,7 +10,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from pyspark_mllib_twitter_spark.sources import read_table
-from pyspark_mllib_twitter_spark.sources.io import read_csv, write_csv, write_parquet
+from pyspark_mllib_twitter_spark.sources.io import (
+    read_csv,
+    read_orc,
+    write_csv,
+    write_orc,
+    write_parquet,
+)
 
 
 @pytest.fixture()
@@ -62,6 +68,21 @@ def test_csv_round_trip(spark, sf_smoke, tmp_out):
     a = sorted(tuple(r) for r in orders.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_smoke, tmp_out):
+    """ORC sink → source is lossless, and a filtered read shows pushed
+    predicates in the scan (same pushdown story as parquet)."""
+    orders = read_table(spark, sf_smoke, "orders")
+    write_orc(orders, tmp_out)
+    back = read_orc(spark, tmp_out)
+    assert back.schema == orders.schema
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    filtered = back.filter(F.col("o_orderkey") == a[0][0])
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey)" in plan or "EqualTo(o_orderkey" in plan
 
 
 def test_events_ts_is_timestamp(spark, sf_smoke):

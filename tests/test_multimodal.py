@@ -50,6 +50,26 @@ def test_real_decoder_is_clearly_stubbed(assets):
         multimodal.extract_features(assets, use_real_decoder=True)
 
 
+def test_resize_updates_images_passes_through_rest(assets):
+    out = multimodal.resize_assets(assets, 32, 32)
+    assert out.schema == multimodal.ASSET_SCHEMA
+    rows = {r.asset_id: r for r in out.collect()}
+    orig = {r.asset_id: r for r in assets.collect()}
+    assert rows.keys() == orig.keys()
+    for aid, r in rows.items():
+        if r.mime.startswith("image/"):
+            assert r.meta.width == 32 and r.meta.height == 32
+            assert len(r.payload) == r.meta.n_bytes == max(16, 32 * 32 // 64)
+        else:  # non-image passes through byte-identical
+            assert bytes(r.payload) == bytes(orig[aid].payload)
+            assert r.meta == orig[aid].meta
+    # deterministic: re-running produces identical payloads
+    again = {r.asset_id: bytes(r.payload) for r in multimodal.resize_assets(assets, 32, 32).collect()}
+    assert {k: bytes(v.payload) for k, v in rows.items()} == again
+    with pytest.raises(multimodal.DecoderNotAvailable):
+        multimodal.resize_assets(assets, 32, 32, use_real_decoder=True)
+
+
 def test_frame_sample_plan_counts(assets):
     plan = multimodal.frame_sample_plan(assets, every_ms=1000)
     got = {
