@@ -613,6 +613,41 @@ def q_w3_frames(spark, sf_dir):
     )
 
 
+# One SQL text for both engines: the Spark side runs it through spark.sql
+# over registered views (the SQL front-end surface), the oracle side runs
+# the identical string in DuckDB. ANSI subset only; money sum routed
+# through DECIMAL so both engines produce bit-identical doubles.
+_Q3_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@query("q_sql_q3", oracle=_Q3_SQL)
+def q_sql_q3(spark, sf_dir):
+    """∅-ref: the SQL front-end — TPC-H Q3 shape run via ``spark.sql`` over
+    registered views, same text as the DuckDB oracle. Catalyst gets the
+    whole plan declaratively: both filters push to the scans, customer
+    (segment-filtered) broadcasts, AQE picks the orders⋈lineitem strategy;
+    the LIMIT is TakeOrderedAndProject (per-partition top-N + single merge,
+    no global sort)."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
 @query(
     "q_w4_time_rollup",
     oracle="""
