@@ -193,6 +193,56 @@ def q_udf_pandas_cosine(spark, sf_dir):
     )
 
 
+@query(
+    "q_udf_grouped_mad",
+    oracle="""
+    WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    m AS (SELECT event_type, MEDIAN(value) AS med, COUNT(*) AS n
+          FROM e GROUP BY event_type)
+    SELECT m.event_type AS etype, m.med AS med,
+           MEDIAN(ABS(e.value - m.med)) AS mad, m.n AS n
+    FROM e JOIN m USING (event_type)
+    GROUP BY m.event_type, m.med, m.n
+    ORDER BY etype
+    """,
+)
+def q_udf_grouped_mad(spark, sf_dir):
+    """∅-ref UDF surface: batch grouped-map ``applyInPandas`` — robust
+    per-group statistics (median + median-absolute-deviation). A
+    quantile-of-a-derived-quantile needs two dependent passes in SQL; the
+    grouped map does it in one shuffle with the whole group in an Arrow
+    batch. Outputs are order-free exact arithmetic (median selection +
+    one subtraction), so the DuckDB oracle matches bit-for-bit.
+
+    Scale note: ``applyInPandas`` materializes each group in executor
+    memory — fine for bounded group counts like event types; for
+    unbounded/skewed keys switch to ``approx_percentile`` (built-in
+    sketch, partial-aggregable) instead of exact medians.
+    """
+    import pandas as pd
+
+    def _mad(pdf):
+        import numpy as np
+
+        v = pdf["value"].to_numpy(dtype="float64")
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        return pd.DataFrame(
+            {"etype": [pdf["event_type"].iloc[0]], "med": [med], "mad": [mad], "n": [len(v)]}
+        )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(_mad, "etype string, med double, mad double, n bigint")
+        .orderBy("etype")
+    )
+
+
 @query("q_ns_emb_neardup", oracle=None)  # LSH bucketing engine-specific
 def q_ns_emb_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via random-projection LSH on
