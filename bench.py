@@ -47,6 +47,7 @@ SINGLE_RUN = {
     "q_stream_dedup",
     "q_stream_sliding",
     "q_stream_stateful",
+    "q_stream_join",
 }
 
 

@@ -23,6 +23,7 @@ from ..streaming import (
     run_to_memory,
     sessionized,
     stream_dedup,
+    stream_interval_join,
     tumbling_window_counts,
 )
 from .registry import query
@@ -105,6 +106,65 @@ def q_stream_sliding(spark, sf_dir):
     return out.filter(F.col("event_type") != FLUSH_EVENT_TYPE).orderBy(
         "w_start", "event_type"
     )
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases matched to same-user clicks at
+    most 1 hour earlier, both sides replayed as micro-batches. Inner matches
+    emit as they meet, so the result is deterministic and equals the batch
+    join — oracle-checked (the oracle truncates DuckDB's nanos to micros so
+    boundary comparisons agree with Spark's converted timestamps). The
+    event-type filters live INSIDE the streaming plan deliberately: unlike
+    windowed aggs, inner-join emission needs no watermark advancement, and
+    eviction timing does not change the availableNow replay's output."""
+    ev = read_table(spark, sf_dir, "events")
+    replay_dir = replay_events_dir(ev, flush_margin=REPLAY_FLUSH_MARGIN)
+    clicks = (
+        read_events_stream(spark, replay_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, replay_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("user_id").alias("user_id"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        within="1 hour",
+        watermark=REPLAY_WATERMARK,
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    ).orderBy("click_id", "purchase_id")
 
 
 @query("q_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific

@@ -6,6 +6,7 @@ from .streams import (  # noqa: F401
     sessionized,
     sliding_window_stats,
     stream_dedup,
+    stream_interval_join,
     stateful_user_stats,
     tumbling_window_counts,
 )

@@ -303,6 +303,38 @@ def stream_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair every right row with left rows
+    of the same key where ``left_ts <= right_ts <= left_ts + within``.
+
+    Inner matches emit as soon as both sides arrive — no window closure
+    needed — but the watermark + the two-sided time-range bound are what
+    let Spark EVICT buffered rows: each side's state holds only the
+    (watermark + within) horizon, not the whole stream. Without the range
+    condition a stream-stream join buffers both streams forever — the
+    canonical unbounded-state mistake. Callers rename columns so the two
+    sides are disjoint before joining.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)
+
+
 #: Output/state schemas for stateful_user_stats.
 _USER_STATS_OUT = T.StructType(
     [
