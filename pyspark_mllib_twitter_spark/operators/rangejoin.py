@@ -22,6 +22,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-interval overlap join (``l_lo <= r_hi AND r_lo <= l_hi``)
+    via the same bin equi-join — the genomics overlap-join shape.
+
+    Both sides explode to covered bins and equi-join on the bin; a pair of
+    overlapping intervals co-occurs in every bin their spans share, so to
+    emit each pair exactly once WITHOUT a dedup shuffle, the match is kept
+    only in the first shared bin (``floor(greatest(lo_l, lo_r) / w)``) —
+    the standard replicate-and-anchor trick: pure arithmetic, no
+    ``distinct`` over the (large) matched set.
+    """
+    if bin_width <= 0:
+        raise ValueError("interval_overlap_join: bin_width must be positive")
+
+    l = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / bin_width), F.floor(F.col(left_hi) / bin_width)
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bin_width), F.floor(F.col(right_hi) / bin_width)
+            )
+        ),
+    )
+    return (
+        l.join(r, "_bin")
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            # anchor: count the pair only in the first bin both spans share
+            & (
+                F.col("_bin")
+                == F.floor(F.greatest(F.col(left_lo), F.col(right_lo)) / bin_width)
+            )
+        )
+        .drop("_bin")
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -613,6 +613,48 @@ def q_w3_frames(spark, sf_dir):
     )
 
 
+@query(
+    "q_j_overlap",
+    oracle="""
+    SELECT b.band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM (SELECT i AS band_id, i * 5000.0 AS lo, i * 5000.0 + 12000.0 AS hi
+          FROM generate_series(0, 120) t(i)) b
+    JOIN (SELECT o_totalprice, o_totalprice - 1000.0 AS o_lo,
+                 o_totalprice + 1000.0 AS o_hi
+          FROM orders) o
+      ON b.lo <= o.o_hi AND o.o_lo <= b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+)
+def q_j_overlap(spark, sf_dir):
+    """∅-ref: interval-interval overlap join (genomics shape) via the bin
+    equi-join with first-shared-bin anchoring — each overlapping pair is
+    emitted exactly once by arithmetic, never by a distinct shuffle over
+    the matched set. Oracle is DuckDB's plain overlap-predicate join."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    bands = spark.range(0, 121).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 5000.0).alias("lo"),
+        (F.col("id") * 5000.0 + 12000.0).alias("hi"),
+    )
+    orders_iv = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        (F.col("o_totalprice") - 1000.0).alias("o_lo"),
+        (F.col("o_totalprice") + 1000.0).alias("o_hi"),
+    )
+    joined = interval_overlap_join(bands, orders_iv, "lo", "hi", "o_lo", "o_hi", bin_width=5000.0)
+    return (
+        joined.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .orderBy("band_id")
+    )
+
+
 # One SQL text for both engines: the Spark side runs it through spark.sql
 # over registered views (the SQL front-end surface), the oracle side runs
 # the identical string in DuckDB. ANSI subset only; money sum routed

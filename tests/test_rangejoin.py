@@ -6,7 +6,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from pyspark_mllib_twitter_spark.operators.rangejoin import interval_join
+from pyspark_mllib_twitter_spark.operators.rangejoin import (
+    interval_join,
+    interval_overlap_join,
+)
 
 
 @pytest.fixture(scope="module")
@@ -61,6 +64,31 @@ def test_left_keeps_unmatched_points(data):
     assert {r.pid for r in null_rows.collect()} == (
         {r.pid for r in points.collect()} - matched_pids
     )
+
+
+@pytest.mark.parametrize("w", [13.0, 40.0, 333.0])
+def test_overlap_matches_naive_and_emits_once(spark, data, w):
+    """Overlap join equals the naive predicate join — same pairs, each
+    exactly once — independent of bin width (the first-shared-bin anchor)."""
+    _, intervals = data
+    other = spark.createDataFrame(
+        [(j, j * 17.0 - 30.0, j * 17.0 + 41.0) for j in range(40)],
+        "ov_id int, o_lo double, o_hi double",
+    )
+    got = sorted(
+        (r.iv_id, r.ov_id)
+        for r in interval_overlap_join(
+            intervals, other, "lo", "hi", "o_lo", "o_hi", bin_width=w
+        ).collect()
+    )
+    want = sorted(
+        (r.iv_id, r.ov_id)
+        for r in intervals.join(
+            other, (intervals.lo <= other.o_hi) & (other.o_lo <= intervals.hi)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # exactly-once, no bin duplicates
 
 
 def test_guards(data):
