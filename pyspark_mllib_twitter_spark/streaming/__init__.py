@@ -1,5 +1,6 @@
 from .streams import (  # noqa: F401
     FLUSH_EVENT_TYPE,
+    foreach_batch_parquet_sink,
     replay_events_dir,
     read_events_stream,
     run_to_memory,

@@ -303,6 +303,44 @@ def stream_dedup(
     )
 
 
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
+) -> None:
+    """Run a streaming plan to completion (availableNow) through a
+    ``foreachBatch`` parquet sink — the production pattern for sinks Spark
+    has no native streaming writer for (JDBC, upserts, multi-table fanout).
+
+    Exactly-once discipline: each micro-batch lands in its own
+    ``batch_id=N`` subdirectory with ``overwrite`` mode, so a replayed
+    batch (restart after failure between write and checkpoint commit)
+    overwrites its own partition instead of duplicating rows — idempotent
+    writes + checkpointed offsets = effective exactly-once.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

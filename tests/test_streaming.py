@@ -145,6 +145,28 @@ def test_streaming_parquet_sink(spark, events, replay_dir):
     assert a == b and len(a) > 0
 
 
+def test_foreach_batch_sink_partitions_by_batch(spark, events, replay_dir):
+    """foreachBatch sink: every micro-batch lands in its own batch_id=N
+    subdir (the idempotent-replay layout) and the union of all batches is
+    exactly the replayed input."""
+    from pyspark_mllib_twitter_spark.streaming import foreach_batch_parquet_sink
+
+    out_dir = os.path.join("/tmp", f"feb_sink_{uuid.uuid4().hex[:8]}")
+    stream = read_events_stream(spark, replay_dir)
+    foreach_batch_parquet_sink(stream, out_dir)
+
+    subdirs = [d for d in os.listdir(out_dir) if d.startswith("batch_id=")]
+    assert len(subdirs) > 1  # one dir per micro-batch, many batches replayed
+    back = (
+        spark.read.option("basePath", out_dir)
+        .parquet(*(os.path.join(out_dir, d) for d in subdirs))
+        .filter(F.col("event_type") != "__flush__")
+    )
+    got = sorted((r.event_id, r.ts) for r in back.collect())
+    want = sorted((r.event_id, r.ts) for r in events.collect())
+    assert got == want
+
+
 def _write_chunks(chunks: list[list[tuple]]) -> str:
     """Hand-built replay dir: one file per micro-batch, rows are
     (event_id, ts_iso, user_id, event_type, value)."""
