@@ -980,6 +980,40 @@ def q_f_array(spark, sf_dir):
 
 
 @query(
+    "q_f_hof",
+    oracle="""
+    SELECT o_custkey,
+           CAST(list_sum(keys) AS BIGINT) AS total,
+           len(list_filter(keys, x -> x > 100000)) > 0 AS any_big,
+           len(list_filter(keys, x -> x <= 0)) = 0 AS all_pos,
+           keys[1] + keys[-1] AS firstlast
+    FROM (SELECT o_custkey, list_sort(list(o_orderkey)) AS keys
+          FROM orders GROUP BY o_custkey)
+    ORDER BY o_custkey
+    """,
+)
+def q_f_hof(spark, sf_dir):
+    """∅-ref higher-order-function suite: aggregate (fold), exists, forall,
+    zip_with — all lambda expressions compiled into the JVM plan (no Python
+    UDF); the zip_with of a list with its reverse reduces to first+last,
+    which is what the oracle states directly."""
+    arr = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("keys"))
+    )
+    return arr.select(
+        "o_custkey",
+        F.aggregate("keys", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("total"),
+        F.exists("keys", lambda x: x > 100000).alias("any_big"),
+        F.forall("keys", lambda x: x > 0).alias("all_pos"),
+        F.element_at(
+            F.zip_with("keys", F.reverse("keys"), lambda a, b: a + b), 1
+        ).alias("firstlast"),
+    ).orderBy("o_custkey")
+
+
+@query(
     "q_f_explode",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n, MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
