@@ -655,6 +655,27 @@ def q_j_overlap(spark, sf_dir):
     )
 
 
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '1')
+    ORDER BY o_orderkey
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """∅-ref: deterministic hash sampling (~2/16) — md5-keyed, so the same
+    rows are selected on every engine and every run with zero seed state;
+    planned as a plain pushable filter, no shuffle (operators.sampling)."""
+    from ..operators.sampling import hash_sample
+
+    return (
+        hash_sample(_t(spark, sf_dir, "orders"), "o_orderkey", 2)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 # One SQL text for both engines: the Spark side runs it through spark.sql
 # over registered views (the SQL front-end surface), the oracle side runs
 # the identical string in DuckDB. ANSI subset only; money sum routed
