@@ -1,0 +1,76 @@
+"""Physical-plan assertions for headline queries.
+
+The scale contract is a *plan* contract: small dims broadcast, filters and
+projections reach the parquet scan, top-k uses the window-group-limit
+pushdown, and nothing funnels through a single partition. These tests pin
+those properties so a refactor that silently degrades a plan (e.g. a lost
+broadcast turning into a 100 TB sort-merge shuffle) fails here instead of
+in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    plan = _plan(spark, "q_sql_q3")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer and orders sides
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT never global-sorts
+
+
+def test_inner_join_broadcasts_small_dims(spark):
+    plan = _plan(spark, "q_j_inner")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must push the k-limit below the shuffle
+    (WindowGroupLimit), not rank the full partition then filter."""
+    plan = _plan(spark, "q_w1_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_single_partition_exchange_in_headliners(spark):
+    """No headline query may funnel data through one partition (the
+    dense_rank-without-partitionBy trap). Final result ordering is exempt:
+    rangepartitioning IS the distributed sort."""
+    for name in (
+        "q_a5_id_dictionary",
+        "q_w5_sessionize",
+        "q_w4_time_rollup",
+        "q_a4_agg_suite",
+        "q_j_range",
+        "q_j_overlap",
+    ):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_scan_prunes_columns(spark):
+    """A two-column projection must not read the whole orders schema."""
+    plan = _plan(spark, "q_p3_project")
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan and "o_orderstatus" not in scan[0] and "o_orderpriority" not in scan[0]
+
+
+def test_range_join_is_hash_not_nested_loop(spark):
+    """The bin recipe must plan as a shuffle/broadcast HASH join on _bin —
+    never BroadcastNestedLoopJoin (the default for BETWEEN conditions)."""
+    for name in ("q_j_range", "q_j_overlap"):
+        plan = _plan(spark, name)
+        assert "NestedLoop" not in plan, name
+        assert "HashJoin" in plan, name
