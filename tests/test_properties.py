@@ -91,6 +91,41 @@ def test_l2_normalize_unit_norm(embeddings):
     assert abs(norms.lo - 1.0) < 1e-9 and abs(norms.hi - 1.0) < 1e-9
 
 
+def test_approx_count_distinct_error_bounded(spark, sf_smoke):
+    """HLL++ sketch contract: default rsd=5% → per-group error comfortably
+    under 15% on the fixture cardinalities (3-sigma-ish headroom)."""
+    li = read_table(spark, sf_smoke, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= 0.15 * r.exact, tuple(r)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_smoke):
+    """approx_percentile (the 100 TB path q_a7's docstring names) must land
+    within 2% relative of the exact interpolated percentile at accuracy
+    10000."""
+    li = read_table(spark, sf_smoke, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("approx_p90"),
+            F.percentile("l_extendedprice", 0.9).alias("exact_p90"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx_p90 - r.exact_p90) <= 0.02 * abs(r.exact_p90), tuple(r)
+
+
 def test_minhash_dedup_idempotent(documents):
     """dedup(dedup(x)) == dedup(x): running fuzzy dedup on its own output
     removes nothing further."""
