@@ -1,0 +1,316 @@
+"""Subqueries, extended analytics, grouping sets, and reshape operators.
+
+∅-ref surface widening (SURVEY §2.12 round-2 additions): the reference
+(``/root/reference/COMP5349_2.py``) has no subqueries or reshape operators,
+but a user replacing it with this engine expects the full DataFrame/SQL
+surface. Each query here pairs an idiomatic Spark plan with a DuckDB oracle.
+
+Scale notes inline per query; the common themes:
+
+- Scalar subqueries become broadcast joins of a 1-row (or small) aggregate —
+  Catalyst plans them as ``BroadcastNestedLoopJoin``/``BroadcastHashJoin``
+  with no driver collect, so they hold at any corpus size.
+- Money sums route through ``DECIMAL(38,6)`` on both engines
+  (order-independent addition — see ``q_a4_agg_suite``); averages are
+  computed as ``exact_decimal_sum / count`` so both engines divide the
+  same two numbers and produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_table, register_views
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dec_sum(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sub_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                      AS DOUBLE) / COUNT(*)
+                          FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def q_sub_scalar(spark, sf_dir):
+    """∅-ref: uncorrelated scalar subquery — orders above the global average
+    price. Spark-first: the subquery is a 1-row aggregate broadcast-joined
+    against the fact scan (Catalyst's own scalar-subquery planning does the
+    same), so the "subquery" costs one extra stage and zero driver memory at
+    any scale. The average is ``decimal_sum / count`` so Spark and DuckDB
+    divide identical inputs — a float-summed AVG can differ in the last ulp
+    and flip boundary rows."""
+    o = _t(spark, sf_dir, "orders")
+    gavg = o.agg((_dec_sum("o_totalprice") / F.count("*")).alias("gavg"))
+    return (
+        o.join(F.broadcast(gavg))
+        .where(F.col("o_totalprice") > F.col("gavg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_sub_q17",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+           COUNT(*) AS n_cheap
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l_partkey
+    ORDER BY l_partkey
+    """,
+)
+def q_sub_q17(spark, sf_dir):
+    """∅-ref: correlated scalar subquery, TPC-H Q17 shape — revenue of
+    lineitems below 20% of their part's average quantity. Spark-first
+    decorrelation: the per-part threshold is a groupBy aggregate joined back
+    on ``l_partkey`` — one shuffle for the agg, one for the join (AQE
+    broadcasts the threshold side when it fits; at 100 TB both sides
+    shuffle-partition on the same key so the join is co-located with the
+    agg output). Plain ``AVG`` is safe here: quantities are integral
+    doubles, so partial sums are exact in any order and both engines divide
+    the same exact sum."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("thr"))
+        .groupBy("l_partkey")
+        .agg(
+            _dec_sum("l_extendedprice").alias("rev"),
+            F.count("*").alias("n_cheap"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended analytic window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_w6_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(NTILE(4) OVER w AS INT)          AS tile,
+           PERCENT_RANK() OVER w                 AS pr,
+           CUME_DIST() OVER w                    AS cd,
+           FIRST_VALUE(o_totalprice) OVER wf     AS first_price,
+           NTH_VALUE(o_totalprice, 2) OVER wf    AS second_price
+    FROM orders
+    WINDOW
+      w  AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+      wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_w6_analytic(spark, sf_dir):
+    """∅-ref: distribution/navigation window functions beyond q_w2_ranking —
+    ``ntile``, ``percent_rank``, ``cume_dist``, ``first_value``,
+    ``nth_value``. The window order is total (price DESC, then unique
+    orderkey) so rank-family outputs are deterministic and the explicit ROWS
+    frame equals the default RANGE frame on both engines. One shuffle on
+    ``o_custkey``; all five functions evaluate in a single Window physical
+    node over the same sort."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(4).over(w).cast("int").alias("tile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+            F.first("o_totalprice").over(wf).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (one SQL text for both engines, like q_sql_q3)
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+    SELECT COALESCE(n_regionkey, -1)            AS rk,
+           COALESCE(n_nationkey, -1)            AS nk,
+           COUNT(*)                             AS n,
+           CAST(GROUPING(n_regionkey) AS INT)   AS g_r,
+           CAST(GROUPING(n_nationkey) AS INT)   AS g_n
+    FROM nation
+    GROUP BY GROUPING SETS ((n_regionkey, n_nationkey), (n_regionkey), ())
+    ORDER BY g_r, g_n, rk, nk
+"""
+
+
+@query("q_g4_grouping_sets", oracle=_GSETS_SQL)
+def q_g4_grouping_sets(spark, sf_dir):
+    """∅-ref: explicit GROUPING SETS with ``GROUPING()`` markers — the
+    general form behind rollup (q_g1) and cube (q_g2), one SQL text run by
+    both engines. Raw columns are grouped and COALESCE'd only in the SELECT
+    (grouping an aliased COALESCE would absorb the subtotal NULL markers —
+    see the q_g1 dialect note); ``GROUPING()`` disambiguates real -1 keys
+    from subtotal rows. Spark expands the sets into a single Expand + hash
+    aggregate: one shuffle regardless of how many sets."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Reshape: unpivot / union-by-name
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_u2_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure,
+           CAST(p_retailprice AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    ORDER BY p_partkey, measure
+    """,
+)
+def q_u2_unpivot(spark, sf_dir):
+    """∅-ref: ``unpivot``/melt — wide measures to long (variable, value)
+    rows, the inverse of q_g3_pivot. Spark's native ``unpivot`` expands
+    rows inside the scan stage (an Expand node, no shuffle, no Python); the
+    oracle spells the same reshape as a UNION ALL to stay dialect-neutral.
+    Measures are cast to a common double before unpivoting — Spark requires
+    a single value type and the oracle must match it."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return part.unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size"], "measure", "val"
+    ).orderBy("p_partkey", "measure")
+
+
+@query(
+    "q_u3_union_by_name",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+           'customer' AS src
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE), 'supplier'
+    FROM supplier
+    ORDER BY src, id
+    """,
+)
+def q_u3_union_by_name(spark, sf_dir):
+    """∅-ref: ``unionByName(allowMissingColumns=True)`` — schema-aligned
+    union where the second branch's columns arrive in a different order and
+    one (``bal``) is absent, null-filled. Positional ``union`` (q_u1) would
+    silently mis-align these; by-name union is the safe API for evolving
+    schemas in long-lived pipelines. No shuffle — union is a plan-level
+    concatenation of the two scans."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("customer").alias("src"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),  # deliberately different column order
+        F.col("s_suppkey").alias("id"),
+        F.lit("supplier").alias("src"),
+    )
+    return (
+        cust.unionByName(supp, allowMissingColumns=True)
+        .orderBy("src", "id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_j_nullsafe",
+    oracle="""
+    WITH e AS (
+        SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+               event_type, value
+        FROM events
+    ),
+    a AS (
+        SELECT uid, COUNT(*) AS n_click,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v_click
+        FROM e WHERE event_type = 'click' GROUP BY uid
+    ),
+    b AS (
+        SELECT uid, COUNT(*) AS n_view
+        FROM e WHERE event_type = 'view' GROUP BY uid
+    )
+    SELECT a.uid AS uid, a.n_click, a.v_click, b.n_view
+    FROM a JOIN b ON a.uid IS NOT DISTINCT FROM b.uid
+    ORDER BY uid
+    """,
+)
+def q_j_nullsafe(spark, sf_dir):
+    """∅-ref: null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the
+    NULL key groups on both sides match each other, unlike plain ``=``
+    which drops them. The fixture's ``user_id`` is never null, so nulls are
+    synthesized deterministically (``user_id % 7 = 0 → NULL``) to make the
+    null bucket real on both engines. Spark plans ``eqNullSafe`` as a
+    hash join on the null-safe key (nulls hash to one partition — for a
+    skew-heavy null bucket at scale, pre-aggregate first as done here so at
+    most one null row survives per side)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "event_type",
+        "value",
+    )
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("uid")
+        .agg(
+            F.count("*").alias("n_click"),
+            _dec_sum("value").alias("v_click"),
+        )
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("uid")
+        .agg(F.count("*").alias("n_view"))
+    )
+    return (
+        a.join(b, a["uid"].eqNullSafe(b["uid"]), "inner")
+        .select(a["uid"].alias("uid"), "n_click", "v_click", "n_view")
+        .orderBy("uid")
+    )
