@@ -61,6 +61,35 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _reset_session_state(spark) -> None:
+    """Return the session to a cold-cache state between timed queries.
+
+    ``clearCache()`` alone is not enough: MLlib (ALS) and workload code
+    persist RDDs that the catalog doesn't track, and leftover blocks create
+    heap pressure that GC-thrashes later queries (measured: ALS 9s isolated
+    vs 53s after the full suite ran before it). Streaming queries are
+    stopped defensively — availableNow runs terminate themselves, but a
+    failed one must not keep a micro-batch thread alive into the next
+    timing."""
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:
+        pass  # py4j internals shifted — stale RDD blocks only cost memory
+    # Streaming memory sinks pin their batches in the driver until the view
+    # is dropped; a full suite accumulates dozens. (No forced System.gc()
+    # here — measured: ~73 full GCs on a 16g heap cost more than they save.)
+    for table in spark.catalog.listTables():
+        if table.isTemporary and table.name.startswith("mem_"):
+            spark.catalog.dropTempView(table.name)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -101,7 +130,7 @@ def main() -> int:
         per_query[name] = round(statistics.median(samples), 3)
         if args.verbose:
             print(f"# {name}: {per_query[name]}s ({runs} run(s))", file=sys.stderr)
-        spark.catalog.clearCache()  # caches inside workloads must not leak across queries
+        _reset_session_state(spark)
 
     result = {
         "metric": "suite_seconds",

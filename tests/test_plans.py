@@ -74,3 +74,30 @@ def test_range_join_is_hash_not_nested_loop(spark):
         plan = _plan(spark, name)
         assert "NestedLoop" not in plan, name
         assert "HashJoin" in plan, name
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a date-partitioned fact against a selectively-filtered dim
+    must inject a dynamicpruning expression into the fact scan's
+    PartitionFilters — at 100 TB this is the difference between scanning
+    one month and scanning every partition. Exercises the partitioned
+    write_parquet sink end-to-end."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.sources import read_table, write_parquet
+
+    path = str(tmp_path / "orders_by_month")
+    orders = read_table(spark, SF, "orders").withColumn(
+        "o_month", F.month("o_orderdate")
+    )
+    write_parquet(orders, path, partition_by=["o_month"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(m, "x" * m) for m in range(1, 13)], "m int, tag string"
+    ).where(F.col("tag") == "xxx")  # selective predicate → DPP eligible
+    j = fact.join(dim, fact["o_month"] == dim["m"]).select("o_orderkey", "m")
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == orders.where(F.col("o_month") == 3).count()
