@@ -113,3 +113,24 @@ def quality_score(text: Column | str) -> Column:
     awl = F.coalesce(avg_token_len(c), F.lit(0.0))
     wordlen_score = F.when((awl >= 3) & (awl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round((len_score + alpha + wordlen_score) / F.lit(3.0), 6)
+
+
+#: Scrub patterns — the common Java/RE2 regex subset (no lookaround, no
+#: group references in pattern or replacement) so the SAME string runs on
+#: Spark (Java regex) and the DuckDB oracle (RE2).
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+HANDLE_RE = r"@[A-Za-z0-9_]+"
+
+
+def scrub_text(text: Column | str) -> Column:
+    """PII/link scrubbing for LLM training text: URLs, then emails, then
+    bare @handles are replaced with typed placeholder tokens. Order
+    matters — emails contain ``@`` so they must be consumed before the
+    handle pattern, and URLs may contain ``@`` (userinfo) so they go
+    first. Pure ``regexp_replace`` chain: codegen'd, no Python, scans at
+    parquet-reader speed."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, URL_RE, "<url>")
+    c = F.regexp_replace(c, EMAIL_RE, "<email>")
+    return F.regexp_replace(c, HANDLE_RE, "<user>")

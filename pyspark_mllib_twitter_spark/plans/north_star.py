@@ -408,3 +408,69 @@ def q_ns_multimodal(spark, sf_dir):
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     ).orderBy("asset_id")
+
+
+@query(
+    "q_ns_scrub",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or https://t.example/'
+                    || CAST(doc_id AS VARCHAR) || '?x=1 cc @handle_'
+                    || CAST(doc_id AS VARCHAR) AS raw
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, raw,
+               regexp_replace(
+                   regexp_replace(raw, 'https?://[^\s]+', '<url>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<email>', 'g') AS half
+        FROM d
+    )
+    SELECT doc_id,
+           regexp_replace(half, '@[A-Za-z0-9_]+', '<user>', 'g') AS clean,
+           CAST(len(regexp_extract_all(raw, 'https?://[^\s]+')) AS INT)
+               AS n_urls,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(half, '@[A-Za-z0-9_]+')) AS INT)
+               AS n_handles
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def q_ns_scrub(spark, sf_dir):
+    """North star: PII/link scrubbing for training text — URLs, emails, and
+    @handles replaced with typed placeholders, plus per-document match
+    counts. The fixture text contains no PII, so each row gets a
+    deterministic injection derived from ``doc_id`` (same expression in the
+    oracle) — the regexes are genuinely exercised, not vacuously matched
+    against clean text. Handle counts run on the url/email-scrubbed text so
+    an email's ``@domain`` is not double-counted. Everything is a codegen'd
+    ``regexp_replace``/``regexp_count`` chain — no Python, no shuffle
+    except the final order."""
+    docs = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@mail.example.com or https://t.example/"), sid,
+        F.lit("?x=1 cc @handle_"), sid,
+    )
+    half = F.regexp_replace(
+        F.regexp_replace(raw, TXT.URL_RE, "<url>"),
+        TXT.EMAIL_RE, "<email>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            TXT.scrub_text(raw).alias("clean"),
+            F.regexp_count(raw, F.lit(TXT.URL_RE)).cast("int").alias("n_urls"),
+            F.regexp_count(raw, F.lit(TXT.EMAIL_RE)).cast("int").alias("n_emails"),
+            F.regexp_count(half, F.lit(TXT.HANDLE_RE)).cast("int").alias("n_handles"),
+        )
+        .orderBy("doc_id")
+    )

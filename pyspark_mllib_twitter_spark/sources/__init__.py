@@ -6,6 +6,7 @@ from .io import (
     read_tweets_json_array,
     read_tweets_jsonl,
     register_views,
+    write_clustered_parquet,
     write_parquet,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "read_tweets_json_array",
     "read_tweets_jsonl",
     "register_views",
+    "write_clustered_parquet",
     "write_parquet",
 ]

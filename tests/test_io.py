@@ -101,3 +101,39 @@ def test_events_ts_is_timestamp(spark, sf_smoke):
     sample = list(want)[:50]
     for k in sample:
         assert got[k] == want[k].to_pydatetime(), (k, got[k], want[k])
+
+
+def test_clustered_write_disjoint_file_ranges(spark, sf_smoke, tmp_out):
+    """Range-clustered layout: per-file o_orderkey [min,max] ranges must be
+    pairwise disjoint (parquet footer stats via pyarrow), so a point/range
+    predicate on the cluster key can skip every non-matching file. This is
+    the file-skipping contract that makes the layout worth its write-time
+    range shuffle at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from pyspark_mllib_twitter_spark.sources.io import write_clustered_parquet
+
+    orders = read_table(spark, sf_smoke, "orders")
+    write_clustered_parquet(orders, tmp_out, ["o_orderkey"], n_files=4)
+
+    files = [
+        os.path.join(tmp_out, f)
+        for f in os.listdir(tmp_out)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1, "need multiple files to prove disjointness"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+    # and the clustered read round-trips
+    assert spark.read.parquet(tmp_out).count() == orders.count()
