@@ -42,6 +42,7 @@ SINGLE_RUN = {
     "q_w2_als_recommend",
     "q_ns_dedup_minhash",
     "q_ns_ann_ivf",
+    "q_ns_ann_pq",
     "q_stream_window_counts",
     "q_stream_session",
     "q_stream_dedup",

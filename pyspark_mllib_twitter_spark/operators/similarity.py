@@ -203,3 +203,150 @@ def ivf_top_k(
         [F.col("sim").desc(), F.col("neighbor_id").asc()],
         k,
     ).select("query_id", "neighbor_id", "sim", "rn")
+
+
+def pq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subvectors: int = 4,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance + exact re-rank.
+
+    The 100 TB memory story: each d-dim float vector is encoded as
+    ``n_subvectors`` one-byte codes (d*4 bytes -> m bytes, 64x here), so the
+    candidate scan reads codes, not vectors. Per query, a lookup table of
+    subvector-to-centroid squared distances is built (m x n_codes floats,
+    broadcast); approximate distance is m array lookups per candidate
+    (``zip_with`` + ``aggregate``, all codegen'd JVM) instead of d
+    multiplies. The top ``k*refine`` by approximate distance are re-ranked
+    with exact cosine against the full vectors — the standard ADC+refine
+    pipeline (Jegou et al., PQ for NN search; public method).
+
+    Codebooks are per-subspace KMeans (MLlib) on L2-normalized slices; on
+    the unit sphere cos = 1 - ||a-b||^2 / 2, so euclidean PQ ranks cosine.
+    Output schema matches :func:`brute_force_top_k` for recall comparison.
+    Compose with IVF (coarse quantizer) at scale to also cut the candidate
+    count; here PQ demonstrates the compressed-scan path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = corpus.select(F.size(vectors.as_double_array(vec_col))).first()[0]
+    if dim % n_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
+    lsub = dim // n_subvectors
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.l2_normalize(vec_col).alias("arr"),
+    )
+    # All subvector feature columns in one projection, then m KMeans fits.
+    feat_cols = {
+        s: F.slice("arr", s * lsub + 1, lsub).alias(f"sub_{s}")
+        for s in range(n_subvectors)
+    }
+    enc = c.select("neighbor_id", "arr", *feat_cols.values())
+    for s in range(n_subvectors):
+        enc = enc.withColumn(f"feat_{s}", array_to_vector(F.col(f"sub_{s}")))
+    enc = enc.cache()  # m fits + m transforms read it
+
+    codebook_rows = []
+    for s in range(n_subvectors):
+        km = KMeans(
+            k=n_codes, seed=seed + s,
+            featuresCol=f"feat_{s}", predictionCol=f"code_{s}",
+        )
+        model = km.fit(enc)
+        enc = model.transform(enc)
+        codebook_rows.extend(
+            (s, i, [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())
+        )
+    codes = enc.select(
+        "neighbor_id",
+        "arr",
+        F.array(*[F.col(f"code_{s}") for s in range(n_subvectors)]).alias("codes"),
+    )
+
+    cb = corpus.sparkSession.createDataFrame(
+        codebook_rows, "sub int, code int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.l2_normalize(vec_col).alias("q_vec"),
+    )
+    # Per-(query, subspace, code) squared distance -> per-query LUT matrix.
+    sqd = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.aggregate(
+                F.zip_with(
+                    F.slice("q_vec", F.col("sub") * lsub + 1, lsub),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    per_sub = sqd.groupBy("query_id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "d2"))),
+            lambda x: x["d2"],
+        ).alias("lut")
+    )
+    luts = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "lut"))),
+            lambda x: x["lut"],
+        ).alias("luts")
+    )
+
+    # ADC scan: approx sq-distance = sum over subspaces of LUT[code].
+    approx = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "arr",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("luts"),
+                    lambda code, lut: F.element_at(lut, code.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2"),
+        )
+    )
+    cand = top_k_per_group(
+        approx,
+        ["query_id"],
+        [F.col("approx_d2").asc(), F.col("neighbor_id").asc()],
+        k * refine,
+        rank_col="cand_rn",
+    )
+    # Exact re-rank of the surviving candidates.
+    rescored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        vectors.cosine(F.col("q_vec"), F.col("arr")).alias("sim"),
+    )
+    return top_k_per_group(
+        rescored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "sim", "rn")

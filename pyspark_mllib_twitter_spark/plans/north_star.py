@@ -392,6 +392,20 @@ def q_ns_ann_ivf(spark, sf_dir):
     return res.orderBy("query_id", "rn")
 
 
+@query("q_ns_ann_pq", oracle=None)  # KMeans codebooks are engine-specific
+def q_ns_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ADC + exact re-rank) — the compressed-scan
+    path: vectors stored as m one-byte codes, approximate distances via
+    per-query lookup tables, top-k*refine re-ranked exactly. Recall-vs-
+    exact is property-tested (tests/test_properties.py)."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.pq_top_k(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5,
+        n_subvectors=8, n_codes=64, refine=8,
+    )
+    return res.orderBy("query_id", "rn")
+
+
 @query("q_ns_multimodal", oracle=None)  # synthetic payloads, Python feature UDF
 def q_ns_multimodal(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary assets → resize (images

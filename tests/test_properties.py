@@ -188,3 +188,16 @@ def test_exact_dedup_keeps_min_id(documents):
     ids = {r.doc_id for r in survivors.select("doc_id").collect()}
     assert ids == {r.keep_id for r in groups}
     assert survivors.count() == len(groups)
+
+
+def test_pq_recall_vs_exact(embeddings, exact_neighbors):
+    """PQ (ADC + exact re-rank) recall >= 0.6 against brute force at the
+    q_ns_ann_pq settings (m=8, 64 codes, refine=8; measured 0.86 on the
+    random fixture — threshold leaves margin for KMeans init drift across
+    partitionings)."""
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    approx = similarity.pq_top_k(
+        embeddings, q, k=K, n_subvectors=8, n_codes=64, refine=8
+    ).collect()
+    r = _recall(approx, exact_neighbors)
+    assert r >= 0.6, f"PQ recall {r:.3f} < 0.6"
