@@ -314,3 +314,100 @@ def q_j_nullsafe(spark, sf_dir):
         .select(a["uid"].alias("uid"), "n_click", "v_click", "n_view")
         .orderBy("uid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew rewrites (semantics-preserving → oracle-checkable)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_j_skew_salted",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q_j_skew_salted(spark, sf_dir):
+    """∅-ref skew discipline: the salted-join rewrite, checked against the
+    plain join it must be equivalent to. The big side's key is salted
+    deterministically and the small side replicated once per salt, so a hot
+    ``l_partkey`` spreads over 8 reducers instead of one. The fixture isn't
+    skewed — the point pinned here is that the rewrite is invisible in the
+    result (the oracle is the UNSALTED join) — and the revenue sum routes
+    through DECIMAL so the salt-dependent partial order can't move the
+    hash."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on="l_partkey", n_salts=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_a8_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_a8_salted_agg(spark, sf_dir):
+    """∅-ref skew discipline: two-phase salted aggregation over a
+    genuinely hot grouping key (5 event types × all rows — the exact shape
+    AQE cannot split, since a single aggregation key isn't divisible).
+    Phase 1 groups by (key, salt) map-side-combinably; phase 2 merges ≤
+    n_salts partials per key. The oracle is the plain GROUP BY it must
+    equal; the double sum is pre-cast to DECIMAL so partial merge order is
+    immaterial."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(38,6)").alias("value_dec"),
+        "value",
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": "count(*)",
+            "total": "sum(value_dec)",
+            "lo": "min(value)",
+            "hi": "max(value)",
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+    ).orderBy("event_type")
