@@ -55,6 +55,11 @@ def get_spark(
         # (COMP5349_2.py:121); Tungsten encoders dominate the DataFrame path.
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen emits one or more classes per query plan; a
+        # 70-query suite fills the JVM's default code cache, after which
+        # the JIT disables itself and iterative ML (ALS) runs interpreted
+        # — measured 9s isolated vs 25s late in the suite.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
