@@ -176,6 +176,7 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
     state_partitions: int | None = 8,
+    extra_conf: dict[str, str] | None = None,
 ) -> DataFrame:
     """Execute a streaming plan over all available input (availableNow
     trigger → real micro-batch sequence, watermarks advance batch to
@@ -192,9 +193,13 @@ def run_to_memory(
     """
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    overrides: dict[str, str] = dict(extra_conf or {})
     if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
+    prev: dict[str, str | None] = {}
+    for k, v in overrides.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -205,7 +210,11 @@ def run_to_memory(
         )
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     return spark.table(name)
 
 
@@ -427,5 +436,82 @@ def stateful_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFr
             stateStructType=_USER_STATS_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+#: Conf required by transformWithStateInPandas: the TWS operator family is
+#: implemented only on the RocksDB state store (Spark 4 bundles it).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
+def tws_available() -> bool:
+    """True when ``transformWithStateInPandas`` can actually run here: its
+    driver-side worker speaks protobuf to the JVM, so the ``google.protobuf``
+    package must be importable (verified empirically — without it the worker
+    exits with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Running per-user (count, sum(value)) via ``transformWithStateInPandas``
+    — the Spark 4 successor of ``applyInPandasWithState`` (same semantics as
+    :func:`stateful_user_stats`, modern API): a ``StatefulProcessor`` class
+    with named, schema'd state handles instead of one opaque state tuple,
+    composable ValueState/ListState/MapState and timers.
+
+    Requires the RocksDB state store — run with
+    ``run_to_memory(..., extra_conf=ROCKSDB_STATE_CONF)`` — and a Python
+    environment with ``google.protobuf`` (gate on :func:`tws_available`;
+    this container lacks it, so the operator is NOT registered as a driver
+    query and its test skips — the plan construction below still builds and
+    analyzes). State is one (n, s) pair per user; output mode Update emits
+    one row per user per micro-batch in which the user appears, so counts
+    are monotone and the final state is the per-user max (what the batch
+    twin checks).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        # No annotations on these methods: this module stringifies them
+        # (`from __future__ import annotations`) and the TWS driver-side
+        # worker resolves type hints at runtime — unresolvable strings
+        # crash it (same trap as pandas_udf, see q_udf_pandas_cosine).
+        def init(self, handle):
+            self._stats = handle.getValueState("stats", "n bigint, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, s = self._stats.get() if self._stats.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._stats.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _RunningStats(),
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            outputMode="Update",
+            timeMode="None",
         )
     )

@@ -275,3 +275,39 @@ def test_late_within_delay_is_kept(spark):
     }
     assert counts["2024-01-01 09:00:00"] == 2  # events 1 + late 4
     assert sum(counts.values()) == 4
+
+
+def test_tws_user_stats(spark, events, replay_dir):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    operator. The TWS driver worker needs google.protobuf, absent in this
+    container — the plan must still BUILD and analyze (API correctness),
+    and when protobuf is present the batch-twin equivalence runs."""
+    from pyspark_mllib_twitter_spark.streaming.streams import (
+        ROCKSDB_STATE_CONF,
+        tws_available,
+        tws_user_stats,
+    )
+
+    stream = tws_user_stats(read_events_stream(spark, replay_dir), watermark=WATERMARK)
+    assert stream.isStreaming
+    assert set(stream.columns) == {"user_id", "n_events", "sum_value"}
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed — TWS cannot execute here")
+
+    streamed = run_to_memory(
+        stream, output_mode="update", extra_conf=ROCKSDB_STATE_CONF
+    )
+    final = (
+        streamed.filter(F.col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("sum_value").alias("s"))
+    )
+    got = {r.user_id: (r.n, round(r.s, 4)) for r in final.collect()}
+    batch = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+    )
+    want = {r.user_id: (r.n, round(r.s, 4)) for r in batch.collect()}
+    assert got == want
