@@ -101,3 +101,25 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower()
     assert j.count() == orders.where(F.col("o_month") == 3).count()
+
+
+def test_analytic_suite_single_window_node(spark):
+    """All five q_w6 window functions must evaluate in ONE Window physical
+    node over one sort — five separate window specs would mean five sorts."""
+    plan = _plan(spark, "q_w6_analytic")
+    assert plan.count("Window") == 1
+
+
+def test_new_joins_never_nested_loop(spark):
+    """Q17 decorrelation and the salted join must stay hash joins; a lost
+    equi-condition silently degrades to BroadcastNestedLoopJoin."""
+    for name in ("q_sub_q17", "q_j_skew_salted", "q_j_nullsafe"):
+        plan = _plan(spark, name)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_unpivot_no_extra_shuffle(spark):
+    """unpivot is an Expand inside the scan stage: the only exchange allowed
+    is the final result ordering (rangepartitioning)."""
+    plan = _plan(spark, "q_u2_unpivot")
+    assert plan.count("Exchange") <= 1
