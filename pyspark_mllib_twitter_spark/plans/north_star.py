@@ -488,3 +488,102 @@ def q_ns_scrub(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_ns_pipeline",
+    oracle=r"""
+    WITH injected AS (
+        SELECT doc_id, source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com see https://x.example/'
+                    || CAST(doc_id AS VARCHAR) AS raw
+        FROM documents),
+    scrubbed AS (
+        SELECT doc_id, source,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                   'https?://[^\s]+', '<url>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<email>', 'g'),
+                   '@[A-Za-z0-9_]+', '<user>', 'g') AS text
+        FROM injected),
+    scored AS (
+        SELECT doc_id, source, text,
+               round((least(n/200.0, 1.0) + coalesce(n_alpha/nullif(n,0), 0)
+                      + (CASE WHEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                   / nullif(len(toks), 0) BETWEEN 3 AND 10
+                              THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT *, length(text)::DOUBLE AS n,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE AS n_alpha,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM scrubbed)),
+    filtered AS (SELECT * FROM scored WHERE quality >= 0.9),
+    with_dups AS (
+        SELECT * FROM filtered
+        UNION ALL
+        SELECT doc_id + 100000, source, text, quality, n_tokens
+        FROM filtered WHERE doc_id % 5 = 0),
+    kept AS (
+        SELECT * FROM with_dups
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM with_dups
+            GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))))
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_q
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_ns_pipeline(spark, sf_dir):
+    """North star end-to-end: the composed training-data pipeline —
+    scrub (deterministic injected PII, as q_ns_scrub) → quality gate
+    (>= 0.9, non-vacuous: the fixture spans ~0.68-0.95) → exact content
+    dedup keep-min-id → per-source corpus stats. The whole chain is
+    codegen'd SQL except the dedup shuffle (16-byte digests), and the
+    oracle replays every stage in DuckDB — pinning that the composed
+    operators agree end-to-end, not just per-stage. avg quality routes
+    through decimal-sum/count so both engines divide identical inputs."""
+    from ..operators import dedup as D
+
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@mail.example.com see https://x.example/"), sid,
+    )
+    scrubbed = docs.select(
+        "doc_id", "source", TXT.scrub_text(raw).alias("text")
+    )
+    scored = scrubbed.select(
+        "doc_id",
+        "source",
+        "text",
+        TXT.quality_score("text").alias("quality"),
+        TXT.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    filtered = scored.filter(F.col("quality") >= 0.9)
+    # Inject deterministic exact duplicates (the fixture has none) so the
+    # dedup stage provably removes rows — keep-min-id keeps the original.
+    dups = filtered.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    with_dups = filtered.unionByName(dups)
+    kept = D.content_dedup(with_dups, id_col="doc_id", text_col="text")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_q"),
+        )
+        .orderBy("source")
+    )
