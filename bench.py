@@ -43,6 +43,7 @@ SINGLE_RUN = {
     "q_ns_dedup_minhash",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
+    "q_ml_quality_clf",
     "q_stream_window_counts",
     "q_stream_session",
     "q_stream_dedup",

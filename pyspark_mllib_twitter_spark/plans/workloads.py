@@ -58,3 +58,15 @@ def q_w2_als_recommend(spark, sf_dir):
         "rec_item_id",
         F.col("rating").cast("double").alias("rating"),
     ).orderBy("user_id", "rec_rank")
+
+
+@query("q_ml_quality_clf", oracle=None)  # learned model — property-tested
+def q_ml_quality_clf(spark, sf_dir):
+    """W3: MLlib classification Pipeline (VectorAssembler → StandardScaler
+    → LogisticRegression) learning the heuristic quality gate from numeric
+    text features. Rows-only here; tests/test_workloads.py asserts
+    accuracy/AUC against the deterministic labels."""
+    from ..workloads.w3_quality_model import quality_predictions
+
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_predictions(docs).orderBy("doc_id")

@@ -117,3 +117,28 @@ def test_multiline_json_reader_matches_jsonl(spark, tweets):
     a = sorted((tuple(str(x) for x in r) for r in tweets.collect()))
     b = sorted((tuple(str(x) for x in r) for r in ml.collect()))
     assert a == b
+
+
+def test_quality_classifier_learns_gate(spark, sf_oracle):
+    """The MLlib classification Pipeline must recover the heuristic quality
+    gate from numeric features: accuracy >= 0.9 and AUC >= 0.95 on the
+    deterministic fixture labels (measured 0.994 / 1.000 — margin for
+    L-BFGS tolerance drift)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.sources import read_table
+    from pyspark_mllib_twitter_spark.workloads.w3_quality_model import (
+        fit_quality_classifier,
+        quality_features,
+    )
+
+    docs = read_table(spark, sf_oracle, "documents")
+    feats = quality_features(docs).cache()
+    scored = fit_quality_classifier(feats).transform(feats)
+    acc = scored.select(
+        F.avg((F.col("label") == F.col("prediction")).cast("double")).alias("a")
+    ).first().a
+    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
+    assert acc >= 0.9, f"accuracy {acc:.3f} < 0.9"
+    assert auc >= 0.95, f"AUC {auc:.3f} < 0.95"
