@@ -411,3 +411,39 @@ def q_a8_salted_agg(spark, sf_dir):
         F.col("lo").cast("double").alias("lo"),
         F.col("hi").cast("double").alias("hi"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_a9_stats_suite",
+    oracle="""
+    SELECT l_returnflag,
+           CORR(l_quantity, l_extendedprice)        AS qty_price_corr,
+           COVAR_SAMP(l_quantity, l_discount)       AS qty_disc_covar,
+           COVAR_POP(l_quantity, l_discount)        AS qty_disc_covar_pop,
+           ROUND(SKEWNESS(l_quantity), 4)           AS qty_skew,
+           ROUND(KURTOSIS(l_quantity), 4)           AS qty_kurt
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_a9_stats_suite(spark, sf_dir):
+    """∅-ref statistics aggregates: Pearson correlation, sample/population
+    covariance, skewness, kurtosis per group — the co-moment family MLlib's
+    Summarizer exposes, here as plain partial-aggregable SQL (one shuffle,
+    map-side co-moment merge). Corr/covar agree inside the 6dp comparison
+    (bounded outputs, 2nd-order moments); skewness/kurtosis accumulate
+    3rd/4th-order moments whose engine-order error reaches the 6th decimal
+    at 60k rows, so both sides round them to 4dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_discount").alias("qty_disc_covar"),
+            F.covar_pop("l_quantity", "l_discount").alias("qty_disc_covar_pop"),
+            F.round(F.skewness("l_quantity"), 4).alias("qty_skew"),
+            F.round(F.kurtosis("l_quantity"), 4).alias("qty_kurt"),
+        )
+        .orderBy("l_returnflag")
+    )
