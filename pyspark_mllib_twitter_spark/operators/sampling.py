@@ -48,3 +48,31 @@ def stratified_sample(
     Seeded for within-engine reproducibility; statistical, not exact —
     verify with tolerance tests, not row oracles."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+#: Hex digits in md5 output order — first k digits = keep-rate k/16.
+_HEX = "0123456789abcdef"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rate_sixteenths: dict,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row in stratum ``v`` is kept
+    iff the last hex digit of ``md5(key)`` falls in the first
+    ``rate_sixteenths[v]`` digits; strata not listed are dropped.
+
+    Same md5 trick as :func:`hash_sample` (bit-identical on any engine
+    with md5 → DuckDB-oracle-checkable), stratified: each stratum gets its
+    own keep-rate, the fix for skewed strata where one global rate either
+    drowns rare strata or keeps too much of the dominant one. A pure
+    filter — no shuffle, no state, reproducible across cluster sizes."""
+    digit = F.substring(F.md5(F.col(key_col).cast("string")), 32, 1)
+    cond = F.lit(False)
+    for value, rate in rate_sixteenths.items():
+        cond = cond | (
+            (F.col(strata_col) == value) & digit.isin(list(_HEX[:rate]))
+        )
+    return df.filter(cond)

@@ -447,3 +447,77 @@ def q_a9_stats_suite(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end breadth: TPC-H Q5 shape (one text, both engines)
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@query("q_sql_q5", oracle=_Q5_SQL)
+def q_sql_q5(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q5 shape — a 6-table join with a
+    same-nation co-location condition (customer and supplier must share a
+    nation) and a region + date-range filter, one SQL text for both
+    engines. Catalyst's join reordering + AQE drive the plan: region and
+    nation broadcast trivially, the date filter pushes to the orders scan,
+    and the customer⋈supplier nation condition prunes before the big
+    lineitem join. The local-vs-distant-supplier variant of this query is
+    the classic join-order stress test."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE (event_type = 'click'
+           AND substr(md5(CAST(event_id AS VARCHAR)), 32, 1)
+               IN ('0','1','2','3','4','5','6','7'))
+       OR (event_type = 'view'
+           AND substr(md5(CAST(event_id AS VARCHAR)), 32, 1) IN ('0','1'))
+    ORDER BY event_id
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """∅-ref: deterministic stratified sampling — per-stratum rates keyed
+    on md5 of the row key (click 8/16, view 2/16, everything else dropped),
+    the rate-equalizer for skewed strata that is reproducible across
+    engines and cluster sizes (unlike seeded ``sampleBy``, whose draws
+    depend on partitioning). Pure projection + filter: pushes to the scan,
+    no shuffle but the final order."""
+    from ..operators.sampling import stratified_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        stratified_hash_sample(
+            ev, strata_col="event_type", key_col="event_id",
+            rate_sixteenths={"click": 8, "view": 2},
+        )
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
