@@ -215,6 +215,7 @@ def pq_top_k(
     n_codes: int = 16,
     refine: int = 4,
     seed: int = 42,
+    codebook_max_iter: int = 8,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance + exact re-rank.
 
@@ -258,8 +259,11 @@ def pq_top_k(
 
     codebook_rows = []
     for s in range(n_subvectors):
+        # Codebooks don't need full KMeans convergence: quantization error
+        # plateaus after a few Lloyd rounds and the exact re-rank absorbs
+        # the residual — capped iterations halve the m-fit cost.
         km = KMeans(
-            k=n_codes, seed=seed + s,
+            k=n_codes, seed=seed + s, maxIter=codebook_max_iter,
             featuresCol=f"feat_{s}", predictionCol=f"code_{s}",
         )
         model = km.fit(enc)
