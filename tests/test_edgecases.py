@@ -1,0 +1,85 @@
+"""Empty-input and degenerate-parameter behavior of the library operators.
+
+An engine surface is only "complete" if its operators fail loudly or
+return sane empties at the boundaries — these pin the contracts so a
+refactor can't silently change them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_mllib_twitter_spark.operators import dedup, sampling
+from pyspark_mllib_twitter_spark.operators.asof import as_of_join
+from pyspark_mllib_twitter_spark.operators.topk import top_k_per_group
+from pyspark_mllib_twitter_spark.sources import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke):
+    return read_table(spark, sf_smoke, "documents").cache()
+
+
+def test_content_dedup_empty_input(spark, docs):
+    empty = docs.filter(F.lit(False))
+    assert dedup.content_dedup(empty).count() == 0
+    assert dedup.content_dedup_groups(empty).count() == 0
+
+
+def test_content_dedup_idempotent_on_unique(spark, docs):
+    """A corpus with no duplicates passes through dedup unchanged."""
+    once = dedup.content_dedup(docs)
+    assert once.count() == docs.count()
+
+
+def test_hash_sample_rate_bounds(spark, docs):
+    """rate 0/16 keeps nothing, 16/16 keeps everything, and rates are
+    monotone (a row kept at rate r is kept at every rate > r — the
+    property that makes hash samples composable across runs)."""
+    n = docs.count()
+    with pytest.raises(ValueError, match="1..16"):
+        sampling.hash_sample(docs, "doc_id", 0)  # rate 0 = a typo, not a sample
+    assert sampling.hash_sample(docs, "doc_id", 16).count() == n
+    r4 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 4).select("doc_id").collect()}
+    r8 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 8).select("doc_id").collect()}
+    assert r4 <= r8
+
+
+def test_stratified_hash_sample_unlisted_strata_dropped(spark, sf_smoke):
+    ev = read_table(spark, sf_smoke, "events")
+    out = sampling.stratified_hash_sample(
+        ev, "event_type", "event_id", {"click": 16}
+    )
+    kinds = {r.event_type for r in out.select("event_type").distinct().collect()}
+    assert kinds == {"click"}
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert out.count() == want  # 16/16 keeps every click row
+
+
+def test_top_k_per_group_k_larger_than_group(spark, docs):
+    """k larger than any group size returns whole groups, ranked."""
+    out = top_k_per_group(
+        docs.select("source", "doc_id"),
+        ["source"],
+        [F.col("doc_id").asc()],
+        10**6,
+    )
+    assert out.count() == docs.count()
+
+
+def test_as_of_join_no_match_yields_null(spark):
+    left = spark.createDataFrame([(1, 100)], "id long, t long")
+    right = spark.createDataFrame([(1, 200, "late")], "id long, t long, v string")
+    out = as_of_join(
+        left, right, on=["id"], left_ts="t", right_ts="t", payload_cols=["v"]
+    ).collect()
+    assert len(out) == 1 and out[0].asof_v is None  # right row is AFTER the probe
+
+
+def test_ngram_jaccard_block_guard_trips(spark, docs):
+    """Oversized blocks must fail fast, not run the quadratic stage."""
+    with pytest.raises(ValueError, match="max_block_size"):
+        dedup.ngram_jaccard_pairs(
+            docs, block_col="source", max_block_size=1
+        ).count()
