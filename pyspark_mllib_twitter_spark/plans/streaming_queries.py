@@ -13,6 +13,8 @@ tests/test_streaming.py against batch twins.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..sources import read_table
@@ -38,11 +40,27 @@ REPLAY_WATERMARK = "45 days"
 REPLAY_FLUSH_MARGIN = "60 days"
 
 
-def _replayed_stream(spark, sf_dir, **replay_kwargs):
-    ev = read_table(spark, sf_dir, "events")
+#: Replay dirs keyed by (sf_dir, frozen kwargs): building a replay is a
+#: driver-side toPandas + 10 parquet writes (~seconds at sf0.1) that would
+#: otherwise be re-paid — and mis-timed — inside every streaming query of a
+#: bench/test session. The replayed input is identical across queries with
+#: the same kwargs, so sharing it changes nothing semantically.
+_REPLAY_CACHE: dict[tuple, str] = {}
+
+
+def _replay_dir(spark, sf_dir, **replay_kwargs):
     replay_kwargs.setdefault("flush_margin", REPLAY_FLUSH_MARGIN)
-    replay_dir = replay_events_dir(ev, **replay_kwargs)
-    return read_events_stream(spark, replay_dir)
+    key = (sf_dir, tuple(sorted(replay_kwargs.items())))
+    replay_dir = _REPLAY_CACHE.get(key)
+    if replay_dir is None or not os.path.isdir(replay_dir):
+        ev = read_table(spark, sf_dir, "events")
+        replay_dir = replay_events_dir(ev, **replay_kwargs)
+        _REPLAY_CACHE[key] = replay_dir
+    return replay_dir
+
+
+def _replayed_stream(spark, sf_dir, **replay_kwargs):
+    return read_events_stream(spark, _replay_dir(spark, sf_dir, **replay_kwargs))
 
 
 @query(
@@ -131,8 +149,7 @@ def q_stream_join(spark, sf_dir):
     event-type filters live INSIDE the streaming plan deliberately: unlike
     windowed aggs, inner-join emission needs no watermark advancement, and
     eviction timing does not change the availableNow replay's output."""
-    ev = read_table(spark, sf_dir, "events")
-    replay_dir = replay_events_dir(ev, flush_margin=REPLAY_FLUSH_MARGIN)
+    replay_dir = _replay_dir(spark, sf_dir)
     clicks = (
         read_events_stream(spark, replay_dir)
         .filter(F.col("event_type") == "click")
