@@ -1,0 +1,116 @@
+"""Randomized equivalence properties (hypothesis) for the custom join
+operators: whatever intervals/points/timestamps are thrown at them, the
+bin-recipe joins must equal the naive O(n*m) definitions and the as-of
+join must equal its per-row Python specification. Catches the failure
+class example-based tests miss: bin-boundary alignment, negative
+coordinates, zero-width intervals, duplicate timestamps.
+
+Examples are kept small (driver-local createDataFrame, two jobs each) so
+the whole module stays in tens of seconds on local[32].
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark_mllib_twitter_spark.operators.asof import as_of_join
+from pyspark_mllib_twitter_spark.operators.rangejoin import (
+    interval_join,
+    interval_overlap_join,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    ivs=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 25)), min_size=1, max_size=8
+    ),
+    width=st.sampled_from([1.0, 3.0, 7.5, 40.0]),
+)
+def test_interval_join_equals_naive(spark, pts, ivs, width):
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], "pid int, v double"
+    )
+    intervals = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(ivs)],
+        "iv_id int, lo double, hi double",
+    )
+    got = sorted(
+        (r.pid, r.iv_id)
+        for r in interval_join(
+            points, intervals, "v", "lo", "hi", bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(pts)
+        for j, (lo, w) in enumerate(ivs)
+        if lo <= v <= lo + w
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.lists(st.tuples(st.integers(-40, 40), st.integers(0, 20)), min_size=1, max_size=8),
+    b=st.lists(st.tuples(st.integers(-40, 40), st.integers(0, 20)), min_size=1, max_size=8),
+    width=st.sampled_from([1.0, 5.0, 16.0]),
+)
+def test_overlap_join_equals_naive(spark, a, b, width):
+    left = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(a)],
+        "a_id int, a_lo double, a_hi double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(b)],
+        "b_id int, b_lo double, b_hi double",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (alo, aw) in enumerate(a)
+        for j, (blo, bw) in enumerate(b)
+        if alo <= blo + bw and blo <= alo + aw
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    probes=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=12),
+    updates=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)), min_size=1, max_size=12),
+)
+def test_as_of_join_equals_spec(spark, probes, updates):
+    """as_of value = the right row with the LARGEST ts <= probe ts per key
+    (ties on right ts broken by the larger payload, matching the
+    operator's deterministic last-wins ordering)."""
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(probes)], "k int, t long, pid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(updates)], "k int, t long, val int"
+    )
+    got = {
+        r.pid: r.asof_val
+        for r in as_of_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", payload_cols=["val"]
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(probes):
+        cands = [(rt, v) for v, (rk, rt) in enumerate(updates) if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
