@@ -521,3 +521,37 @@ def q_sample_stratified(spark, sf_dir):
         .select("event_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_f_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                         AS band,
+           o_orderkey | 4096                        AS bor,
+           xor(o_orderkey, 21845)                   AS bxor,
+           CAST(o_orderkey // 16 AS BIGINT)         AS shr4,
+           o_orderkey * 16                          AS shl4,
+           bit_count(o_orderkey)                    AS pops
+    FROM orders
+    WHERE o_orderkey < 1024
+    ORDER BY o_orderkey
+    """,
+)
+def q_f_bitwise(spark, sf_dir):
+    """∅-ref scalar surface: bitwise functions — and/or/xor, shifts
+    (expressed as div/mul by 2^k, the dialect-neutral form: DuckDB's >> is
+    arithmetic on BIGINT, Spark's shiftright is 32/64-bit specific), and
+    popcount. Bit tricks are the workhorse of hash-bucketing and bitmask
+    columns (see the SimHash operator's band extraction)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1024)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(21845)).alias("bxor"),
+        F.floor(k / 16).cast("bigint").alias("shr4"),
+        (k * 16).alias("shl4"),
+        F.bit_count(k).cast("int").alias("pops"),
+    ).orderBy("o_orderkey")
