@@ -555,3 +555,83 @@ def q_f_bitwise(spark, sf_dir):
         (k * 16).alias("shl4"),
         F.bit_count(k).cast("int").alias("pops"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q_u4_bag_setops",
+    oracle="""
+    SELECT 'inter_all' AS tag, k, COUNT(*) AS n FROM
+      (SELECT o_custkey AS k FROM orders
+       INTERSECT ALL
+       SELECT c_custkey FROM customer)
+    GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, COUNT(*) FROM
+      (SELECT o_custkey AS k FROM orders
+       EXCEPT ALL
+       SELECT c_custkey FROM customer)
+    GROUP BY k
+    ORDER BY tag, k
+    """,
+)
+def q_u4_bag_setops(spark, sf_dir):
+    """∅-ref: bag-semantics set operations — ``intersectAll`` keeps each
+    key min(count_left, count_right) times and ``exceptAll`` keeps
+    count_left - count_right occurrences, vs the distinct semantics of
+    q_u1. The multiplicity is the observable difference, so the query
+    re-counts the surviving bags. Spark plans both as aggregate+join on
+    per-key counts — one shuffle each, no row explosion."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    inter = (
+        o.intersectAll(c).groupBy("k").agg(F.count("*").alias("n"))
+        .select(F.lit("inter_all").alias("tag"), "k", "n")
+    )
+    exc = (
+        o.exceptAll(c).groupBy("k").agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("tag"), "k", "n")
+    )
+    return inter.unionAll(exc).orderBy("tag", "k")
+
+
+@query(
+    "q_udf_arrow_map",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT)            AS dim,
+           round(list_sum(embedding::DOUBLE[]), 6)   AS vec_sum
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def q_udf_arrow_map(spark, sf_dir):
+    """∅-ref UDF surface: ``mapInArrow`` — the zero-copy Arrow-native
+    escape hatch below pandas (no Series materialization; pyarrow compute
+    kernels straight on the record batch). Complements q_udf_pandas_cosine
+    (pandas_udf) and q_udf_grouped_mad (applyInPandas); same contract —
+    the Python boundary must produce bit-equal results, oracle-checked."""
+    import numpy as np
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            emb = batch.column("embedding")
+            offsets = emb.offsets.to_numpy()
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            lens = np.diff(offsets).astype("int64")
+            # reduceat sums each row's slice; guard the all-empty tail case
+            sums = np.add.reduceat(np.append(flat, 0.0), offsets[:-1])
+            sums = np.where(lens == 0, 0.0, sums)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.array(lens),
+                    pa.array(np.round(sums, 6)),
+                ],
+                ["vec_id", "dim", "vec_sum"],
+            )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.mapInArrow(
+        batches, "vec_id bigint, dim bigint, vec_sum double"
+    ).orderBy("vec_id")
