@@ -635,3 +635,36 @@ def q_udf_arrow_map(spark, sf_dir):
     return emb.mapInArrow(
         batches, "vec_id bigint, dim bigint, vec_sum double"
     ).orderBy("vec_id")
+
+
+@query(
+    "q_stat_crosstab",
+    oracle="""
+    SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus_o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+               AS "1-URGENT",
+           CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT)
+               AS "2-HIGH",
+           CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+               AS "3-MEDIUM",
+           CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT)
+               AS "4-NOT SPECIFIED",
+           CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+               AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY 1
+    """,
+)
+def q_stat_crosstab(spark, sf_dir):
+    """∅-ref DataFrameStat surface: ``stat.crosstab`` — a contingency table
+    of status × priority. Spark derives the output columns from the data
+    (one per distinct priority); the oracle spells the same pivot with
+    FILTER'd counts under identical column names. Same single-shuffle
+    pivot plan as q_g3; the value of pinning it is the API (crosstab is
+    the one-liner users actually reach for)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.stat.crosstab("o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderstatus_o_orderpriority")
+    )

@@ -81,3 +81,24 @@ def test_frame_sample_plan_counts(assets):
         if r.mime.startswith(("video/", "audio/"))
     }
     assert got == want
+
+
+def test_audio_features_are_spectral(spark, assets):
+    """Audio assets must go through the FFT band path: L1-normalized 8-dim
+    features (sum to 1), deterministic across runs, and distinct from the
+    byte-histogram path the same payload would produce as an image."""
+    from pyspark.sql import functions as F
+
+    feats = multimodal.extract_features(assets)
+    audio = feats.filter(F.col("mime").startswith("audio/")).collect()
+    assert audio, "fixture generator must emit audio assets"
+    for r in audio:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    again = {
+        r.asset_id: r.features
+        for r in multimodal.extract_features(assets)
+        .filter(F.col("mime").startswith("audio/"))
+        .collect()
+    }
+    assert {r.asset_id: r.features for r in audio} == again
