@@ -668,3 +668,47 @@ def q_stat_crosstab(spark, sf_dir):
         o.stat.crosstab("o_orderstatus", "o_orderpriority")
         .orderBy("o_orderstatus_o_orderpriority")
     )
+
+
+@query(
+    "q_udtf_tokens",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '')[1:5] AS toks
+        FROM documents)
+    SELECT doc_id,
+           CAST(generate_subscripts(toks, 1) AS INT) AS i,
+           unnest(toks) AS tok
+    FROM t
+    ORDER BY doc_id, i
+    """,
+)
+def q_udtf_tokens(spark, sf_dir):
+    """∅-ref UDF surface: a Python user-defined TABLE function (Spark 4
+    ``@udtf``) applied laterally — one input row fans out to N output rows
+    (first five tokens with their ordinal). The fourth and last Python
+    escape hatch (scalar pandas_udf, grouped applyInPandas, batch
+    mapInArrow, now row-to-rows UDTF); row-at-a-time by construction, so
+    the hot-path guidance stays: use explode/posexplode (q_f_explode) when
+    the expansion is expressible — this entry pins the API, oracle-checked
+    against exactly that SQL expansion."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, i int, tok string")
+    class FirstTokens:
+        def eval(self, doc_id, text):
+            toks = [t for t in (text or "").lower().strip().split()][:5]
+            for i, t in enumerate(toks, 1):
+                yield (doc_id, i, t)
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.i, f.tok
+        FROM documents, LATERAL first_tokens(doc_id, text) f
+        ORDER BY f.doc_id, f.i
+        """
+    )
