@@ -712,3 +712,55 @@ def q_udtf_tokens(spark, sf_dir):
         ORDER BY f.doc_id, f.i
         """
     )
+
+
+@query(
+    "q_a10_regr_suite",
+    oracle="""
+    SELECT l_returnflag,
+           regr_slope(l_extendedprice, l_quantity)     AS slope,
+           regr_intercept(l_extendedprice, l_quantity) AS icept,
+           regr_r2(l_extendedprice, l_quantity)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_a10_regr_suite(spark, sf_dir):
+    """∅-ref: linear-regression aggregates — per-group OLS slope /
+    intercept / R² / count in one pass (2nd-order co-moments, same
+    partial-merge shape as q_a9's covar; both engines agree inside 6dp
+    because the moments are ratio-normalized). The SQL-native way to fit
+    thousands of tiny per-group models without MLlib — use the W3
+    Pipeline when the model has more than one feature."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_slope("l_extendedprice", "l_quantity").alias("slope"),
+            F.regr_intercept("l_extendedprice", "l_quantity").alias("icept"),
+            F.regr_r2("l_extendedprice", "l_quantity").alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q_a11_sketch_merge", oracle=None)  # HLL sketch binary — engine-specific
+def q_a11_sketch_merge(spark, sf_dir):
+    """∅-ref: HyperLogLog sketch MERGE — the incremental-maintenance path
+    at 100 TB: per-nation partial sketches (``hll_sketch_agg``, a
+    DataSketches HLL binary per group, buildable per day/partition) are
+    unioned (``hll_union_agg``) into a global estimate without rescanning
+    rows. Rows-only here (the sketch is engine-internal);
+    tests/test_properties.py bounds the estimate against exact distinct."""
+    c = _t(spark, sf_dir, "customer")
+    partials = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+    )
+    merged = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_distinct"),
+        F.count("*").alias("n_sketches"),
+    )
+    return merged.select("est_distinct", "n_sketches")

@@ -201,3 +201,17 @@ def test_pq_recall_vs_exact(embeddings, exact_neighbors):
     ).collect()
     r = _recall(approx, exact_neighbors)
     assert r >= 0.6, f"PQ recall {r:.3f} < 0.6"
+
+
+def test_hll_sketch_merge_close_to_exact(spark, sf_smoke):
+    """Merging per-nation HLL sketches must estimate global distinct
+    custkeys within 5% of exact — the incremental path has the same
+    accuracy contract as the one-shot sketch."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    est = REGISTRY["q_a11_sketch_merge"].spark(spark, sf_smoke).first().est_distinct
+    exact = (
+        read_table(spark, sf_smoke, "customer")
+        .select("c_custkey").distinct().count()
+    )
+    assert abs(est - exact) / exact <= 0.05, (est, exact)
