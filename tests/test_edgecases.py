@@ -83,3 +83,29 @@ def test_ngram_jaccard_block_guard_trips(spark, docs):
         dedup.ngram_jaccard_pairs(
             docs, block_col="source", max_block_size=1
         ).count()
+
+
+def test_observation_metrics_match_batch_agg(spark, sf_smoke):
+    """The Observation API (pipeline observability without a second scan):
+    metrics observed during a write-side action must equal the standalone
+    aggregation — count, null count, and a decimal-routed sum."""
+    from pyspark.sql import Observation
+
+    ev = read_table(spark, sf_smoke, "events")
+    obs = Observation("ev_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_users"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_users"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    ).first()
+    assert got["n_rows"] == want.n_rows
+    assert got["n_null_users"] == want.n_null_users
+    assert abs(got["sum_value"] - want.sum_value) < 1e-6
