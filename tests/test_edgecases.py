@@ -88,9 +88,18 @@ def test_ngram_jaccard_block_guard_trips(spark, docs):
 def test_observation_metrics_match_batch_agg(spark, sf_smoke):
     """The Observation API (pipeline observability without a second scan):
     metrics observed during a write-side action must equal the standalone
-    aggregation — count, null count, and a decimal-routed sum."""
+    aggregation — count, null count, and a decimal-routed sum.
+
+    The observation runs in a CHILD session (``newSession``): Spark 4.1's
+    classic ObservationManager never unregisters a completed Observation,
+    and any later ML model.transform in the same session captures the
+    manager transitively → ``Task not serializable``. Isolating the
+    observation in its own SessionState (shared SparkContext, separate
+    ObservationManager) is the supported pattern until that's fixed
+    upstream."""
     from pyspark.sql import Observation
 
+    spark = spark.newSession()
     ev = read_table(spark, sf_smoke, "events")
     obs = Observation("ev_metrics")
     observed = ev.observe(
