@@ -123,3 +123,17 @@ def test_unpivot_no_extra_shuffle(spark):
     is the final result ordering (rangepartitioning)."""
     plan = _plan(spark, "q_u2_unpivot")
     assert plan.count("Exchange") <= 1
+
+
+def test_text_queries_stay_jvm_side(spark):
+    """The text-analysis scan path must contain NO Python evaluation node —
+    scrubbing, quality, langid, fingerprinting are all regexp/string
+    expressions that run inside whole-stage codegen. A Python UDF sneaking
+    in here would turn a parquet-speed 100 TB scan into an Arrow shuttle."""
+    for name in ("q_ns_scrub", "q_ns_quality", "q_ns_langid", "q_ns_fingerprint"):
+        plan = _plan(spark, name)
+        assert "Python" not in plan and "ArrowEval" not in plan, name
+    # and the scan reads only the needed columns (pruning through the
+    # expression chain): scrub touches doc_id + text, never lang/source.
+    scan = [l for l in _plan(spark, "q_ns_scrub").splitlines() if "ReadSchema" in l]
+    assert scan and "lang" not in scan[0] and "source" not in scan[0]
