@@ -764,3 +764,58 @@ def q_a11_sketch_merge(spark, sf_dir):
         F.count("*").alias("n_sketches"),
     )
     return merged.select("est_distinct", "n_sketches")
+
+
+@query(
+    "q_a12_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+    FROM (SELECT c_nationkey, c_name FROM customer WHERE c_custkey <= 200)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_a12_listagg(spark, sf_dir):
+    """∅-ref: ordered string aggregation — Spark 4 ``listagg`` WITHIN GROUP
+    vs DuckDB ``string_agg ORDER BY``. The explicit inner ORDER BY is what
+    makes a concatenation aggregate deterministic (same rule as the
+    ``sort_array(collect_list(...))`` normalization in q_a1); without it
+    both engines concatenate in partition-arrival order and no hash can
+    match."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 200)
+        .select("c_nationkey", "c_name")
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)").alias("names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_LATERAL_SQL = """
+    SELECT n_name, t.top_bal
+    FROM nation,
+         LATERAL (SELECT MAX(c_acctbal) AS top_bal
+                  FROM customer
+                  WHERE c_nationkey = n_nationkey) t
+    ORDER BY n_name
+"""
+
+
+@query("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark, sf_dir):
+    """∅-ref SQL front-end: LATERAL correlated subquery — per-nation
+    maximum balance computed by a subquery that references the outer row,
+    one SQL text for both engines. Catalyst decorrelates it into the same
+    aggregate-then-join plan q_sub_q17 builds by hand; pinning the syntax
+    matters because LATERAL is how users express per-row top-N and
+    correlated lookups without learning the decorrelation trick."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
