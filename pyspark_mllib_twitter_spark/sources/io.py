@@ -61,10 +61,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown and column pruning for free.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in
-    session.get_spark) it arrives as a nanosecond-epoch long and is converted
-    here to a microsecond timestamp (``ts DIV 1000`` — exact integer
-    division, truncation matches DuckDB's CAST(ns AS TIMESTAMP))."""
+    native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
+    as a nanosecond-epoch long and is converted here to a microsecond
+    timestamp (``ts DIV 1000`` — exact integer division, truncation matches
+    DuckDB's CAST(ns AS TIMESTAMP)).
+
+    The nanos conf is set HERE, at runtime, not only in ``session.get_spark``:
+    it is a runtime-settable SQL conf, and setting it on the read path makes
+    ``read_table`` work on ANY session — including externally-built vanilla
+    ``SparkSession``s (e.g. a test harness that calls
+    ``SparkSession.builder.getOrCreate()`` without our builder confs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
