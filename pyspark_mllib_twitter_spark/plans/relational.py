@@ -1067,8 +1067,9 @@ def q_f_explode(spark, sf_dir):
     SELECT o_orderkey,
            CAST(cardinality(MAP {'status': o_orderstatus, 'priority': o_orderpriority})
                 AS BIGINT) AS n_keys,
-           list_sort(map_keys(MAP {'status': o_orderstatus, 'priority': o_orderpriority}))
-             AS keys,
+           array_to_string(
+             list_sort(map_keys(MAP {'status': o_orderstatus, 'priority': o_orderpriority})),
+             ',') AS keys,
            element_at(MAP {'status': o_orderstatus, 'priority': o_orderpriority},
                       'status')[1] AS status_val,
            element_at(MAP {'status': o_orderstatus, 'priority': o_orderpriority},
@@ -1078,8 +1079,9 @@ def q_f_explode(spark, sf_dir):
 )
 def q_f_map(spark, sf_dir):
     """∅-ref map suite: create_map / map_keys / element_at (SURVEY §2.A.6).
-    Map values are emitted as scalar/array columns (not raw map columns) so
-    the cross-engine hash compare never depends on map key order."""
+    Every output column is a SCALAR (keys is array_join'd to a string):
+    pandas-based canonicalization harnesses sort/hash output columns, and an
+    array<string> column is unhashable there."""
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
         F.lit("priority"), F.col("o_orderpriority"),
@@ -1089,7 +1091,7 @@ def q_f_map(spark, sf_dir):
         .select(
             "o_orderkey",
             F.size(m).cast("bigint").alias("n_keys"),
-            F.sort_array(F.map_keys(m)).alias("keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys"),
             F.element_at(m, "status").alias("status_val"),
             F.element_at(m, "missing").alias("missing_val"),
         )
