@@ -134,7 +134,7 @@ def main() -> int:
             print(f"# {name}: {per_query[name]}s ({runs} run(s))", file=sys.stderr)
         _reset_session_state(spark)
 
-    result = {
+    detail = {
         "metric": "suite_seconds",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
@@ -142,8 +142,28 @@ def main() -> int:
         "sf": _sf_from_dir(sf_dir),
     }
     if failures:
-        result["failures"] = failures
-    print(json.dumps(result))
+        detail["failures"] = failures
+    # Full per-query map: to a file and an EARLIER stdout line. The FINAL
+    # line is a compact summary (<2 kB) because tail-capture harnesses keep
+    # only the last ~2 kB of stdout — a single long line gets decapitated
+    # from the front and becomes unparseable.
+    detail_path = os.path.join(_REPO_DIR, "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(detail))
+    summary = {
+        "metric": "suite_seconds",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(per_query),
+        "n_failures": len(failures),
+        "detail_file": detail_path,
+    }
+    print(json.dumps(summary))
     return 1 if failures else 0
 
 
