@@ -47,14 +47,23 @@ def as_of_join(
 
     out_names = [f"{payload_prefix}{c}" for c in payload_cols]
 
+    # The payload travels as ONE struct, not independent columns: with
+    # per-column last(col, ignorenulls=True), a NULL field in the latest
+    # right row would be filled from an OLDER row, mixing fields of
+    # different right rows. last(struct, ignorenulls=True) is all-or-
+    # nothing — every field comes from the same (latest) right row, nulls
+    # included, matching DuckDB ASOF JOIN semantics.
+    r_payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+
     # Common layout: key cols, event ts, side tag, left payload, right payload.
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n)
-          for c, n in zip(payload_cols, out_names)],
+        F.lit(None).cast(
+            right.select(r_payload.alias("_rpay")).schema["_rpay"].dataType
+        ).alias("_rpay"),
     )
     r_tagged = right.select(
         *on,
@@ -63,7 +72,7 @@ def as_of_join(
         F.lit(None).cast(
             l_tagged.schema["_left"].dataType
         ).alias("_left"),
-        *[F.col(c).alias(n) for c, n in zip(payload_cols, out_names)],
+        r_payload.alias("_rpay"),
     )
 
     w = (
@@ -74,10 +83,10 @@ def as_of_join(
     carried = l_tagged.unionByName(r_tagged).select(
         "_side",
         "_left",
-        *[F.last(n, ignorenulls=True).over(w).alias(n) for n in out_names],
+        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay"),
     )
     probes = carried.filter(F.col("_side") == 1)
     return probes.select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
-        *out_names,
+        *[F.col(f"_rpay.{c}").alias(n) for c, n in zip(payload_cols, out_names)],
     )

@@ -197,7 +197,7 @@ def resize_assets(
             is_img = pdf["mime"].str.startswith("image/")
             payloads, metas = [], []
             for p, m, img in zip(pdf["payload"], pdf["meta"], is_img):
-                if not img or p is None:
+                if not img or not p:  # None AND zero-length payloads pass through
                     payloads.append(p)
                     metas.append(m)
                     continue

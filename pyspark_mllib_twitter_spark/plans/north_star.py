@@ -173,11 +173,18 @@ def q_udf_pandas_cosine(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
-        out = []
-        for x, y in zip(a, b):
-            xv, yv = np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
-            denom = float(np.sqrt(xv @ xv) * np.sqrt(yv @ yv))
-            out.append(float(xv @ yv) / denom if denom else None)
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        # Whole-batch vectorization: stack the Arrow batch into (n, d)
+        # matrices and do one fused multiply-reduce — no per-row Python.
+        av = np.stack(a.to_numpy()).astype("float64", copy=False)
+        bv = np.stack(b.to_numpy()).astype("float64", copy=False)
+        dots = np.einsum("ij,ij->i", av, bv)
+        denom = np.sqrt(np.einsum("ij,ij->i", av, av)) * np.sqrt(
+            np.einsum("ij,ij->i", bv, bv)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom != 0.0, dots / denom, np.nan)
         return pd.Series(out)
 
     spark.udf.register("cosine_pd", pandas_udf(_cosine, "double"))

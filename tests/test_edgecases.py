@@ -77,6 +77,34 @@ def test_as_of_join_no_match_yields_null(spark):
     assert len(out) == 1 and out[0].asof_v is None  # right row is AFTER the probe
 
 
+def test_as_of_join_latest_row_nulls_not_backfilled(spark):
+    """DuckDB ASOF semantics: the payload is the LATEST right row's, nulls
+    included. A null field in the latest row must NOT be backfilled from an
+    older right row (per-column last(ignorenulls) would mix rows)."""
+    left = spark.createDataFrame([(1, 300)], "id long, t long")
+    right = spark.createDataFrame(
+        [(1, 100, "old_v", "old_w"), (1, 200, None, "new_w")],
+        "id long, t long, v string, w string",
+    )
+    out = as_of_join(
+        left, right, on=["id"], left_ts="t", right_ts="t", payload_cols=["v", "w"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asof_w == "new_w"
+    assert out[0].asof_v is None  # latest row's null, NOT "old_v"
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from pyspark_mllib_twitter_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y")], "k long, b string")
+    for how in ("right", "full", "full_outer", "left_anti"):
+        with pytest.raises(ValueError, match="semantics-preserving"):
+            salted_join(big, small, on="k", how=how)
+    assert salted_join(big, small, on="k", how="left").count() == 1
+
+
 def test_ngram_jaccard_block_guard_trips(spark, docs):
     """Oversized blocks must fail fast, not run the quadratic stage."""
     with pytest.raises(ValueError, match="max_block_size"):
