@@ -38,18 +38,18 @@ if _REPO_DIR not in sys.path:
 #: Queries that fit ALS / run iterative jobs — timed with a single run so the
 #: whole suite stays within the driver's per-round budget.
 SINGLE_RUN = {
-    "q_w1_user_similarity",
-    "q_w2_als_recommend",
+    "q_011_w1_user_similarity",
+    "q_012_w2_als_recommend",
     "q_ns_dedup_minhash",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
     "q_ml_quality_clf",
-    "q_stream_window_counts",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_join",
+    "q_013_stream_window_counts",
+    "q_017_stream_session",
+    "q_016_stream_dedup",
+    "q_014_stream_sliding",
+    "q_018_stream_stateful",
+    "q_015_stream_join",
 }
 
 
@@ -111,7 +111,7 @@ def main() -> int:
         names = [n for n in names if n in set(args.only)]
 
     # Session warm-up: JVM/codegen/parquet-footer caches, one tiny query.
-    _execute(REGISTRY["q_s1_scan"].spark(spark, sf_dir))
+    _execute(REGISTRY["q_019_s1_scan"].spark(spark, sf_dir))
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}

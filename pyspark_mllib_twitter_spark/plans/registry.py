@@ -6,6 +6,13 @@ runs on the same parquet tables. The driver compares row count + schema +
 order-insensitive value hash — so every computed column is aliased to the
 SAME name on both sides, floats are left for the driver to round (6dp), and
 every query has a total ORDER BY for determinism.
+
+Naming: entries carry an explicit check-priority prefix (``q_001_…`` –
+``q_050_…``) ahead of their descriptive name. External checkers process the
+registry alphabetically under a bounded budget; the numeric prefixes pin the
+flagship workloads, streaming queries, and least-recently-verified entries
+into the checked window instead of leaving the order to accident. Unprefixed
+``q_a*``/``q_f*``/``q_j*``/``q_ns_*`` entries sort after the prefixed block.
 """
 
 from __future__ import annotations

@@ -40,23 +40,39 @@ REPLAY_WATERMARK = "45 days"
 REPLAY_FLUSH_MARGIN = "60 days"
 
 
-#: Replay dirs keyed by (sf_dir, frozen kwargs): building a replay is a
-#: driver-side toPandas + 10 parquet writes (~seconds at sf0.1) that would
-#: otherwise be re-paid — and mis-timed — inside every streaming query of a
-#: bench/test session. The replayed input is identical across queries with
-#: the same kwargs, so sharing it changes nothing semantically.
-_REPLAY_CACHE: dict[tuple, str] = {}
+#: Replay dirs live at a DETERMINISTIC path derived from (sf_dir, kwargs):
+#: building a replay is a driver-side toPandas + 10 parquet writes
+#: (~seconds at sf0.1) that would otherwise be re-paid — and mis-timed —
+#: inside every streaming query. The replayed input is identical for the
+#: same key, so reuse changes nothing semantically, and a disk-keyed cache
+#: (unlike a per-session dict) also fires when each query runs in a FRESH
+#: process, as external check harnesses do. A `_COMPLETE` marker commits a
+#: build; Spark's file listing ignores `_`-prefixed files, and the
+#: build-into-tmp + rename keeps concurrent builders from seeing partials.
 
 
 def _replay_dir(spark, sf_dir, **replay_kwargs):
+    import hashlib
+    import shutil
+    import tempfile
+
     replay_kwargs.setdefault("flush_margin", REPLAY_FLUSH_MARGIN)
-    key = (sf_dir, tuple(sorted(replay_kwargs.items())))
-    replay_dir = _REPLAY_CACHE.get(key)
-    if replay_dir is None or not os.path.isdir(replay_dir):
-        ev = read_table(spark, sf_dir, "events")
-        replay_dir = replay_events_dir(ev, **replay_kwargs)
-        _REPLAY_CACHE[key] = replay_dir
-    return replay_dir
+    key = (os.path.abspath(sf_dir), tuple(sorted(replay_kwargs.items())))
+    digest = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"spark_graft_replay_{digest}")
+    if os.path.exists(os.path.join(final, "_COMPLETE")):
+        return final
+    ev = read_table(spark, sf_dir, "events")
+    tmp = f"{final}.tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    replay_events_dir(ev, out_dir=tmp, **replay_kwargs)
+    with open(os.path.join(tmp, "_COMPLETE"), "w"):
+        pass
+    try:
+        os.rename(tmp, final)
+    except OSError:  # lost a concurrent race — the winner's dir is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
 
 
 def _replayed_stream(spark, sf_dir, **replay_kwargs):
@@ -64,7 +80,7 @@ def _replayed_stream(spark, sf_dir, **replay_kwargs):
 
 
 @query(
-    "q_stream_window_counts",
+    "q_013_stream_window_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
            time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
@@ -77,7 +93,7 @@ def _replayed_stream(spark, sf_dir, **replay_kwargs):
     ORDER BY w_start, event_type
     """,
 )
-def q_stream_window_counts(spark, sf_dir):
+def q_013_stream_window_counts(spark, sf_dir):
     """Watermarked tumbling-window counts, streamed over replayed
     micro-batches, checked against the batch SQL aggregation (valid because
     replay lateness < watermark delay → zero dropped rows, and the flush
@@ -96,7 +112,7 @@ def q_stream_window_counts(spark, sf_dir):
 
 
 @query(
-    "q_stream_sliding",
+    "q_014_stream_sliding",
     oracle="""
     WITH starts AS (
       SELECT event_type, value,
@@ -111,7 +127,7 @@ def q_stream_window_counts(spark, sf_dir):
     ORDER BY w_start, event_type
     """,
 )
-def q_stream_sliding(spark, sf_dir):
+def q_014_stream_sliding(spark, sf_dir):
     """Sliding windows (10 min / 5 min hop), streamed with watermark and
     checked against batch SQL: each event belongs to exactly two hops —
     the 5-minute bucket containing it and the previous one."""
@@ -127,7 +143,7 @@ def q_stream_sliding(spark, sf_dir):
 
 
 @query(
-    "q_stream_join",
+    "q_015_stream_join",
     oracle="""
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
                FROM events)
@@ -140,7 +156,7 @@ def q_stream_sliding(spark, sf_dir):
     ORDER BY click_id, purchase_id
     """,
 )
-def q_stream_join(spark, sf_dir):
+def q_015_stream_join(spark, sf_dir):
     """Stream-stream interval join: purchases matched to same-user clicks at
     most 1 hour earlier, both sides replayed as micro-batches. Inner matches
     emit as they meet, so the result is deterministic and equals the batch
@@ -184,8 +200,8 @@ def q_stream_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
-@query("q_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific
-def q_stream_stateful(spark, sf_dir):
+@query("q_018_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific
+def q_018_stream_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): final running
     per-user stats after replay — counts are monotone so max(n_events) per
     user is the final state; batch equivalence pinned in
@@ -207,8 +223,8 @@ def q_stream_stateful(spark, sf_dir):
     )
 
 
-@query("q_stream_session", oracle=None)  # session merge shape is engine-specific
-def q_stream_session(spark, sf_dir):
+@query("q_017_stream_session", oracle=None)  # session merge shape is engine-specific
+def q_017_stream_session(spark, sf_dir):
     """Per-user session windows (30 min gap) over the replayed stream;
     equivalence with batch session_window is pinned in test_streaming.py."""
     stream = sessionized(_replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK)
@@ -216,8 +232,8 @@ def q_stream_session(spark, sf_dir):
     return out.filter(F.col("user_id") != -1).orderBy("user_id", "s_start")
 
 
-@query("q_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
-def q_stream_dedup(spark, sf_dir):
+@query("q_016_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
+def q_016_stream_dedup(spark, sf_dir):
     """dropDuplicatesWithinWatermark over a replay that re-delivers every
     20th event one batch later: output must contain each event_id once."""
     stream = stream_dedup(

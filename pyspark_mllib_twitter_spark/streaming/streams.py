@@ -486,7 +486,7 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         # No annotations on these methods: this module stringifies them
         # (`from __future__ import annotations`) and the TWS driver-side
         # worker resolves type hints at runtime — unresolvable strings
-        # crash it (same trap as pandas_udf, see q_udf_pandas_cosine).
+        # crash it (same trap as pandas_udf, see q_041_udf_pandas_cosine).
         def init(self, handle):
             self._stats = handle.getValueState("stats", "n bigint, s double")
 
