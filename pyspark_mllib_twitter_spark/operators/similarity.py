@@ -22,7 +22,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vectors
+from .sampling import hash_sample
 from .topk import top_k_per_group
+
+
+def _bounded_fit_sample(df: DataFrame, key_col: str, max_fit_rows: int) -> DataFrame:
+    """Deterministic ≤ ``~max_fit_rows`` sample for quantizer training.
+
+    Codebook/centroid KMeans does NOT need the full corpus: quantization
+    centroids converge on a bounded sample (standard ANN practice — train
+    the quantizer on ≤100k–256k vectors, then *encode* everything). Fitting
+    on the full corpus is the difference between an O(sample) constant cost
+    and an O(corpus × iterations) job at 100 TB. The sample is md5-hash
+    keyed (engine-portable, seedless, reproducible across runs and cluster
+    sizes); granularity is 1/16, so the realized size is within ~2× of the
+    target, which is irrelevant for quantizer quality."""
+    n = df.count()
+    if n <= max_fit_rows:
+        return df
+    rate = max(1, min(16, (16 * max_fit_rows) // n))
+    return hash_sample(df, key_col, rate)
 
 
 def brute_force_top_k(
@@ -137,6 +156,8 @@ def ivf_top_k(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_fit_rows: int = 65536,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style ANN: KMeans-partition the corpus, search only the ``n_probe``
     nearest centroids per query. The coarse quantizer is tiny (centroids are
@@ -162,8 +183,14 @@ def ivf_top_k(
         "arr",
         "features",
     )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="centroid_id")
-    model = km.fit(c_ml)
+    # Fit the coarse quantizer on a bounded sample; ASSIGN the full corpus.
+    # Lloyd iterations are capped — centroid quality plateaus in a few
+    # rounds and n_probe, not centroid polish, is the recall dial.
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="centroid_id",
+    )
+    model = km.fit(_bounded_fit_sample(c_ml, "neighbor_id", max_fit_rows))
     c_assigned = model.transform(c_ml).select("neighbor_id", "arr", "centroid_id")
 
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
@@ -216,6 +243,7 @@ def pq_top_k(
     refine: int = 4,
     seed: int = 42,
     codebook_max_iter: int = 8,
+    max_fit_rows: int = 65536,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance + exact re-rank.
 
@@ -255,19 +283,34 @@ def pq_top_k(
     enc = c.select("neighbor_id", "arr", *feat_cols.values())
     for s in range(n_subvectors):
         enc = enc.withColumn(f"feat_{s}", array_to_vector(F.col(f"sub_{s}")))
-    enc = enc.cache()  # m fits + m transforms read it
+    enc = enc.cache()  # m transforms + (when unsampled) m fits read it
 
-    codebook_rows = []
-    for s in range(n_subvectors):
-        # Codebooks don't need full KMeans convergence: quantization error
-        # plateaus after a few Lloyd rounds and the exact re-rank absorbs
-        # the residual — capped iterations halve the m-fit cost.
+    # Codebooks are fit on a bounded sample (see _bounded_fit_sample) and
+    # the m independent per-subspace fits run CONCURRENTLY: Spark schedules
+    # jobs from separate driver threads in parallel, so m small KMeans jobs
+    # overlap instead of serializing m × (scheduling + Lloyd) latencies.
+    # Determinism is unaffected — each fit has its own pinned seed and
+    # reads the same immutable sample. Capped iterations, because
+    # quantization error plateaus after a few Lloyd rounds and the exact
+    # re-rank absorbs the residual.
+    from concurrent.futures import ThreadPoolExecutor
+
+    fit_df = _bounded_fit_sample(enc, "neighbor_id", max_fit_rows)
+
+    def _fit(s: int):
         km = KMeans(
             k=n_codes, seed=seed + s, maxIter=codebook_max_iter,
             featuresCol=f"feat_{s}", predictionCol=f"code_{s}",
         )
-        model = km.fit(enc)
-        enc = model.transform(enc)
+        return s, km.fit(fit_df)
+
+    with ThreadPoolExecutor(max_workers=min(n_subvectors, 8)) as ex:
+        models = dict(ex.map(_fit, range(n_subvectors)))
+
+    codebook_rows = []
+    for s in range(n_subvectors):
+        model = models[s]
+        enc = model.transform(enc)  # encode the FULL corpus (cheap, lazy)
         codebook_rows.extend(
             (s, i, [float(x) for x in center])
             for i, center in enumerate(model.clusterCenters())
