@@ -27,8 +27,16 @@ from ..streaming import (
     stream_dedup,
     stream_interval_join,
     tumbling_window_counts,
+    tws_available,
 )
 from .registry import query
+
+#: Capability flags for surfaces gated on optional runtime dependencies.
+#: ``transform_with_state``: the Spark 4 TWS operator family needs
+#: ``google.protobuf`` for its driver-side worker; where present, the
+#: ``q_018a_stream_tws`` entry below registers and is checked like any other
+#: query — where absent, the flag records WHY the registry lacks the entry.
+CAPABILITIES: dict[str, bool] = {"transform_with_state": tws_available()}
 
 
 #: The events fixture spans ~1 month and the replayer shifts late rows by 2
@@ -230,6 +238,34 @@ def q_017_stream_session(spark, sf_dir):
     stream = sessionized(_replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK)
     out = run_to_memory(stream, output_mode="append")
     return out.filter(F.col("user_id") != -1).orderBy("user_id", "s_start")
+
+
+if tws_available():
+
+    @query("q_018a_stream_tws", oracle=None)  # update cadence engine-specific
+    def q_018a_stream_tws(spark, sf_dir):
+        """``transformWithStateInPandas`` twin of q_018_stream_stateful
+        (Spark 4 stateful-processor API, RocksDB state store). Registered
+        only where ``google.protobuf`` exists — its driver-side worker
+        needs it (see CAPABILITIES above); the batch-twin equivalence test
+        in tests/test_streaming.py runs wherever this registers."""
+        from ..streaming import ROCKSDB_STATE_CONF, tws_user_stats
+
+        stream = tws_user_stats(
+            _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+        )
+        out = run_to_memory(
+            stream, output_mode="update", extra_conf=ROCKSDB_STATE_CONF
+        )
+        return (
+            out.filter(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.round(F.max("sum_value"), 6).alias("sum_value"),
+            )
+            .orderBy("user_id")
+        )
 
 
 @query("q_016_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
