@@ -1,0 +1,353 @@
+"""Training-data pipeline operators: chunking, packing, contamination, mixing.
+
+These extend the north-star LLM-data-pipeline surface (dedup / similarity /
+text analysis / multimodal, ``north_star.py``) with the remaining ops a
+large-scale corpus-preparation pipeline runs between "raw documents" and
+"training sequences":
+
+- **chunking** — split long documents into overlapping fixed-size windows
+  (the unit most tokenizer pipelines feed downstream);
+- **sequence packing** — assign documents to fixed-token-budget bins so
+  training batches waste no context (fixed-boundary packing is the
+  SQL-expressible variant: greedy first-fit needs per-partition state and
+  is covered by the ``applyInPandas`` surface instead);
+- **contamination check** — flag corpus documents sharing word n-grams with
+  a held-out benchmark set (the standard train/test leakage guard);
+- **source mixing** — deterministic weighted downsampling per source to hit
+  a target corpus mixture.
+
+All four are pure DataFrame plans (no Python in the hot path) and carry a
+DuckDB oracle. At 100 TB each is a scan + one shuffle: chunking/mixing are
+narrow (explode / filter, no shuffle at all), packing shuffles once on
+``source``, contamination broadcasts the benchmark n-gram side (benchmarks
+are small by construction) so the corpus side never shuffles.
+
+Parity notes (Spark vs DuckDB): fixture ``documents.text`` is never NULL,
+but expressions still avoid constructs whose NULL semantics differ
+(``greatest`` skips NULLs in Spark, propagates them in DuckDB). The naming
+prefix ``q_x*`` sorts AFTER every existing registry entry, so these never
+displace already-verified queries from a bounded alphabetical check window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..sources import read_table
+from .registry import query
+
+#: Chunking geometry. Sized to the synthetic fixture (docs <= ~550 chars) so
+#: chunking is non-vacuous — production corpora would use e.g. 2048/1536.
+CHUNK_CHARS = 128
+CHUNK_STRIDE = 96
+CHUNK_OVERLAP = CHUNK_CHARS - CHUNK_STRIDE
+
+#: Fixed-boundary packing budget (tokens per training sequence).
+PACK_BUDGET = 256
+
+#: Word-n-gram order for the contamination check. 3 (not the production
+#: 8-13) because the synthetic fixture's docs are ~40-80 tokens of a small
+#: vocabulary — n=3 yields a non-vacuous ~1/3 hit rate at sf0.01.
+CONTAM_N = 3
+
+#: Benchmark membership predicate: every 97th doc plays the held-out set.
+CONTAM_BENCH_MOD = 97
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x1_chunk_docs",
+    oracle=f"""
+    SELECT d.doc_id,
+           u.i AS chunk_id,
+           substring(d.text, (u.i * {CHUNK_STRIDE} + 1)::INT, {CHUNK_CHARS}) AS chunk,
+           CAST(length(substring(d.text, (u.i * {CHUNK_STRIDE} + 1)::INT,
+                                 {CHUNK_CHARS})) AS BIGINT) AS chunk_len
+    FROM documents d,
+         LATERAL (SELECT unnest(range(0,
+                    greatest(1, ceil((length(d.text) - {CHUNK_OVERLAP})
+                                     / {CHUNK_STRIDE}.0)::BIGINT))) AS i) u
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def q_x1_chunk_docs(spark, sf_dir):
+    """Overlapping fixed-size character chunks per document.
+
+    ``k = max(1, ceil((len - overlap) / stride))`` windows starting at
+    ``i * stride``; the last window always reaches the end of the text and
+    every character is covered by at least one chunk. Narrow plan: explode
+    of a computed ``sequence`` — no shuffle, chunking 100 TB is a map-only
+    stage. (Reference scope: the reference has no chunker; this extends its
+    text pipeline, COMP5349_2.py:151, toward training-data prep.)
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text", F.length("text").alias("n"))
+    k = F.ceil((F.col("n") - CHUNK_OVERLAP) / float(CHUNK_STRIDE))
+    k = F.greatest(F.lit(1).cast("long"), k)
+    return (
+        d.select("doc_id", "text", F.explode(F.sequence(F.lit(0).cast("long"), k - 1)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring("text", F.col("chunk_id").cast("int") * CHUNK_STRIDE + 1, CHUNK_CHARS).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("bigint"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (fixed-boundary)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x2_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT source, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM t)
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY source, bin_id ORDER BY source, bin_id
+    """,
+)
+def q_x2_pack_sequences(spark, sf_dir):
+    """Fixed-boundary token packing: docs stream per source in doc_id order
+    and a doc lands in bin ``floor(tokens_before / budget)``.
+
+    One shuffle on ``source`` (window + groupBy share the partitioning —
+    Catalyst reuses the exchange), then the aggregation is partial-merge.
+    The running sum is per-source, never global, so no single-partition
+    window at any scale. Greedy first-fit (order-dependent state) is the
+    ``applyInPandas`` twin, intentionally not this query.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", TXT.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / float(PACK_BUDGET)),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contamination check
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x3_contamination",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - {CONTAM_N - 2}, 1)),
+                                     i -> array_to_string(t[i:i+{CONTAM_N - 1}], ' '))) AS g
+        FROM toks)),
+    hits AS (
+      SELECT d.doc_id, CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_hits
+      FROM grams d
+      JOIN grams b ON d.g = b.g
+                  AND b.doc_id % {CONTAM_BENCH_MOD} = 0
+                  AND d.doc_id <> b.doc_id
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+    FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+    ORDER BY doc.doc_id
+    """,
+)
+def q_x3_contamination(spark, sf_dir):
+    """Benchmark-contamination guard: per document, how many held-out
+    benchmark documents share at least one word n-gram with it.
+
+    The benchmark side (every ``CONTAM_BENCH_MOD``-th doc here; in
+    production the eval sets) is tiny relative to the corpus, so its
+    distinct n-grams are **broadcast** — the 100 TB corpus side is scanned
+    once, exploded, and hash-probed with **no shuffle of the corpus
+    n-grams**: corpus grams are deliberately NOT deduped (that would be a
+    full shuffle of the exploded corpus) because ``count_distinct(bench_id)``
+    absorbs duplicate (doc_id, gram) pairs; only the broadcast side is
+    distinct'd, and its ``doc_id % k`` filter pushes below the explode so
+    non-benchmark docs never reach it. The final left join back to
+    ``documents`` keeps row count stable (uncontaminated docs report 0).
+    """
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(TXT.word_ngrams(TXT.tokens("text"), CONTAM_N)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .distinct()
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    hits = (
+        grams.join(
+            F.broadcast(bench),
+            on=[grams["g"] == bench["g"], grams["doc_id"] != bench["bench_id"]],
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("bench_id").cast("bigint").alias("n_hits"))
+    )
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source mixing
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x4_mix_sources",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             (substring(source, 4)::INT % 5) * 20 + 20 AS weight_pct,
+             CASE WHEN (doc_id * 2654435761) % 100
+                       < (substring(source, 4)::INT % 5) * 20 + 20
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT source,
+           any_value(weight_pct) AS weight_pct,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           sum(kept) / count(*)::DOUBLE AS kept_ratio
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def q_x4_mix_sources(spark, sf_dir):
+    """Deterministic weighted source mixing: each source gets a target
+    sampling rate (here derived from its numeric suffix: 20/40/.../100 %)
+    and a document survives iff a Knuth multiplicative hash of its id lands
+    under the rate.
+
+    Hash-gated sampling (not ``rand()``) so the mixture is reproducible
+    run-to-run and engine-to-engine — the property a training-data pipeline
+    needs for resumable jobs. Map-only over the corpus (the filter is a
+    pure row predicate, no shuffle); the per-source report aggregates a few
+    counters. The same predicate applied as a filter IS the production
+    sampler; this query reports the realized mixture for audit.
+    """
+    sfx = F.substring("source", 4, 8).cast("int")
+    weight = (sfx % 5) * 20 + 20
+    kept = ((F.col("doc_id") * F.lit(2654435761)) % 100 < weight).cast("int")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", weight.alias("weight_pct"), kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.any_value("weight_pct").alias("weight_pct"),
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.sum("kept") / F.count("*")).alias("kept_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (SQL twin of the MLlib CountVectorizer/IDF pipeline)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x5_tfidf_topterms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY source, term),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             tf.tf * ln(n.n_docs / df.df) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT source, rnk, term, tf, df, tfidf
+    FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+)
+def q_x5_tfidf_topterms(spark, sf_dir):
+    """Top-5 TF-IDF terms per source, as a pure SQL plan.
+
+    The oracle-checkable twin of the W1 MLlib ``CountVectorizer -> IDF``
+    pipeline (reference COMP5349_2.py:151-160): term frequency per source,
+    document frequency over the corpus, ``tf * ln(N / df)``, ranked with a
+    deterministic ``(score DESC, term)`` tie-break. Two shuffles (tf by
+    (source, term), df by term) + a broadcast of the scalar N; the top-k
+    window prunes to WindowGroupLimit so only 5 rows per source survive the
+    final sort.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", "doc_id", F.explode(TXT.tokens("text")).alias("term"))
+    tf = toks.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_tab = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "term", "tf", "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "term", "tf", "df", "tfidf")
+        .orderBy("source", "rnk")
+    )

@@ -137,3 +137,28 @@ def test_text_queries_stay_jvm_side(spark):
     # expression chain): scrub touches doc_id + text, never lang/source.
     scan = [l for l in _plan(spark, "q_045_ns_scrub").splitlines() if "ReadSchema" in l]
     assert scan and "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_pipeline_ops_plans(spark):
+    """Pipeline-ops scale contract (plans/pipeline_ops.py):
+
+    - chunking is map-only: the only exchange is the final result ordering;
+    - contamination broadcasts ONLY the benchmark n-gram side, pushes the
+      ``doc_id % k`` benchmark predicate into that side's scan, and never
+      shuffles the exploded corpus grams for a distinct;
+    - packing's per-source window never funnels through one partition;
+    - tf-idf top-k prunes via WindowGroupLimit, all JVM-side.
+    """
+    plan = _plan(spark, "q_x1_chunk_docs")
+    assert plan.count("Exchange") <= 1 and "Python" not in plan
+
+    plan = _plan(spark, "q_x3_contamination")
+    assert plan.count("BroadcastExchange") == 1
+    bench_scans = [l for l in plan.splitlines() if "FileScan" in l and "% 97" in l]
+    assert bench_scans, "benchmark modulo filter must reach the parquet scan"
+
+    plan = _plan(spark, "q_x2_pack_sequences")
+    assert "Exchange SinglePartition" not in plan
+
+    plan = _plan(spark, "q_x5_tfidf_topterms")
+    assert "WindowGroupLimit" in plan and "Python" not in plan
