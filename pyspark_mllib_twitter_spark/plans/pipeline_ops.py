@@ -351,3 +351,83 @@ def q_x5_tfidf_topterms(spark, sf_dir):
         .select("source", "rnk", "term", "tf", "df", "tfidf")
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (oracle-checked via recursive-CTE transitive closure)
+# ---------------------------------------------------------------------------
+
+#: Word-n-gram order for the duplicate-candidate edge set: 4 keeps the
+#: fixture graph sparse (~400 edges / 500 docs at sf0.01) with non-trivial
+#: multi-hop components.
+CC_N = 4
+
+
+@query(
+    "q_x6_cc_clusters",
+    oracle=rf"""
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - {CC_N - 2}, 1)),
+                                     i -> array_to_string(t[i:i+{CC_N - 1}], ' '))) AS g
+        FROM toks)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+    rep AS (
+      SELECT node, least(min(peer), node) AS rep_id
+      FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(rep.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN rep ON d.doc_id = rep.node)
+    SELECT doc_id, rep_id,
+           CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
+    FROM labeled ORDER BY doc_id
+    """,
+)
+def q_x6_cc_clusters(spark, sf_dir):
+    """Duplicate-cluster connected components, value-checked end to end.
+
+    Edges are documents sharing a word ``CC_N``-gram — a deterministic
+    stand-in for the MinHash/SimHash candidate pairs the dedup family feeds
+    this operator in production. The gram self-join is an **equi-join on the
+    gram** (the LSH-band pattern — sub-quadratic, never all-pairs), then
+    ``operators.dedup.keep_one_representatives`` runs label propagation to
+    fixpoint. The DuckDB oracle computes the same components via a
+    recursive-CTE transitive closure, upgrading this family from rows-only
+    to value-checked (closure is O(component²) — fine at oracle scale; the
+    Spark side is the diameter-bounded scale path).
+    """
+    from ..operators.dedup import keep_one_representatives
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(TXT.word_ngrams(TXT.tokens("text"), CC_N)).alias("g")
+    ).distinct()
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.g") == F.col("b.g"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    reps = keep_one_representatives(pairs, d.select("doc_id"), "doc_id")
+    w = Window.partitionBy("rep_id")
+    return (
+        reps.withColumn("cluster_size", F.count("*").over(w).cast("bigint"))
+        .select("doc_id", "rep_id", "cluster_size")
+        .orderBy("doc_id")
+    )
