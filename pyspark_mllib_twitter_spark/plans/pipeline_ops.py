@@ -208,7 +208,11 @@ def q_x3_contamination(spark, sf_dir):
     non-benchmark docs never reach it. The final left join back to
     ``documents`` keeps row count stable (uncontaminated docs report 0).
     """
-    d = _docs(spark, sf_dir)
+    return _contamination_report(_docs(spark, sf_dir))
+
+
+def _contamination_report(d):
+    """The q_x3 plan over any ``(doc_id, text)`` DataFrame (test seam)."""
     grams = d.select(
         "doc_id", F.explode(TXT.word_ngrams(TXT.tokens("text"), CONTAM_N)).alias("g")
     )
@@ -431,3 +435,79 @@ def q_x6_cc_clusters(spark, sf_dir):
         .select("doc_id", "rep_id", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy (next-fit) packing — the stateful applyInPandas twin of q_x2
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x7_pack_greedy",
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+    rec AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+             CASE WHEN r.fill + t.n_tokens > {PACK_BUDGET}
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.fill + t.n_tokens > {PACK_BUDGET}
+                  THEN t.n_tokens ELSE r.fill + t.n_tokens END
+      FROM rec r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+    SELECT source, doc_id, n_tokens, bin_id
+    FROM rec ORDER BY source, doc_id
+    """,
+)
+def q_x7_pack_greedy(spark, sf_dir):
+    """Greedy next-fit sequence packing: per source, docs stream in doc_id
+    order; a bin accumulates docs until the next one would overflow the
+    token budget, which closes it and opens a new bin.
+
+    The packing state (current bin, current fill) is order-dependent — not
+    expressible as window functions — so this is the **sanctioned stateful
+    escape hatch**: Arrow-batched ``applyInPandas`` per source, one
+    sequential pass inside each group (pandas column scan, not per-row
+    Python UDF calls). One shuffle on ``source``; at 100 TB the group is a
+    source shard and the pass is O(shard). Value-checked end to end: the
+    DuckDB oracle replays the identical recursion as a recursive CTE over
+    ``row_number`` — this is the only applyInPandas surface with a full
+    value oracle (the others are vs-batch-twin or property-tested).
+    Fixed-boundary packing (pure SQL, no Python) is ``q_x2``.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", TXT.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return (
+        docs.groupBy("source")
+        .applyInPandas(
+            _greedy_pack_pdf,
+            "source string, doc_id bigint, n_tokens bigint, bin_id bigint",
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+def _greedy_pack_pdf(pdf):
+    """Next-fit packing over one source group (applyInPandas kernel).
+
+    Arrow hands the whole group as one pandas frame; the sequential pass is
+    a single column scan in-process, not per-row UDF dispatch."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins = []
+    fill = 0
+    b = 0
+    for nt in pdf["n_tokens"]:
+        if fill > 0 and fill + int(nt) > PACK_BUDGET:
+            b += 1
+            fill = 0
+        fill += int(nt)
+        bins.append(b)
+    pdf["bin_id"] = bins
+    return pdf
