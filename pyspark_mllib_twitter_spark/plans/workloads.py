@@ -60,6 +60,26 @@ def q_012_w2_als_recommend(spark, sf_dir):
     ).orderBy("user_id", "rec_rank")
 
 
+@query("q_ml_word2vec", oracle=None)  # learned embeddings — property-tested
+def q_ml_word2vec(spark, sf_dir):
+    """M8: Word2Vec term embeddings over documents (the reference's unused
+    import, nb:78, made real) + nearest-term search for the 5 most frequent
+    tokens via the engine's broadcast cosine top-k. Seeded, single-partition
+    fit => deterministic; rows-only here (learned vectors are not
+    SQL-expressible), determinism + geometry pinned in
+    tests/test_workloads.py."""
+    from ..workloads.w4_word2vec import (
+        nearest_terms,
+        top_frequent_terms,
+        word_embeddings,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    vecs = word_embeddings(docs)
+    terms = top_frequent_terms(docs)
+    return nearest_terms(vecs, terms, k=3).orderBy("term", "rank")
+
+
 @query("q_ml_quality_clf", oracle=None)  # learned model — property-tested
 def q_ml_quality_clf(spark, sf_dir):
     """W3: MLlib classification Pipeline (VectorAssembler → StandardScaler

@@ -142,3 +142,33 @@ def test_quality_classifier_learns_gate(spark, sf_oracle):
     auc = BinaryClassificationEvaluator(labelCol="label").evaluate(scored)
     assert acc >= 0.9, f"accuracy {acc:.3f} < 0.9"
     assert auc >= 0.95, f"AUC {auc:.3f} < 0.95"
+
+
+def test_word2vec_neighbors_deterministic_and_geometric(spark, sf_oracle):
+    """M8 Word2Vec surface: the seeded single-partition fit is bit-stable
+    (two fits -> identical nearest-term tables), cosines lie in [-1, 1],
+    neighbors never echo their query term, and every frequent query term
+    gets exactly k neighbors."""
+    from pyspark_mllib_twitter_spark.sources import read_table
+    from pyspark_mllib_twitter_spark.workloads.w4_word2vec import (
+        nearest_terms,
+        top_frequent_terms,
+        word_embeddings,
+    )
+
+    docs = read_table(spark, sf_oracle, "documents")
+    terms = top_frequent_terms(docs)
+    assert len(terms) == 5
+    a = nearest_terms(word_embeddings(docs), terms, k=3).orderBy("term", "rank").collect()
+    b = nearest_terms(word_embeddings(docs), terms, k=3).orderBy("term", "rank").collect()
+    assert a == b, "seeded Word2Vec fit is not deterministic"
+    by_term: dict[str, list] = {}
+    for r in a:
+        assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
+        assert r["neighbor"] != r["term"]
+        by_term.setdefault(r["term"], []).append(r)
+    assert set(by_term) == set(terms)
+    for rows in by_term.values():
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        # ranks ordered by descending cosine
+        assert rows[0]["cos"] >= rows[1]["cos"] >= rows[2]["cos"]
