@@ -511,3 +511,115 @@ def _greedy_pack_pdf(pdf):
         bins.append(b)
     pdf["bin_id"] = bins
     return pdf
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition signals (Gopher-style quality filter)
+# ---------------------------------------------------------------------------
+
+#: Flag thresholds, calibrated on the fixture so the gate is non-vacuous
+#: (~25% of sf0.01 docs trip top2 > 0.05; a handful trip dup3 > 0.10).
+#: Production corpora would use the published MassiveText-style settings
+#: (top-2-gram fraction 0.18, dup-3-gram fraction 0.30 — Rae et al. 2021).
+REP_TOP2_MAX = 0.05
+REP_DUP3_MAX = 0.10
+
+
+@query(
+    "q_x8_repetition",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, 1 AS n,
+             unnest(t) AS gram
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+      FROM toks
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks),
+    c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+    p AS (
+      SELECT doc_id,
+             sum(c) FILTER (n = 1) AS tot1,
+             max(c) FILTER (n = 2) AS max2,
+             sum(c) FILTER (n = 2) AS tot2,
+             sum(c) FILTER (n = 3 AND c > 1) AS dup3,
+             sum(c) FILTER (n = 3) AS tot3
+      FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.tot1, 0) AS BIGINT) AS n_tokens,
+           coalesce(p.max2::DOUBLE / p.tot2::DOUBLE, 0.0) AS top2_frac,
+           coalesce(p.dup3::DOUBLE / p.tot3::DOUBLE, 0.0) AS dup3_frac,
+           CAST(coalesce(p.max2::DOUBLE / p.tot2::DOUBLE, 0.0) > {REP_TOP2_MAX}
+                OR coalesce(p.dup3::DOUBLE / p.tot3::DOUBLE, 0.0) > {REP_DUP3_MAX}
+                AS INT) AS flagged
+    FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_x8_repetition(spark, sf_dir):
+    """Within-document repetition signals — the standard LLM-corpus quality
+    gate for boilerplate/spam (top-n-gram and duplicate-n-gram fractions,
+    per MassiveText/Gopher, Rae et al. 2021, public): per document, the
+    fraction of 2-grams taken by the single most frequent 2-gram and the
+    fraction of 3-grams that occur more than once; a doc trips the gate
+    when either exceeds its threshold.
+
+    One corpus scan: unigrams/2-grams/3-grams explode together under an
+    order tag, one ``(doc_id, n, gram)`` count, one per-doc conditional
+    rollup — so at 100 TB this is explode → two partial-agg shuffles on
+    keys that include ``doc_id`` (near-perfectly distributed, no skew), and
+    the text column itself is never shuffled. The left join back to
+    ``documents`` keeps row count stable (empty docs report zeros).
+    """
+    return _repetition_report(_docs(spark, sf_dir))
+
+
+def _repetition_report(d):
+    """The q_x8 plan over any ``(doc_id, text)`` DataFrame (test seam)."""
+    toks = d.select("doc_id", TXT.tokens("text").alias("t"))
+    tag = lambda col, n: F.transform(  # noqa: E731
+        col, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                tag(F.col("t"), 1),
+                tag(TXT.word_ngrams(F.col("t"), 2), 2),
+                tag(TXT.word_ngrams(F.col("t"), 3), 3),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    per = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c"))).alias("tot1"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("max2"),
+        F.sum(F.when(F.col("n") == 2, F.col("c"))).alias("tot2"),
+        F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("c"))).alias("dup3"),
+        F.sum(F.when(F.col("n") == 3, F.col("c"))).alias("tot3"),
+    )
+    top2 = F.coalesce(F.col("max2") / F.col("tot2"), F.lit(0.0))
+    dup3 = F.coalesce(F.col("dup3") / F.col("tot3"), F.lit(0.0))
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tot1", F.lit(0)).cast("bigint").alias("n_tokens"),
+            top2.alias("top2_frac"),
+            dup3.alias("dup3_frac"),
+            ((top2 > REP_TOP2_MAX) | (dup3 > REP_DUP3_MAX)).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

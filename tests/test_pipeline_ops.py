@@ -152,3 +152,42 @@ def test_cc_clusters_partition_properties(spark):
     for rep, members in clusters.items():
         assert rep == min(m["doc_id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_repetition_signals_on_crafted_docs(spark):
+    """Repetition gate semantics on boundary docs: pure spam maxes both
+    fractions; all-distinct tokens yield the 1/(k-1) floor and no dup
+    3-grams; empty and single-token docs report zeros unflagged."""
+    import pyspark_mllib_twitter_spark.plans.pipeline_ops as po
+
+    distinct = " ".join(f"w{i}" for i in range(41))  # top2 = 1/40 = 0.025
+    rows = [
+        (0, "spam " * 50),          # one 2-gram repeated -> top2 = dup3 = 1.0
+        (1, distinct),
+        (2, ""),
+        (3, "solo"),
+        (4, "a b a b a b a b c"),   # heavy 2-gram repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in po._repetition_report(df).collect()}
+    assert len(got) == 5
+
+    assert got[0]["n_tokens"] == 50
+    assert got[0]["top2_frac"] == 1.0 and got[0]["dup3_frac"] == 1.0
+    assert got[0]["flagged"] == 1
+
+    assert got[1]["n_tokens"] == 41
+    assert abs(got[1]["top2_frac"] - 1 / 40) < 1e-12
+    assert got[1]["dup3_frac"] == 0.0 and got[1]["flagged"] == 0
+
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["top2_frac"] == 0.0 == got[2]["dup3_frac"]
+    assert got[2]["flagged"] == 0
+
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["top2_frac"] == 0.0 and got[3]["flagged"] == 0
+
+    # "a b" appears 4x of 8 2-grams; dup 3-grams: aba x3 + bab x3 of 7
+    assert abs(got[4]["top2_frac"] - 0.5) < 1e-12
+    assert abs(got[4]["dup3_frac"] - 6 / 7) < 1e-12
+    assert got[4]["flagged"] == 1
