@@ -162,3 +162,24 @@ def test_pipeline_ops_plans(spark):
 
     plan = _plan(spark, "q_x5_tfidf_topterms")
     assert "WindowGroupLimit" in plan and "Python" not in plan
+
+
+def test_repetition_plan_jvm_side_single_gram_pipeline(spark):
+    """q_x8 must stay entirely JVM-side (tagged explode + two hash
+    aggregates), never materialize a Python node, and read only
+    doc_id + text from the scan."""
+    plan = _plan(spark, "q_x8_repetition")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert plan.count("Generate") == 1, "one tagged explode, not one per order"
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and all("lang" not in l and "source" not in l for l in scans)
+
+
+def test_greedy_pack_single_shuffle_on_source(spark):
+    """q_x7's applyInPandas groups by source: exactly one hash exchange
+    before the Python stage (plus the final presentation sort)."""
+    plan = _plan(spark, "q_x7_pack_greedy")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    hash_exchanges = [l for l in plan.splitlines()
+                      if "Exchange hashpartitioning" in l]
+    assert len(hash_exchanges) == 1, plan
