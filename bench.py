@@ -112,6 +112,23 @@ def main() -> int:
 
     # Session warm-up: JVM/codegen/parquet-footer caches, one tiny query.
     _execute(REGISTRY["q_019_s1_scan"].spark(spark, sf_dir))
+    # MLlib warm-up: the first estimator fit in a session pays ~4-5 s of JIT
+    # (Breeze/netlib init, codegen for the fit paths). Without this, that
+    # one-time cost lands on whichever MLlib query happens to run first and
+    # its per-query number becomes an ordering artifact (measured: the same
+    # query is 8-10 s first, 4 s steady-state).
+    try:
+        from pyspark_mllib_twitter_spark.workloads.w1_similarity import (
+            vectorize_documents,
+        )
+
+        tiny = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["b", "c"])], ["user_id", "tokens"]
+        )
+        vectorize_documents(tiny, vocab_size=4, num_features=4).collect()
+        _reset_session_state(spark)
+    except Exception:
+        pass  # bench numbers still valid, just order-sensitive for MLlib
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
