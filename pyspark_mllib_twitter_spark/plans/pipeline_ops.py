@@ -623,3 +623,160 @@ def _repetition_report(d):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality score (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_x9_lm_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    bgw AS (
+      SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t), 1)),
+                                     i -> array_to_string(t[i:i+1], ' '))) AS g
+        FROM toks)),
+    c2 AS (SELECT g, count(*) AS c2 FROM bgw GROUP BY g),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY w1),
+    v  AS (SELECT count(DISTINCT w1)::DOUBLE AS v FROM bgw),
+    s AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((c2.c2 + 1.0) / (c1.c1 + v.v))), 4) AS lm_score
+      FROM bgw b JOIN c2 USING (g) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.lm_score, 0.0) AS lm_score
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_x9_lm_score(spark, sf_dir):
+    """Bigram language-model quality score — the CCNet-style "how much does
+    this doc look like the corpus" filter (Wenzek et al. 2020, public): the
+    corpus itself is the LM (add-one-smoothed bigram model,
+    ``P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V)``) and each document scores the
+    mean log-probability of its bigrams. Low scores = out-of-distribution /
+    garbled text; production pipelines bucket the corpus by this score.
+
+    Shape at 100 TB: two corpus explodes — one to train the model, one to
+    score against it (the floor for a corpus-trained model). The model
+    tables are **vocabulary-bounded aggregates** (``c2`` per bigram; ``c1``
+    and ``V`` derived from ``c2``, never from a corpus re-explode) — far
+    smaller than the corpus, so AQE broadcasts them and the scoring join
+    never shuffles the exploded corpus side; otherwise it is a hash join on
+    near-uniform n-gram keys. The V scalar rides along as a 1-row
+    broadcast. Scores round to 4dp on both engines (avg-of-logs is
+    summation-order-sensitive in the last bits).
+    """
+    return _lm_score_report(_docs(spark, sf_dir))
+
+
+def _lm_score_report(d):
+    """The q_x9 plan over any ``(doc_id, text)`` DataFrame (test seam).
+
+    Exactly TWO corpus explodes — train (build ``c2``) and score — which is
+    the floor for a corpus-trained model. The context counts ``c1`` and the
+    vocabulary size ``V`` are derived FROM the vocabulary-bounded ``c2``
+    aggregate (``c1(w1) = Σ_g c2(w1 g)``), never by re-exploding the corpus.
+    """
+    bigrams = F.explode(TXT.word_ngrams(TXT.tokens("text"), 2))
+    c2 = (
+        d.select(bigrams.alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("w1", F.split("g", " ").getItem(0))
+        # The trained model, referenced 3x (c1, V, scoring join). Without the
+        # persist each reference RE-EXPLODES the corpus (lineage recompute);
+        # with it the train pass runs once and the cached table is
+        # vocabulary-bounded — the one thing worth caching at 100 TB.
+        .persist()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.count_distinct("w1").cast("double").alias("v"))
+    s = (
+        d.select("doc_id", bigrams.alias("g"))
+        .join(c2.drop("w1"), "g")
+        .withColumn("w1", F.split("g", " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v")))), 4
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("lm_score", F.lit(0.0)).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic holdout split (train / val / test)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xa_split_holdout",
+    oracle=r"""
+    WITH d AS (
+      SELECT source,
+             substring(md5(doc_id::VARCHAR), 32, 1) AS h,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS nt
+      FROM documents)
+    SELECT source,
+           CASE WHEN h = 'f' THEN 'test'
+                WHEN h IN ('d', 'e') THEN 'val'
+                ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM d GROUP BY source, split ORDER BY source, split
+    """,
+)
+def q_xa_split_holdout(spark, sf_dir):
+    """Deterministic train/val/test assignment: a document's split is a pure
+    function of its id (last hex nibble of ``md5(doc_id)`` — 13/16 train,
+    2/16 val, 1/16 test), so the split is stable across runs, engines, and
+    re-shards — the property a training pipeline needs so no eval document
+    ever drifts into train when the corpus is re-processed. md5-of-string is
+    bit-identical between Spark and DuckDB, which makes the assignment
+    itself (not just the counts) oracle-checkable.
+
+    Map-only over the corpus (the assignment is a row predicate; the same
+    expression used as a filter IS the production splitter); this query
+    reports the realized per-source mixture for audit — one partial-agg
+    shuffle on ``(source, split)``, a handful of rows out.
+    """
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    split = (
+        F.when(h == "f", F.lit("test"))
+        .when(h.isin("d", "e"), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("source", split.alias("split"), TXT.token_count("text").cast("bigint").alias("nt"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )

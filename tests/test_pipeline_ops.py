@@ -191,3 +191,65 @@ def test_repetition_signals_on_crafted_docs(spark):
     assert abs(got[4]["top2_frac"] - 0.5) < 1e-12
     assert abs(got[4]["dup3_frac"] - 6 / 7) < 1e-12
     assert got[4]["flagged"] == 1
+
+
+def test_lm_score_orders_in_vs_out_of_distribution(spark):
+    """The corpus-trained bigram LM ranks a doc built from the corpus's
+    dominant bigrams above a doc of singleton gibberish; short/empty docs
+    report zero bigrams and the 0.0 sentinel; scores are non-positive."""
+    import pyspark_mllib_twitter_spark.plans.pipeline_ops as po
+
+    common = "the quick fox " * 10      # dominant bigrams, repeated corpus-wide
+    rows = [
+        (0, common),
+        (1, common),
+        (2, common + "jumps high"),      # in-distribution plus a rare tail
+        (3, "zzq vxk wqj plm ghr tyu"),  # every bigram is a singleton
+        (4, "solo"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in po._lm_score_report(df).collect()}
+    assert len(got) == 6
+    for doc_id, r in got.items():
+        assert r["lm_score"] <= 0.0, r
+    # n_bigrams == max(n_tokens - 1, 0)
+    assert got[0]["n_bigrams"] == 29
+    assert got[4]["n_bigrams"] == 0 and got[4]["lm_score"] == 0.0
+    assert got[5]["n_bigrams"] == 0 and got[5]["lm_score"] == 0.0
+    # in-distribution text outscores singleton gibberish
+    assert got[0]["lm_score"] > got[3]["lm_score"]
+    # adding a rare tail can only lower the mean log-prob
+    assert got[2]["lm_score"] < got[0]["lm_score"]
+
+
+def test_split_holdout_matches_python_md5_and_partitions(spark):
+    """The Spark split counts equal an independent hashlib-md5 computation
+    over the same parquet (assignment-level oracle, not just marginals),
+    and the splits partition every source exactly."""
+    import hashlib
+
+    rows = REGISTRY["q_xa_split_holdout"].spark(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("nt_raw"),
+        "text",
+    ).collect()
+
+    expect: dict[tuple, list] = {}
+    for d in docs:
+        h = hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[-1]
+        split = "test" if h == "f" else ("val" if h in ("d", "e") else "train")
+        nt = len([t for t in d["text"].lower().strip().split() if t])
+        k = (d["source"], split)
+        expect.setdefault(k, [0, 0])
+        expect[k][0] += 1
+        expect[k][1] += nt
+    got = {(r["source"], r["split"]): [r["n_docs"], r["n_tokens"]] for r in rows}
+    assert got == expect
+    # partition: per-source doc counts sum to the source totals
+    per_source: dict[str, int] = {}
+    for (src, _), (n, _t) in got.items():
+        per_source[src] = per_source.get(src, 0) + n
+    from collections import Counter
+
+    assert per_source == Counter(d["source"] for d in docs)
