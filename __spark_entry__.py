@@ -26,7 +26,7 @@ from pyspark_mllib_twitter_spark.plans import REGISTRY  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the W1 top-k-per-group shape
     (window top-5 with the reference's tie-break) over orders."""
-    return REGISTRY["q_027_w1_topk"].spark(spark, "/root/testdata/sf0.001")
+    return REGISTRY["q_w1_topk"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,18 +38,18 @@ if _REPO_DIR not in sys.path:
 #: Queries that fit ALS / run iterative jobs — timed with a single run so the
 #: whole suite stays within the driver's per-round budget.
 SINGLE_RUN = {
-    "q_011_w1_user_similarity",
-    "q_012_w2_als_recommend",
+    "q_w1_user_similarity",
+    "q_w2_als_recommend",
     "q_ns_dedup_minhash",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
     "q_ml_quality_clf",
-    "q_013_stream_window_counts",
-    "q_017_stream_session",
-    "q_016_stream_dedup",
-    "q_014_stream_sliding",
-    "q_018_stream_stateful",
-    "q_015_stream_join",
+    "q_stream_window_counts",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_join",
 }
 
 
@@ -101,6 +101,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.registry import base_name
     from pyspark_mllib_twitter_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -108,10 +109,11 @@ def main() -> int:
 
     names = sorted(REGISTRY)
     if args.only:
-        names = [n for n in names if n in set(args.only)]
+        only = set(args.only)
+        names = [n for n in names if n in only or base_name(n) in only]
 
     # Session warm-up: JVM/codegen/parquet-footer caches, one tiny query.
-    _execute(REGISTRY["q_019_s1_scan"].spark(spark, sf_dir))
+    _execute(REGISTRY["q_s1_scan"].spark(spark, sf_dir))
     # MLlib warm-up: the first estimator fit in a session pays ~4-5 s of JIT
     # (Breeze/netlib init, codegen for the fit paths). Without this, that
     # one-time cost lands on whichever MLlib query happens to run first and
@@ -132,9 +134,10 @@ def main() -> int:
 
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
+    streaming_stats: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
-        runs = 1 if name in SINGLE_RUN else args.runs
+        runs = 1 if base_name(name) in SINGLE_RUN else args.runs
         samples = []
         try:
             for _ in range(runs):
@@ -147,6 +150,18 @@ def main() -> int:
                 print(f"# FAIL {name}: {failures[name]}", file=sys.stderr)
             continue
         per_query[name] = round(statistics.median(samples), 3)
+        if base_name(name).startswith("q_stream_"):
+            # Attribute replay-harness cadence vs data-plane work: the
+            # non-addBatch part of each trigger (offset/plan/commit) is a
+            # fixed per-batch cost of the replay, not of the operator.
+            from pyspark_mllib_twitter_spark.streaming.streams import LAST_RUN_STATS
+
+            if LAST_RUN_STATS:
+                overhead = LAST_RUN_STATS["trigger_s"] - LAST_RUN_STATS["add_batch_s"]
+                streaming_stats[name] = {
+                    **LAST_RUN_STATS,
+                    "net_of_replay_s": round(max(0.0, samples[-1] - overhead), 3),
+                }
         if args.verbose:
             print(f"# {name}: {per_query[name]}s ({runs} run(s))", file=sys.stderr)
         _reset_session_state(spark)
@@ -158,6 +173,8 @@ def main() -> int:
         "queries": per_query,
         "sf": _sf_from_dir(sf_dir),
     }
+    if streaming_stats:
+        detail["streaming"] = streaming_stats
     if failures:
         detail["failures"] = failures
     # Full per-query map: to a file and an EARLIER stdout line. The FINAL

@@ -1,0 +1,145 @@
+"""Minimal pure-Python PNG codec (stdlib only: ``zlib`` + ``struct``).
+
+Implements the public PNG specification (W3C PNG, RFC 2083): signature,
+IHDR/IDAT/IEND chunk framing with CRC-32, zlib-compressed scanlines, and
+all five scanline filter types on decode (None/Sub/Up/Average/Paeth; the
+encoder emits filter 0). Supports 8-bit greyscale (color type 0), truecolor
+RGB (2), and RGBA (6) — enough for the multimodal operators to exercise a
+REAL binary codec end to end instead of a deterministic fake, without any
+third-party imaging library in the container.
+
+This is data-plane code run inside Arrow-batched ``mapInPandas`` workers;
+nothing here touches Spark.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: channels per pixel by PNG color type (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # inverse, by channel count
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Encode raw 8-bit interleaved pixels (``len == w*h*channels``) as PNG.
+
+    ``channels``: 1 (grey), 3 (RGB) or 4 (RGBA). Scanlines use filter 0 —
+    simplest valid stream; compression is zlib level 6.
+    """
+    if channels not in _COLOR_TYPE:
+        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
+    expected = width * height * channels
+    if len(pixels) != expected:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, expected {expected}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None)
+        raw += pixels[y * stride : (y + 1) * stride]
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG produced by any conformant encoder (8-bit, color types
+    0/2/6, no interlace, no palette). Returns ``(width, height, channels,
+    pixels)`` with pixels as raw interleaved bytes."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"only 8-bit depth supported, got {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            channels = _CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None or channels is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG data length mismatch after inflate")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    bpp = channels
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def resize_nearest(
+    width: int, height: int, channels: int, pixels: bytes, new_width: int, new_height: int
+) -> bytes:
+    """Nearest-neighbor resample of raw interleaved pixels (numpy-vectorized
+    gather — no Python per-pixel loop)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    ys = (np.arange(new_height) * height) // new_height
+    xs = (np.arange(new_width) * width) // new_width
+    return arr[ys][:, xs].tobytes()

@@ -112,19 +112,35 @@ def minhash_candidate_pairs(
 
 
 def keep_one_representatives(
-    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+    probe_every: int = 2,
 ) -> DataFrame:
     """Map every document to a duplicate-cluster representative (min id in
-    its connected component) via iterative label propagation over the
-    candidate-pair graph, **run to fixpoint**.
+    its connected component), **run to fixpoint**.
 
-    Each iteration is two shuffles (join + min-agg) plus a cheap
-    changed-label probe (anti-join limit-1 count); iteration stops as soon as
-    no label changed, so a duplicate chain longer than a fixed cap can no
-    longer get a silently split cluster. ``max_iters`` is a safety cap
-    (label propagation needs at most graph-diameter rounds) — hitting it
-    emits a warning. Returns ``(doc_id, rep_id)`` for every id in
-    ``all_ids``.
+    Each round combines min-label propagation (every node takes the minimum
+    label over itself and its neighbors) with a **pointer-jumping** step
+    (``rep(u) <- rep(rep(u))``), the path-halving idea behind
+    large-star/small-star connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public). Propagation
+    alone needs graph-diameter rounds (a 50-doc duplicate chain = 49
+    rounds); the jump step compresses label chains exponentially, so a
+    component of diameter d converges in O(log d) rounds.
+
+    Cost per round: 3 shuffles (edge join, min-agg, jump join). The
+    convergence probe (inner join + limit-1 count) is a driver job, so it
+    runs only every ``probe_every`` rounds. ``max_iters`` is a safety cap;
+    hitting it without convergence warns. Returns ``(doc_id, rep_id)`` for
+    every id in ``all_ids``.
+
+    Correctness of the fixpoint: labels only decrease and never leave the
+    component, so at a fixpoint every edge (u, v) has rep(u) == rep(v)
+    (otherwise propagation would change one side) — labels are constant per
+    component, and the constant is the component min because the min node's
+    label can never drop below itself.
     """
     import warnings
 
@@ -137,29 +153,44 @@ def keep_one_representatives(
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("rep_id")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    converged = False
+    for it in range(max_iters):
+        # Min over self and neighbors' labels.
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "rep_id")
         )
-        new_labels = (
+        propagated = (
             labels.select("node", "rep_id")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("rep_id").alias("rep_id"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per iter
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.rep_id") != F.col("o.rep_id"))
-            .limit(1)
-            .count()
+        # Pointer jump: rep(u) <- rep(rep(u)). Every rep_id is itself a node
+        # (labels start as identity and min() only selects existing ids), so
+        # the lookup is total; left join + coalesce keeps it robust anyway.
+        lookup = propagated.select(
+            F.col("node").alias("l_node"), F.col("rep_id").alias("l_rep")
         )
+        new_labels = (
+            propagated.join(lookup, propagated.rep_id == lookup.l_node, "left")
+            .select("node", F.coalesce("l_rep", "rep_id").alias("rep_id"))
+            .localCheckpoint(eager=True)  # cut lineage per iteration
+        )
+        if (it + 1) % probe_every == 0 or it == max_iters - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.rep_id") != F.col("o.rep_id"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
-    else:
+    if not converged:
         warnings.warn(
             f"keep_one_representatives hit max_iters={max_iters} before "
             "converging; representatives may split long duplicate chains"

@@ -43,14 +43,17 @@ ASSET_SCHEMA = T.StructType(
 
 
 class DecoderNotAvailable(NotImplementedError):
-    """Raised by the real-decoder path: codec libraries are not installed in
-    this environment. The deterministic fake path keeps the distributed
-    plumbing testable."""
+    """Raised by the real-decoder path for formats whose codec libraries are
+    not installed in this environment (JPEG, WAV). PNG has a real pure-Python
+    codec (``functions.png`` — zlib+struct per the public PNG spec), so
+    ``image/png`` assets decode for real; the deterministic fake path keeps
+    the rest of the distributed plumbing testable."""
 
 
 def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake asset table: payload bytes derived from the asset
-    id, metadata consistent with payload size.
+    """Deterministic asset table: ``image/png`` payloads are REAL PNG files
+    (id-derived pixels encoded with ``functions.png``), other mimes carry
+    id-derived opaque bytes; metadata is consistent with the payload.
 
     Generated DISTRIBUTED: ``spark.range`` partitions the id space and an
     Arrow-batched ``mapInPandas`` materializes payloads on executors — no
@@ -59,21 +62,36 @@ def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
     mimes = ["image/png", "image/jpeg", "audio/wav"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as _png
+
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                payload = bytes(
-                    ((i * 2654435761 + j * (seed + 1)) % 251) for j in range(64 + i % 64)
-                )
+                mime = mimes[i % 3]
+                width, height = 64 + i % 32, 48 + i % 24
+                if mime == "image/png":
+                    # Real PNG: deterministic RGB gradient + id-seeded ramp.
+                    stride = width * 3
+                    pixels = bytes(
+                        (i * 2654435761 + y * stride + x) % 251
+                        for y in range(height)
+                        for x in range(stride)
+                    )
+                    payload = _png.encode_png(width, height, pixels, 3)
+                else:
+                    payload = bytes(
+                        ((i * 2654435761 + j * (seed + 1)) % 251)
+                        for j in range(64 + i % 64)
+                    )
                 rows.append(
                     {
                         "asset_id": i,
-                        "mime": mimes[i % 3],
+                        "mime": mime,
                         "payload": payload,
                         "meta": {
-                            "width": 64 + i % 32,
-                            "height": 48 + i % 24,
+                            "width": width,
+                            "height": height,
                             "duration_ms": 1000 * (i % 30),
                             "n_bytes": len(payload),
                         },
@@ -122,13 +140,14 @@ def extract_features(
     assets), so per-row overhead amortizes — the same shape a real
     torchvision/PIL decode pipeline would use. Output: asset_id, mime,
     ``features array<double>`` (8-dim), n_bytes.
-    """
-    if use_real_decoder:
-        raise DecoderNotAvailable(
-            "real image/audio codecs are not installed in this environment; "
-            "use use_real_decoder=False for the deterministic fake path"
-        )
 
+    ``use_real_decoder=True`` routes ``image/png`` through the REAL pure-
+    Python PNG codec (``functions.png``): the container is parsed, scanlines
+    unfiltered, and the histogram computed over DECODED PIXELS instead of
+    container bytes. Formats without an installed codec (JPEG, WAV) raise
+    ``DecoderNotAvailable`` from the worker — a typed capability error, not
+    a silent fallback.
+    """
     out_schema = T.StructType(
         [
             T.StructField("asset_id", T.LongType()),
@@ -138,13 +157,28 @@ def extract_features(
         ]
     )
 
+    def _real_features(payload, mime):
+        from ..functions import png as _png
+
+        if payload is None:
+            return [0.0] * 8
+        if mime == "image/png":
+            _, _, _, pixels = _png.decode_png(bytes(payload))
+            return _fake_decode(pixels, 0, 0)  # histogram over real pixels
+        raise DecoderNotAvailable(
+            f"no real codec installed for {mime}; PNG is the only format "
+            "with a real decoder in this environment"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             # Mime routing is a batch-level mask, not a per-row plan branch:
             # audio goes through the spectral path, everything else through
             # the byte-histogram image path.
             feats = [
-                _audio_features(p)
+                _real_features(p, m)
+                if use_real_decoder
+                else _audio_features(p)
                 if isinstance(m, str) and m.startswith("audio/")
                 else _fake_decode(p, w, h)
                 for p, m, w, h in zip(
@@ -177,38 +211,53 @@ def resize_assets(
     batch. Non-image assets pass through untouched (single branch-free plan;
     the mime routing is a batch-level mask, not a per-row Python branch).
 
-    The pixel work is the stubbed step (deterministic payload transform
-    sized to the target dims); the Spark side — binary columns through
-    Arrow both directions, struct metadata rewrite, pass-through routing —
-    is the real 100 TB shape: payload bytes only ever move executor-local,
-    one Python batch per Arrow record batch.
+    With ``use_real_decoder=True``, ``image/png`` payloads go through the
+    REAL pipeline: PNG decode (``functions.png``) → nearest-neighbor
+    resample (numpy gather) → PNG re-encode; image formats without a codec
+    (JPEG) raise ``DecoderNotAvailable`` from the worker. The default fake
+    path keeps a deterministic payload transform sized to the target dims.
+    Either way the Spark side — binary columns through Arrow both
+    directions, struct metadata rewrite, pass-through routing — is the real
+    100 TB shape: payload bytes only ever move executor-local, one Python
+    batch per Arrow record batch.
     """
-    if use_real_decoder:
-        raise DecoderNotAvailable(
-            "real image codecs are not installed in this environment; "
-            "use use_real_decoder=False for the deterministic fake path"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as _png
+
         # fake transcode: output size scales with target pixel count so
         # downstream size accounting stays consistent with the metadata
         out_len = max(16, (target_width * target_height) // 64)
         for pdf in it:
             is_img = pdf["mime"].str.startswith("image/")
             payloads, metas = [], []
-            for p, m, img in zip(pdf["payload"], pdf["meta"], is_img):
+            for p, m, mime, img in zip(pdf["payload"], pdf["meta"], pdf["mime"], is_img):
                 if not img or not p:  # None AND zero-length payloads pass through
                     payloads.append(p)
                     metas.append(m)
                     continue
-                stretched = bytes(p[i % len(p)] for i in range(out_len))
+                if use_real_decoder:
+                    if mime != "image/png":
+                        raise DecoderNotAvailable(
+                            f"no real codec installed for {mime}; PNG is the "
+                            "only format with a real decoder here"
+                        )
+                    w0, h0, ch, pixels = _png.decode_png(bytes(p))
+                    resized = _png.resize_nearest(
+                        w0, h0, ch, pixels, target_width, target_height
+                    )
+                    stretched = _png.encode_png(
+                        target_width, target_height, resized, ch
+                    )
+                else:
+                    stretched = bytes(p[i % len(p)] for i in range(out_len))
                 payloads.append(stretched)
                 metas.append(
                     {
                         "width": target_width,
                         "height": target_height,
                         "duration_ms": m["duration_ms"] if m else None,
-                        "n_bytes": out_len,
+                        "n_bytes": len(stretched),
                     }
                 )
             yield pd.DataFrame(

@@ -8,6 +8,15 @@ from . import workloads  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import pipeline_ops  # noqa: E402,F401
 
+# Every CHECK_WINDOW base name must correspond to a registered query —
+# otherwise a window slot is silently wasted and an unintended entry slides
+# into the externally-checked block.
+from .registry import CHECK_WINDOW, public_name  # noqa: E402
+
+_missing = [b for b in CHECK_WINDOW if public_name(b) not in REGISTRY]
+assert not _missing, f"CHECK_WINDOW names without a registration: {_missing}"
+del _missing
+
 __all__ = [
     "REGISTRY", "QuerySpec", "query",
     "relational", "analytic", "north_star", "workloads", "streaming_queries",

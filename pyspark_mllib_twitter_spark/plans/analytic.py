@@ -39,7 +39,7 @@ def _dec_sum(col: str | F.Column) -> F.Column:
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_033_sub_scalar",
+    "q_sub_scalar",
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
@@ -49,7 +49,7 @@ def _dec_sum(col: str | F.Column) -> F.Column:
     ORDER BY o_orderkey
     """,
 )
-def q_033_sub_scalar(spark, sf_dir):
+def q_sub_scalar(spark, sf_dir):
     """∅-ref: uncorrelated scalar subquery — orders above the global average
     price. Spark-first: the subquery is a 1-row aggregate broadcast-joined
     against the fact scan (Catalyst's own scalar-subquery planning does the
@@ -68,7 +68,7 @@ def q_033_sub_scalar(spark, sf_dir):
 
 
 @query(
-    "q_034_sub_q17",
+    "q_sub_q17",
     oracle="""
     SELECT l_partkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
@@ -81,7 +81,7 @@ def q_033_sub_scalar(spark, sf_dir):
     ORDER BY l_partkey
     """,
 )
-def q_034_sub_q17(spark, sf_dir):
+def q_sub_q17(spark, sf_dir):
     """∅-ref: correlated scalar subquery, TPC-H Q17 shape — revenue of
     lineitems below 20% of their part's average quantity. Spark-first
     decorrelation: the per-part threshold is a groupBy aggregate joined back
@@ -114,7 +114,7 @@ def q_034_sub_q17(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_032_w6_analytic",
+    "q_w6_analytic",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
            CAST(NTILE(4) OVER w AS INT)          AS tile,
@@ -130,8 +130,8 @@ def q_034_sub_q17(spark, sf_dir):
     ORDER BY o_custkey, o_orderkey
     """,
 )
-def q_032_w6_analytic(spark, sf_dir):
-    """∅-ref: distribution/navigation window functions beyond q_028_w2_ranking —
+def q_w6_analytic(spark, sf_dir):
+    """∅-ref: distribution/navigation window functions beyond q_w2_ranking —
     ``ntile``, ``percent_rank``, ``cume_dist``, ``first_value``,
     ``nth_value``. The window order is total (price DESC, then unique
     orderkey) so rank-family outputs are deterministic and the explicit ROWS
@@ -159,7 +159,7 @@ def q_032_w6_analytic(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Grouping sets (one SQL text for both engines, like q_035_sql_q3)
+# Grouping sets (one SQL text for both engines, like q_sql_q3)
 # ---------------------------------------------------------------------------
 
 _GSETS_SQL = """
@@ -174,8 +174,8 @@ _GSETS_SQL = """
 """
 
 
-@query("q_004_g4_grouping_sets", oracle=_GSETS_SQL)
-def q_004_g4_grouping_sets(spark, sf_dir):
+@query("q_g4_grouping_sets", oracle=_GSETS_SQL)
+def q_g4_grouping_sets(spark, sf_dir):
     """∅-ref: explicit GROUPING SETS with ``GROUPING()`` markers — the
     general form behind rollup (q_g1) and cube (q_g2), one SQL text run by
     both engines. Raw columns are grouped and COALESCE'd only in the SELECT
@@ -192,7 +192,7 @@ def q_004_g4_grouping_sets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_024_u2_unpivot",
+    "q_u2_unpivot",
     oracle="""
     SELECT p_partkey, 'p_retailprice' AS measure,
            CAST(p_retailprice AS DOUBLE) AS val FROM part
@@ -201,7 +201,7 @@ def q_004_g4_grouping_sets(spark, sf_dir):
     ORDER BY p_partkey, measure
     """,
 )
-def q_024_u2_unpivot(spark, sf_dir):
+def q_u2_unpivot(spark, sf_dir):
     """∅-ref: ``unpivot``/melt — wide measures to long (variable, value)
     rows, the inverse of q_g3_pivot. Spark's native ``unpivot`` expands
     rows inside the scan stage (an Expand node, no shuffle, no Python); the
@@ -219,7 +219,7 @@ def q_024_u2_unpivot(spark, sf_dir):
 
 
 @query(
-    "q_025_u3_union_by_name",
+    "q_u3_union_by_name",
     oracle="""
     SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
            'customer' AS src
@@ -230,7 +230,7 @@ def q_024_u2_unpivot(spark, sf_dir):
     ORDER BY src, id
     """,
 )
-def q_025_u3_union_by_name(spark, sf_dir):
+def q_u3_union_by_name(spark, sf_dir):
     """∅-ref: ``unionByName(allowMissingColumns=True)`` — schema-aligned
     union where the second branch's columns arrive in a different order and
     one (``bal``) is absent, null-filled. Positional ``union`` (q_u1) would
@@ -259,7 +259,7 @@ def q_025_u3_union_by_name(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_003_j_nullsafe",
+    "q_j_nullsafe",
     oracle="""
     WITH e AS (
         SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
@@ -280,7 +280,7 @@ def q_025_u3_union_by_name(spark, sf_dir):
     ORDER BY uid
     """,
 )
-def q_003_j_nullsafe(spark, sf_dir):
+def q_j_nullsafe(spark, sf_dir):
     """∅-ref: null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the
     NULL key groups on both sides match each other, unlike plain ``=``
     which drops them. The fixture's ``user_id`` is never null, so nulls are
@@ -367,7 +367,7 @@ def q_j_skew_salted(spark, sf_dir):
 
 
 @query(
-    "q_009_a8_salted_agg",
+    "q_a8_salted_agg",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
@@ -379,7 +379,7 @@ def q_j_skew_salted(spark, sf_dir):
     ORDER BY event_type
     """,
 )
-def q_009_a8_salted_agg(spark, sf_dir):
+def q_a8_salted_agg(spark, sf_dir):
     """∅-ref skew discipline: two-phase salted aggregation over a
     genuinely hot grouping key (5 event types × all rows — the exact shape
     AQE cannot split, since a single aggregation key isn't divisible).
@@ -472,8 +472,8 @@ _Q5_SQL = """
 """
 
 
-@query("q_036_sql_q5", oracle=_Q5_SQL)
-def q_036_sql_q5(spark, sf_dir):
+@query("q_sql_q5", oracle=_Q5_SQL)
+def q_sql_q5(spark, sf_dir):
     """∅-ref SQL front-end: TPC-H Q5 shape — a 6-table join with a
     same-nation co-location condition (customer and supplier must share a
     nation) and a region + date-range filter, one SQL text for both
@@ -491,7 +491,7 @@ def q_036_sql_q5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_039_sample_stratified",
+    "q_sample_stratified",
     oracle="""
     SELECT event_id, event_type, value
     FROM events
@@ -503,7 +503,7 @@ def q_036_sql_q5(spark, sf_dir):
     ORDER BY event_id
     """,
 )
-def q_039_sample_stratified(spark, sf_dir):
+def q_sample_stratified(spark, sf_dir):
     """∅-ref: deterministic stratified sampling — per-stratum rates keyed
     on md5 of the row key (click 8/16, view 2/16, everything else dropped),
     the rate-equalizer for skewed strata that is reproducible across
@@ -558,7 +558,7 @@ def q_f_bitwise(spark, sf_dir):
 
 
 @query(
-    "q_026_u4_bag_setops",
+    "q_u4_bag_setops",
     oracle="""
     SELECT 'inter_all' AS tag, k, COUNT(*) AS n FROM
       (SELECT o_custkey AS k FROM orders
@@ -574,7 +574,7 @@ def q_f_bitwise(spark, sf_dir):
     ORDER BY tag, k
     """,
 )
-def q_026_u4_bag_setops(spark, sf_dir):
+def q_u4_bag_setops(spark, sf_dir):
     """∅-ref: bag-semantics set operations — ``intersectAll`` keeps each
     key min(count_left, count_right) times and ``exceptAll`` keeps
     count_left - count_right occurrences, vs the distinct semantics of
@@ -595,7 +595,7 @@ def q_026_u4_bag_setops(spark, sf_dir):
 
 
 @query(
-    "q_043_udf_arrow_map",
+    "q_udf_arrow_map",
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT)            AS dim,
@@ -604,11 +604,11 @@ def q_026_u4_bag_setops(spark, sf_dir):
     ORDER BY vec_id
     """,
 )
-def q_043_udf_arrow_map(spark, sf_dir):
+def q_udf_arrow_map(spark, sf_dir):
     """∅-ref UDF surface: ``mapInArrow`` — the zero-copy Arrow-native
     escape hatch below pandas (no Series materialization; pyarrow compute
-    kernels straight on the record batch). Complements q_041_udf_pandas_cosine
-    (pandas_udf) and q_042_udf_grouped_mad (applyInPandas); same contract —
+    kernels straight on the record batch). Complements q_udf_pandas_cosine
+    (pandas_udf) and q_udf_grouped_mad (applyInPandas); same contract —
     the Python boundary must produce bit-equal results, oracle-checked."""
     import numpy as np
     import pyarrow as pa
@@ -638,7 +638,7 @@ def q_043_udf_arrow_map(spark, sf_dir):
 
 
 @query(
-    "q_040_stat_crosstab",
+    "q_stat_crosstab",
     oracle="""
     SELECT CAST(o_orderstatus AS VARCHAR) AS o_orderstatus_o_orderpriority,
            CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
@@ -656,7 +656,7 @@ def q_043_udf_arrow_map(spark, sf_dir):
     ORDER BY 1
     """,
 )
-def q_040_stat_crosstab(spark, sf_dir):
+def q_stat_crosstab(spark, sf_dir):
     """∅-ref DataFrameStat surface: ``stat.crosstab`` — a contingency table
     of status × priority. Spark derives the output columns from the data
     (one per distinct priority); the oracle spells the same pivot with
@@ -671,7 +671,7 @@ def q_040_stat_crosstab(spark, sf_dir):
 
 
 @query(
-    "q_044_udtf_tokens",
+    "q_udtf_tokens",
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
@@ -685,7 +685,7 @@ def q_040_stat_crosstab(spark, sf_dir):
     ORDER BY doc_id, i
     """,
 )
-def q_044_udtf_tokens(spark, sf_dir):
+def q_udtf_tokens(spark, sf_dir):
     """∅-ref UDF surface: a Python user-defined TABLE function (Spark 4
     ``@udtf``) applied laterally — one input row fans out to N output rows
     (first five tokens with their ordinal). The fourth and last Python
@@ -809,12 +809,12 @@ _LATERAL_SQL = """
 """
 
 
-@query("q_037_sql_lateral", oracle=_LATERAL_SQL)
-def q_037_sql_lateral(spark, sf_dir):
+@query("q_sql_lateral", oracle=_LATERAL_SQL)
+def q_sql_lateral(spark, sf_dir):
     """∅-ref SQL front-end: LATERAL correlated subquery — per-nation
     maximum balance computed by a subquery that references the outer row,
     one SQL text for both engines. Catalyst decorrelates it into the same
-    aggregate-then-join plan q_034_sub_q17 builds by hand; pinning the syntax
+    aggregate-then-join plan q_sub_q17 builds by hand; pinning the syntax
     matters because LATERAL is how users express per-row top-N and
     correlated lookups without learning the decorrelation trick."""
     register_views(spark, sf_dir)

@@ -33,7 +33,7 @@ def _emb(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_048_ns_token_stats",
+    "q_ns_token_stats",
     oracle=r"""
     SELECT doc_id,
            CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -42,7 +42,7 @@ def _emb(spark, sf_dir):
     FROM documents ORDER BY doc_id
     """,
 )
-def q_048_ns_token_stats(spark, sf_dir):
+def q_ns_token_stats(spark, sf_dir):
     """Token counting (whitespace tokenization, JVM-side)."""
     return (
         _docs(spark, sf_dir)
@@ -56,7 +56,7 @@ def q_048_ns_token_stats(spark, sf_dir):
 
 
 @query(
-    "q_046_ns_quality",
+    "q_ns_quality",
     oracle=r"""
     WITH t AS (
       SELECT doc_id, text,
@@ -76,7 +76,7 @@ def q_048_ns_token_stats(spark, sf_dir):
     FROM t ORDER BY doc_id
     """,
 )
-def q_046_ns_quality(spark, sf_dir):
+def q_ns_quality(spark, sf_dir):
     """Quality scoring: length / letter-ratio / word-length heuristics."""
     d = _docs(spark, sf_dir)
     return d.select(
@@ -104,8 +104,8 @@ def _langid_oracle() -> str:
     return f"SELECT doc_id, {cols}, {case} AS lang_guess FROM documents ORDER BY doc_id"
 
 
-@query("q_047_ns_langid", oracle=_langid_oracle())
-def q_047_ns_langid(spark, sf_dir):
+@query("q_ns_langid", oracle=_langid_oracle())
+def q_ns_langid(spark, sf_dir):
     """Language ID: stopword-overlap argmax with alphabetical tie-break."""
     d = _docs(spark, sf_dir)
     toks = TXT.tokens("text")
@@ -120,7 +120,7 @@ def q_047_ns_langid(spark, sf_dir):
 
 
 @query(
-    "q_049_ns_token_bpe",
+    "q_ns_token_bpe",
     oracle=r"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
@@ -129,11 +129,11 @@ def q_047_ns_langid(spark, sf_dir):
     FROM documents ORDER BY doc_id
     """,
 )
-def q_049_ns_token_bpe(spark, sf_dir):
+def q_ns_token_bpe(spark, sf_dir):
     """BPE-ish regex token counting: letter runs, digit runs, and single
     punctuation marks as separate tokens (the pre-tokenization split most
     BPE vocabularies assume), alongside the whitespace counter of
-    q_048_ns_token_stats. Pure JVM regexp — no Python in the scan."""
+    q_ns_token_stats. Pure JVM regexp — no Python in the scan."""
     # idx=0 = whole match (the pattern is alternation, no capture groups)
     toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
     return (
@@ -148,7 +148,7 @@ def q_049_ns_token_bpe(spark, sf_dir):
 
 
 @query(
-    "q_041_udf_pandas_cosine",
+    "q_udf_pandas_cosine",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos_sim
@@ -157,7 +157,7 @@ def q_049_ns_token_bpe(spark, sf_dir):
     ORDER BY id_a
     """,
 )
-def q_041_udf_pandas_cosine(spark, sf_dir):
+def q_udf_pandas_cosine(spark, sf_dir):
     """∅-ref UDF surface (SURVEY §2.A.8): an Arrow-vectorized pandas_udf
     registered as a SQL function and invoked from ``spark.sql`` — the
     sanctioned escape hatch when built-ins can't express the math. The
@@ -201,7 +201,7 @@ def q_041_udf_pandas_cosine(spark, sf_dir):
 
 
 @query(
-    "q_042_udf_grouped_mad",
+    "q_udf_grouped_mad",
     oracle="""
     WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
     m AS (SELECT event_type, MEDIAN(value) AS med, COUNT(*) AS n
@@ -213,7 +213,7 @@ def q_041_udf_pandas_cosine(spark, sf_dir):
     ORDER BY etype
     """,
 )
-def q_042_udf_grouped_mad(spark, sf_dir):
+def q_udf_grouped_mad(spark, sf_dir):
     """∅-ref UDF surface: batch grouped-map ``applyInPandas`` — robust
     per-group statistics (median + median-absolute-deviation). A
     quantile-of-a-derived-quantile needs two dependent passes in SQL; the
@@ -413,16 +413,24 @@ def q_ns_ann_pq(spark, sf_dir):
     return res.orderBy("query_id", "rn")
 
 
-@query("q_ns_multimodal", oracle=None)  # synthetic payloads, Python feature UDF
+@query("q_ns_multimodal", oracle=None)  # binary payloads, Python codec UDFs
 def q_ns_multimodal(spark, sf_dir):
-    """Multimodal plumbing end-to-end: binary assets → resize (images
-    normalized to 64x48) → Arrow-batched feature extraction, all via
-    mapInPandas (the codec steps are deterministic fakes — see
-    operators.multimodal; the batch shapes and binary round-trips are
-    real)."""
+    """Multimodal plumbing end-to-end with mime-routed codecs: PNG assets go
+    through the REAL pure-Python PNG codec (decode → nearest-neighbor resize
+    to 64x48 → re-encode → pixel-histogram features; ``functions.png``),
+    formats without an installed codec (JPEG/WAV) take the deterministic
+    fake transcode. All paths are Arrow-batched ``mapInPandas`` — binary in,
+    binary out, metadata rewritten in-batch; the union shows the routing
+    pattern a mixed-modality lake needs at scale."""
     assets = multimodal.synthetic_assets(spark, n=256)
-    resized = multimodal.resize_assets(assets, 64, 48)
-    feats = multimodal.extract_features(resized)
+    pngs = assets.filter(F.col("mime") == "image/png")
+    rest = assets.filter(F.col("mime") != "image/png")
+    feats = multimodal.extract_features(
+        multimodal.resize_assets(pngs, 64, 48, use_real_decoder=True),
+        use_real_decoder=True,
+    ).unionByName(
+        multimodal.extract_features(multimodal.resize_assets(rest, 64, 48))
+    )
     return feats.select(
         "asset_id",
         "mime",
@@ -432,7 +440,7 @@ def q_ns_multimodal(spark, sf_dir):
 
 
 @query(
-    "q_045_ns_scrub",
+    "q_ns_scrub",
     oracle=r"""
     WITH d AS (
         SELECT doc_id,
@@ -463,7 +471,7 @@ def q_ns_multimodal(spark, sf_dir):
     ORDER BY doc_id
     """,
 )
-def q_045_ns_scrub(spark, sf_dir):
+def q_ns_scrub(spark, sf_dir):
     """North star: PII/link scrubbing for training text — URLs, emails, and
     @handles replaced with typed placeholders, plus per-document match
     counts. The fixture text contains no PII, so each row gets a
@@ -498,7 +506,7 @@ def q_045_ns_scrub(spark, sf_dir):
 
 
 @query(
-    "q_050_ns_pipeline",
+    "q_ns_pipeline",
     oracle=r"""
     WITH injected AS (
         SELECT doc_id, source,
@@ -546,9 +554,9 @@ def q_045_ns_scrub(spark, sf_dir):
     ORDER BY source
     """,
 )
-def q_050_ns_pipeline(spark, sf_dir):
+def q_ns_pipeline(spark, sf_dir):
     """North star end-to-end: the composed training-data pipeline —
-    scrub (deterministic injected PII, as q_045_ns_scrub) → quality gate
+    scrub (deterministic injected PII, as q_ns_scrub) → quality gate
     (>= 0.9, non-vacuous: the fixture spans ~0.68-0.95) → exact content
     dedup keep-min-id → per-source corpus stats. The whole chain is
     codegen'd SQL except the dedup shuffle (16-byte digests), and the

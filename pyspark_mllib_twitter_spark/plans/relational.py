@@ -28,24 +28,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_019_s1_scan",
+    "q_s1_scan",
     oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 )
-def q_019_s1_scan(spark, sf_dir):
+def q_s1_scan(spark, sf_dir):
     """S1: parquet scan (reference: multiline-JSON scan, COMP5349_2.py:138).
     Columnar read, column pruning at the scan."""
     return _t(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
 
 
 @query(
-    "q_020_p1_filter",
+    "q_p1_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem
     WHERE l_shipdate IS NOT NULL AND l_discount > 0.05
     ORDER BY l_orderkey, l_linenumber
     """,
 )
-def q_020_p1_filter(spark, sf_dir):
+def q_p1_filter(spark, sf_dir):
     """P1/P2: null-test + predicate filter (COMP5349_2.py:146,196). Both
     predicates reach the parquet scan as PushedFilters."""
     li = _t(spark, sf_dir, "lineitem")
@@ -57,10 +57,10 @@ def q_020_p1_filter(spark, sf_dir):
 
 
 @query(
-    "q_021_p3_project",
+    "q_p3_project",
     oracle="SELECT o_orderkey AS k, o_totalprice * 0.9 AS p FROM orders ORDER BY k",
 )
-def q_021_p3_project(spark, sf_dir):
+def q_p3_project(spark, sf_dir):
     """P3/P4: projection + alias + computed column (COMP5349_2.py:146,197)."""
     return (
         _t(spark, sf_dir, "orders")
@@ -194,7 +194,7 @@ def q_j_theta(spark, sf_dir):
 
 
 @query(
-    "q_001_j_asof",
+    "q_j_asof",
     oracle="""
     SELECT event_id, user_id,
            CAST(LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
@@ -205,7 +205,7 @@ def q_j_theta(spark, sf_dir):
     ORDER BY user_id, event_id
     """,
 )
-def q_001_j_asof(spark, sf_dir):
+def q_j_asof(spark, sf_dir):
     """∅-ref: as-of join (latest click at-or-before each event, per user),
     expressed as a running last_value window instead of a per-probe scan.
     One shuffle on user_id; no O(N^2) pairing — survives 100x scale."""
@@ -224,7 +224,7 @@ def q_001_j_asof(spark, sf_dir):
 
 
 @query(
-    "q_002_j_asof_generic",
+    "q_j_asof_generic",
     oracle="""
     SELECT e.event_id, e.user_id,
            c.event_id AS asof_click_event_id,
@@ -236,10 +236,10 @@ def q_001_j_asof(spark, sf_dir):
     ORDER BY e.user_id, e.event_id
     """,
 )
-def q_002_j_asof_generic(spark, sf_dir):
+def q_j_asof_generic(spark, sf_dir):
     """Two-table as-of join via operators.asof.as_of_join (the union-trick
     plan: one shuffle, no per-probe range scan), oracle-checked against
-    DuckDB's native ASOF LEFT JOIN. q_001_j_asof keeps the same-table window
+    DuckDB's native ASOF LEFT JOIN. q_j_asof keeps the same-table window
     recipe; this entry is the reusable operator."""
     from ..operators.asof import as_of_join
 
@@ -419,14 +419,14 @@ def q_a6_approx_distinct(spark, sf_dir):
 
 
 @query(
-    "q_008_a5_id_dictionary",
+    "q_a5_id_dictionary",
     oracle="""
     SELECT user_id, CAST(DENSE_RANK() OVER (ORDER BY user_id) AS BIGINT) AS dense_id
     FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
     ORDER BY user_id
     """,
 )
-def q_008_a5_id_dictionary(spark, sf_dir):
+def q_a5_id_dictionary(spark, sf_dir):
     """F3 replacement: dense ID dictionary. The reference hashes 64-bit
     IDs into 32 bits for ALS (f.hash, COMP5349_2.py:197 — birthday-bound
     collisions at ~77k users). A dense dictionary is collision-free.
@@ -530,7 +530,7 @@ def q_g3_pivot(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_027_w1_topk",
+    "q_w1_topk",
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -541,7 +541,7 @@ def q_g3_pivot(spark, sf_dir):
     WHERE rn <= 5 ORDER BY o_custkey, rn
     """,
 )
-def q_027_w1_topk(spark, sf_dir):
+def q_w1_topk(spark, sf_dir):
     """W1: top-k per group with the reference's tie-break (score DESC, id
     DESC — pinned by the notebook golden output, nb:220-230). Replaces the
     driver-side ``sorted(...)[:5]`` (COMP5349_2.py:188). Rank ≤ k predicates
@@ -559,7 +559,7 @@ def q_027_w1_topk(spark, sf_dir):
 
 
 @query(
-    "q_028_w2_ranking",
+    "q_w2_ranking",
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS BIGINT) AS rnk,
@@ -569,7 +569,7 @@ def q_027_w1_topk(spark, sf_dir):
     FROM orders ORDER BY o_custkey, o_orderkey
     """,
 )
-def q_028_w2_ranking(spark, sf_dir):
+def q_w2_ranking(spark, sf_dir):
     """∅-ref: rank/dense_rank/lag/lead analytic functions."""
     by_price = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
     by_time = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -588,7 +588,7 @@ def q_028_w2_ranking(spark, sf_dir):
 
 
 @query(
-    "q_029_w3_frames",
+    "q_w3_frames",
     oracle="""
     SELECT user_id, event_id,
            SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -598,7 +598,7 @@ def q_028_w2_ranking(spark, sf_dir):
     FROM events ORDER BY user_id, event_id
     """,
 )
-def q_029_w3_frames(spark, sf_dir):
+def q_w3_frames(spark, sf_dir):
     """∅-ref: ROWS-frame moving and running aggregates."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -656,14 +656,14 @@ def q_j_overlap(spark, sf_dir):
 
 
 @query(
-    "q_038_sample_hash",
+    "q_sample_hash",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '1')
     ORDER BY o_orderkey
     """,
 )
-def q_038_sample_hash(spark, sf_dir):
+def q_sample_hash(spark, sf_dir):
     """∅-ref: deterministic hash sampling (~2/16) — md5-keyed, so the same
     rows are selected on every engine and every run with zero seed state;
     planned as a plain pushable filter, no shuffle (operators.sampling)."""
@@ -697,8 +697,8 @@ _Q3_SQL = """
 """
 
 
-@query("q_035_sql_q3", oracle=_Q3_SQL)
-def q_035_sql_q3(spark, sf_dir):
+@query("q_sql_q3", oracle=_Q3_SQL)
+def q_sql_q3(spark, sf_dir):
     """∅-ref: the SQL front-end — TPC-H Q3 shape run via ``spark.sql`` over
     registered views, same text as the DuckDB oracle. Catalyst gets the
     whole plan declaratively: both filters push to the scans, customer
@@ -712,7 +712,7 @@ def q_035_sql_q3(spark, sf_dir):
 
 
 @query(
-    "q_030_w4_time_rollup",
+    "q_w4_time_rollup",
     oracle="""
     SELECT COALESCE(b, TIMESTAMP '1970-01-01') AS bucket,
            COALESCE(event_type, '(all)') AS etype,
@@ -726,7 +726,7 @@ def q_035_sql_q3(spark, sf_dir):
     ORDER BY bucket, etype
     """,
 )
-def q_030_w4_time_rollup(spark, sf_dir):
+def q_w4_time_rollup(spark, sf_dir):
     """∅-ref: hypertable-style time-bucket rollup — hourly buckets x
     event_type with ROLLUP subtotals (per-hour and grand total), the batch
     twin of the streaming tumbling window. ``date_trunc`` stays in the scan
@@ -758,7 +758,7 @@ def q_030_w4_time_rollup(spark, sf_dir):
 
 
 @query(
-    "q_031_w5_sessionize",
+    "q_w5_sessionize",
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, value,
@@ -782,7 +782,7 @@ def q_030_w4_time_rollup(spark, sf_dir):
     ORDER BY user_id, session_no
     """,
 )
-def q_031_w5_sessionize(spark, sf_dir):
+def q_w5_sessionize(spark, sf_dir):
     """∅-ref: batch sessionization — gap-based sessions (30-min inactivity
     timeout) via the lag + running-sum recipe, the batch twin of the
     streaming ``session_window``. One shuffle on user_id serves both window
@@ -799,9 +799,14 @@ def q_031_w5_sessionize(spark, sf_dir):
             "event_id",
             F.when(
                 F.lag("ts").over(w).isNull()
-                # micros, not a seconds cast: a 1800.5s gap must sessionize
-                # exactly like the oracle's INTERVAL compare
-                | (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+                # interval compare, not a seconds cast: a 1800.5s gap must
+                # sessionize exactly like the oracle's INTERVAL compare.
+                # (timestamp subtraction works for both TIMESTAMP and
+                # TIMESTAMP_NTZ inputs; unix_micros would reject NTZ)
+                | (
+                    F.col("ts") - F.lag("ts").over(w)
+                    > F.expr("INTERVAL '1800' SECOND")
+                ),
                 1,
             )
             .otherwise(0)
@@ -827,13 +832,13 @@ def q_031_w5_sessionize(spark, sf_dir):
 
 
 @query(
-    "q_022_t1_sort_limit",
+    "q_t1_sort_limit",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
 )
-def q_022_t1_sort_limit(spark, sf_dir):
+def q_t1_sort_limit(spark, sf_dir):
     """∅-ref: global sort + limit (TakeOrderedAndProject — per-partition
     top-N then a single merge, never a full global sort)."""
     return (
@@ -845,7 +850,7 @@ def q_022_t1_sort_limit(spark, sf_dir):
 
 
 @query(
-    "q_023_u1_setops",
+    "q_u1_setops",
     oracle="""
     SELECT 'all' AS tag, k FROM
       (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)
@@ -858,7 +863,7 @@ def q_022_t1_sort_limit(spark, sf_dir):
     ORDER BY tag, k
     """,
 )
-def q_023_u1_setops(spark, sf_dir):
+def q_u1_setops(spark, sf_dir):
     """∅-ref: UNION / INTERSECT / EXCEPT (distinct set semantics)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
@@ -1062,7 +1067,7 @@ def q_f_explode(spark, sf_dir):
 
 
 @query(
-    "q_007_f_map",
+    "q_f_map",
     oracle="""
     SELECT o_orderkey,
            CAST(cardinality(MAP {'status': o_orderstatus, 'priority': o_orderpriority})
@@ -1077,7 +1082,7 @@ def q_f_explode(spark, sf_dir):
     FROM orders ORDER BY o_orderkey
     """,
 )
-def q_007_f_map(spark, sf_dir):
+def q_f_map(spark, sf_dir):
     """∅-ref map suite: create_map / map_keys / element_at (SURVEY §2.A.6).
     Every output column is a SCALAR (keys is array_join'd to a string):
     pandas-based canonicalization harnesses sort/hash output columns, and an
@@ -1131,7 +1136,7 @@ def q_a7_percentiles(spark, sf_dir):
 
 
 @query(
-    "q_006_f_json",
+    "q_f_json",
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
@@ -1139,7 +1144,7 @@ def q_a7_percentiles(spark, sf_dir):
     FROM events ORDER BY event_id
     """,
 )
-def q_006_f_json(spark, sf_dir):
+def q_f_json(spark, sf_dir):
     """∅-ref JSON suite: get_json_object over events.props."""
     return (
         _t(spark, sf_dir, "events")
@@ -1153,7 +1158,7 @@ def q_006_f_json(spark, sf_dir):
 
 
 @query(
-    "q_005_f_cond",
+    "q_f_cond",
     oracle="""
     SELECT event_id,
            CASE WHEN value > 100 THEN 'high'
@@ -1163,7 +1168,7 @@ def q_006_f_json(spark, sf_dir):
     FROM events ORDER BY event_id
     """,
 )
-def q_005_f_cond(spark, sf_dir):
+def q_f_cond(spark, sf_dir):
     """∅-ref conditional suite: CASE WHEN / coalesce / nullif (F1 shape)."""
     return (
         _t(spark, sf_dir, "events")
@@ -1186,7 +1191,7 @@ def q_005_f_cond(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_010_e2e_w1doc",
+    "q_e2e_w1doc",
     oracle="""
     WITH t AS (
       SELECT user_id,
@@ -1199,7 +1204,7 @@ def q_005_f_cond(spark, sf_dir):
     GROUP BY user_id ORDER BY user_id
     """,
 )
-def q_010_e2e_w1doc(spark, sf_dir):
+def q_e2e_w1doc(spark, sf_dir):
     """W1 document-build prefix (P1 + F1 + A1, COMP5349_2.py:146) transplanted
     onto events: two mutually-exclusive nullable picks, null-skipping
     concat_ws, group-collect into a sorted document string."""

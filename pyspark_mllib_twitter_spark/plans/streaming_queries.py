@@ -34,7 +34,7 @@ from .registry import query
 #: Capability flags for surfaces gated on optional runtime dependencies.
 #: ``transform_with_state``: the Spark 4 TWS operator family needs
 #: ``google.protobuf`` for its driver-side worker; where present, the
-#: ``q_018a_stream_tws`` entry below registers and is checked like any other
+#: ``q_stream_tws`` entry below registers and is checked like any other
 #: query — where absent, the flag records WHY the registry lacks the entry.
 CAPABILITIES: dict[str, bool] = {"transform_with_state": tws_available()}
 
@@ -88,7 +88,7 @@ def _replayed_stream(spark, sf_dir, **replay_kwargs):
 
 
 @query(
-    "q_013_stream_window_counts",
+    "q_stream_window_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
            time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
@@ -101,7 +101,7 @@ def _replayed_stream(spark, sf_dir, **replay_kwargs):
     ORDER BY w_start, event_type
     """,
 )
-def q_013_stream_window_counts(spark, sf_dir):
+def q_stream_window_counts(spark, sf_dir):
     """Watermarked tumbling-window counts, streamed over replayed
     micro-batches, checked against the batch SQL aggregation (valid because
     replay lateness < watermark delay → zero dropped rows, and the flush
@@ -120,7 +120,7 @@ def q_013_stream_window_counts(spark, sf_dir):
 
 
 @query(
-    "q_014_stream_sliding",
+    "q_stream_sliding",
     oracle="""
     WITH starts AS (
       SELECT event_type, value,
@@ -135,7 +135,7 @@ def q_013_stream_window_counts(spark, sf_dir):
     ORDER BY w_start, event_type
     """,
 )
-def q_014_stream_sliding(spark, sf_dir):
+def q_stream_sliding(spark, sf_dir):
     """Sliding windows (10 min / 5 min hop), streamed with watermark and
     checked against batch SQL: each event belongs to exactly two hops —
     the 5-minute bucket containing it and the previous one."""
@@ -151,7 +151,7 @@ def q_014_stream_sliding(spark, sf_dir):
 
 
 @query(
-    "q_015_stream_join",
+    "q_stream_join",
     oracle="""
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
                FROM events)
@@ -164,7 +164,7 @@ def q_014_stream_sliding(spark, sf_dir):
     ORDER BY click_id, purchase_id
     """,
 )
-def q_015_stream_join(spark, sf_dir):
+def q_stream_join(spark, sf_dir):
     """Stream-stream interval join: purchases matched to same-user clicks at
     most 1 hour earlier, both sides replayed as micro-batches. Inner matches
     emit as they meet, so the result is deterministic and equals the batch
@@ -208,8 +208,8 @@ def q_015_stream_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
-@query("q_018_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific
-def q_018_stream_stateful(spark, sf_dir):
+@query("q_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific
+def q_stream_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): final running
     per-user stats after replay — counts are monotone so max(n_events) per
     user is the final state; batch equivalence pinned in
@@ -231,8 +231,8 @@ def q_018_stream_stateful(spark, sf_dir):
     )
 
 
-@query("q_017_stream_session", oracle=None)  # session merge shape is engine-specific
-def q_017_stream_session(spark, sf_dir):
+@query("q_stream_session", oracle=None)  # session merge shape is engine-specific
+def q_stream_session(spark, sf_dir):
     """Per-user session windows (30 min gap) over the replayed stream;
     equivalence with batch session_window is pinned in test_streaming.py."""
     stream = sessionized(_replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK)
@@ -242,9 +242,9 @@ def q_017_stream_session(spark, sf_dir):
 
 if tws_available():
 
-    @query("q_018a_stream_tws", oracle=None)  # update cadence engine-specific
-    def q_018a_stream_tws(spark, sf_dir):
-        """``transformWithStateInPandas`` twin of q_018_stream_stateful
+    @query("q_stream_tws", oracle=None)  # update cadence engine-specific
+    def q_stream_tws(spark, sf_dir):
+        """``transformWithStateInPandas`` twin of q_stream_stateful
         (Spark 4 stateful-processor API, RocksDB state store). Registered
         only where ``google.protobuf`` exists — its driver-side worker
         needs it (see CAPABILITIES above); the batch-twin equivalence test
@@ -268,8 +268,8 @@ if tws_available():
         )
 
 
-@query("q_016_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
-def q_016_stream_dedup(spark, sf_dir):
+@query("q_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
+def q_stream_dedup(spark, sf_dir):
     """dropDuplicatesWithinWatermark over a replay that re-delivers every
     20th event one batch later: output must contain each event_id once."""
     stream = stream_dedup(

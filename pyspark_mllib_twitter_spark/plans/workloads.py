@@ -18,8 +18,8 @@ from ..workloads.w2_recommend import implicit_als_recommend
 from .registry import query
 
 
-@query("q_011_w1_user_similarity", oracle=None)  # TF-IDF/CV cosine — golden-tested
-def q_011_w1_user_similarity(spark, sf_dir):
+@query("q_w1_user_similarity", oracle=None)  # TF-IDF/CV cosine — golden-tested
+def q_w1_user_similarity(spark, sf_dir):
     """W1 end-to-end on events: per-user documents of interacted "items"
     (the props.k payload), TF-IDF + CountVectorizer cosine top-5 for 3 query
     users (COMP5349_2.py:140-188 shape)."""
@@ -31,12 +31,14 @@ def q_011_w1_user_similarity(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.collect_list("item").alias("tokens"))
     )
-    query_ids = [r.user_id for r in docs.select("user_id").orderBy("user_id").limit(3).collect()]
+    # Query set stays a DataFrame — no driver collect; the 3-row limit is
+    # planned and broadcast inside user_similarity_top_k.
+    query_ids = docs.select("user_id").orderBy("user_id").limit(3)
     return user_similarity_top_k(docs, query_ids, k=5)
 
 
-@query("q_012_w2_als_recommend", oracle=None)  # ALS factors — golden-tested
-def q_012_w2_als_recommend(spark, sf_dir):
+@query("q_w2_als_recommend", oracle=None)  # ALS factors — golden-tested
+def q_w2_als_recommend(spark, sf_dir):
     """W2 end-to-end on events: (user, item=props.k) mention-count implicit
     ratings → dense-ID dictionary → ALS(seed=0, reference hyperparameters) →
     top-5 per user, joined back to original ids (COMP5349_2.py:191-211)."""

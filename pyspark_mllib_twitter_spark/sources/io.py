@@ -60,11 +60,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan → columnar, vectorized, with
     predicate pushdown and column pruning for free.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark has no
-    native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
-    as a nanosecond-epoch long and is converted here to a microsecond
-    timestamp (``ts DIV 1000`` — exact integer division, truncation matches
-    DuckDB's CAST(ns AS TIMESTAMP)).
+    ``events.ts`` handling depends on the file's physical type:
+
+    - parquet TIMESTAMP(MICROS, ntz) (current fixture generator): read
+      natively as ``timestamp_ntz`` — no projection, full pushdown, and the
+      semantics match DuckDB's TIMESTAMP (which is wall-clock, no zone)
+      exactly, with no dependence on the session/container time zone.
+    - parquet TIMESTAMP(NANOS) (older generators): Spark has no native type;
+      with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a
+      nanosecond-epoch long and is converted to a microsecond timestamp
+      (``ts DIV 1000`` — exact integer division, truncation matches DuckDB's
+      CAST(ns AS TIMESTAMP)).
 
     The nanos conf is set HERE, at runtime, not only in ``session.get_spark``:
     it is a runtime-settable SQL conf, and setting it on the read path makes
@@ -74,6 +80,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Legacy TIMESTAMP(NANOS) file surfaced as a long — convert once.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

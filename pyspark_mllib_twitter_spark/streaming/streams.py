@@ -42,6 +42,11 @@ from pyspark.sql import types as T
 #: event_type of the far-future flush sentinel appended by the replayer.
 FLUSH_EVENT_TYPE = "__flush__"
 
+#: Micro-batch stats of the most recent ``run_to_memory`` call —
+#: ``{"n_batches", "add_batch_s", "trigger_s"}`` — so the bench can report
+#: replay-harness overhead separately from data-plane work.
+LAST_RUN_STATS: dict = {}
+
 #: Schema of the replayed events stream (events fixture after read_table's
 #: nanos→micros conversion).
 EVENTS_SCHEMA = T.StructType(
@@ -209,6 +214,28 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        # Bench introspection: how much of the wall time was micro-batch
+        # harness cadence vs actual work. ``addBatch`` is the data-plane
+        # execution inside each trigger; the rest of triggerExecution
+        # (offset management, planning, commit) is fixed per-batch replay
+        # overhead that scales with n_batches, not data volume.
+        try:
+            prog = list(q.recentProgress)
+            dur = [p.get("durationMs", {}) or {} for p in prog]
+            LAST_RUN_STATS.clear()
+            LAST_RUN_STATS.update(
+                {
+                    "n_batches": len(prog),
+                    "add_batch_s": round(
+                        sum(d.get("addBatch", 0) for d in dur) / 1000.0, 3
+                    ),
+                    "trigger_s": round(
+                        sum(d.get("triggerExecution", 0) for d in dur) / 1000.0, 3
+                    ),
+                }
+            )
+        except Exception:
+            LAST_RUN_STATS.clear()
     finally:
         for k, old in prev.items():
             if old is None:
@@ -486,7 +513,7 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         # No annotations on these methods: this module stringifies them
         # (`from __future__ import annotations`) and the TWS driver-side
         # worker resolves type hints at runtime — unresolvable strings
-        # crash it (same trap as pandas_udf, see q_041_udf_pandas_cosine).
+        # crash it (same trap as pandas_udf, see q_udf_pandas_cosine).
         def init(self, handle):
             self._stats = handle.getValueState("stats", "n bigint, s double")
 

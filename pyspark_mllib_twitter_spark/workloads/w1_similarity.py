@@ -117,7 +117,7 @@ def vectorize_documents(
 
 def user_similarity_top_k(
     docs: DataFrame,
-    query_user_ids: list[int],
+    query_user_ids: "list[int] | DataFrame",
     k: int = 5,
     id_col: str = "user_id",
     tokens_col: str = "tokens",
@@ -134,9 +134,16 @@ def user_similarity_top_k(
     vec = vectorize_documents(docs, tokens_col, num_features, vocab_size).cache()
 
     spark = docs.sparkSession
-    q_ids = spark.createDataFrame(
-        [(int(u),) for u in query_user_ids], f"query_id bigint"
-    )
+    if isinstance(query_user_ids, DataFrame):
+        # Fully-planned query set (single column) — no driver round trip;
+        # the broadcast hint below keeps the join driver-collect-free too.
+        q_ids = query_user_ids.select(
+            F.col(query_user_ids.columns[0]).cast("bigint").alias("query_id")
+        )
+    else:
+        q_ids = spark.createDataFrame(
+            [(int(u),) for u in query_user_ids], "query_id bigint"
+        )
     results = []
     for vectorizer in ("tfidf", "cv"):
         q = vec.join(

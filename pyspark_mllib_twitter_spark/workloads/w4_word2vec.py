@@ -32,6 +32,7 @@ def word_embeddings(
     min_count: int = 5,
     seed: int = 0,
     num_partitions: int = 1,
+    max_iter: int = 1,
 ) -> DataFrame:
     """Fit Word2Vec over tokenized ``text_col``; return the vocabulary as a
     ``(word, vec array<float>)`` DataFrame (``getVectors`` + vector_to_array,
@@ -47,7 +48,7 @@ def word_embeddings(
         minCount=min_count,
         seed=seed,
         numPartitions=num_partitions,
-        maxIter=1,
+        maxIter=max_iter,
         inputCol="tokens",
         outputCol="vec",
     ).fit(toks)

@@ -18,7 +18,13 @@ from pyspark_mllib_twitter_spark.sources import read_table
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_smoke):
-    return read_table(spark, sf_smoke, "documents").cache()
+    df = read_table(spark, sf_smoke, "documents").cache()
+    yield df
+    # Unpersist on module teardown: a session-lifetime cache of the BARE
+    # documents relation gets plan-fragment-substituted into every later
+    # documents query in the suite (notably test_plans' cold-scan
+    # assertions — the cached InMemoryRelation embeds a full-width scan).
+    df.unpersist()
 
 
 def test_content_dedup_empty_input(spark, docs):

@@ -86,21 +86,25 @@ def test_orc_round_trip_with_pushdown(spark, sf_smoke, tmp_out):
 
 
 def test_events_ts_is_timestamp(spark, sf_smoke):
-    """The nanos parquet column must surface as a true micros timestamp
-    (PARQUET_TYPE_ILLEGAL regression guard + truncation semantics)."""
+    """``events.ts`` must surface as a wall-clock timestamp type whatever the
+    file's physical encoding: native ``timestamp_ntz`` for TIMESTAMP(MICROS)
+    fixtures, converted ``timestamp`` for legacy TIMESTAMP(NANOS)-as-long
+    files (PARQUET_TYPE_ILLEGAL regression guard + truncation semantics)."""
     ev = read_table(spark, sf_smoke, "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     import pyarrow.parquet as pq
 
     raw = pq.read_table(os.path.join(sf_smoke, "events.parquet"), columns=["event_id", "ts"])
-    want = {
-        e.as_py(): t.as_py().replace(nanosecond=0, tzinfo=None)  # pandas Timestamp → micros
-        for e, t in zip(raw["event_id"], raw["ts"])
-    }
+    want = {}
+    for e, t in zip(raw["event_id"], raw["ts"]):
+        v = t.as_py()
+        if hasattr(v, "nanosecond"):  # pandas Timestamp (nanos file) → micros
+            v = v.replace(nanosecond=0, tzinfo=None).to_pydatetime()
+        want[e.as_py()] = v
     got = {r.event_id: r.ts for r in ev.select("event_id", "ts").collect()}
     sample = list(want)[:50]
     for k in sample:
-        assert got[k] == want[k].to_pydatetime(), (k, got[k], want[k])
+        assert got[k] == want[k], (k, got[k], want[k])
 
 
 def test_clustered_write_disjoint_file_ranges(spark, sf_smoke, tmp_out):

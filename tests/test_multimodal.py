@@ -11,7 +11,9 @@ from pyspark_mllib_twitter_spark.operators import multimodal
 
 @pytest.fixture(scope="module")
 def assets(spark):
-    return multimodal.synthetic_assets(spark, n=256).cache()
+    df = multimodal.synthetic_assets(spark, n=256).cache()
+    yield df
+    df.unpersist()  # don't leak the cache into later modules
 
 
 def test_assets_schema_and_determinism(spark, assets):
@@ -45,9 +47,40 @@ def test_extract_features_deterministic_and_normalized(assets):
     assert {k: v.features for k, v in rows.items()} == again
 
 
-def test_real_decoder_is_clearly_stubbed(assets):
-    with pytest.raises(multimodal.DecoderNotAvailable):
-        multimodal.extract_features(assets, use_real_decoder=True)
+def test_real_decoder_png_works_others_clearly_stubbed(assets):
+    """The real-decoder path actually decodes PNG (pure-Python codec): the
+    PNG container parses, and features are computed over decoded PIXELS — so
+    they differ from the fake path's container-byte histogram. Formats with
+    no installed codec (JPEG) raise the typed capability error from the
+    worker instead of silently falling back."""
+    pngs = assets.filter(F.col("mime") == "image/png")
+    real = {r.asset_id: r.features for r in
+            multimodal.extract_features(pngs, use_real_decoder=True).collect()}
+    fake = {r.asset_id: r.features for r in
+            multimodal.extract_features(pngs).collect()}
+    assert real.keys() == fake.keys() and len(real) > 0
+    for feats in real.values():
+        assert len(feats) == 8 and abs(sum(feats) - 1.0) < 1e-9
+    assert any(real[k] != fake[k] for k in real)  # pixels != container bytes
+    jpegs = assets.filter(F.col("mime") == "image/jpeg")
+    with pytest.raises(Exception, match="DecoderNotAvailable|no real codec"):
+        multimodal.extract_features(jpegs, use_real_decoder=True).collect()
+
+
+def test_real_resize_roundtrips_png(assets):
+    """Real-codec resize: decode → nearest-neighbor resample → re-encode.
+    The output payload must be a valid PNG with the target dimensions."""
+    from pyspark_mllib_twitter_spark.functions import png as pngc
+
+    pngs = assets.filter(F.col("mime") == "image/png").limit(8)
+    out = multimodal.resize_assets(pngs, 16, 12, use_real_decoder=True).collect()
+    assert len(out) == 8
+    for r in out:
+        w, h, ch, pixels = pngc.decode_png(bytes(r.payload))
+        assert (w, h, ch) == (16, 12, 3)
+        assert len(pixels) == 16 * 12 * 3
+        assert r.meta.width == 16 and r.meta.height == 12
+        assert r.meta.n_bytes == len(r.payload)
 
 
 def test_resize_updates_images_passes_through_rest(assets):
@@ -66,8 +99,12 @@ def test_resize_updates_images_passes_through_rest(assets):
     # deterministic: re-running produces identical payloads
     again = {r.asset_id: bytes(r.payload) for r in multimodal.resize_assets(assets, 32, 32).collect()}
     assert {k: bytes(v.payload) for k, v in rows.items()} == again
-    with pytest.raises(multimodal.DecoderNotAvailable):
-        multimodal.resize_assets(assets, 32, 32, use_real_decoder=True)
+    # real-decoder mode on a mix that includes JPEG raises the typed
+    # capability error from the worker (only PNG has a real codec here)
+    with pytest.raises(Exception, match="DecoderNotAvailable|no real codec"):
+        multimodal.resize_assets(
+            assets.filter(F.col("mime") == "image/jpeg"), 32, 32, use_real_decoder=True
+        ).collect()
 
 
 def test_frame_sample_plan_counts(assets):
@@ -102,3 +139,19 @@ def test_audio_features_are_spectral(spark, assets):
         .collect()
     }
     assert {r.asset_id: r.features for r in audio} == again
+
+
+def test_resize_passes_through_empty_and_null_payloads(spark):
+    """A zero-length (but non-null) image payload must pass through the fake
+    transcode untouched instead of dividing by len(payload)==0 — same
+    pass-through contract as a NULL payload (ADVICE multimodal.py:204)."""
+    rows = [
+        (1, "image/png", b"", {"width": 1, "height": 1, "duration_ms": None, "n_bytes": 0}),
+        (2, "image/png", None, None),
+        (3, "image/png", b"\x07", {"width": 1, "height": 1, "duration_ms": None, "n_bytes": 1}),
+    ]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    out = {r.asset_id: r for r in multimodal.resize_assets(df, 32, 32).collect()}
+    assert bytes(out[1].payload) == b""          # empty: untouched
+    assert out[2].payload is None                # null: untouched
+    assert len(out[3].payload) == max(16, 32 * 32 // 64)  # real payload: transcoded

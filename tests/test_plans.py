@@ -19,13 +19,22 @@ from pyspark_mllib_twitter_spark.plans import REGISTRY
 SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _cold_cache(spark):
+    """Plan assertions are about COLD scans. Any table cached by an earlier
+    test module would be plan-fragment-substituted into these queries
+    (InMemoryRelation embeds the original full-width scan, breaking the
+    pruning assertions), so start this module with an empty cache."""
+    spark.catalog.clearCache()
+
+
 def _plan(spark, name: str) -> str:
     df = REGISTRY[name].spark(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_q3_broadcasts_dims_and_pushes_filters(spark):
-    plan = _plan(spark, "q_035_sql_q3")
+    plan = _plan(spark, "q_sql_q3")
     assert plan.count("BroadcastHashJoin") >= 2  # customer and orders sides
     assert "SortMergeJoin" not in plan
     assert "PushedFilters: [" in plan
@@ -40,7 +49,7 @@ def test_inner_join_broadcasts_small_dims(spark):
 def test_topk_uses_window_group_limit(spark):
     """Per-group top-k must push the k-limit below the shuffle
     (WindowGroupLimit), not rank the full partition then filter."""
-    plan = _plan(spark, "q_027_w1_topk")
+    plan = _plan(spark, "q_w1_topk")
     assert "WindowGroupLimit" in plan
 
 
@@ -49,9 +58,9 @@ def test_no_single_partition_exchange_in_headliners(spark):
     dense_rank-without-partitionBy trap). Final result ordering is exempt:
     rangepartitioning IS the distributed sort."""
     for name in (
-        "q_008_a5_id_dictionary",
-        "q_031_w5_sessionize",
-        "q_030_w4_time_rollup",
+        "q_a5_id_dictionary",
+        "q_w5_sessionize",
+        "q_w4_time_rollup",
         "q_a4_agg_suite",
         "q_j_range",
         "q_j_overlap",
@@ -62,7 +71,7 @@ def test_no_single_partition_exchange_in_headliners(spark):
 
 def test_scan_prunes_columns(spark):
     """A two-column projection must not read the whole orders schema."""
-    plan = _plan(spark, "q_021_p3_project")
+    plan = _plan(spark, "q_p3_project")
     scan = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert scan and "o_orderstatus" not in scan[0] and "o_orderpriority" not in scan[0]
 
@@ -106,14 +115,14 @@ def test_dynamic_partition_pruning(spark, tmp_path):
 def test_analytic_suite_single_window_node(spark):
     """All five q_w6 window functions must evaluate in ONE Window physical
     node over one sort — five separate window specs would mean five sorts."""
-    plan = _plan(spark, "q_032_w6_analytic")
+    plan = _plan(spark, "q_w6_analytic")
     assert plan.count("Window") == 1
 
 
 def test_new_joins_never_nested_loop(spark):
     """Q17 decorrelation and the salted join must stay hash joins; a lost
     equi-condition silently degrades to BroadcastNestedLoopJoin."""
-    for name in ("q_034_sub_q17", "q_j_skew_salted", "q_003_j_nullsafe"):
+    for name in ("q_sub_q17", "q_j_skew_salted", "q_j_nullsafe"):
         plan = _plan(spark, name)
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan, name
 
@@ -121,7 +130,7 @@ def test_new_joins_never_nested_loop(spark):
 def test_unpivot_no_extra_shuffle(spark):
     """unpivot is an Expand inside the scan stage: the only exchange allowed
     is the final result ordering (rangepartitioning)."""
-    plan = _plan(spark, "q_024_u2_unpivot")
+    plan = _plan(spark, "q_u2_unpivot")
     assert plan.count("Exchange") <= 1
 
 
@@ -130,12 +139,12 @@ def test_text_queries_stay_jvm_side(spark):
     scrubbing, quality, langid, fingerprinting are all regexp/string
     expressions that run inside whole-stage codegen. A Python UDF sneaking
     in here would turn a parquet-speed 100 TB scan into an Arrow shuttle."""
-    for name in ("q_045_ns_scrub", "q_046_ns_quality", "q_047_ns_langid", "q_ns_fingerprint"):
+    for name in ("q_ns_scrub", "q_ns_quality", "q_ns_langid", "q_ns_fingerprint"):
         plan = _plan(spark, name)
         assert "Python" not in plan and "ArrowEval" not in plan, name
     # and the scan reads only the needed columns (pruning through the
     # expression chain): scrub touches doc_id + text, never lang/source.
-    scan = [l for l in _plan(spark, "q_045_ns_scrub").splitlines() if "ReadSchema" in l]
+    scan = [l for l in _plan(spark, "q_ns_scrub").splitlines() if "ReadSchema" in l]
     assert scan and "lang" not in scan[0] and "source" not in scan[0]
 
 

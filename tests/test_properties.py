@@ -21,12 +21,16 @@ K = 10
 
 @pytest.fixture(scope="module")
 def embeddings(spark, sf_smoke):
-    return read_table(spark, sf_smoke, "embeddings").cache()
+    df = read_table(spark, sf_smoke, "embeddings").cache()
+    yield df
+    df.unpersist()  # don't leak a bare-relation cache into later modules
 
 
 @pytest.fixture(scope="module")
 def documents(spark, sf_smoke):
-    return read_table(spark, sf_smoke, "documents").cache()
+    df = read_table(spark, sf_smoke, "documents").cache()
+    yield df
+    df.unpersist()  # don't leak a bare-relation cache into later modules
 
 
 @pytest.fixture(scope="module")
@@ -150,16 +154,23 @@ def test_minhash_dedup_removes_exact_duplicates(documents):
 
 
 def test_keep_one_representatives_converges_on_chain(spark):
-    """A duplicate chain longer than the old fixed 5-iteration cap gets ONE
-    representative (the fixpoint loop actually reaches the fixpoint)."""
-    n = 12  # path graph 0-1-2-...-11, diameter 11 > 5
+    """A path graph of 50 docs (diameter 49, far beyond the 20-round cap for
+    plain propagation) converges to ONE representative WITHOUT hitting the
+    iteration cap — pointer jumping makes rounds O(log diameter), and the
+    convergence probe must actually fire (no warning)."""
+    import warnings
+
+    n = 50  # path graph 0-1-2-...-49
     pairs = spark.createDataFrame(
         [(i, i + 1, 0.0) for i in range(n - 1)], "id_a long, id_b long, d double"
     )
     all_ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
-    reps = dedup.keep_one_representatives(pairs, all_ids)
-    distinct_reps = {r.rep_id for r in reps.collect()}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        reps = dedup.keep_one_representatives(pairs, all_ids)
+        distinct_reps = {r.rep_id for r in reps.collect()}
     assert distinct_reps == {0}
+    assert not [w for w in caught if "max_iters" in str(w.message)]
 
 
 def test_simhash_candidates_respect_hamming_bound(documents):

@@ -1,6 +1,6 @@
 """Sampling operators: hash-sample determinism/portability guarantees and
 stratified-sample rate tolerances. (Oracle-level check runs via
-q_038_sample_hash in test_oracle.)"""
+q_sample_hash in test_oracle.)"""
 
 from __future__ import annotations
 

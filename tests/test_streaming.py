@@ -1,7 +1,7 @@
 """Streaming semantics pinned against batch twins (SURVEY §5, FIXTURES.md §C).
 
 The oracle equivalence of the tumbling-window query runs in test_oracle.py
-(q_013_stream_window_counts carries DuckDB SQL). Here: the semantics a SQL
+(q_stream_window_counts carries DuckDB SQL). Here: the semantics a SQL
 oracle can't express — watermark late-row dropping, session-window
 equivalence with batch, exactly-once dedup under re-delivery, sliding
 windows, and the custom stateful operator.

@@ -13,7 +13,9 @@ from pyspark_mllib_twitter_spark.sources import read_table
 
 @pytest.fixture(scope="module")
 def documents(spark, sf_smoke):
-    return read_table(spark, sf_smoke, "documents").limit(200).cache()
+    df = read_table(spark, sf_smoke, "documents").limit(200).cache()
+    yield df
+    df.unpersist()  # don't leak the cache into later modules
 
 
 def test_pipeline_ngrams_match_sql_twin(documents):

@@ -172,3 +172,53 @@ def test_word2vec_neighbors_deterministic_and_geometric(spark, sf_oracle):
         assert [r["rank"] for r in rows] == [1, 2, 3]
         # ranks ordered by descending cosine
         assert rows[0]["cos"] >= rows[1]["cos"] >= rows[2]["cos"]
+
+
+def test_word2vec_distributed_fit_overlaps_pinned(spark, sf_oracle):
+    """The documented 100 TB knob (num_partitions > 1) is exercised, not just
+    documented: a 4-partition fit trains per-partition models and averages
+    them (MLlib's distributed Word2Vec), so exact vectors differ from the
+    pinned single-partition fit (per-partition models are averaged each
+    iteration and executor scheduling wiggles the result — the standard
+    distributed-Word2Vec tradeoff). Robust properties that must hold:
+
+    - the VOCABULARY is identical (it derives from token counts, which are
+      partitioning-independent), with the declared vector size;
+    - the full nearest-terms pipeline runs on the distributed fit: k valid
+      neighbors per query term, cosines in [-1, 1], no self-neighbors;
+    - the two geometries agree above chance: pooled over terms, at least one
+      shared top-k neighbor (chance for k=5 in a vocab of hundreds is <2%
+      per term; measured pooled overlap is 3-9 of 25 across runs — a mean-
+      overlap threshold would flake on this near-random fixture corpus)."""
+    from pyspark_mllib_twitter_spark.sources import read_table
+    from pyspark_mllib_twitter_spark.workloads.w4_word2vec import (
+        nearest_terms,
+        top_frequent_terms,
+        word_embeddings,
+    )
+
+    docs = read_table(spark, sf_oracle, "documents")
+    terms = top_frequent_terms(docs)
+    k = 5
+    pinned = word_embeddings(docs, num_partitions=1)
+    dist = word_embeddings(docs, num_partitions=4)
+
+    vocab_a = {(r.word, len(r.vec)) for r in pinned.collect()}
+    vocab_b = {(r.word, len(r.vec)) for r in dist.collect()}
+    assert vocab_a == vocab_b and len(vocab_a) > 0
+    assert all(n == 32 for _, n in vocab_b)
+
+    n_b = nearest_terms(dist, terms, k=k).collect()
+    by_term: dict[str, set] = {}
+    for r in n_b:
+        assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9
+        assert r["neighbor"] != r["term"]
+        by_term.setdefault(r["term"], set()).add(r["neighbor"])
+    assert set(by_term) == set(terms)
+    assert all(len(v) == k for v in by_term.values())
+
+    a = {}
+    for r in nearest_terms(pinned, terms, k=k).collect():
+        a.setdefault(r["term"], set()).add(r["neighbor"])
+    pooled_overlap = sum(len(a[t] & by_term[t]) for t in terms)
+    assert pooled_overlap >= 1, "distributed and pinned geometries are unrelated"

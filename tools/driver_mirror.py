@@ -40,14 +40,14 @@ sys.path.insert(0, REPO)
 
 #: Streaming replays / iterative ML — minutes, not seconds, per query.
 SLOW = {
-    "q_011_w1_user_similarity",
-    "q_012_w2_als_recommend",
-    "q_013_stream_window_counts",
-    "q_014_stream_sliding",
-    "q_015_stream_join",
-    "q_016_stream_dedup",
-    "q_017_stream_session",
-    "q_018_stream_stateful",
+    "q_w1_user_similarity",
+    "q_w2_als_recommend",
+    "q_stream_window_counts",
+    "q_stream_sliding",
+    "q_stream_join",
+    "q_stream_dedup",
+    "q_stream_session",
+    "q_stream_stateful",
     "q_ml_quality_clf",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
@@ -82,6 +82,7 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.registry import base_name
 
     # Vanilla on purpose — do NOT route through session.get_spark. Only the
     # master/parallelism knobs a harness would also set, no repo confs.
@@ -101,9 +102,10 @@ def main() -> int:
 
     names = sorted(REGISTRY)
     if args.only:
-        names = [n for n in names if n in set(args.only)]
+        only = set(args.only)
+        names = [n for n in names if n in only or base_name(n) in only]
     if args.skip_slow:
-        names = [n for n in names if n not in SLOW]
+        names = [n for n in names if base_name(n) not in SLOW]
 
     failures: list[str] = []
     for name in names:
