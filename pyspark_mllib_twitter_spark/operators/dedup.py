@@ -144,9 +144,13 @@ def keep_one_representatives(
     """
     import warnings
 
+    # Materialize the (often expensive) candidate-pair plan ONCE before the
+    # symmetrize union — otherwise the union's two branches each re-evaluate
+    # the upstream LSH/gram join, doubling its cost inside the checkpoint.
+    pairs_ck = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs_ck.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs_ck.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)  # reused every iteration
     )

@@ -50,7 +50,9 @@ class DecoderNotAvailable(NotImplementedError):
     the rest of the distributed plumbing testable."""
 
 
-def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
+def synthetic_assets(
+    spark, n: int = 256, seed: int = 42, num_partitions: int = 8
+) -> DataFrame:
     """Deterministic asset table: ``image/png`` payloads are REAL PNG files
     (id-derived pixels encoded with ``functions.png``), other mimes carry
     id-derived opaque bytes; metadata is consistent with the payload.
@@ -62,6 +64,8 @@ def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
     mimes = ["image/png", "image/jpeg", "audio/wav"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..functions import png as _png
 
         for pdf in batches:
@@ -71,19 +75,20 @@ def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
                 mime = mimes[i % 3]
                 width, height = 64 + i % 32, 48 + i % 24
                 if mime == "image/png":
-                    # Real PNG: deterministic RGB gradient + id-seeded ramp.
-                    stride = width * 3
-                    pixels = bytes(
-                        (i * 2654435761 + y * stride + x) % 251
-                        for y in range(height)
-                        for x in range(stride)
-                    )
+                    # Real PNG: deterministic id-seeded ramp, numpy-
+                    # vectorized (a Python per-pixel loop dominates the
+                    # whole query's runtime at w*h*3 bytes per asset).
+                    n_px = width * height * 3
+                    pixels = (
+                        (i * 2654435761 + np.arange(n_px, dtype=np.int64)) % 251
+                    ).astype(np.uint8).tobytes()
                     payload = _png.encode_png(width, height, pixels, 3)
                 else:
-                    payload = bytes(
-                        ((i * 2654435761 + j * (seed + 1)) % 251)
-                        for j in range(64 + i % 64)
-                    )
+                    n_b = 64 + i % 64
+                    payload = (
+                        (i * 2654435761 + np.arange(n_b, dtype=np.int64) * (seed + 1))
+                        % 251
+                    ).astype(np.uint8).tobytes()
                 rows.append(
                     {
                         "asset_id": i,
@@ -99,19 +104,25 @@ def synthetic_assets(spark, n: int = 256, seed: int = 42) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+    # Bounded partition count: the default 1-task-per-core range split gives
+    # ~4-asset batches whose per-task Python-worker round trips dominate the
+    # actual codec work. 8 partitions keeps the generation distributed (and
+    # the downstream mapInPandas stages inherit the layout) without paying
+    # 64 task launches per stage for a few MB of assets.
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, ASSET_SCHEMA)
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> list[float]:
     """Deterministic stand-in for image decode + feature extraction: a fixed
     8-dim byte-histogram feature. Replace with a real codec when available."""
+    import numpy as np
+
     if payload is None:
         return [0.0] * 8
-    hist = [0] * 8
-    for b in payload:
-        hist[b % 8] += 1
-    total = max(1, len(payload))
-    return [h / total for h in hist]
+    if len(payload) == 0:
+        return [0.0] * 8
+    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8) % 8, minlength=8)
+    return (hist / len(payload)).tolist()
 
 
 def _audio_features(payload: bytes) -> list[float]:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TXT
 from ..operators import dedup, multimodal, similarity
-from ..sources import read_table
+from ..sources import read_table, spread
 from .registry import query
 
 # Tiny stopword lists shared with the DuckDB oracle text below.
@@ -257,7 +257,7 @@ def q_ns_emb_neardup(spark, sf_dir):
     random fixture yields a small, stable candidate set; recall properties
     are covered by the LSH ANN tests."""
     pairs = dedup.embedding_near_dup_pairs(
-        _emb(spark, sf_dir), min_cosine=0.30, num_hash_tables=8, bucket_length=1.0
+        spread(_emb(spark, sf_dir)), min_cosine=0.30, num_hash_tables=8, bucket_length=1.0
     )
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
@@ -329,7 +329,7 @@ def q_ns_jaccard_pairs(spark, sf_dir):
     fixture's shuffled-word duplicates — ~1.5k real pairs at every sf, so the
     hash match is non-vacuous (3-grams found nothing: the duplicates reorder
     words)."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    d = spread(_docs(spark, sf_dir).filter(F.col("doc_id") < 300))
     return (
         dedup.ngram_jaccard_pairs(d, block_col="source", n=1, min_jaccard=0.5)
         .orderBy("id_a", "id_b")
@@ -340,14 +340,14 @@ def q_ns_jaccard_pairs(spark, sf_dir):
 def q_ns_dedup_minhash(spark, sf_dir):
     """MinHash-LSH fuzzy dedup: surviving doc ids (property-tested: recall
     vs exact Jaccard, idempotence)."""
-    survivors = dedup.minhash_dedup(_docs(spark, sf_dir))
+    survivors = dedup.minhash_dedup(spread(_docs(spark, sf_dir)))
     return survivors.select("doc_id").orderBy("doc_id")
 
 
 @query("q_ns_dedup_simhash", oracle=None)  # xxhash64-based signature, engine-specific
 def q_ns_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidate pairs (hamming <= 3 over 63-bit sigs)."""
-    return dedup.simhash_candidate_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+    return dedup.simhash_candidate_pairs(spread(_docs(spark, sf_dir))).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -386,7 +386,7 @@ def q_ns_knn_exact(spark, sf_dir):
 def q_ns_ann_lsh(spark, sf_dir):
     """Random-projection LSH ANN, same contract as q_ns_knn_exact
     (property-tested: recall >= 0.6 vs exact)."""
-    emb = _emb(spark, sf_dir)
+    emb = spread(_emb(spark, sf_dir))
     res = similarity.lsh_top_k(corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5)
     return res.orderBy("query_id", "rn")
 
@@ -394,7 +394,7 @@ def q_ns_ann_lsh(spark, sf_dir):
 @query("q_ns_ann_ivf", oracle=None)  # KMeans centroids are engine-specific
 def q_ns_ann_ivf(spark, sf_dir):
     """IVF (KMeans-partitioned) ANN — the large-|Q| scale path."""
-    emb = _emb(spark, sf_dir)
+    emb = spread(_emb(spark, sf_dir))
     res = similarity.ivf_top_k(corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5)
     return res.orderBy("query_id", "rn")
 
@@ -405,6 +405,9 @@ def q_ns_ann_pq(spark, sf_dir):
     path: vectors stored as m one-byte codes, approximate distances via
     per-query lookup tables, top-k*refine re-ranked exactly. Recall-vs-
     exact is property-tested (tests/test_properties.py)."""
+    # NOT spread: PQ's per-subspace KMeans fits launch ~16 small jobs that
+    # each re-read the encoded corpus; an extra exchange in that lineage
+    # costs more than the single-task scan saves (measured 4.6s -> 13.4s).
     emb = _emb(spark, sf_dir)
     res = similarity.pq_top_k(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5,
@@ -565,7 +568,7 @@ def q_ns_pipeline(spark, sf_dir):
     through decimal-sum/count so both engines divide identical inputs."""
     from ..operators import dedup as D
 
-    docs = _docs(spark, sf_dir)
+    docs = spread(_docs(spark, sf_dir))
     sid = F.col("doc_id").cast("string")
     raw = F.concat(
         F.col("text"),

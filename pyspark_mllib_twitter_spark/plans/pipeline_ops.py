@@ -35,7 +35,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
-from ..sources import read_table
+from ..sources import read_table, spread
 from .registry import query
 
 #: Chunking geometry. Sized to the synthetic fixture (docs <= ~550 chars) so
@@ -208,7 +208,7 @@ def q_x3_contamination(spark, sf_dir):
     non-benchmark docs never reach it. The final left join back to
     ``documents`` keeps row count stable (uncontaminated docs report 0).
     """
-    return _contamination_report(_docs(spark, sf_dir))
+    return _contamination_report(spread(_docs(spark, sf_dir)))
 
 
 def _contamination_report(d):
@@ -407,25 +407,45 @@ def q_x6_cc_clusters(spark, sf_dir):
 
     Edges are documents sharing a word ``CC_N``-gram — a deterministic
     stand-in for the MinHash/SimHash candidate pairs the dedup family feeds
-    this operator in production. The gram self-join is an **equi-join on the
-    gram** (the LSH-band pattern — sub-quadratic, never all-pairs), then
-    ``operators.dedup.keep_one_representatives`` runs label propagation to
-    fixpoint. The DuckDB oracle computes the same components via a
-    recursive-CTE transitive closure, upgrading this family from rows-only
-    to value-checked (closure is O(component²) — fine at oracle scale; the
-    Spark side is the diameter-bounded scale path).
+    this operator in production. Candidate pairs come from ONE partial-agg
+    shuffle: group by gram, ``collect_set`` the doc ids (map-side combine
+    shrinks the shuffle; the set also dedups within-doc gram repeats), then
+    emit each group's sorted id combinations JVM-side (``transform`` over
+    ``slice`` — the same pair set the classic gram self-join would produce,
+    minus the self-join's extra distinct shuffle over the full exploded gram
+    table). At 100 TB a stopword-like hot gram needs the jaccard-style
+    block-size guard (``dedup.ngram_jaccard_pairs``) or MinHash routing;
+    unguarded here because the oracle must see the identical pair set. Then
+    ``operators.dedup.keep_one_representatives`` runs label propagation with
+    pointer jumping to fixpoint. The DuckDB oracle computes the same
+    components via a recursive-CTE transitive closure, upgrading this family
+    from rows-only to value-checked (closure is O(component²) — fine at
+    oracle scale; the Spark side is the log-diameter-bounded scale path).
     """
     from ..operators.dedup import keep_one_representatives
 
-    d = _docs(spark, sf_dir)
+    d = spread(_docs(spark, sf_dir))
     grams = d.select(
         "doc_id", F.explode(TXT.word_ngrams(TXT.tokens("text"), CC_N)).alias("g")
-    ).distinct()
-    a, b = grams.alias("a"), grams.alias("b")
+    )
+    ids = F.array_sort(F.collect_set("doc_id"))
+    grouped = (
+        grams.groupBy("g")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, on=[F.col("a.g") == F.col("b.g"),
-                      F.col("a.doc_id") < F.col("b.doc_id")])
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        grouped.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     reps = keep_one_representatives(pairs, d.select("doc_id"), "doc_id")
@@ -582,7 +602,7 @@ def q_x8_repetition(spark, sf_dir):
     the text column itself is never shuffled. The left join back to
     ``documents`` keeps row count stable (empty docs report zeros).
     """
-    return _repetition_report(_docs(spark, sf_dir))
+    return _repetition_report(spread(_docs(spark, sf_dir)))
 
 
 def _repetition_report(d):
@@ -677,7 +697,7 @@ def q_x9_lm_score(spark, sf_dir):
     broadcast. Scores round to 4dp on both engines (avg-of-logs is
     summation-order-sensitive in the last bits).
     """
-    return _lm_score_report(_docs(spark, sf_dir))
+    return _lm_score_report(spread(_docs(spark, sf_dir)))
 
 
 def _lm_score_report(d):

@@ -6,6 +6,7 @@ from .io import (
     read_tweets_json_array,
     read_tweets_jsonl,
     register_views,
+    spread,
     write_clustered_parquet,
     write_parquet,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "read_tweets_json_array",
     "read_tweets_jsonl",
     "register_views",
+    "spread",
     "write_clustered_parquet",
     "write_parquet",
 ]

@@ -85,6 +85,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to session default parallelism.
+
+    The local fixture tables arrive as ONE scan partition (single parquet
+    file, single row group), which serializes every CPU-heavy downstream
+    pipeline stage (tokenize/explode/ngram/codec) onto one core. At
+    warehouse scale the same scan splits across thousands of row groups and
+    this exchange is unnecessary — here it costs one small shuffle of the
+    pruned input columns and unlocks full-core parallelism. Explicit
+    numPartitions so AQE's partition coalescing (which targets ~64 MB
+    partitions and would merge the small text right back onto one core)
+    leaves the exchange alone. Catalyst still pushes filters and column
+    pruning through the repartition to the scan."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: read_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
 
