@@ -41,6 +41,7 @@ SINGLE_RUN = {
     "q_w1_user_similarity",
     "q_w2_als_recommend",
     "q_ns_dedup_minhash",
+    "q_xc_semantic_dedup",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
     "q_ml_quality_clf",

@@ -411,3 +411,79 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cluster) dedup — SemDeDup-style
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.97,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_fit_rows: int = 65536,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs (Abbas et al., "SemDeDup", 2023 —
+    public): KMeans-cluster L2-normalized embeddings, then compare ONLY
+    within-cluster pairs by exact cosine.
+
+    Scale shape: the coarse quantizer fits on a bounded md5-keyed sample
+    (same discipline as the IVF/PQ quantizers, ``similarity.py``); the full
+    corpus is only *assigned* (one broadcast of k centroids); the pair
+    search is an equi-join on cluster id — pair count scales with
+    sum(cluster_size²), not |corpus|², and each cluster is its own shuffle
+    partition. The recall tradeoff is pairs split across a cluster
+    boundary — the same blocking tradeoff as every IVF-style index; raise
+    ``n_clusters`` for speed, lower it for recall.
+
+    Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    from .similarity import _bounded_fit_sample, _to_ml_vectors
+
+    norm = embeddings.select(
+        F.col(id_col), vectors.l2_normalize(vec_col).alias("arr")
+    )
+    ml = _to_ml_vectors(norm, "arr", "features")
+    km = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="cluster_id",
+    )
+    model = km.fit(_bounded_fit_sample(ml, id_col, max_fit_rows))
+    # Cached: both sides of the within-cluster self-join read the assignment.
+    assigned = model.transform(ml).select(id_col, "arr", "cluster_id").cache()
+    a = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a")
+    )
+    b = assigned.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b")
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            vectors.cosine(F.col("arr_a"), F.col("arr_b")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Survivors after SemDeDup clustering: near-dup pairs → connected
+    components (min-id representative) → keep one row per component."""
+    pairs = semantic_dedup_pairs(embeddings, id_col, vec_col, **kwargs)
+    reps = keep_one_representatives(pairs, embeddings.select(id_col), id_col)
+    keep = reps.filter(F.col(id_col) == F.col("rep_id")).select(id_col)
+    return embeddings.join(keep, id_col, "left_semi")

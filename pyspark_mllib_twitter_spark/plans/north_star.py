@@ -605,3 +605,30 @@ def q_ns_pipeline(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query("q_xc_semantic_dedup", oracle=None)  # KMeans clustering engine-specific
+def q_xc_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup, non-vacuous by construction: every
+    50th embedding gets a planted near-copy (id + 1e6, first coordinate
+    nudged by 1e-3 → cosine ~0.9999), then ``operators.dedup.semantic_dedup``
+    clusters the corpus (bounded-sample KMeans), finds within-cluster pairs
+    with cosine >= 0.99, and keeps the min-id representative per component —
+    so exactly the planted copies disappear. Output: surviving ids with a
+    ``planted`` marker (0 expected for all survivors). Rows-only: centroid
+    assignment is engine-specific; the removal property is pinned in
+    tests/test_properties.py.
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    survivors = dedup.semantic_dedup(corpus, min_cosine=0.99)
+    return survivors.select(
+        "vec_id", (F.col("vec_id") >= 1_000_000).cast("int").alias("planted")
+    ).orderBy("vec_id")

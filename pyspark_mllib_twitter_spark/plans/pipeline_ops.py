@@ -800,3 +800,105 @@ def q_xa_split_holdout(spark, sf_dir):
         )
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+#: A line is boilerplate when it appears in more than this fraction of the
+#: corpus' documents. Content lines in the fixture are unique per doc, so
+#: the threshold separates cleanly at any scale factor.
+BOILER_DOC_FRACTION = 0.05
+
+
+@query(
+    "q_xb_boilerplate",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             'subscribe to newsletter variant ' || CAST(doc_id % 3 AS VARCHAR)
+               || chr(10) || text ||
+             CASE WHEN doc_id % 5 <> 0
+                  THEN chr(10) || 'copyright footer variant '
+                       || CAST(doc_id % 2 AS VARCHAR)
+                  ELSE '' END AS text2
+      FROM documents),
+    lines AS (
+      SELECT doc_id, unnest(string_split(text2, chr(10))) AS line
+      FROM injected),
+    boiler AS (
+      SELECT line FROM lines
+      GROUP BY line
+      HAVING count(DISTINCT doc_id) >
+             {BOILER_DOC_FRACTION} * (SELECT count(*) FROM documents)),
+    bl AS (SELECT coalesce(list(line), []) AS bl FROM boiler),
+    cleaned AS (
+      SELECT i.doc_id,
+             list_filter(string_split(i.text2, chr(10)),
+                         x -> NOT list_contains(b.bl, x)) AS keep,
+             len(string_split(i.text2, chr(10))) AS n_before
+      FROM injected i CROSS JOIN bl b)
+    SELECT doc_id,
+           CAST(n_before AS BIGINT) AS n_lines,
+           CAST(n_before - len(keep) AS BIGINT) AS n_removed,
+           array_to_string(keep, chr(10)) AS clean_text
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q_xb_boilerplate(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal, value-checked end to end.
+
+    Web-scraped corpora repeat navigation/footer lines across millions of
+    pages; CCNet-style pipelines drop any line occurring in more than a
+    small fraction of documents. Fixture docs have no newlines, so (same
+    pattern as q_ns_scrub's injected PII) deterministic boilerplate is
+    injected first — a header in every doc (3 variants by ``doc_id % 3``)
+    and a footer in 80% of docs (2 variants) — then removed by frequency.
+
+    Scale shape: one partial-agg shuffle counts distinct docs per line
+    (map-side combine collapses the per-doc repeats), the surviving
+    boilerplate set is SMALL BY DEFINITION (each line covers > fraction*N
+    docs, so there are < 1/fraction of them) and **broadcast**; the corpus
+    is then cleaned with JVM array functions (``filter`` +
+    ``array_contains`` against the broadcast set) — the full text never
+    shuffles, and the rebuild preserves line order without a window.
+    """
+    d = spread(_docs(spark, sf_dir))
+    text2 = F.concat(
+        F.lit("subscribe to newsletter variant "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("\n"),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 != 0,
+            F.concat(
+                F.lit("\ncopyright footer variant "),
+                (F.col("doc_id") % 2).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    injected = d.select("doc_id", text2.alias("text2"))
+    lines = injected.select(
+        "doc_id", F.explode(F.split("text2", "\n")).alias("line")
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("line_df") > BOILER_DOC_FRACTION * F.col("n_docs"))
+        .agg(F.collect_set("line").alias("bl"))
+    )
+    split_lines = F.split("text2", "\n")
+    keep = F.filter(split_lines, lambda x: ~F.array_contains("bl", x))
+    return (
+        injected.crossJoin(F.broadcast(boiler))
+        .select(
+            "doc_id",
+            F.size(split_lines).cast("bigint").alias("n_lines"),
+            (F.size(split_lines) - F.size(keep)).cast("bigint").alias("n_removed"),
+            F.array_join(keep, "\n").alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -226,3 +226,33 @@ def test_hll_sketch_merge_close_to_exact(spark, sf_smoke):
         .select("c_custkey").distinct().count()
     )
     assert abs(est - exact) / exact <= 0.05, (est, exact)
+
+
+def test_semantic_dedup_removes_planted_near_copies(spark, embeddings):
+    """SemDeDup property: planting a near-copy (cosine ~0.9999) of every
+    20th vector and deduplicating at cosine >= 0.99 removes exactly the
+    planted copies (min-id keep-one keeps the originals); vectors without a
+    planted twin all survive (near-random fixture vectors are far below the
+    0.99 threshold of each other)."""
+    planted = embeddings.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    base = embeddings.select("vec_id", "embedding")
+    corpus = base.unionByName(planted)
+    survivors = {r.vec_id for r in dedup.semantic_dedup(corpus, min_cosine=0.99).collect()}
+    originals = {r.vec_id for r in base.collect()}
+    assert survivors == originals  # every original kept, every planted copy gone
+
+
+def test_semantic_dedup_pairs_respect_threshold(spark, embeddings):
+    """Every emitted pair satisfies the cosine threshold, ids are ordered,
+    and a corpus with no near-duplicates yields no pairs at a high bar."""
+    pairs = dedup.semantic_dedup_pairs(
+        embeddings.select("vec_id", "embedding"), min_cosine=0.99
+    ).collect()
+    assert all(r.cos_sim >= 0.99 and r.id_a < r.id_b for r in pairs)
+    assert len(pairs) == 0  # near-random fixture vectors are not near-dups

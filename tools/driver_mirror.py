@@ -52,6 +52,7 @@ SLOW = {
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
     "q_ns_dedup_minhash",
+    "q_xc_semantic_dedup",
 }
 
 FIXTURE_TABLES = (
