@@ -487,3 +487,35 @@ def semantic_dedup(
     reps = keep_one_representatives(pairs, embeddings.select(id_col), id_col)
     keep = reps.filter(F.col(id_col) == F.col("rep_id")).select(id_col)
     return embeddings.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: the "ingest a new crawl against an existing
+    lake" shape. Drops new-batch rows whose content fingerprint already
+    exists in ``corpus`` (left-anti on the md5 digest), then keep-one
+    (min id) within the batch itself.
+
+    Scale shape: both sides shuffle only 16-byte digests — the corpus text
+    never moves, and the corpus side reduces to its distinct fingerprint
+    set (in production that set is a materialized/bucketed table the
+    ingest job joins against, not a rescan of the lake). Returns the
+    surviving ``new_docs`` rows.
+    """
+    new_fp = new_docs.select(F.col(id_col), TXT.fingerprint(text_col).alias("fp"))
+    corpus_fp = corpus.select(TXT.fingerprint(text_col).alias("fp"))
+    fresh = new_fp.join(corpus_fp, "fp", "left_anti")
+    keep = (
+        fresh.groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return new_docs.join(keep, id_col, "left_semi")

@@ -902,3 +902,64 @@ def q_xb_boilerplate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xd_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      WHERE doc_id % 8 = 1),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM batch),
+    cfp AS (
+      SELECT DISTINCT
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM corpus),
+    fresh AS (
+      SELECT f.doc_id, f.fp FROM fp f ANTI JOIN cfp c ON f.fp = c.fp),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+    SELECT b.doc_id,
+           CAST(b.doc_id >= 2000000 AS INT) AS reingested
+    FROM batch b SEMI JOIN keep k ON b.doc_id = k.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_xd_incremental_dedup(spark, sf_dir):
+    """Incremental dedup, value-checked end to end: documents split into an
+    existing "lake" (3/4 of ids) and a new ingest batch (the other 1/4,
+    plus planted re-ingests — every 8th lake doc re-submitted under a new
+    id, which ``operators.dedup.dedup_against`` must drop because the
+    content fingerprint already exists in the corpus). Expected output:
+    every genuinely-new doc survives, every planted re-ingest is dropped
+    (``reingested`` = 0 for all survivors).
+
+    Scale shape (see the operator): the anti-join and keep-one shuffle only
+    16-byte md5 digests; neither side's text moves, and md5-of-normalized-
+    text is bit-identical across engines so the whole decision — not just
+    the counts — is oracle-checked.
+    """
+    from ..operators.dedup import dedup_against
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0).unionByName(
+        d.filter(F.col("doc_id") % 8 == 1).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    survivors = dedup_against(batch, corpus)
+    return survivors.select(
+        "doc_id", (F.col("doc_id") >= 2_000_000).cast("int").alias("reingested")
+    ).orderBy("doc_id")
