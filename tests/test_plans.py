@@ -192,3 +192,25 @@ def test_greedy_pack_single_shuffle_on_source(spark):
     hash_exchanges = [l for l in plan.splitlines()
                       if "Exchange hashpartitioning" in l]
     assert len(hash_exchanges) == 1, plan
+
+
+def test_boilerplate_broadcasts_line_set_and_never_shuffles_text(spark):
+    """q_xb's scale contract: the boilerplate line set is broadcast (it is
+    small by definition — each line covers >5% of docs), and the document
+    text never moves through a hash exchange — only the exploded lines do,
+    as partial-agg input."""
+    plan = _plan(spark, "q_xb_boilerplate")
+    assert "BroadcastExchange" in plan
+    assert "Python" not in plan  # whole pipeline is JVM-side
+    # no sort-merge join anywhere: the clean-up is a broadcast nested loop
+    # (1-row boilerplate set) — a SortMergeJoin would mean the text shuffled
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_shuffles_digests_only(spark):
+    """q_xd's scale contract: every hash exchange carries the 16-byte md5
+    fingerprint (and ids), never the document text."""
+    plan = _plan(spark, "q_xd_incremental_dedup")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
