@@ -450,13 +450,31 @@ def semantic_dedup_pairs(
         F.col(id_col), vectors.l2_normalize(vec_col).alias("arr")
     )
     ml = _to_ml_vectors(norm, "arr", "features")
-    km = KMeans(
-        k=n_clusters, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="cluster_id",
-    )
-    model = km.fit(_bounded_fit_sample(ml, id_col, max_fit_rows))
+    fit_sample = _bounded_fit_sample(ml, id_col, max_fit_rows)
+    # KMeans requires k <= n training rows, and a k close to n degenerates
+    # to one point per cluster (no within-cluster pairs at all). Cap k at
+    # ~n/8 so every cluster expects several members; a tiny corpus (tests,
+    # tail partitions of a filtered lake) degrades to k=1 — all-pairs,
+    # which is exact and affordable at that size.
+    n_fit = fit_sample.count()
+    if n_fit == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"id_a {dict(embeddings.dtypes)[id_col]}, "
+                f"id_b {dict(embeddings.dtypes)[id_col]}, cos_sim double"
+        )
+    k = min(n_clusters, n_fit // 8)
+    if k >= 2:  # MLlib KMeans requires k >= 2
+        km = KMeans(
+            k=k, seed=seed, maxIter=max_iter,
+            featuresCol="features", predictionCol="cluster_id",
+        )
+        assigned = (
+            km.fit(fit_sample).transform(ml).select(id_col, "arr", "cluster_id")
+        )
+    else:  # corpus too small to block — one cluster == exact all-pairs
+        assigned = ml.select(id_col, "arr", F.lit(0).alias("cluster_id"))
     # Cached: both sides of the within-cluster self-join read the assignment.
-    assigned = model.transform(ml).select(id_col, "arr", "cluster_id").cache()
+    assigned = assigned.cache()
     a = assigned.select(
         "cluster_id", F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a")
     )

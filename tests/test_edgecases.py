@@ -152,3 +152,24 @@ def test_observation_metrics_match_batch_agg(spark, sf_smoke):
     assert got["n_rows"] == want.n_rows
     assert got["n_null_users"] == want.n_null_users
     assert abs(got["sum_value"] - want.sum_value) < 1e-6
+
+
+def test_semantic_dedup_tiny_and_empty_corpus(spark):
+    """A corpus smaller than n_clusters must degrade to fewer KMeans
+    clusters (k=1 == exact all-pairs) instead of failing the fit; an empty
+    corpus yields zero pairs and zero survivors."""
+    from pyspark_mllib_twitter_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 1e-4]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    survivors = {r.vec_id for r in semantic_dedup(tiny, min_cosine=0.99).collect()}
+    assert survivors == {1, 3}  # 2 is a near-dup of 1; min id kept
+
+    empty = tiny.filter("vec_id < 0")
+    assert semantic_dedup_pairs(empty).count() == 0
+    assert semantic_dedup(empty).count() == 0
