@@ -417,6 +417,35 @@ def embedding_near_dup_pairs(
 # Semantic (embedding-cluster) dedup — SemDeDup-style
 # ---------------------------------------------------------------------------
 
+def _lloyd_centroids(
+    sample: list, k: int, seed: int = 42, iters: int = 8
+) -> list[list[float]]:
+    """Plain Lloyd k-means over an in-memory sample (numpy, seeded init by
+    deterministic index striding — no RNG state). Returns k centroids as
+    plain lists. Quantizer-fit-only helper: the caller assigns the full
+    corpus distributed."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    # Deterministic spread-out init: stride the (hash-sampled, effectively
+    # shuffled) sample at equal intervals.
+    idx = [(i * len(x)) // k for i in range(k)]
+    cents = x[idx].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c via one matmul — an (n, k)
+        # matrix, never the (n, k, dim) broadcast tensor.
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            + (cents * cents).sum(axis=1)[None, :]
+            - 2.0 * (x @ cents.T)
+        )
+        labels = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[labels == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cents]
+
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -442,39 +471,50 @@ def semantic_dedup_pairs(
 
     Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
     """
-    from pyspark.ml.clustering import KMeans
-
-    from .similarity import _bounded_fit_sample, _to_ml_vectors
+    from .similarity import _bounded_fit_sample
 
     norm = embeddings.select(
         F.col(id_col), vectors.l2_normalize(vec_col).alias("arr")
     )
-    ml = _to_ml_vectors(norm, "arr", "features")
-    fit_sample = _bounded_fit_sample(ml, id_col, max_fit_rows)
-    # KMeans requires k <= n training rows, and a k close to n degenerates
-    # to one point per cluster (no within-cluster pairs at all). Cap k at
-    # ~n/8 so every cluster expects several members; a tiny corpus (tests,
-    # tail partitions of a filtered lake) degrades to k=1 — all-pairs,
-    # which is exact and affordable at that size.
-    n_fit = fit_sample.count()
+    fit_sample = _bounded_fit_sample(norm, id_col, max_fit_rows)
+    # The quantizer trains DRIVER-LOCAL on the bounded sample (<= 65k
+    # vectors — a few MB; numpy Lloyd finishes in milliseconds). An MLlib
+    # fit here costs ~15 driver jobs (k-means|| init + one job per Lloyd
+    # round) of pure scheduling overhead on a sample this small — measured
+    # as the dominant cost of the whole operator. Only the FIT is local:
+    # assignment below is a distributed JVM expression over broadcast
+    # centroid literals, so the corpus itself never reaches the driver.
+    sample = [r.arr for r in fit_sample.select("arr").collect()]
+    n_fit = len(sample)
     if n_fit == 0:
         return embeddings.sparkSession.createDataFrame(
             [], f"id_a {dict(embeddings.dtypes)[id_col]}, "
                 f"id_b {dict(embeddings.dtypes)[id_col]}, cos_sim double"
         )
-    k = min(n_clusters, n_fit // 8)
-    if k >= 2:  # MLlib KMeans requires k >= 2
-        km = KMeans(
-            k=k, seed=seed, maxIter=max_iter,
-            featuresCol="features", predictionCol="cluster_id",
+    # A k close to n degenerates to one point per cluster (no within-cluster
+    # pairs); cap at ~n/8 so clusters expect several members. k=1 means
+    # all-pairs — exact and affordable at that corpus size.
+    k = max(1, min(n_clusters, n_fit // 8))
+    if k >= 2:
+        centroids = _lloyd_centroids(sample, k, seed=seed, iters=max_iter)
+        cents = F.array(
+            *[F.lit(c).cast("array<double>") for c in centroids]
         )
-        assigned = (
-            km.fit(fit_sample).transform(ml).select(id_col, "arr", "cluster_id")
-        )
+        # argmax over centroid dot products (unit sphere: max dot == nearest
+        # centroid) — one codegen'd expression, no shuffle, no MLlib.
+        sims = F.transform(cents, lambda c: vectors.dot(c, F.col("arr")))
+        cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        assigned = norm.select(id_col, "arr", cluster.alias("cluster_id"))
     else:  # corpus too small to block — one cluster == exact all-pairs
-        assigned = ml.select(id_col, "arr", F.lit(0).alias("cluster_id"))
-    # Cached: both sides of the within-cluster self-join read the assignment.
-    assigned = assigned.cache()
+        assigned = norm.select(id_col, "arr", F.lit(0).alias("cluster_id"))
+    # Pre-partition by cluster BEFORE the self-join and cache that layout:
+    # both join sides then share hash(cluster_id) partitioning (no extra
+    # exchange), and — critically — AQE cannot coalesce it away. Without
+    # this, AQE sizes the join by shuffle BYTES (a few MB of vectors →
+    # 2 partitions) while the work is QUADRATIC per cluster, serializing
+    # the whole pair scan onto two cores (measured 15s for a 2s job).
+    n_part = max(2, min(n_clusters, 32))
+    assigned = assigned.repartition(n_part, "cluster_id").cache()
     a = assigned.select(
         "cluster_id", F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a")
     )
@@ -487,7 +527,9 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            vectors.cosine(F.col("arr_a"), F.col("arr_b")).alias("cos_sim"),
+            # arrs are L2-normalized above: dot == cosine, one array fold
+            # per pair instead of cosine()'s three (a.b, a.a, b.b).
+            vectors.dot(F.col("arr_a"), F.col("arr_b")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
