@@ -86,19 +86,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Round-robin repartition to session default parallelism.
+    """Round-robin repartition to session default parallelism — ONLY when
+    the input plan yields fewer partitions than that.
 
     The local fixture tables arrive as ONE scan partition (single parquet
     file, single row group), which serializes every CPU-heavy downstream
-    pipeline stage (tokenize/explode/ngram/codec) onto one core. At
-    warehouse scale the same scan splits across thousands of row groups and
-    this exchange is unnecessary — here it costs one small shuffle of the
-    pruned input columns and unlocks full-core parallelism. Explicit
-    numPartitions so AQE's partition coalescing (which targets ~64 MB
-    partitions and would merge the small text right back onto one core)
-    leaves the exchange alone. Catalyst still pushes filters and column
-    pruning through the repartition to the scan."""
+    pipeline stage (tokenize/explode/ngram/codec) onto one core; the
+    explicit exchange costs one small shuffle of the pruned input columns
+    and unlocks full-core parallelism. At warehouse scale the same scan
+    already splits across thousands of row groups, so the partition-count
+    check makes this a NO-OP there — an unconditional repartition would
+    force a pointless full shuffle of the corpus. Explicit numPartitions so
+    AQE's partition coalescing (which targets ~64 MB partitions and would
+    merge small-but-compute-heavy text right back onto one core) leaves the
+    exchange alone. Catalyst still pushes filters and column pruning
+    through the repartition to the scan. (The partition probe inspects the
+    physical plan only — no job runs.)"""
     n = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

@@ -141,3 +141,18 @@ def test_clustered_write_disjoint_file_ranges(spark, sf_smoke, tmp_out):
         assert hi1 < lo2, f"overlapping file ranges {ranges}"
     # and the clustered read round-trips
     assert spark.read.parquet(tmp_out).count() == orders.count()
+
+
+def test_spread_is_noop_when_already_parallel(spark, sf_smoke):
+    """spread() must add an exchange only for under-partitioned scans: an
+    input already at session parallelism passes through unchanged (at
+    warehouse scale the scan splits naturally and a forced repartition
+    would shuffle the whole corpus for nothing)."""
+    from pyspark_mllib_twitter_spark.sources import spread
+
+    one = read_table(spark, sf_smoke, "documents")
+    assert one.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    widened = spread(one)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    already = one.repartition(spark.sparkContext.defaultParallelism)
+    assert spread(already) is already  # no second exchange
