@@ -76,7 +76,13 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = channels = None
     idat = bytearray()
     while pos < len(data):
+        # Explicit bounds checks so truncated input raises the module's
+        # documented ValueError, never a low-level struct.error.
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG: chunk header past end of data")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG: chunk body past end of data")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -100,7 +106,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or channels is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG data length mismatch after inflate")

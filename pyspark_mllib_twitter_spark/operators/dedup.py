@@ -420,10 +420,18 @@ def embedding_near_dup_pairs(
 def _lloyd_centroids(
     sample: list, k: int, seed: int = 42, iters: int = 8
 ) -> list[list[float]]:
-    """Plain Lloyd k-means over an in-memory sample (numpy, seeded init by
-    deterministic index striding — no RNG state). Returns k centroids as
-    plain lists. Quantizer-fit-only helper: the caller assigns the full
-    corpus distributed."""
+    """SPHERICAL k-means over an in-memory sample of unit vectors (numpy,
+    deterministic strided init — no RNG state): assignment by max cosine,
+    centroids re-normalized to unit length each round (Dhillon & Modha,
+    "Concept decompositions for large sparse text data using clustering",
+    2001 — public). Returns k UNIT centroids as plain lists.
+
+    Unit centroids matter downstream: the distributed assignment is an
+    argmax of dot products, which equals nearest-centroid ONLY when all
+    centroids share a norm — plain Lloyd means of unit vectors have
+    cluster-dependent norms (tight cluster → ~1, diffuse → small) and the
+    two rules disagree. Quantizer-fit-only helper: the caller assigns the
+    full corpus distributed."""
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)
@@ -432,18 +440,15 @@ def _lloyd_centroids(
     idx = [(i * len(x)) // k for i in range(k)]
     cents = x[idx].copy()
     for _ in range(iters):
-        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c via one matmul — an (n, k)
-        # matrix, never the (n, k, dim) broadcast tensor.
-        d2 = (
-            (x * x).sum(axis=1)[:, None]
-            + (cents * cents).sum(axis=1)[None, :]
-            - 2.0 * (x @ cents.T)
-        )
-        labels = d2.argmin(axis=1)
+        # max cosine == max dot: inputs and centroids are unit vectors.
+        labels = (x @ cents.T).argmax(axis=1)
         for j in range(k):
             members = x[labels == j]
             if len(members):
-                cents[j] = members.mean(axis=0)
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[j] = m / n
     return [[float(v) for v in c] for c in cents]
 
 def semantic_dedup_pairs(
@@ -507,14 +512,20 @@ def semantic_dedup_pairs(
         assigned = norm.select(id_col, "arr", cluster.alias("cluster_id"))
     else:  # corpus too small to block — one cluster == exact all-pairs
         assigned = norm.select(id_col, "arr", F.lit(0).alias("cluster_id"))
-    # Pre-partition by cluster BEFORE the self-join and cache that layout:
-    # both join sides then share hash(cluster_id) partitioning (no extra
-    # exchange), and — critically — AQE cannot coalesce it away. Without
-    # this, AQE sizes the join by shuffle BYTES (a few MB of vectors →
-    # 2 partitions) while the work is QUADRATIC per cluster, serializing
-    # the whole pair scan onto two cores (measured 15s for a 2s job).
+    # Materialize the assignment once (both self-join sides read it), then
+    # pre-partition by cluster with an EXPLICIT partition count the join
+    # reuses. localCheckpoint, NOT cache(): checkpoint blocks are freed when
+    # the DataFrame is garbage-collected and never enter the catalog
+    # CacheManager, so repeated calls can't leak session-lifetime memory or
+    # get plan-fragment-substituted into later unrelated queries. The
+    # explicit repartition matters because AQE would otherwise size the
+    # join's exchange by shuffle BYTES (a few MB of vectors → 2 partitions)
+    # while the work is QUADRATIC per cluster, serializing the whole pair
+    # scan onto two cores (measured 15s for a 2s job).
     n_part = max(2, min(n_clusters, 32))
-    assigned = assigned.repartition(n_part, "cluster_id").cache()
+    assigned = (
+        assigned.localCheckpoint(eager=True).repartition(n_part, "cluster_id")
+    )
     a = assigned.select(
         "cluster_id", F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a")
     )

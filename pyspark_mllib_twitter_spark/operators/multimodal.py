@@ -75,12 +75,17 @@ def synthetic_assets(
                 mime = mimes[i % 3]
                 width, height = 64 + i % 32, 48 + i % 24
                 if mime == "image/png":
-                    # Real PNG: deterministic id-seeded ramp, numpy-
-                    # vectorized (a Python per-pixel loop dominates the
-                    # whole query's runtime at w*h*3 bytes per asset).
+                    # Real PNG: deterministic (id, seed)-derived ramp,
+                    # numpy-vectorized (a Python per-pixel loop dominates
+                    # the whole query's runtime at w*h*3 bytes per asset).
                     n_px = width * height * 3
                     pixels = (
-                        (i * 2654435761 + np.arange(n_px, dtype=np.int64)) % 251
+                        (
+                            i * 2654435761
+                            + (seed + 1) * 7919
+                            + np.arange(n_px, dtype=np.int64)
+                        )
+                        % 251
                     ).astype(np.uint8).tobytes()
                     payload = _png.encode_png(width, height, pixels, 3)
                 else:
@@ -143,7 +148,9 @@ def _audio_features(payload: bytes) -> list[float]:
 
 
 def extract_features(
-    assets: DataFrame, use_real_decoder: bool = False, batch_note: str = "arrow"
+    assets: DataFrame,
+    use_real_decoder: "bool | str" = False,
+    batch_note: str = "arrow",
 ) -> DataFrame:
     """Decode + feature-extract every asset via ``mapInPandas``.
 
@@ -157,7 +164,10 @@ def extract_features(
     unfiltered, and the histogram computed over DECODED PIXELS instead of
     container bytes. Formats without an installed codec (JPEG, WAV) raise
     ``DecoderNotAvailable`` from the worker — a typed capability error, not
-    a silent fallback.
+    a silent fallback. ``use_real_decoder="auto"`` is the mixed-corpus mode:
+    real codec where one exists (PNG), deterministic fake elsewhere — one
+    pass over a mixed-mime table, no mime pre-splitting (and so no double
+    evaluation of the upstream generation/decode pipeline).
     """
     out_schema = T.StructType(
         [
@@ -181,17 +191,22 @@ def extract_features(
             "with a real decoder in this environment"
         )
 
+    def _route(p, m, w, h):
+        if use_real_decoder is True:
+            return _real_features(p, m)  # raises for codec-less formats
+        if use_real_decoder == "auto" and m == "image/png":
+            return _real_features(p, m)
+        if isinstance(m, str) and m.startswith("audio/"):
+            return _audio_features(p)
+        return _fake_decode(p, w, h)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # Mime routing is a batch-level mask, not a per-row plan branch:
-            # audio goes through the spectral path, everything else through
-            # the byte-histogram image path.
+            # Mime routing happens per row inside the batch, not as a plan
+            # branch: PNG → real codec ("auto"/True), audio → spectral
+            # path, the rest → byte-histogram fake.
             feats = [
-                _real_features(p, m)
-                if use_real_decoder
-                else _audio_features(p)
-                if isinstance(m, str) and m.startswith("audio/")
-                else _fake_decode(p, w, h)
+                _route(p, m, w, h)
                 for p, m, w, h in zip(
                     pdf["payload"],
                     pdf["mime"],
@@ -215,7 +230,7 @@ def resize_assets(
     assets: DataFrame,
     target_width: int,
     target_height: int,
-    use_real_decoder: bool = False,
+    use_real_decoder: "bool | str" = False,
 ) -> DataFrame:
     """Resize every image asset to ``target_width x target_height`` via
     ``mapInPandas`` — binary in, binary out, metadata updated in the same
@@ -225,8 +240,12 @@ def resize_assets(
     With ``use_real_decoder=True``, ``image/png`` payloads go through the
     REAL pipeline: PNG decode (``functions.png``) → nearest-neighbor
     resample (numpy gather) → PNG re-encode; image formats without a codec
-    (JPEG) raise ``DecoderNotAvailable`` from the worker. The default fake
-    path keeps a deterministic payload transform sized to the target dims.
+    (JPEG) raise ``DecoderNotAvailable`` from the worker. ``"auto"`` routes
+    per mime in one pass: real codec for PNG, the deterministic fake
+    transcode for codec-less image formats — the mixed-corpus mode that
+    avoids mime pre-splitting (and double evaluation of the generation
+    upstream). The default fake path keeps a deterministic payload
+    transform sized to the target dims.
     Either way the Spark side — binary columns through Arrow both
     directions, struct metadata rewrite, pass-through routing — is the real
     100 TB shape: payload bytes only ever move executor-local, one Python
@@ -247,12 +266,15 @@ def resize_assets(
                     payloads.append(p)
                     metas.append(m)
                     continue
-                if use_real_decoder:
-                    if mime != "image/png":
-                        raise DecoderNotAvailable(
-                            f"no real codec installed for {mime}; PNG is the "
-                            "only format with a real decoder here"
-                        )
+                real = use_real_decoder is True or (
+                    use_real_decoder == "auto" and mime == "image/png"
+                )
+                if use_real_decoder is True and mime != "image/png":
+                    raise DecoderNotAvailable(
+                        f"no real codec installed for {mime}; PNG is the "
+                        "only format with a real decoder here"
+                    )
+                if real:
                     w0, h0, ch, pixels = _png.decode_png(bytes(p))
                     resized = _png.resize_nearest(
                         w0, h0, ch, pixels, target_width, target_height

@@ -10,11 +10,13 @@ from . import pipeline_ops  # noqa: E402,F401
 
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides
-# into the externally-checked block.
+# into the externally-checked block. Hard error, not an assert: the guard
+# must survive python -O.
 from .registry import CHECK_WINDOW, public_name  # noqa: E402
 
 _missing = [b for b in CHECK_WINDOW if public_name(b) not in REGISTRY]
-assert not _missing, f"CHECK_WINDOW names without a registration: {_missing}"
+if _missing:
+    raise ValueError(f"CHECK_WINDOW names without a registration: {_missing}")
 del _missing
 
 __all__ = [

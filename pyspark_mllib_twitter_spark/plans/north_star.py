@@ -422,17 +422,16 @@ def q_ns_multimodal(spark, sf_dir):
     through the REAL pure-Python PNG codec (decode → nearest-neighbor resize
     to 64x48 → re-encode → pixel-histogram features; ``functions.png``),
     formats without an installed codec (JPEG/WAV) take the deterministic
-    fake transcode. All paths are Arrow-batched ``mapInPandas`` — binary in,
-    binary out, metadata rewritten in-batch; the union shows the routing
-    pattern a mixed-modality lake needs at scale."""
+    fake transcode. Routing happens per row INSIDE one Arrow-batched
+    ``mapInPandas`` pass (``use_real_decoder="auto"``) — a mime pre-split
+    into separate plan branches cannot push the filter below the Python
+    generator, so each branch would re-run the whole (codec-dominated)
+    generation; the single pass is the shape a mixed-modality lake needs
+    at scale."""
     assets = multimodal.synthetic_assets(spark, n=256)
-    pngs = assets.filter(F.col("mime") == "image/png")
-    rest = assets.filter(F.col("mime") != "image/png")
     feats = multimodal.extract_features(
-        multimodal.resize_assets(pngs, 64, 48, use_real_decoder=True),
-        use_real_decoder=True,
-    ).unionByName(
-        multimodal.extract_features(multimodal.resize_assets(rest, 64, 48))
+        multimodal.resize_assets(assets, 64, 48, use_real_decoder="auto"),
+        use_real_decoder="auto",
     )
     return feats.select(
         "asset_id",

@@ -17,12 +17,13 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-4 window: the 12 entries that have never had an external correctness
-row (``q_x1``–``q_xa`` pipeline ops, ``q_ml_word2vec``, ``q_ns_multimodal``)
-plus every entry whose last external row was round 2; the 45 round-3-green
-entries rotate out (stale-green beats never-green). The two HLL-sketch
-rows-only entries sit out this round (weakest incremental signal — both are
-error-bound property-tested locally).
+Round-4 window: the 15 entries that have never had an external correctness
+row (``q_x1``–``q_xa`` pipeline ops, ``q_ml_word2vec``, ``q_ns_multimodal``,
+and the three round-4 additions ``q_xb``/``q_xc``/``q_xd``) plus the
+round-2-stale block; the 45 round-3-green entries rotate out (stale-green
+beats never-green). Sitting out this round: the two HLL-sketch rows-only
+entries and the three stale rows-only ANN entries (weakest incremental
+signal — all five carry error-bound/recall property tests locally).
 """
 
 from __future__ import annotations
@@ -49,6 +50,9 @@ CHECK_WINDOW: list[str] = [
     "q_x8_repetition",
     "q_x9_lm_score",
     "q_xa_split_holdout",
+    "q_xb_boilerplate",
+    "q_xc_semantic_dedup",
+    "q_xd_incremental_dedup",
     "q_ml_word2vec",
     "q_ns_multimodal",
     # -- oracle entries last externally green in round 2 -------------------
@@ -88,13 +92,17 @@ CHECK_WINDOW: list[str] = [
     "q_ns_dedup_minhash",
     "q_ns_dedup_simhash",
     "q_ns_emb_neardup",
-    "q_ns_ann_lsh",
-    "q_ns_ann_ivf",
-    "q_ns_ann_pq",
+    # q_ns_ann_{lsh,ivf,pq} sit out with the two HLL sketches: rows-only,
+    # recall-property-tested locally — displaced by the three round-4
+    # never-checked additions (q_xb/q_xc/q_xd), two of which carry oracles.
 ]
 
-assert len(CHECK_WINDOW) <= 50, "external checker reads only 50 slots"
-assert len(set(CHECK_WINDOW)) == len(CHECK_WINDOW), "duplicate window entry"
+# Hard errors, not asserts: these guards must survive python -O (a typo'd
+# window silently wastes externally-checked slots otherwise).
+if len(CHECK_WINDOW) > 50:
+    raise ValueError("CHECK_WINDOW exceeds the external checker's 50 slots")
+if len(set(CHECK_WINDOW)) != len(CHECK_WINDOW):
+    raise ValueError("duplicate CHECK_WINDOW entry")
 
 _PREFIX_RE = re.compile(r"^q_\d{3}_")
 

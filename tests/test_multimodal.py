@@ -155,3 +155,32 @@ def test_resize_passes_through_empty_and_null_payloads(spark):
     assert bytes(out[1].payload) == b""          # empty: untouched
     assert out[2].payload is None                # null: untouched
     assert len(out[3].payload) == max(16, 32 * 32 // 64)  # real payload: transcoded
+
+
+def test_auto_mode_single_pass_mixed_mimes(assets):
+    """use_real_decoder="auto" processes a mixed-mime table in ONE pass:
+    PNG through the real codec (pixel-histogram features == the True-mode
+    result), JPEG/WAV through the fake paths (== the False-mode result) —
+    no mime pre-split, no DecoderNotAvailable."""
+    auto = {r.asset_id: (r.mime, r.features) for r in
+            multimodal.extract_features(assets, use_real_decoder="auto").collect()}
+    assert len(auto) == 256
+    pngs = assets.filter(F.col("mime") == "image/png")
+    real = {r.asset_id: r.features for r in
+            multimodal.extract_features(pngs, use_real_decoder=True).collect()}
+    fake = {r.asset_id: r.features for r in
+            multimodal.extract_features(assets).collect()}
+    for aid, (mime, feats) in auto.items():
+        want = real[aid] if mime == "image/png" else fake[aid]
+        assert feats == want, (aid, mime)
+    # resize in auto mode: PNGs really resampled, others fake-transcoded
+    out = {r.asset_id: r for r in
+           multimodal.resize_assets(assets, 16, 12, use_real_decoder="auto").collect()}
+    from pyspark_mllib_twitter_spark.functions import png as pngc
+
+    for aid, r in out.items():
+        if r.mime == "image/png":
+            w, h, ch, _ = pngc.decode_png(bytes(r.payload))
+            assert (w, h, ch) == (16, 12, 3)
+        elif r.mime.startswith("image/"):
+            assert len(r.payload) == max(16, 16 * 12 // 64)

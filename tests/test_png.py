@@ -97,3 +97,14 @@ def test_resize_nearest_identity_and_downscale():
     src = [px[i : i + c] for i in range(0, len(px), c)]
     out = [half[i : i + c] for i in range(0, len(half), c)]
     assert all(p in src for p in out)
+
+
+def test_truncated_input_raises_value_error():
+    """Truncated/corrupt input must raise the module's documented ValueError,
+    never a low-level struct.error or zlib.error (callers route bad assets
+    by catching ValueError)."""
+    data = png.encode_png(4, 4, _pixels(4, 4, 3), 3)
+    with pytest.raises(ValueError, match="truncated"):
+        png.decode_png(data[: len(data) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        png.decode_png(data[:10])

@@ -200,8 +200,10 @@ def test_word2vec_distributed_fit_overlaps_pinned(spark, sf_oracle):
     docs = read_table(spark, sf_oracle, "documents")
     terms = top_frequent_terms(docs)
     k = 5
-    pinned = word_embeddings(docs, num_partitions=1)
-    dist = word_embeddings(docs, num_partitions=4)
+    # max_iter=2 exercises the multi-iteration fit path (per-partition
+    # models re-averaged each round) alongside the partition knob.
+    pinned = word_embeddings(docs, num_partitions=1, max_iter=2)
+    dist = word_embeddings(docs, num_partitions=4, max_iter=2)
 
     vocab_a = {(r.word, len(r.vec)) for r in pinned.collect()}
     vocab_b = {(r.word, len(r.vec)) for r in dist.collect()}
