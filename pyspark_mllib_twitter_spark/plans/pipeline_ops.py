@@ -963,3 +963,89 @@ def q_xd_incremental_dedup(spark, sf_dir):
     return survivors.select(
         "doc_id", (F.col("doc_id") >= 2_000_000).cast("int").alias("reingested")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+def _cdc_oracle() -> str:
+    """DuckDB twin of operators.cdc: same rolling hash (precomputed power
+    constants), same candidate rule, and the sequential min/max boundary
+    selection as a recursive CTE (the greedy-packing oracle pattern)."""
+    from ..operators.cdc import _BASE, _MOD, _WINDOW
+
+    avg, min_s, max_s = CDC_AVG, CDC_MIN, CDC_MAX
+    pows = [pow(_BASE, j, _MOD) for j in range(_WINDOW)]
+    hash_expr = (
+        "("
+        + " + ".join(f"CAST(ord(t[i+{j}]) AS BIGINT) * {pows[j]}" for j in range(_WINDOW))
+        + f") % {_MOD}"
+    )
+    cand = f"list_min(list_filter(p.cands, e -> e >= c.nxt + {min_s}))"
+    inf = 1 << 40
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, t, n,
+        list_sort(list_filter(
+          list_transform(range(1, greatest(n - {_WINDOW - 2}, 1)),
+                         i -> CASE WHEN ({hash_expr}) % {avg} = {avg - 1}
+                              THEN i + {_WINDOW - 1} ELSE NULL END),
+          x -> x IS NOT NULL)) AS cands
+      FROM d),
+    cuts(doc_id, k, last, nxt) AS (
+      SELECT doc_id, -1, 0, 0 FROM pos
+      UNION ALL
+      SELECT p.doc_id, c.k + 1, c.nxt,
+        CASE
+          WHEN {cand} IS NOT NULL
+               AND {cand} <= (CASE WHEN c.nxt + {max_s} <= p.n
+                                   THEN c.nxt + {max_s} ELSE {inf} END)
+            THEN {cand}
+          WHEN c.nxt + {max_s} <= p.n THEN c.nxt + {max_s}
+          WHEN c.nxt < p.n THEN p.n
+          ELSE NULL
+        END
+      FROM cuts c JOIN pos p USING (doc_id)
+      WHERE c.nxt IS NOT NULL AND c.nxt < p.n
+    )
+    SELECT c.doc_id, CAST(c.k AS BIGINT) AS chunk_id,
+           substring(p.t, c.last + 1, c.nxt - c.last) AS chunk,
+           CAST(c.nxt - c.last AS BIGINT) AS n_bytes
+    FROM cuts c JOIN pos p USING (doc_id)
+    WHERE c.k >= 0 AND c.nxt IS NOT NULL
+    ORDER BY doc_id, chunk_id
+    """
+
+
+#: CDC geometry, sized to the ~150-550-char fixture docs (production would
+#: run e.g. 2048/512/8192 bytes).
+CDC_AVG = 64
+CDC_MIN = 16
+CDC_MAX = 192
+
+
+@query("q_xe_cdc_chunks", oracle=_cdc_oracle())
+def q_xe_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking, value-checked end to end.
+
+    Unlike fixed-offset chunking (q_x1 — every boundary moves when a byte
+    is inserted upstream), CDC boundaries are a pure function of LOCAL
+    content (rolling-hash condition), so identical suffixes re-chunk
+    identically across corpus versions — the property chunk-level dedup and
+    delta storage need. Map-only mapInPandas (the rolling hash is
+    inherently per-byte sequential — the sanctioned Python escape hatch;
+    window hashes are numpy-vectorized); no shuffle. The DuckDB oracle
+    replays the hash with precomputed power constants and the sequential
+    min/max boundary selection as a recursive CTE, so the whole decision —
+    byte-exact chunks — is hash-checked, not just counts. Edit-stability
+    and losslessness are property-tested (tests/test_pipeline_ops.py).
+    """
+    from ..operators.cdc import cdc_chunks
+
+    return cdc_chunks(
+        spread(_docs(spark, sf_dir)),
+        avg_size=CDC_AVG, min_size=CDC_MIN, max_size=CDC_MAX,
+    ).orderBy("doc_id", "chunk_id")

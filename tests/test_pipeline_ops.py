@@ -253,3 +253,55 @@ def test_split_holdout_matches_python_md5_and_partitions(spark):
     from collections import Counter
 
     assert per_source == Counter(d["source"] for d in docs)
+
+
+def test_cdc_chunks_lossless_and_edit_stable(spark):
+    """The two CDC contracts:
+
+    1. LOSSLESS: per doc, chunks concatenate byte-exactly to the original.
+    2. EDIT-STABLE: prepending a prefix to a document changes only the
+       chunking near the edit — measured from the END, the boundary set is
+       (almost entirely) preserved, whereas fixed-offset chunking would
+       shift every boundary.
+    """
+    from pyspark_mllib_twitter_spark.operators.cdc import cdc_chunks
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text").limit(100)
+    out = cdc_chunks(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(by_doc) == set(texts)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert "".join(r.chunk for r in rows) == texts[did], did
+        assert all(r.n_bytes == len(r.chunk.encode()) for r in rows)
+
+    edited = docs.select(
+        "doc_id", F.concat(F.lit("PREFIX EDIT >>> "), F.col("text")).alias("text")
+    )
+    out2 = {r.doc_id: [] for r in docs.collect()}
+    for r in cdc_chunks(edited).collect():
+        out2[r.doc_id].append(r)
+
+    def tail_boundaries(rows, total_len):
+        rows = sorted(rows, key=lambda r: r.chunk_id)
+        acc, bounds = 0, []
+        for r in rows:
+            acc += r.n_bytes
+            bounds.append(total_len - acc)  # distance from end
+        return set(bounds)
+
+    preserved = []
+    for did, rows in by_doc.items():
+        n1 = len(texts[did].encode())
+        n2 = n1 + len("PREFIX EDIT >>> ")
+        b1 = tail_boundaries(rows, n1)
+        b2 = tail_boundaries(out2[did], n2)
+        if len(b1) > 1:  # single-chunk docs carry no signal
+            preserved.append(len(b1 & b2) / len(b1))
+    assert preserved and sum(preserved) / len(preserved) >= 0.6, (
+        "CDC boundaries did not survive an upstream edit"
+    )
