@@ -969,10 +969,12 @@ def q_xd_incremental_dedup(spark, sf_dir):
 # Content-defined chunking (CDC)
 # ---------------------------------------------------------------------------
 
-def _cdc_oracle() -> str:
-    """DuckDB twin of operators.cdc: same rolling hash (precomputed power
-    constants), same candidate rule, and the sequential min/max boundary
-    selection as a recursive CTE (the greedy-packing oracle pattern)."""
+def _cdc_cte(src: str, prefix: str) -> str:
+    """Reusable DuckDB CDC replay: chunk the docs CTE ``src`` (columns
+    doc_id, text) into ``{prefix}chunks(doc_id, chunk_id, chunk, n_bytes)``.
+    Same rolling hash as operators.cdc (precomputed power constants), same
+    candidate rule, and the sequential min/max boundary selection as a
+    recursive CTE (the greedy-packing oracle pattern)."""
     from ..operators.cdc import _BASE, _MOD, _WINDOW
 
     avg, min_s, max_s = CDC_AVG, CDC_MIN, CDC_MAX
@@ -985,18 +987,16 @@ def _cdc_oracle() -> str:
     cand = f"list_min(list_filter(p.cands, e -> e >= c.nxt + {min_s}))"
     inf = 1 << 40
     return f"""
-    WITH RECURSIVE
-    d AS (SELECT doc_id, text AS t, length(text) AS n FROM documents),
-    pos AS (
-      SELECT doc_id, t, n,
+    {prefix}pos AS (
+      SELECT doc_id, text AS t, length(text) AS n,
         list_sort(list_filter(
-          list_transform(range(1, greatest(n - {_WINDOW - 2}, 1)),
-                         i -> CASE WHEN ({hash_expr}) % {avg} = {avg - 1}
+          list_transform(range(1, greatest(length(text) - {_WINDOW - 2}, 1)),
+                         i -> CASE WHEN ({hash_expr.replace('t[', 'text[')}) % {avg} = {avg - 1}
                               THEN i + {_WINDOW - 1} ELSE NULL END),
           x -> x IS NOT NULL)) AS cands
-      FROM d),
-    cuts(doc_id, k, last, nxt) AS (
-      SELECT doc_id, -1, 0, 0 FROM pos
+      FROM {src}),
+    {prefix}cuts(doc_id, k, last, nxt) AS (
+      SELECT doc_id, -1, 0, 0 FROM {prefix}pos
       UNION ALL
       SELECT p.doc_id, c.k + 1, c.nxt,
         CASE
@@ -1008,15 +1008,24 @@ def _cdc_oracle() -> str:
           WHEN c.nxt < p.n THEN p.n
           ELSE NULL
         END
-      FROM cuts c JOIN pos p USING (doc_id)
+      FROM {prefix}cuts c JOIN {prefix}pos p USING (doc_id)
       WHERE c.nxt IS NOT NULL AND c.nxt < p.n
-    )
-    SELECT c.doc_id, CAST(c.k AS BIGINT) AS chunk_id,
-           substring(p.t, c.last + 1, c.nxt - c.last) AS chunk,
-           CAST(c.nxt - c.last AS BIGINT) AS n_bytes
-    FROM cuts c JOIN pos p USING (doc_id)
-    WHERE c.k >= 0 AND c.nxt IS NOT NULL
-    ORDER BY doc_id, chunk_id
+    ),
+    {prefix}chunks AS (
+      SELECT c.doc_id, CAST(c.k AS BIGINT) AS chunk_id,
+             substring(p.t, c.last + 1, c.nxt - c.last) AS chunk,
+             CAST(c.nxt - c.last AS BIGINT) AS n_bytes
+      FROM {prefix}cuts c JOIN {prefix}pos p USING (doc_id)
+      WHERE c.k >= 0 AND c.nxt IS NOT NULL
+    )"""
+
+
+def _cdc_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_cdc_cte("documents", "")}
+    SELECT doc_id, chunk_id, chunk, n_bytes
+    FROM chunks ORDER BY doc_id, chunk_id
     """
 
 
@@ -1049,3 +1058,88 @@ def q_xe_cdc_chunks(spark, sf_dir):
         spread(_docs(spark, sf_dir)),
         avg_size=CDC_AVG, min_size=CDC_MIN, max_size=CDC_MAX,
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level cross-version dedup (the CDC payoff, composed)
+# ---------------------------------------------------------------------------
+
+#: Deterministic "new crawl" edit: every 3rd document gains this prefix.
+CHUNK_DEDUP_EDIT = "REVISED 2026: "
+
+
+def _chunk_dedup_oracle() -> str:
+    v2_src = f"""(
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{CHUNK_DEDUP_EDIT}' || text ELSE text END AS text
+      FROM documents)"""
+    return f"""
+    WITH RECURSIVE
+    {_cdc_cte("documents", "v1")},
+    {_cdc_cte(v2_src, "v2")},
+    v1fp AS (SELECT DISTINCT md5(chunk) AS fp FROM v1chunks),
+    stats AS (
+      SELECT CAST(c.doc_id % 3 = 0 AS INT) AS edited,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM v2chunks c LEFT JOIN v1fp f ON md5(c.chunk) = f.fp
+      GROUP BY 1)
+    SELECT edited, n_chunks, n_dup,
+           round(n_dup * 1.0 / n_chunks, 6) AS dedup_ratio
+    FROM stats ORDER BY edited
+    """
+
+
+@query("q_xf_chunk_dedup", oracle=_chunk_dedup_oracle())
+def q_xf_chunk_dedup(spark, sf_dir):
+    """Chunk-level dedup across two corpus versions — the composed payoff of
+    content-defined chunking, value-checked end to end.
+
+    Version 2 simulates a re-crawl: every 3rd document gains a deterministic
+    prefix (page chrome changed, body identical). Both versions are
+    CDC-chunked, v1's chunk fingerprints form the dedup index, and v2's
+    chunks probe it. Because CDC boundaries are content-defined, edited
+    documents still share almost all their chunks with v1 (only the head
+    re-chunks), so the edited class shows a high dedup ratio — with
+    fixed-offset chunking it would be ~0 and the re-crawl would be stored
+    twice. Unedited docs dedup at exactly 1.0 (byte-identical chunking —
+    determinism across runs, pinned by the oracle).
+
+    Scale shape: chunking is map-only; the dedup join shuffles 16-byte
+    md5 digests (never chunk text — same discipline as
+    q_xd_incremental_dedup); output is 2 audit rows.
+    """
+    from ..operators.cdc import cdc_chunks
+
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    v2_docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(CHUNK_DEDUP_EDIT), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    kw = dict(avg_size=CDC_AVG, min_size=CDC_MIN, max_size=CDC_MAX)
+    v1fp = cdc_chunks(d, **kw).select(F.md5("chunk").alias("fp")).distinct()
+    v2 = cdc_chunks(v2_docs, **kw).select(
+        (F.col("doc_id") % 3 == 0).cast("int").alias("edited"),
+        F.md5("chunk").alias("fp"),
+    )
+    return (
+        v2.join(v1fp.withColumn("hit", F.lit(1)), "fp", "left")
+        .groupBy("edited")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "edited",
+            "n_chunks",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_chunks"), 6).alias("dedup_ratio"),
+        )
+        .orderBy("edited")
+    )

@@ -305,3 +305,14 @@ def test_cdc_chunks_lossless_and_edit_stable(spark):
     assert preserved and sum(preserved) / len(preserved) >= 0.6, (
         "CDC boundaries did not survive an upstream edit"
     )
+
+
+def test_chunk_dedup_ratios_demonstrate_cdc(spark):
+    """The composed chunk-dedup query's contract: unedited documents dedup
+    at exactly 1.0 (CDC is deterministic), and EDITED documents still dedup
+    above 50% at chunk level (content-defined boundaries re-align after the
+    prefix edit — fixed-offset chunking would give ~0 here)."""
+    rows = {r.edited: r for r in REGISTRY["q_xf_chunk_dedup"].spark(spark, SF).collect()}
+    assert rows[0].dedup_ratio == 1.0
+    assert rows[1].dedup_ratio >= 0.5, rows[1]
+    assert rows[1].n_chunks > 0 and rows[0].n_chunks > 0
