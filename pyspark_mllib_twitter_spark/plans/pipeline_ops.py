@@ -972,9 +972,12 @@ def q_xd_incremental_dedup(spark, sf_dir):
 def _cdc_cte(src: str, prefix: str) -> str:
     """Reusable DuckDB CDC replay: chunk the docs CTE ``src`` (columns
     doc_id, text) into ``{prefix}chunks(doc_id, chunk_id, chunk, n_bytes)``.
-    Same rolling hash as operators.cdc (precomputed power constants), same
-    candidate rule, and the sequential min/max boundary selection as a
-    recursive CTE (the greedy-packing oracle pattern)."""
+    Same codepoint-level rolling hash as operators.cdc (``ord(text[i])`` is
+    the codepoint of the i-th character, matching the operator's utf-32
+    view; precomputed power constants), same candidate rule, and the
+    sequential min/max boundary selection as a recursive CTE (the
+    greedy-packing oracle pattern). ``n_bytes`` is ``strlen`` — the true
+    UTF-8 byte length, as the operator reports."""
     from ..operators.cdc import _BASE, _MOD, _WINDOW
 
     avg, min_s, max_s = CDC_AVG, CDC_MIN, CDC_MAX
@@ -1014,9 +1017,13 @@ def _cdc_cte(src: str, prefix: str) -> str:
     {prefix}chunks AS (
       SELECT c.doc_id, CAST(c.k AS BIGINT) AS chunk_id,
              substring(p.t, c.last + 1, c.nxt - c.last) AS chunk,
-             CAST(c.nxt - c.last AS BIGINT) AS n_bytes
+             CAST(strlen(substring(p.t, c.last + 1, c.nxt - c.last)) AS BIGINT)
+               AS n_bytes
       FROM {prefix}cuts c JOIN {prefix}pos p USING (doc_id)
       WHERE c.k >= 0 AND c.nxt IS NOT NULL
+      UNION ALL  -- empty doc → one empty chunk (operator's [0] boundary)
+      SELECT doc_id, CAST(0 AS BIGINT), '', CAST(0 AS BIGINT)
+      FROM {prefix}pos WHERE n = 0
     )"""
 
 

@@ -17,13 +17,16 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-4 window: the 15 entries that have never had an external correctness
-row (``q_x1``–``q_xa`` pipeline ops, ``q_ml_word2vec``, ``q_ns_multimodal``,
-and the three round-4 additions ``q_xb``/``q_xc``/``q_xd``) plus the
-round-2-stale block; the 45 round-3-green entries rotate out (stale-green
-beats never-green). Sitting out this round: the two HLL-sketch rows-only
-entries and the three stale rows-only ANN entries (weakest incremental
-signal — all five carry error-bound/recall property tests locally).
+Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
+written after round 4's sweep), the five entries benched in round 4
+(``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``, ``q_a6_approx_distinct``),
+and 43 of the 45 oracle-backed entries last green in round 3 (now two
+rounds stale). Sitting out: ``q_p1_filter``/``q_p3_project`` (the two most
+trivial round-3 greens) and the round-3 rows-only streaming/ML entries
+(``q_stream_dedup/session/stateful``, ``q_w1_user_similarity``,
+``q_w2_als_recommend`` — each batch-equivalence/golden-tested locally; a
+rows-only driver row adds the least signal). Round-4's 49 entries all went
+green and rotate out.
 """
 
 from __future__ import annotations
@@ -39,62 +42,61 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- never externally checked (rounds 1-3): highest priority -----------
-    "q_x1_chunk_docs",
-    "q_x2_pack_sequences",
-    "q_x3_contamination",
-    "q_x4_mix_sources",
-    "q_x5_tfidf_topterms",
-    "q_x6_cc_clusters",
-    "q_x7_pack_greedy",
-    "q_x8_repetition",
-    "q_x9_lm_score",
-    "q_xa_split_holdout",
-    "q_xb_boilerplate",
-    "q_xc_semantic_dedup",
-    "q_xd_incremental_dedup",
-    "q_ml_word2vec",
-    "q_ns_multimodal",
-    # -- oracle entries last externally green in round 2 -------------------
-    "q_a1_collect_list",
-    "q_a2_pair_count",
-    "q_a3_distinct",
-    "q_a4_agg_suite",
-    "q_a7_percentiles",
-    "q_a9_stats_suite",
-    "q_a10_regr_suite",
-    "q_a12_listagg",
-    "q_e2e_w2pairs",
-    "q_f_array",
-    "q_f_bitwise",
-    "q_f_date",
-    "q_f_explode",
-    "q_f_hof",
-    "q_f_math",
-    "q_f_string",
-    "q_g1_rollup",
-    "q_g2_cube",
-    "q_g3_pivot",
-    "q_j_anti",
-    "q_j_inner",
-    "q_j_outer",
-    "q_j_overlap",
-    "q_j_range",
-    "q_j_semi",
-    "q_j_skew_salted",
-    "q_j_theta",
-    "q_ns_dedup_exact",
-    "q_ns_fingerprint",
-    "q_ns_jaccard_pairs",
-    "q_ns_knn_exact",
-    # -- rows-only entries last externally seen in round 2 -----------------
-    "q_ml_quality_clf",
-    "q_ns_dedup_minhash",
-    "q_ns_dedup_simhash",
-    "q_ns_emb_neardup",
-    # q_ns_ann_{lsh,ivf,pq} sit out with the two HLL sketches: rows-only,
-    # recall-property-tested locally — displaced by the three round-4
-    # never-checked additions (q_xb/q_xc/q_xd), two of which carry oracles.
+    # -- never externally checked (written after round 4's sweep) ----------
+    "q_xe_cdc_chunks",
+    "q_xf_chunk_dedup",
+    # -- benched in round 4, last externally seen round 2 ------------------
+    "q_ns_ann_lsh",
+    "q_ns_ann_ivf",
+    "q_ns_ann_pq",
+    "q_a11_sketch_merge",
+    "q_a6_approx_distinct",
+    # -- oracle entries last externally green in round 3 (two rounds stale)
+    "q_a5_id_dictionary",
+    "q_a8_salted_agg",
+    "q_e2e_w1doc",
+    "q_f_cond",
+    "q_f_json",
+    "q_f_map",
+    "q_g4_grouping_sets",
+    "q_j_asof",
+    "q_j_asof_generic",
+    "q_j_nullsafe",
+    "q_ns_langid",
+    "q_ns_pipeline",
+    "q_ns_quality",
+    "q_ns_scrub",
+    "q_ns_token_bpe",
+    "q_ns_token_stats",
+    "q_s1_scan",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sql_lateral",
+    "q_sql_q3",
+    "q_sql_q5",
+    "q_stat_crosstab",
+    "q_stream_join",
+    "q_stream_sliding",
+    "q_stream_window_counts",
+    "q_sub_q17",
+    "q_sub_scalar",
+    "q_t1_sort_limit",
+    "q_u1_setops",
+    "q_u2_unpivot",
+    "q_u3_union_by_name",
+    "q_u4_bag_setops",
+    "q_udf_arrow_map",
+    "q_udf_grouped_mad",
+    "q_udf_pandas_cosine",
+    "q_udtf_tokens",
+    "q_w1_topk",
+    "q_w2_ranking",
+    "q_w3_frames",
+    "q_w4_time_rollup",
+    "q_w5_sessionize",
+    "q_w6_analytic",
+    # q_p1_filter / q_p3_project sit out (most trivial round-3 greens), as
+    # do the round-3 rows-only streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

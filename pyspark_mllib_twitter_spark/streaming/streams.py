@@ -199,6 +199,10 @@ def run_to_memory(
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = stream_df.sparkSession
     overrides: dict[str, str] = dict(extra_conf or {})
+    # recentProgress keeps only the most recent N updates (default 100); a
+    # replay with more micro-batches than that would silently undercount
+    # LAST_RUN_STATS, so raise the cap well above any replay batch count.
+    overrides.setdefault("spark.sql.streaming.numRecentProgressUpdates", "4096")
     if state_partitions is not None:
         overrides["spark.sql.shuffle.partitions"] = str(state_partitions)
     prev: dict[str, str | None] = {}

@@ -307,6 +307,33 @@ def test_cdc_chunks_lossless_and_edit_stable(spark):
     )
 
 
+def test_cdc_chunks_non_ascii_arrow_safe(spark):
+    """Regression: codepoint-level boundaries never split a multi-byte
+    UTF-8 sequence, so multilingual chunks serialize through Arrow and
+    concatenate losslessly (byte-level CDC crashed here: surrogateescape
+    chunk strings are unserializable)."""
+    from pyspark_mllib_twitter_spark.operators.cdc import cdc_chunks
+
+    texts = [
+        "héllo wörld — ünïcode çafé ñoño " * 40,
+        "日本語のテキストです。機械学習のデータ処理。" * 30,
+        "mixed ascii και ελληνικά и русский 中文 🎉 " * 35,
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = cdc_chunks(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for did, t in enumerate(texts):
+        chunks = sorted(by_doc[did], key=lambda r: r.chunk_id)
+        assert "".join(r.chunk for r in chunks) == t
+        assert all(r.n_bytes == len(r.chunk.encode("utf-8")) for r in chunks)
+
+
 def test_chunk_dedup_ratios_demonstrate_cdc(spark):
     """The composed chunk-dedup query's contract: unedited documents dedup
     at exactly 1.0 (CDC is deterministic), and EDITED documents still dedup
