@@ -406,14 +406,17 @@ def q_a4_agg_suite(spark, sf_dir):
 def q_a6_approx_distinct(spark, sf_dir):
     """∅-ref: approx_count_distinct (HyperLogLog++). At 100 TB this replaces
     exact COUNT(DISTINCT) wherever a ~2% error is acceptable — no per-key
-    shuffle of distinct values, just mergeable sketches."""
+    shuffle of distinct values, just fixed-size mergeable sketches.
+
+    The query is sketch-only on purpose: computing the exact count
+    alongside (as earlier rounds did) re-introduces the distinct expand the
+    sketch exists to avoid and measurably 2.4×'d the query. Accuracy vs the
+    exact count is pinned in the test layer instead
+    (tests/test_properties.py::test_approx_count_distinct_error_bounded)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
         .orderBy("l_returnflag")
     )
 
