@@ -44,6 +44,7 @@ SINGLE_RUN = {
     "q_xc_semantic_dedup",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
+    "q_ns_ann_ivfpq",
     "q_ml_quality_clf",
     "q_stream_window_counts",
     "q_stream_session",
@@ -138,13 +139,17 @@ def main() -> int:
     # so without this the penalty lands on an arbitrary first-slot query and
     # reads as a regression (r3: q_j_asof; r4: q_x2/q_x7).
     try:
-        import pandas as pd  # noqa: F401
+        import pandas as pd
         from pyspark.sql import functions as F
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("double")
-        def _warm(v: "pd.Series") -> "pd.Series":
+        def _warm_fn(v):
             return v * 1.0
+
+        # real annotation objects — module-level `from __future__ import
+        # annotations` would stringify inline hints and break inference
+        _warm_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        _warm = pandas_udf(_warm_fn, "double")
 
         spark.range(32).select(_warm(F.col("id").cast("double"))).collect()
         spark.range(32).groupBy((F.col("id") % 4).alias("g")).applyInPandas(

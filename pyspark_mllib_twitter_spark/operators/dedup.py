@@ -417,40 +417,6 @@ def embedding_near_dup_pairs(
 # Semantic (embedding-cluster) dedup — SemDeDup-style
 # ---------------------------------------------------------------------------
 
-def _lloyd_centroids(
-    sample: list, k: int, seed: int = 42, iters: int = 8
-) -> list[list[float]]:
-    """SPHERICAL k-means over an in-memory sample of unit vectors (numpy,
-    deterministic strided init — no RNG state): assignment by max cosine,
-    centroids re-normalized to unit length each round (Dhillon & Modha,
-    "Concept decompositions for large sparse text data using clustering",
-    2001 — public). Returns k UNIT centroids as plain lists.
-
-    Unit centroids matter downstream: the distributed assignment is an
-    argmax of dot products, which equals nearest-centroid ONLY when all
-    centroids share a norm — plain Lloyd means of unit vectors have
-    cluster-dependent norms (tight cluster → ~1, diffuse → small) and the
-    two rules disagree. Quantizer-fit-only helper: the caller assigns the
-    full corpus distributed."""
-    import numpy as np
-
-    x = np.asarray(sample, dtype=np.float64)
-    # Deterministic spread-out init: stride the (hash-sampled, effectively
-    # shuffled) sample at equal intervals.
-    idx = [(i * len(x)) // k for i in range(k)]
-    cents = x[idx].copy()
-    for _ in range(iters):
-        # max cosine == max dot: inputs and centroids are unit vectors.
-        labels = (x @ cents.T).argmax(axis=1)
-        for j in range(k):
-            members = x[labels == j]
-            if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
-                if n > 0:
-                    cents[j] = m / n
-    return [[float(v) for v in c] for c in cents]
-
 def semantic_dedup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -476,12 +442,12 @@ def semantic_dedup_pairs(
 
     Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
     """
-    from .similarity import _bounded_fit_sample
+    from .quantizer import bounded_fit_sample, lloyd, nearest_centroid_udf
 
     norm = embeddings.select(
         F.col(id_col), vectors.l2_normalize(vec_col).alias("arr")
     )
-    fit_sample = _bounded_fit_sample(norm, id_col, max_fit_rows)
+    fit_sample = bounded_fit_sample(norm, id_col, max_fit_rows)
     # The quantizer trains DRIVER-LOCAL on the bounded sample (<= 65k
     # vectors — a few MB; numpy Lloyd finishes in milliseconds). An MLlib
     # fit here costs ~15 driver jobs (k-means|| init + one job per Lloyd
@@ -501,15 +467,15 @@ def semantic_dedup_pairs(
     # all-pairs — exact and affordable at that corpus size.
     k = max(1, min(n_clusters, n_fit // 8))
     if k >= 2:
-        centroids = _lloyd_centroids(sample, k, seed=seed, iters=max_iter)
-        cents = F.array(
-            *[F.lit(c).cast("array<double>") for c in centroids]
+        # Shared spherical-k-means quantizer (operators.quantizer): unit
+        # centroids, so the distributed assignment — an Arrow-batched
+        # argmax-of-dots matmul, no shuffle, no MLlib — equals
+        # nearest-centroid.
+        cents_arr = lloyd(sample, k, seed=seed, iters=max_iter, spherical=True)
+        assign = nearest_centroid_udf(
+            [[float(v) for v in c] for c in cents_arr], spherical=True
         )
-        # argmax over centroid dot products (unit sphere: max dot == nearest
-        # centroid) — one codegen'd expression, no shuffle, no MLlib.
-        sims = F.transform(cents, lambda c: vectors.dot(c, F.col("arr")))
-        cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-        assigned = norm.select(id_col, "arr", cluster.alias("cluster_id"))
+        assigned = norm.select(id_col, "arr", assign("arr").alias("cluster_id"))
     else:  # corpus too small to block — one cluster == exact all-pairs
         assigned = norm.select(id_col, "arr", F.lit(0).alias("cluster_id"))
     # Materialize the assignment once (both self-join sides read it), then

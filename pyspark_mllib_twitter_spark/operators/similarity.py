@@ -22,26 +22,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import vectors
-from .sampling import hash_sample
+from .quantizer import (
+    bounded_fit_sample,
+    fit_centroids,
+    lloyd,
+    nearest_centroid_udf,
+    pq_encode_udf,
+    pq_lut_udf,
+)
 from .topk import top_k_per_group
-
-
-def _bounded_fit_sample(df: DataFrame, key_col: str, max_fit_rows: int) -> DataFrame:
-    """Deterministic ≤ ``~max_fit_rows`` sample for quantizer training.
-
-    Codebook/centroid KMeans does NOT need the full corpus: quantization
-    centroids converge on a bounded sample (standard ANN practice — train
-    the quantizer on ≤100k–256k vectors, then *encode* everything). Fitting
-    on the full corpus is the difference between an O(sample) constant cost
-    and an O(corpus × iterations) job at 100 TB. The sample is md5-hash
-    keyed (engine-portable, seedless, reproducible across runs and cluster
-    sizes); granularity is 1/16, so the realized size is within ~2× of the
-    target, which is irrelevant for quantizer quality."""
-    n = df.count()
-    if n <= max_fit_rows:
-        return df
-    rate = max(1, min(16, (16 * max_fit_rows) // n))
-    return hash_sample(df, key_col, rate)
 
 
 def brute_force_top_k(
@@ -164,38 +153,34 @@ def ivf_top_k(
     broadcast); the fine search is an equi-join on centroid id — shuffle
     scales with corpus size / n_centroids * n_probe, not |Q| x |corpus|.
 
-    Vectors are L2-normalized before clustering so KMeans' Euclidean
-    assignment and the cosine probe ranking agree (on the unit sphere
-    ||a-b||^2 = 2 - 2*cos — with raw vectors the coarse quantizer and the
-    fine ranking optimize different metrics). Note recall on *unstructured*
+    Vectors are L2-normalized and the coarse quantizer is SPHERICAL k-means
+    (shared helper, ``operators.quantizer``) so centroid assignment and the
+    cosine probe ranking agree on the unit sphere. The fit is driver-local
+    on a bounded sample (an MLlib fit on a sample this small is ~15
+    scheduled jobs of pure overhead — see quantizer module docstring);
+    assignment of the full corpus is one Arrow-batched matmul-argmax
+    (``nearest_centroid_udf`` — see its docstring for why this beats a
+    zip_with/aggregate expression). Note recall on *unstructured*
     (near-random) embeddings approaches the probed fraction n_probe /
     n_centroids by construction; IVF pays off when the corpus actually
-    clusters, and n_probe is the recall/cost dial (measured on the random
-    fixture: 0.55 @ 4/16, 0.79 @ 8/16).
+    clusters, and n_probe is the recall/cost dial.
     """
-    from pyspark.ml.clustering import KMeans
-
-    c_ml = _to_ml_vectors(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            vectors.l2_normalize(vec_col).alias("arr"),
-        ),
-        "arr",
-        "features",
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.l2_normalize(vec_col).alias("arr"),
     )
     # Fit the coarse quantizer on a bounded sample; ASSIGN the full corpus.
     # Lloyd iterations are capped — centroid quality plateaus in a few
     # rounds and n_probe, not centroid polish, is the recall dial.
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="centroid_id",
+    centroids = fit_centroids(
+        c, "neighbor_id", "arr", n_centroids,
+        seed=seed, iters=max_iter, spherical=True, max_fit_rows=max_fit_rows,
     )
-    model = km.fit(_bounded_fit_sample(c_ml, "neighbor_id", max_fit_rows))
-    c_assigned = model.transform(c_ml).select("neighbor_id", "arr", "centroid_id")
-
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    c_assigned = c.withColumn(
+        "centroid_id", nearest_centroid_udf(centroids, spherical=True)("arr")
+    )
     cent_df = corpus.sparkSession.createDataFrame(
-        centroids, "centroid_id int, centroid array<double>"
+        list(enumerate(centroids)), "centroid_id int, centroid array<double>"
     )
 
     q = queries.select(
@@ -257,14 +242,18 @@ def pq_top_k(
     with exact cosine against the full vectors — the standard ADC+refine
     pipeline (Jegou et al., PQ for NN search; public method).
 
-    Codebooks are per-subspace KMeans (MLlib) on L2-normalized slices; on
-    the unit sphere cos = 1 - ||a-b||^2 / 2, so euclidean PQ ranks cosine.
+    Codebooks are per-subspace euclidean Lloyd (shared ``operators.
+    quantizer`` helper, driver-local on one bounded-sample collect — the m
+    MLlib fits this replaces cost m × ~15 scheduled jobs of overhead) on
+    L2-normalized slices; on the unit sphere cos = 1 - ||a-b||^2 / 2, so
+    euclidean PQ ranks cosine. Encoding the full corpus is one
+    Arrow-batched pandas UDF (m small matmuls per batch —
+    ``quantizer.pq_encode_udf``); no MLlib in the distributed path at all.
     Output schema matches :func:`brute_force_top_k` for recall comparison.
-    Compose with IVF (coarse quantizer) at scale to also cut the candidate
-    count; here PQ demonstrates the compressed-scan path.
+    See :func:`ivfpq_top_k` for the composed IVF coarse-pruning + PQ
+    compressed-scan operator — the full 100 TB shape.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     dim = corpus.select(F.size(vectors.as_double_array(vec_col))).first()[0]
     if dim % n_subvectors != 0:
@@ -275,88 +264,42 @@ def pq_top_k(
         F.col(id_col).alias("neighbor_id"),
         vectors.l2_normalize(vec_col).alias("arr"),
     )
-    # All subvector feature columns in one projection, then m KMeans fits.
-    feat_cols = {
-        s: F.slice("arr", s * lsub + 1, lsub).alias(f"sub_{s}")
+    # One bounded-sample collect trains ALL m sub-space codebooks; capped
+    # iterations, because quantization error plateaus after a few Lloyd
+    # rounds and the exact re-rank absorbs the residual.
+    sample = np.asarray(
+        [
+            r[0]
+            for r in bounded_fit_sample(c, "neighbor_id", max_fit_rows)
+            .select("arr")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    codebooks = [
+        lloyd(
+            sample[:, s * lsub : (s + 1) * lsub], n_codes,
+            seed=seed + s, iters=codebook_max_iter, spherical=False,
+        )
         for s in range(n_subvectors)
-    }
-    enc = c.select("neighbor_id", "arr", *feat_cols.values())
-    for s in range(n_subvectors):
-        enc = enc.withColumn(f"feat_{s}", array_to_vector(F.col(f"sub_{s}")))
-    enc = enc.cache()  # m transforms + (when unsampled) m fits read it
-
-    # Codebooks are fit on a bounded sample (see _bounded_fit_sample) and
-    # the m independent per-subspace fits run CONCURRENTLY: Spark schedules
-    # jobs from separate driver threads in parallel, so m small KMeans jobs
-    # overlap instead of serializing m × (scheduling + Lloyd) latencies.
-    # Determinism is unaffected — each fit has its own pinned seed and
-    # reads the same immutable sample. Capped iterations, because
-    # quantization error plateaus after a few Lloyd rounds and the exact
-    # re-rank absorbs the residual.
-    from concurrent.futures import ThreadPoolExecutor
-
-    fit_df = _bounded_fit_sample(enc, "neighbor_id", max_fit_rows)
-
-    def _fit(s: int):
-        km = KMeans(
-            k=n_codes, seed=seed + s, maxIter=codebook_max_iter,
-            featuresCol=f"feat_{s}", predictionCol=f"code_{s}",
-        )
-        return s, km.fit(fit_df)
-
-    with ThreadPoolExecutor(max_workers=min(n_subvectors, 8)) as ex:
-        models = dict(ex.map(_fit, range(n_subvectors)))
-
-    codebook_rows = []
-    for s in range(n_subvectors):
-        model = models[s]
-        enc = model.transform(enc)  # encode the FULL corpus (cheap, lazy)
-        codebook_rows.extend(
-            (s, i, [float(x) for x in center])
-            for i, center in enumerate(model.clusterCenters())
-        )
-    codes = enc.select(
+    ]
+    cb_lists = [[[float(v) for v in row] for row in b] for b in codebooks]
+    codes = c.select(
         "neighbor_id",
         "arr",
-        F.array(*[F.col(f"code_{s}") for s in range(n_subvectors)]).alias("codes"),
+        pq_encode_udf(None, cb_lists)(F.col("arr"), F.lit(0)).alias("codes"),
     )
 
-    cb = corpus.sparkSession.createDataFrame(
-        codebook_rows, "sub int, code int, centroid array<double>"
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         vectors.l2_normalize(vec_col).alias("q_vec"),
     )
-    # Per-(query, subspace, code) squared distance -> per-query LUT matrix.
-    sqd = (
-        q.crossJoin(F.broadcast(cb))
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.aggregate(
-                F.zip_with(
-                    F.slice("q_vec", F.col("sub") * lsub + 1, lsub),
-                    F.col("centroid"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d2"),
-        )
-    )
-    per_sub = sqd.groupBy("query_id", "sub").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code", "d2"))),
-            lambda x: x["d2"],
-        ).alias("lut")
-    )
-    luts = per_sub.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "lut"))),
-            lambda x: x["lut"],
-        ).alias("luts")
+    # Per-query LUT matrix (subspace × code squared distances), one
+    # Arrow-batched UDF over the tiny query set — replaces a
+    # crossJoin-with-codebook + two groupBy shuffles.
+    luts = q.select(
+        "query_id",
+        pq_lut_udf(None, cb_lists)(F.col("q_vec"), F.lit(0)).alias("luts"),
     )
 
     # ADC scan: approx sq-distance = sum over subspaces of LUT[code].
@@ -387,6 +330,170 @@ def pq_top_k(
     )
     # Exact re-rank of the surviving candidates.
     rescored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        vectors.cosine(F.col("q_vec"), F.col("arr")).alias("sim"),
+    )
+    return top_k_per_group(
+        rescored,
+        ["query_id"],
+        [F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "sim", "rn")
+
+
+def ivfpq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subvectors: int = 8,
+    n_codes: int = 64,
+    refine: int = 8,
+    seed: int = 42,
+    max_fit_rows: int = 65536,
+    max_iter: int = 8,
+    codebook_max_iter: int = 8,
+) -> DataFrame:
+    """Composed IVF + PQ ANN — the full 100 TB index shape (Jegou et al.,
+    "Product quantization for nearest neighbor search", 2011; public).
+
+    IVF alone cuts the CANDIDATE COUNT (probe n_probe of n_centroids
+    cells) but still reads full vectors; PQ alone compresses the SCAN
+    (m one-byte codes per vector) but reads every row. Composed: the
+    coarse spherical quantizer routes each corpus vector to a cell, PQ
+    encodes the RESIDUAL (vector − its cell centroid — residuals have far
+    less variance than raw vectors, so the same code budget quantizes
+    finer), and a query ADC-scans codes only inside its probed cells, then
+    exactly re-ranks the top ``k*refine``. Cost per query: shuffle/scan
+    ∝ corpus/n_centroids × n_probe rows of m bytes — both dials cut.
+
+    Distributed shape: both quantizers fit driver-local on ONE bounded
+    sample collect (``operators.quantizer``); cell assignment, residual
+    computation, PQ encoding, and the ADC scan are all codegen'd JVM
+    expressions over broadcast literals; the candidate join is an
+    equi-join on ``centroid_id``. The exact re-rank carries the full
+    vector alongside the codes here (fixture-sized corpus); at 100 TB the
+    re-rank instead joins candidate ids back to the vector store.
+    Output schema matches :func:`brute_force_top_k` for recall comparison.
+    """
+    import numpy as np
+
+    dim = corpus.select(F.size(vectors.as_double_array(vec_col))).first()[0]
+    if dim % n_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
+    lsub = dim // n_subvectors
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.l2_normalize(vec_col).alias("arr"),
+    )
+    # ONE bounded-sample collect trains the coarse quantizer AND the m
+    # residual codebooks (the sample is assigned/residualized in numpy with
+    # the exact argmax-dot / first-tie semantics of the distributed
+    # expressions below).
+    sample = np.asarray(
+        [
+            r[0]
+            for r in bounded_fit_sample(c, "neighbor_id", max_fit_rows)
+            .select("arr")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    coarse = lloyd(sample, n_centroids, seed=seed, iters=max_iter, spherical=True)
+    labels = (sample @ coarse.T).argmax(axis=1)
+    res_sample = sample - coarse[labels]
+    codebooks = [
+        lloyd(
+            res_sample[:, s * lsub : (s + 1) * lsub], n_codes,
+            seed=seed + 1 + s, iters=codebook_max_iter, spherical=False,
+        )
+        for s in range(n_subvectors)
+    ]
+    coarse_lists = [[float(v) for v in row] for row in coarse]
+    cb_lists = [[[float(v) for v in row] for row in b] for b in codebooks]
+
+    # Corpus: cell id + m-byte PQ code of the residual, two Arrow-batched
+    # passes (assignment matmul, then residualize+encode inside the
+    # encoder UDF — the residual never materializes as a column).
+    assigned = c.withColumn(
+        "centroid_id", nearest_centroid_udf(coarse_lists, spherical=True)("arr")
+    )
+    codes = assigned.select(
+        "centroid_id",
+        "neighbor_id",
+        "arr",
+        pq_encode_udf(coarse_lists, cb_lists)(
+            F.col("arr"), F.col("centroid_id")
+        ).alias("codes"),
+    )
+
+    cent_df = corpus.sparkSession.createDataFrame(
+        list(enumerate(coarse_lists)), "centroid_id int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.l2_normalize(vec_col).alias("q_vec"),
+    )
+    # Probe the n_probe nearest cells per query; the ADC lookup table is
+    # PER (query, cell) because PQ codes residuals: ||q − x||² ≈
+    # Σ_s ||(q − c)_s − codebook_s[code_s]||². Built by one Arrow-batched
+    # UDF over the tiny |Q| × n_probe probe set (see pq_lut_udf for why
+    # not a literal-codebook expression).
+    q_cent = top_k_per_group(
+        q.crossJoin(F.broadcast(cent_df)).select(
+            "query_id",
+            "q_vec",
+            "centroid_id",
+            vectors.cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim"),
+        ),
+        ["query_id"],
+        [F.col("c_sim").desc(), F.col("centroid_id").asc()],
+        n_probe,
+        rank_col="c_rn",
+    ).select("query_id", "q_vec", "centroid_id")
+    probes = q_cent.select(
+        "query_id",
+        "q_vec",
+        "centroid_id",
+        pq_lut_udf(coarse_lists, cb_lists)(
+            F.col("q_vec"), F.col("centroid_id")
+        ).alias("luts"),
+    )
+
+    # ADC scan inside probed cells only: equi-join on centroid_id, approx
+    # sq-distance = Σ_s LUT_s[code_s] — m array lookups per candidate.
+    approx = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "arr",
+            "q_vec",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("luts"),
+                    lambda code, lut: F.element_at(lut, code.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2"),
+        )
+    )
+    cand = top_k_per_group(
+        approx,
+        ["query_id"],
+        [F.col("approx_d2").asc(), F.col("neighbor_id").asc()],
+        k * refine,
+        rank_col="cand_rn",
+    )
+    rescored = cand.select(
         "query_id",
         "neighbor_id",
         vectors.cosine(F.col("q_vec"), F.col("arr")).alias("sim"),

@@ -416,6 +416,22 @@ def q_ns_ann_pq(spark, sf_dir):
     return res.orderBy("query_id", "rn")
 
 
+@query("q_ns_ann_ivfpq", oracle=None)  # quantizer centroids are engine-specific
+def q_ns_ann_ivfpq(spark, sf_dir):
+    """Composed IVF+PQ ANN — the full 100 TB index: the coarse quantizer
+    prunes candidates to n_probe of n_centroids cells AND the PQ codes
+    compress the scan inside those cells (residual-encoded, so the code
+    budget quantizes finer than raw-vector PQ), then exact re-rank.
+    Recall-vs-exact is property-tested alongside the PQ-only operator at
+    an equal code budget (tests/test_properties.py)."""
+    emb = _emb(spark, sf_dir)
+    res = similarity.ivfpq_top_k(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5,
+        n_centroids=16, n_probe=8, n_subvectors=8, n_codes=64, refine=8,
+    )
+    return res.orderBy("query_id", "rn")
+
+
 @query("q_ns_multimodal", oracle=None)  # binary payloads, Python codec UDFs
 def q_ns_multimodal(spark, sf_dir):
     """Multimodal plumbing end-to-end with mime-routed codecs: PNG assets go

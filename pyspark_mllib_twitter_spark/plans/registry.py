@@ -45,6 +45,8 @@ CHECK_WINDOW: list[str] = [
     # -- never externally checked (written after round 4's sweep) ----------
     "q_xe_cdc_chunks",
     "q_xf_chunk_dedup",
+    # -- new this round ----------------------------------------------------
+    "q_ns_ann_ivfpq",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -80,7 +82,6 @@ CHECK_WINDOW: list[str] = [
     "q_stream_window_counts",
     "q_sub_q17",
     "q_sub_scalar",
-    "q_t1_sort_limit",
     "q_u1_setops",
     "q_u2_unpivot",
     "q_u3_union_by_name",
@@ -95,8 +96,9 @@ CHECK_WINDOW: list[str] = [
     "q_w4_time_rollup",
     "q_w5_sessionize",
     "q_w6_analytic",
-    # q_p1_filter / q_p3_project sit out (most trivial round-3 greens), as
-    # do the round-3 rows-only streaming/ML entries — all locally tested.
+    # q_p1_filter / q_p3_project / q_t1_sort_limit sit out (most trivial
+    # round-3 greens), as do the round-3 rows-only streaming/ML entries —
+    # all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

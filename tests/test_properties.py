@@ -214,6 +214,24 @@ def test_pq_recall_vs_exact(embeddings, exact_neighbors):
     assert r >= 0.6, f"PQ recall {r:.3f} < 0.6"
 
 
+def test_ivfpq_recall_vs_exact(embeddings, exact_neighbors):
+    """Composed IVF+PQ: probing half the cells (n_probe=8/16) with
+    residual-encoded PQ codes (m=8, 64 codes, refine=8 — the q_ns_ann_pq
+    code budget) must land within a whisker of the probed-fraction ceiling
+    on the near-random fixture: candidates IVF admits should survive the
+    ADC ranking (residual quantization + exact re-rank recover ordering).
+    IVF-only at the same n_probe gates the same candidate set, so recall
+    materially below it would mean the PQ stage is dropping true
+    neighbors."""
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    approx = similarity.ivfpq_top_k(
+        embeddings, q, k=K,
+        n_centroids=16, n_probe=8, n_subvectors=8, n_codes=64, refine=8,
+    ).collect()
+    r = _recall(approx, exact_neighbors)
+    assert r >= 0.6, f"IVF+PQ recall {r:.3f} < 0.6"
+
+
 def test_hll_sketch_merge_close_to_exact(spark, sf_smoke):
     """Merging per-nation HLL sketches must estimate global distinct
     custkeys within 5% of exact — the incremental path has the same
