@@ -1150,3 +1150,72 @@ def q_xf_chunk_dedup(spark, sf_dir):
         )
         .orderBy("edited")
     )
+
+
+def build_chunk_fp_index(
+    spark, docs: "DataFrame", table: str, n_buckets: int = 8
+) -> "DataFrame":
+    """Persist the distinct CDC chunk fingerprints of ``docs`` as a
+    bucketed managed table (hash-bucketed AND sorted on ``fp``) and return
+    it. This is the production "delta ingest" index shape: the
+    distinct+shuffle on the corpus's fingerprints is paid ONCE at write
+    time; every later crawl probes the index with an equi-join on ``fp``
+    that reads the index bucket-aligned — no exchange on the index side
+    (plan-asserted in tests/test_bucketing.py), only the (much smaller)
+    new batch shuffles. At 100 TB the index is far bigger than any
+    ingest batch, so which side re-shuffles is the whole cost model."""
+    from ..operators.cdc import cdc_chunks
+    from ..sources.bucketing import write_bucketed
+
+    kw = dict(avg_size=CDC_AVG, min_size=CDC_MIN, max_size=CDC_MAX)
+    fps = cdc_chunks(docs, **kw).select(F.md5("chunk").alias("fp")).distinct()
+    write_bucketed(fps, table, ["fp"], n_buckets)
+    return spark.table(table)
+
+
+@query("q_xg_chunk_dedup_bucketed", oracle=_chunk_dedup_oracle())
+def q_xg_chunk_dedup_bucketed(spark, sf_dir):
+    """q_xf's chunk-level cross-version dedup, probed against a PERSISTED
+    bucketed fingerprint index instead of a recomputed one — the
+    production delta-ingest shape (same oracle: persistence must not
+    change the answer). The v1 index is rebuilt here each run for
+    determinism (a production pipeline writes it once per corpus
+    version); the join itself reads the index with no exchange when the
+    plan goes sort-merge (bucket-aligned scan), so only the new crawl's
+    fingerprints ever shuffle. Index table name carries the sf tag so
+    scales never cross-contaminate."""
+    import re as _re
+
+    from ..operators.cdc import cdc_chunks
+
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    idx = build_chunk_fp_index(spark, d, f"chunk_fp_index_v1_{tag}")
+    v2_docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(CHUNK_DEDUP_EDIT), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    kw = dict(avg_size=CDC_AVG, min_size=CDC_MIN, max_size=CDC_MAX)
+    v2 = cdc_chunks(v2_docs, **kw).select(
+        (F.col("doc_id") % 3 == 0).cast("int").alias("edited"),
+        F.md5("chunk").alias("fp"),
+    )
+    return (
+        v2.join(idx.withColumn("hit", F.lit(1)), "fp", "left")
+        .groupBy("edited")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "edited",
+            "n_chunks",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_chunks"), 6).alias("dedup_ratio"),
+        )
+        .orderBy("edited")
+    )

@@ -47,6 +47,7 @@ CHECK_WINDOW: list[str] = [
     "q_xf_chunk_dedup",
     # -- new this round ----------------------------------------------------
     "q_ns_ann_ivfpq",
+    "q_xg_chunk_dedup_bucketed",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -70,7 +71,6 @@ CHECK_WINDOW: list[str] = [
     "q_ns_scrub",
     "q_ns_token_bpe",
     "q_ns_token_stats",
-    "q_s1_scan",
     "q_sample_hash",
     "q_sample_stratified",
     "q_sql_lateral",
@@ -96,9 +96,9 @@ CHECK_WINDOW: list[str] = [
     "q_w4_time_rollup",
     "q_w5_sessionize",
     "q_w6_analytic",
-    # q_p1_filter / q_p3_project / q_t1_sort_limit sit out (most trivial
-    # round-3 greens), as do the round-3 rows-only streaming/ML entries —
-    # all locally tested.
+    # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit sit out
+    # (most trivial round-3 greens), as do the round-3 rows-only
+    # streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -100,8 +100,14 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     AQE's partition coalescing (which targets ~64 MB partitions and would
     merge small-but-compute-heavy text right back onto one core) leaves the
     exchange alone. Catalyst still pushes filters and column pruning
-    through the repartition to the scan. (The partition probe inspects the
-    physical plan only — no job runs.)"""
+    through the repartition to the scan.
+
+    SCAN-ROOTED INPUTS ONLY: the ``df.rdd`` partition probe finalizes the
+    physical plan, and that is side-effect-free only for exchange-free
+    plans — under AQE, a plan with an upstream shuffle materializes query
+    stages (i.e. RUNS JOBS) to resolve partitioning. Call this on a raw
+    ``read_table``/scan DataFrame (optionally filtered/projected), never
+    on the output of a join/groupBy/repartition."""
     n = n or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

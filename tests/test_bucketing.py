@@ -58,3 +58,31 @@ def test_bucketed_groupby_no_exchange(spark, bucketed_pair):
     agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:800]
+
+
+def test_chunk_fp_index_probe_no_exchange_on_index(spark, sf_smoke):
+    """The delta-ingest contract: probing the persisted bucketed chunk
+    fingerprint index shuffles ONLY the probe side — the index scan is
+    bucket-aligned (no Exchange between the index FileScan and the
+    SortMergeJoin), so at 100 TB the big corpus index never re-shuffles."""
+    import uuid
+
+    from pyspark_mllib_twitter_spark.plans.pipeline_ops import build_chunk_fp_index
+    from pyspark_mllib_twitter_spark.sources.io import spread
+
+    table = f"chunk_fp_idx_{uuid.uuid4().hex[:8]}"
+    docs = spread(read_table(spark, sf_smoke, "documents")).select("doc_id", "text")
+    try:
+        idx = build_chunk_fp_index(spark, docs, table)
+        probe = spark.createDataFrame(
+            [("0" * 32,), ("f" * 32,)], "fp string"
+        )
+        joined = probe.hint("shuffle_merge").join(idx, "fp", "left")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:800]
+        # exactly one Exchange (the probe side), none above the index scan
+        assert plan.count("Exchange") == 1, plan[:1200]
+        # the index side reads its buckets directly
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:1200]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
