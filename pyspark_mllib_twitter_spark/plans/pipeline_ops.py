@@ -1167,6 +1167,21 @@ def build_chunk_fp_index(
     from ..operators.cdc import cdc_chunks
     from ..sources.bucketing import write_bucketed
 
+    # The table name is deterministic, so a previous SESSION may have left
+    # its warehouse directory behind while this session's in-memory catalog
+    # has never heard of the table — saveAsTable then refuses with
+    # LOCATION_ALREADY_EXISTS. Drop the catalog entry AND any orphaned
+    # location (local-mode warehouse is a file: path; with a real metastore
+    # the DROP alone is sufficient and the rmtree is a no-op).
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        path = urlparse(warehouse).path
+        shutil.rmtree(f"{path}/{table}", ignore_errors=True)
+
     kw = dict(avg_size=CDC_AVG, min_size=CDC_MIN, max_size=CDC_MAX)
     fps = cdc_chunks(docs, **kw).select(F.md5("chunk").alias("fp")).distinct()
     write_bucketed(fps, table, ["fp"], n_buckets)
