@@ -20,6 +20,8 @@ Generalizes the reference's text-vectorize-and-compare pattern
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -478,38 +480,52 @@ def semantic_dedup_pairs(
         assigned = norm.select(id_col, "arr", assign("arr").alias("cluster_id"))
     else:  # corpus too small to block — one cluster == exact all-pairs
         assigned = norm.select(id_col, "arr", F.lit(0).alias("cluster_id"))
-    # Materialize the assignment once (both self-join sides read it), then
-    # pre-partition by cluster with an EXPLICIT partition count the join
-    # reuses. localCheckpoint, NOT cache(): checkpoint blocks are freed when
-    # the DataFrame is garbage-collected and never enter the catalog
-    # CacheManager, so repeated calls can't leak session-lifetime memory or
-    # get plan-fragment-substituted into later unrelated queries. The
-    # explicit repartition matters because AQE would otherwise size the
-    # join's exchange by shuffle BYTES (a few MB of vectors → 2 partitions)
-    # while the work is QUADRATIC per cluster, serializing the whole pair
-    # scan onto two cores (measured 15s for a 2s job).
-    n_part = max(2, min(n_clusters, 32))
-    assigned = (
-        assigned.localCheckpoint(eager=True).repartition(n_part, "cluster_id")
-    )
-    a = assigned.select(
-        "cluster_id", F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a")
-    )
-    b = assigned.select(
-        "cluster_id", F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b")
-    )
-    return (
-        a.join(b, "cluster_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            # arrs are L2-normalized above: dot == cosine, one array fold
-            # per pair instead of cosine()'s three (a.b, a.a, b.b).
-            vectors.dot(F.col("arr_a"), F.col("arr_b")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= min_cosine)
-    )
+    # Within-cluster pair scan as ONE grouped-map pass: each cluster's
+    # vectors arrive as an Arrow batch and numpy computes the (blocked)
+    # gram matrix — arrs are L2-normalized above, so dot == cosine. This
+    # replaces the cluster-id self-join + per-pair zip_with fold, which
+    # (a) shuffles every vector twice and (b) evaluates the dot as
+    # interpreted HOF lambdas, d evals per pair (~1M/s; the gram matmul
+    # does the same work at memory bandwidth). Work and memory stay
+    # cluster-blocked: the matmul is row-blocked so peak memory is
+    # O(block × cluster), never cluster²; parallelism = one task per
+    # cluster, the same ceiling the self-join had.
+    id_type = dict(embeddings.dtypes)[id_col]
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.stack(pdf["arr"].to_numpy())[order]
+        out = []
+        block = 2048
+        cols = np.arange(n)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            gram = x[i0:i1] @ x.T  # (block, n)
+            keep = (gram >= min_cosine) & (cols[None, :] > np.arange(i0, i1)[:, None])
+            rows, js = np.nonzero(keep)
+            if len(rows):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[rows + i0],
+                            "id_b": ids[js],
+                            "cos_sim": gram[rows, js],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        return pd.concat(out, ignore_index=True)
+
+    return assigned.groupBy("cluster_id").applyInPandas(cluster_pairs, out_schema)
 
 
 def semantic_dedup(
