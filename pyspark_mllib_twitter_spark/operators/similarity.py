@@ -380,21 +380,40 @@ def ivfpq_top_k(
     re-rank instead joins candidate ids back to the vector store.
     Output schema matches :func:`brute_force_top_k` for recall comparison.
     """
-    import numpy as np
-
-    dim = corpus.select(F.size(vectors.as_double_array(vec_col))).first()[0]
-    if dim % n_subvectors != 0:
-        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
-    lsub = dim // n_subvectors
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vectors.l2_normalize(vec_col).alias("arr"),
     )
-    # ONE bounded-sample collect trains the coarse quantizer AND the m
-    # residual codebooks (the sample is assigned/residualized in numpy with
-    # the exact argmax-dot / first-tie semantics of the distributed
-    # expressions below).
+    coarse_lists, cb_lists = _fit_ivfpq(
+        c, n_centroids, n_subvectors, n_codes,
+        seed=seed, max_iter=max_iter, codebook_max_iter=codebook_max_iter,
+        max_fit_rows=max_fit_rows,
+    )
+    codes = _encode_ivfpq(c, coarse_lists, cb_lists)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.l2_normalize(vec_col).alias("q_vec"),
+    )
+    return _rank_probed(codes, q, coarse_lists, cb_lists, k, n_probe, refine)
+
+
+def _fit_ivfpq(
+    c: DataFrame,
+    n_centroids: int,
+    n_subvectors: int,
+    n_codes: int,
+    seed: int,
+    max_iter: int,
+    codebook_max_iter: int,
+    max_fit_rows: int,
+):
+    """Fit the coarse quantizer + residual codebooks on ONE bounded-sample
+    collect (the sample is assigned/residualized in numpy with the exact
+    argmax-dot / first-tie semantics of the distributed UDFs). Returns
+    ``(coarse, codebooks)`` as plain float lists — json-serializable, so a
+    persisted index can store them next to the codes."""
+    import numpy as np
+
     sample = np.asarray(
         [
             r[0]
@@ -404,6 +423,10 @@ def ivfpq_top_k(
         ],
         dtype=np.float64,
     )
+    dim = sample.shape[1]
+    if dim % n_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
+    lsub = dim // n_subvectors
     coarse = lloyd(sample, n_centroids, seed=seed, iters=max_iter, spherical=True)
     labels = (sample @ coarse.T).argmax(axis=1)
     res_sample = sample - coarse[labels]
@@ -416,14 +439,17 @@ def ivfpq_top_k(
     ]
     coarse_lists = [[float(v) for v in row] for row in coarse]
     cb_lists = [[[float(v) for v in row] for row in b] for b in codebooks]
+    return coarse_lists, cb_lists
 
-    # Corpus: cell id + m-byte PQ code of the residual, two Arrow-batched
-    # passes (assignment matmul, then residualize+encode inside the
-    # encoder UDF — the residual never materializes as a column).
+
+def _encode_ivfpq(c: DataFrame, coarse_lists: list, cb_lists: list) -> DataFrame:
+    """Corpus → (centroid_id, neighbor_id, arr, codes): two Arrow-batched
+    passes (assignment matmul, then residualize+encode inside the encoder
+    UDF — the residual never materializes as a column)."""
     assigned = c.withColumn(
         "centroid_id", nearest_centroid_udf(coarse_lists, spherical=True)("arr")
     )
-    codes = assigned.select(
+    return assigned.select(
         "centroid_id",
         "neighbor_id",
         "arr",
@@ -432,18 +458,32 @@ def ivfpq_top_k(
         ).alias("codes"),
     )
 
-    cent_df = corpus.sparkSession.createDataFrame(
+
+def _rank_probed(
+    codes: DataFrame,
+    q: DataFrame,
+    coarse_lists: list,
+    cb_lists: list,
+    k: int,
+    n_probe: int,
+    refine: int,
+    prune_scan: bool = False,
+) -> DataFrame:
+    """Shared IVF+PQ search over an encoded corpus: probe the ``n_probe``
+    nearest cells per query, ADC-scan codes inside those cells, exact
+    re-rank of the top ``k*refine``. The per-(query, cell) lookup table is
+    one Arrow-batched UDF over the tiny probe set, because PQ codes
+    residuals: ||q − x||² ≈ Σ_s ||(q − c)_s − codebook_s[code_s]||².
+
+    ``prune_scan`` additionally collects the probed cell ids (≤ |Q| ×
+    n_probe ints — bounded, driver-side by design) and filters the codes
+    scan with a literal IN predicate. For a PERSISTED index partitioned by
+    ``centroid_id`` that predicate becomes a partition filter: unprobed
+    cells are never read — the candidate cut becomes an I/O cut."""
+    spark = codes.sparkSession
+    cent_df = spark.createDataFrame(
         list(enumerate(coarse_lists)), "centroid_id int, centroid array<double>"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        vectors.l2_normalize(vec_col).alias("q_vec"),
-    )
-    # Probe the n_probe nearest cells per query; the ADC lookup table is
-    # PER (query, cell) because PQ codes residuals: ||q − x||² ≈
-    # Σ_s ||(q − c)_s − codebook_s[code_s]||². Built by one Arrow-batched
-    # UDF over the tiny |Q| × n_probe probe set (see pq_lut_udf for why
-    # not a literal-codebook expression).
     q_cent = top_k_per_group(
         q.crossJoin(F.broadcast(cent_df)).select(
             "query_id",
@@ -456,6 +496,9 @@ def ivfpq_top_k(
         n_probe,
         rank_col="c_rn",
     ).select("query_id", "q_vec", "centroid_id")
+    if prune_scan:
+        cells = [r.centroid_id for r in q_cent.select("centroid_id").distinct().collect()]
+        codes = codes.filter(F.col("centroid_id").isin(cells))
     probes = q_cent.select(
         "query_id",
         "q_vec",
@@ -504,3 +547,72 @@ def ivfpq_top_k(
         [F.col("sim").desc(), F.col("neighbor_id").asc()],
         k,
     ).select("query_id", "neighbor_id", "sim", "rn")
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_subvectors: int = 8,
+    n_codes: int = 64,
+    seed: int = 42,
+    max_fit_rows: int = 65536,
+    max_iter: int = 8,
+    codebook_max_iter: int = 8,
+) -> None:
+    """Persist an IVF+PQ index: the encoded corpus as parquet PARTITIONED
+    BY ``centroid_id`` (probing n_probe cells later reads only those
+    directories — partition pruning, plan-asserted in
+    tests/test_properties.py) plus the fitted quantizers as a JSON
+    sidecar. Encode-once-probe-many is the production retrieval shape: the
+    fit + encode cost amortizes over every later query batch, exactly like
+    the bucketed chunk-fingerprint index amortizes its distinct shuffle."""
+    import json
+    import os
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        vectors.l2_normalize(vec_col).alias("arr"),
+    )
+    coarse_lists, cb_lists = _fit_ivfpq(
+        c, n_centroids, n_subvectors, n_codes,
+        seed=seed, max_iter=max_iter, codebook_max_iter=codebook_max_iter,
+        max_fit_rows=max_fit_rows,
+    )
+    codes = _encode_ivfpq(c, coarse_lists, cb_lists)
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "codes")
+    )
+    with open(os.path.join(path, "quantizer.json"), "w") as f:
+        json.dump({"coarse": coarse_lists, "codebooks": cb_lists}, f)
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    refine: int = 8,
+) -> DataFrame:
+    """Search a persisted IVF+PQ index (see :func:`build_ivfpq_index`).
+    The probed cell ids become a literal IN filter on the partitioned
+    codes scan, so unprobed cells are never read from storage."""
+    import json
+    import os
+
+    with open(os.path.join(path, "quantizer.json")) as f:
+        quant = json.load(f)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        vectors.l2_normalize(vec_col).alias("q_vec"),
+    )
+    return _rank_probed(
+        codes, q, quant["coarse"], quant["codebooks"], k, n_probe, refine,
+        prune_scan=True,
+    )

@@ -432,6 +432,29 @@ def q_ns_ann_ivfpq(spark, sf_dir):
     return res.orderBy("query_id", "rn")
 
 
+@query("q_ns_ann_ivfpq_idx", oracle=None)  # quantizer centroids are engine-specific
+def q_ns_ann_ivfpq_idx(spark, sf_dir):
+    """Persisted IVF+PQ index, built then probed — encode-once-probe-many,
+    the production retrieval shape. The codes live in parquet PARTITIONED
+    BY centroid_id with the quantizers in a JSON sidecar; probing n_probe
+    cells puts a literal IN predicate on the partitioned scan, so unprobed
+    cells are never read from storage (partition pruning, plan-asserted in
+    tests/test_properties.py). Results are bit-identical to the in-memory
+    q_ns_ann_ivfpq at the same parameters (tested)."""
+    import re as _re
+
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = f"/tmp/ann_ivfpq_idx_{tag}"
+    emb = _emb(spark, sf_dir)
+    similarity.build_ivfpq_index(
+        emb, path, n_centroids=16, n_subvectors=8, n_codes=64
+    )
+    res = similarity.probe_ivfpq_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=5, n_probe=8, refine=8
+    )
+    return res.orderBy("query_id", "rn")
+
+
 @query("q_ns_multimodal", oracle=None)  # binary payloads, Python codec UDFs
 def q_ns_multimodal(spark, sf_dir):
     """Multimodal plumbing end-to-end with mime-routed codecs: PNG assets go

@@ -47,6 +47,7 @@ CHECK_WINDOW: list[str] = [
     "q_xf_chunk_dedup",
     # -- new this round ----------------------------------------------------
     "q_ns_ann_ivfpq",
+    "q_ns_ann_ivfpq_idx",
     "q_xg_chunk_dedup_bucketed",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
@@ -58,7 +59,6 @@ CHECK_WINDOW: list[str] = [
     "q_a5_id_dictionary",
     "q_a8_salted_agg",
     "q_e2e_w1doc",
-    "q_f_cond",
     "q_f_json",
     "q_f_map",
     "q_g4_grouping_sets",
@@ -96,8 +96,8 @@ CHECK_WINDOW: list[str] = [
     "q_w4_time_rollup",
     "q_w5_sessionize",
     "q_w6_analytic",
-    # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit sit out
-    # (most trivial round-3 greens), as do the round-3 rows-only
+    # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond
+    # sit out (most trivial round-3 greens), as do the round-3 rows-only
     # streaming/ML entries — all locally tested.
 ]
 

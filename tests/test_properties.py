@@ -232,6 +232,48 @@ def test_ivfpq_recall_vs_exact(embeddings, exact_neighbors):
     assert r >= 0.6, f"IVF+PQ recall {r:.3f} < 0.6"
 
 
+def test_ivfpq_index_matches_inmemory_and_prunes(spark, embeddings, tmp_path):
+    """The persisted index contract: (a) probing the partitioned index
+    returns BIT-IDENTICAL results to the in-memory ivfpq_top_k at the same
+    parameters (same seeds + same bounded sample → same quantizers; parquet
+    round-trips doubles exactly), and (b) the probed cells appear as a
+    partition filter on the codes scan — unprobed cells are pruned from
+    I/O, not just filtered after read."""
+    path = str(tmp_path / "idx")
+    similarity.build_ivfpq_index(
+        embeddings, path, n_centroids=16, n_subvectors=8, n_codes=64
+    )
+    q = embeddings.filter(F.col("vec_id") < N_QUERIES)
+    probe = similarity.probe_ivfpq_index(spark, path, q, k=K, n_probe=8, refine=8)
+    via_idx = sorted(map(tuple, probe.collect()))
+    inmem = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_top_k(
+                embeddings, q, k=K,
+                n_centroids=16, n_probe=8, n_subvectors=8, n_codes=64, refine=8,
+            ).collect(),
+        )
+    )
+    assert via_idx == inmem
+    # Pruning: a single query probing 2 of 16 cells must put exactly those
+    # cells in the scan's partition filter — unprobed cells never read.
+    import re
+
+    narrow = similarity.probe_ivfpq_index(
+        spark, path, embeddings.filter(F.col("vec_id") == 0), k=K,
+        n_probe=2, refine=8,
+    )
+    qe = narrow._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # small IN-lists print as `IN (a,b)`, larger ones as `INSET a, b, ...`
+    m = re.search(r"PartitionFilters: \[[^\]]*?(?:IN \(|INSET )([0-9, ]+)", plan)
+    assert m, plan[:1500]
+    assert len(m.group(1).split(",")) == 2, m.group(0)
+
+
 def test_hll_sketch_merge_close_to_exact(spark, sf_smoke):
     """Merging per-nation HLL sketches must estimate global distinct
     custkeys within 5% of exact — the incremental path has the same
