@@ -45,6 +45,7 @@ SINGLE_RUN = {
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
     "q_ns_ann_ivfpq",
+    "q_ns_ann_ivfpq_idx",
     "q_ml_quality_clf",
     "q_stream_window_counts",
     "q_stream_session",
