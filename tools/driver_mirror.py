@@ -136,7 +136,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}\n{traceback.format_exc()}", flush=True)
             continue
-        print(f"ok   {name}: {status} [{time.perf_counter() - t0:.1f}s]", flush=True)
+        base = base_name(name)
+        alias = f" ({base})" if base != name else ""
+        print(
+            f"ok   {name}{alias}: {status} [{time.perf_counter() - t0:.1f}s]",
+            flush=True,
+        )
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed", flush=True)
     if failures:
