@@ -232,6 +232,29 @@ def test_ivfpq_recall_vs_exact(embeddings, exact_neighbors):
     assert r >= 0.6, f"IVF+PQ recall {r:.3f} < 0.6"
 
 
+def test_lloyd_quantizer_contracts():
+    """Driver-local Lloyd (shared by IVF/IVF+PQ/PQ/SemDeDup): deterministic
+    for a given seed, seed actually changes the init (regression for the
+    old no-op seed parameter), spherical centroids are unit-norm, and
+    k > n degrades gracefully to n centroids."""
+    import numpy as np
+
+    from pyspark_mllib_twitter_spark.operators.quantizer import lloyd
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(500, 16))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    a = lloyd(x, 8, seed=42, spherical=True)
+    b = lloyd(x, 8, seed=42, spherical=True)
+    assert np.array_equal(a, b)
+    c = lloyd(x, 8, seed=7, spherical=True)
+    assert not np.array_equal(a, c)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+    assert lloyd(x, 1000, seed=1, spherical=True).shape == (500, 16)
+    e = lloyd(x, 8, seed=42, spherical=False)
+    assert e.shape == (8, 16) and not np.allclose(np.linalg.norm(e, axis=1), 1.0)
+
+
 def test_ivfpq_index_matches_inmemory_and_prunes(spark, embeddings, tmp_path):
     """The persisted index contract: (a) probing the partitioned index
     returns BIT-IDENTICAL results to the in-memory ivfpq_top_k at the same
