@@ -255,18 +255,14 @@ def pq_top_k(
     """
     import numpy as np
 
-    dim = corpus.select(F.size(vectors.as_double_array(vec_col))).first()[0]
-    if dim % n_subvectors != 0:
-        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
-    lsub = dim // n_subvectors
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         vectors.l2_normalize(vec_col).alias("arr"),
     )
     # One bounded-sample collect trains ALL m sub-space codebooks; capped
     # iterations, because quantization error plateaus after a few Lloyd
-    # rounds and the exact re-rank absorbs the residual.
+    # rounds and the exact re-rank absorbs the residual. The vector dim
+    # comes from the sample itself — no separate probe job.
     sample = np.asarray(
         [
             r[0]
@@ -276,6 +272,10 @@ def pq_top_k(
         ],
         dtype=np.float64,
     )
+    dim = sample.shape[1]
+    if dim % n_subvectors != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subvectors {n_subvectors}")
+    lsub = dim // n_subvectors
     codebooks = [
         lloyd(
             sample[:, s * lsub : (s + 1) * lsub], n_codes,
