@@ -217,6 +217,87 @@ def minhash_dedup(
     return docs.join(keep, id_col, "left_semi")
 
 
+def minhash_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with PORTABLE hashing — no MLlib,
+    no Python: every step is a codegen'd JVM expression built from md5, which
+    any ANSI engine reproduces bit-for-bit. Unlike
+    :func:`minhash_candidate_pairs` (whose signatures depend on MLlib's
+    seeded hash family), the whole pipeline is value-checkable against a SQL
+    oracle — candidate generation included, not just the verify step.
+
+    Signature: ``h_i(doc) = min over shingles s of md5(i || '|' || s)``; a
+    fixed-width lowercase-hex digest's lexicographic order IS its numeric
+    order, so ``array_min`` over digests is a valid min-hash. Banding:
+    ``bands`` keys of ``num_hashes/bands`` consecutive signature slots, each
+    re-hashed to one md5; two docs are candidates iff they agree on >= 1 band
+    key (an equi-join — shuffle scales with duplicate density, not
+    ``|docs|^2``). Every candidate is then verified with the EXACT
+    shingle-set Jaccard, so banding affects recall only, never precision.
+
+    Scale shape: the banded self-join shuffles (id, 32-byte key) rows only;
+    shingle arrays travel only for candidate ids (the two closing hash
+    joins). Bucket skew is bounded because md5 collisions beyond true
+    near-dups are negligible. Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by bands {bands}")
+    r = num_hashes // bands
+    toks = TXT.tokens(text_col)
+    grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            TXT.word_ngrams(toks, shingle_n) if shingle_n > 1 else toks
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+    sig = grams.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda h: F.array_min(
+                F.transform(
+                    F.col("grams"),
+                    lambda s: F.md5(F.concat(h.cast("string"), F.lit("|"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dedup (pure DataFrame ops, no MLlib)
 # ---------------------------------------------------------------------------

@@ -344,6 +344,63 @@ def q_ns_dedup_minhash(spark, sf_dir):
     return survivors.select("doc_id").orderBy("doc_id")
 
 
+@query(
+    "q_ns_minhash_portable",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id, grams FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents))
+      WHERE len(grams) >= 1),
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(seed::VARCHAR || '|' || gram)) AS v
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g), range(16) h(seed)
+      GROUP BY doc_id, seed),
+    sig AS (
+      SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.band AS band_idx,
+             md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS band_key
+      FROM sig, range(4) b(band)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+       AND a.doc_id < b2.doc_id)
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(ga.grams, gb.grams))::DOUBLE
+             / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+    FROM cand c
+    JOIN g ga ON ga.doc_id = c.id_a
+    JOIN g gb ON gb.doc_id = c.id_b
+    WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+            / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ns_minhash_portable(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with portable (md5) hashing — the ONLY
+    fuzzy-dedup entry whose candidate generation is hash-checked end to end
+    against the DuckDB oracle (the MLlib twin ``q_ns_dedup_minhash`` is
+    rows-only because its hash family is engine-internal). 3-gram shingles
+    at threshold 0.5: selective on this fixture (28 true pairs at sf0.001 vs
+    90k for unigrams — word-shuffled dups are ``q_ns_jaccard_pairs``'s job;
+    LSH showcases the banded candidate cut, which needs a sparse pair
+    set)."""
+    pairs = dedup.minhash_pairs_portable(
+        spread(_docs(spark, sf_dir)),
+        shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.5,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
 @query("q_ns_dedup_simhash", oracle=None)  # xxhash64-based signature, engine-specific
 def q_ns_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidate pairs (hamming <= 3 over 63-bit sigs)."""

@@ -1234,3 +1234,80 @@ def q_xg_chunk_dedup_bucketed(spark, sf_dir):
         )
         .orderBy("edited")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (RefinedWeb-style sub-document dedup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xh_para_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id // 4 AS page_id, doc_id % 4 AS pos, text,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents),
+    k AS (SELECT fp, min(doc_id) AS keep_id FROM p GROUP BY fp)
+    SELECT page_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE doc_id = keep_id) AS BIGINT) AS n_kept,
+           coalesce(string_agg(text, chr(10) ORDER BY pos)
+                      FILTER (WHERE doc_id = keep_id), '') AS clean_text
+    FROM p JOIN k USING (fp)
+    GROUP BY page_id ORDER BY page_id
+    """,
+)
+def q_xh_para_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup across the corpus (RefinedWeb-style:
+    drop every later occurrence of a repeated paragraph, keep the first,
+    reassemble pages), value-checked end to end.
+
+    Fixture docs are single paragraphs, so pages are synthesized by
+    grouping 4 consecutive docs (page = doc_id div 4, paragraph position =
+    doc_id mod 4); the fixture's natural exact-duplicate documents become
+    exactly the repeated-paragraphs-across-pages pattern this operator
+    exists for. Keep policy: global first occurrence (min doc id) per
+    content fingerprint — same digest as q_ns_dedup_exact, so sub-document
+    and document dedup compose on one fingerprint definition.
+
+    Scale shape: the keep decision aggregates (fp 16B, id) pairs only —
+    one partial-agg shuffle, no text; the keep-set joins back on the id
+    (digest-sized rows on the build side), and full text moves exactly
+    once, in the final page-reassembly shuffle, which any reassembling
+    dedup needs. No window over fp: min-per-group + equi-join replaces the
+    row_number pattern, so no single-partition sort and map-side combine
+    collapses duplicate-heavy fingerprints early.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    paras = d.select(
+        "doc_id",
+        (F.col("doc_id") - (F.col("doc_id") % 4)).alias("page_base"),
+        (F.col("doc_id") % 4).alias("pos"),
+        "text",
+        TXT.fingerprint("text").alias("fp"),
+    ).withColumn("page_id", (F.col("page_base") / 4).cast("bigint"))
+    keep_ids = (
+        paras.select("fp", "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("kept", F.lit(1))
+    )
+    flagged = paras.join(keep_ids, "doc_id", "left")
+    kept_struct = F.when(
+        F.col("kept") == 1, F.struct(F.col("pos"), F.col("text"))
+    )
+    return (
+        flagged.groupBy("page_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paras"),
+            F.sum(F.coalesce("kept", F.lit(0))).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s.text
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .orderBy("page_id")
+    )

@@ -214,3 +214,27 @@ def test_incremental_dedup_shuffles_digests_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_minhash_portable_jvm_side_hash_joins(spark):
+    """Portable MinHash-LSH must be pure codegen'd expressions end to end:
+    no Python/Arrow evaluation (the signatures are md5 expressions, not
+    UDFs), no cartesian/nested-loop join (candidates come from the banded
+    equi-join; the verify step is two hash joins on candidate ids)."""
+    plan = _plan(spark, "q_ns_minhash_portable")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_para_dedup_keep_decision_shuffles_digests_only(spark):
+    """Paragraph dedup's keep decision must aggregate (fp, doc_id) pairs
+    only — the exchange feeding the min-per-fingerprint agg carries no
+    text column — and the plan has no Window node (min-per-group +
+    equi-join, not row_number over fp) and no Python."""
+    plan = _plan(spark, "q_xh_para_dedup")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "Window" not in plan
+    # the partial_min(doc_id) aggregate runs before its exchange
+    # (map-side combine on digests); text is not among its output attrs
+    agg_lines = [l for l in plan.splitlines() if "partial_min" in l]
+    assert agg_lines and all("text" not in l for l in agg_lines)

@@ -339,3 +339,46 @@ def test_semantic_dedup_pairs_respect_threshold(spark, embeddings):
     ).collect()
     assert all(r.cos_sim >= 0.99 and r.id_a < r.id_b for r in pairs)
     assert len(pairs) == 0  # near-random fixture vectors are not near-dups
+
+
+def test_minhash_portable_subset_of_exact_and_high_recall(documents):
+    """Portable (md5) MinHash-LSH contract: every emitted pair really has
+    exact 3-gram Jaccard >= the threshold (banding must affect recall only,
+    never precision — the verify join enforces this), and recall on the
+    near-identical band (J >= 0.9, where 4-row banding catches a pair with
+    p ~ 0.99) is >= 0.9. Everything is md5-deterministic, so these bounds
+    are stable, not flaky."""
+    from pyspark_mllib_twitter_spark.functions import text as TXT
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_pairs_portable(
+            documents, shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.5
+        ).collect()
+    }
+    grams = documents.select(
+        "doc_id",
+        F.array_distinct(TXT.word_ngrams(TXT.tokens("text"), 3)).alias("g"),
+    ).filter(F.size("g") > 0)
+    a = grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("g_a"))
+    b = grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("g_b"))
+    exact = {
+        (r.id_a, r.id_b): r.j
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert abs(j - exact[pair]) < 1e-9
+    near = {p for p, j in exact.items() if j >= 0.9}
+    if near:
+        assert len(near & set(got)) / len(near) >= 0.9
