@@ -333,7 +333,7 @@ def q_x5_tfidf_topterms(spark, sf_dir):
     window prunes to WindowGroupLimit so only 5 rows per source survive the
     final sort.
     """
-    docs = _docs(spark, sf_dir)
+    docs = spread(_docs(spark, sf_dir))
     toks = docs.select("source", "doc_id", F.explode(TXT.tokens("text")).alias("term"))
     tf = toks.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("tf"))
     df_tab = toks.groupBy("term").agg(
