@@ -217,6 +217,70 @@ def minhash_dedup(
     return docs.join(keep, id_col, "left_semi")
 
 
+def portable_shingles(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, grams): distinct word-``shingle_n``-gram set per doc, empty-gram
+    docs dropped. The shared front of the portable MinHash pipeline."""
+    toks = TXT.tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            TXT.word_ngrams(toks, shingle_n) if shingle_n > 1 else toks
+        ).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+
+def portable_minhash_signatures(
+    grams: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig): ``num_hashes``-slot MinHash signature over the ``grams``
+    array column, portable md5 hashing only.
+
+    Each seed ``g`` hashes every shingle once — ``md5(g || '|' || s)`` —
+    and the digest's four 8-hex-char quarters act as four independent
+    32-bit hash functions (the Kirsch-Mitzenmacher observation: k hashes
+    derived from few base hashes preserve MinHash accuracy), so
+    ``num_hashes`` signature slots cost ``num_hashes/4`` md5 passes per
+    shingle. A fixed-width lowercase-hex string's lexicographic order IS
+    its numeric order, so ``array_min`` over quarters is a valid min-hash.
+    Slot order is seed-major, quarter-minor (the oracle's ``4*seed + q``).
+    """
+    if num_hashes % 4:
+        raise ValueError(f"num_hashes {num_hashes} not a multiple of 4 (quartered md5)")
+    n_seeds = num_hashes // 4
+
+    # Closure helpers, NOT `lambda s, g=g:` — PySpark treats a two-parameter
+    # callable as an (element, index) lambda and silently binds the second
+    # parameter to the array index, clobbering the default (regression test:
+    # test_portable_signatures_are_full_width_quarters).
+    def _md5_seed(g: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{g}|"), s))
+
+    def _quarter(q: int):
+        return lambda x: F.substring(x, q * 8 + 1, 8)
+
+    hashed = grams.select(
+        id_col,
+        *[
+            F.transform(F.col("grams"), _md5_seed(g)).alias(f"h{g}")
+            for g in range(n_seeds)
+        ],
+    )
+    # Whole-stage codegen's subexpression elimination computes each seed's
+    # md5 array once even though four mins reference it.
+    return hashed.select(
+        id_col,
+        F.array(
+            *[
+                F.array_min(F.transform(F.col(f"h{g}"), _quarter(q)))
+                for g in range(n_seeds)
+                for q in range(4)
+            ]
+        ).alias("sig"),
+    )
+
+
 def minhash_pairs_portable(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -233,43 +297,33 @@ def minhash_pairs_portable(
     seeded hash family), the whole pipeline is value-checkable against a SQL
     oracle — candidate generation included, not just the verify step.
 
-    Signature: ``h_i(doc) = min over shingles s of md5(i || '|' || s)``; a
-    fixed-width lowercase-hex digest's lexicographic order IS its numeric
-    order, so ``array_min`` over digests is a valid min-hash. Banding:
-    ``bands`` keys of ``num_hashes/bands`` consecutive signature slots, each
-    re-hashed to one md5; two docs are candidates iff they agree on >= 1 band
-    key (an equi-join — shuffle scales with duplicate density, not
-    ``|docs|^2``). Every candidate is then verified with the EXACT
-    shingle-set Jaccard, so banding affects recall only, never precision.
+    Signature: each seed ``g`` hashes every shingle once —
+    ``md5(g || '|' || s)`` — and the digest's four 8-hex-char quarters act
+    as four independent 32-bit hash functions (the Kirsch-Mitzenmacher
+    observation: k hashes derived from few base hashes preserve MinHash
+    accuracy), so 16 signature slots cost only ``num_hashes/4`` md5 passes
+    per shingle. A fixed-width lowercase-hex string's lexicographic order
+    IS its numeric order, so ``array_min`` over quarters is a valid
+    min-hash. Banding: ``bands`` keys of ``num_hashes/bands`` consecutive
+    signature slots, each re-hashed to one md5; two docs are candidates iff
+    they agree on >= 1 band key (an equi-join — shuffle scales with
+    duplicate density, not ``|docs|^2``). Every candidate is then verified
+    with the EXACT shingle-set Jaccard, so banding affects recall only,
+    never precision.
 
     Scale shape: the banded self-join shuffles (id, 32-byte key) rows only;
     shingle arrays travel only for candidate ids (the two closing hash
-    joins). Bucket skew is bounded because md5 collisions beyond true
-    near-dups are negligible. Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
+    joins) and are cached across their three uses (signature + both verify
+    sides — same discipline as the MLlib variant's featurized cache; at
+    warehouse scale this is a persisted intermediate). Bucket skew is
+    bounded because md5 collisions beyond true near-dups are negligible.
+    Output: ``(id_a, id_b, jaccard)``, id_a < id_b.
     """
     if num_hashes % bands:
         raise ValueError(f"num_hashes {num_hashes} not divisible by bands {bands}")
     r = num_hashes // bands
-    toks = TXT.tokens(text_col)
-    grams = docs.select(
-        F.col(id_col),
-        F.array_distinct(
-            TXT.word_ngrams(toks, shingle_n) if shingle_n > 1 else toks
-        ).alias("grams"),
-    ).filter(F.size("grams") > 0)
-
-    sig = grams.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda h: F.array_min(
-                F.transform(
-                    F.col("grams"),
-                    lambda s: F.md5(F.concat(h.cast("string"), F.lit("|"), s)),
-                )
-            ),
-        ).alias("sig"),
-    )
+    grams = portable_shingles(docs, id_col, text_col, shingle_n).cache()
+    sig = portable_minhash_signatures(grams, id_col, num_hashes)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(

@@ -359,12 +359,13 @@ def q_ns_dedup_minhash(spark, sf_dir):
               FROM documents))
       WHERE len(grams) >= 1),
     mh AS (
-      SELECT doc_id, seed,
-             min(md5(seed::VARCHAR || '|' || gram)) AS v
-      FROM (SELECT doc_id, unnest(grams) AS gram FROM g), range(16) h(seed)
-      GROUP BY doc_id, seed),
+      SELECT doc_id, 4 * seed + q AS slot,
+             min(substring(md5(seed::VARCHAR || '|' || gram), q * 8 + 1, 8)) AS v
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g),
+           range(4) h(seed), range(4) qq(q)
+      GROUP BY doc_id, seed, q),
     sig AS (
-      SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+      SELECT doc_id, list(v ORDER BY slot) AS sig FROM mh GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b.band AS band_idx,
              md5(array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS band_key

@@ -56,10 +56,12 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Whole-stage codegen emits one or more classes per query plan; a
-        # 70-query suite fills the JVM's default code cache, after which
+        # 110-query suite fills the JVM's default code cache, after which
         # the JIT disables itself and iterative ML (ALS) runs interpreted
-        # — measured 9s isolated vs 25s late in the suite.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # — measured 9s isolated vs 25s late in the suite at 240m, and
+        # late-suite queries still ran 3-4x their isolated-warm time at
+        # 512m (q_x5: 5.9s in-suite vs 1.4s warm isolated).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

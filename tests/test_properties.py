@@ -382,3 +382,21 @@ def test_minhash_portable_subset_of_exact_and_high_recall(documents):
     near = {p for p, j in exact.items() if j >= 0.9}
     if near:
         assert len(near & set(got)) / len(near) >= 0.9
+
+
+def test_portable_signatures_are_full_width_quarters(documents):
+    """Regression guard for the PySpark two-parameter-lambda trap: every
+    signature slot must be a full 8-hex-char digest quarter (the broken
+    index-bound variant produced '' slots, collapsing every band key to a
+    constant and silently degrading LSH to an all-pairs join), and distinct
+    documents must get distinct signatures."""
+    import re
+
+    grams = dedup.portable_shingles(documents, "doc_id", "text", 3)
+    rows = dedup.portable_minhash_signatures(grams, num_hashes=16).collect()
+    assert rows
+    pat = re.compile(r"^[0-9a-f]{8}$")
+    for r in rows:
+        assert len(r.sig) == 16
+        assert all(pat.match(s) for s in r.sig), r.sig
+    assert len({tuple(r.sig) for r in rows}) > len(rows) * 0.5
