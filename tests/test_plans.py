@@ -238,3 +238,53 @@ def test_para_dedup_keep_decision_shuffles_digests_only(spark):
     # (map-side combine on digests); text is not among its output attrs
     agg_lines = [l for l in plan.splitlines() if "partial_min" in l]
     assert agg_lines and all("text" not in l for l in agg_lines)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim-side filter on a shuffle join must inject a runtime
+    bloom filter into the fact side's scan filter (bloom_filter_agg on the
+    filtered build side, might_contain on the probe side) — Spark's
+    row-level runtime filtering. At 100 TB this drops most fact rows at the
+    scan, before they reach the shuffle; at fixture scale it is gated by
+    size thresholds, so the test pins the capability with the thresholds
+    opened and restores every conf afterwards (a registry entry can't carry
+    session confs: plans optimize lazily, after a recipe would have
+    restored them). Value-checked against the unfiltered-join result —
+    bloom false positives must be re-verified by the join itself."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, SF, "lineitem")
+        orders = read_table(spark, SF, "orders")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_orderdate"
+        )
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderdate")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        with_bloom = {(r.o_orderdate, r["count"]) for r in j.collect()}
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (
+        li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy("o_orderdate").count()
+    )
+    assert with_bloom == {(r.o_orderdate, r["count"]) for r in plain.collect()}
