@@ -1311,3 +1311,139 @@ def q_xh_para_dedup(spark, sf_dir):
         )
         .orderBy("page_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-span removal (exact-substring dedup, n-gram grain)
+# ---------------------------------------------------------------------------
+
+#: Span width (tokens) for cross-document duplicated-text removal. Production
+#: exact-substring dedup uses ~50-token spans (Lee et al. 2021, public);
+#: 6 is sized to the ~40-80-token fixture docs so removal is non-vacuous.
+SPAN_N = 6
+#: ord = doc_id * _SPAN_ORD + pos must be injective; fixture docs are far
+#: below a million tokens.
+_SPAN_ORD = 1 << 20
+
+
+@query(
+    "q_xi_span_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    spans AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - {SPAN_N - 2}, 1))) AS pos
+      FROM toks),
+    grams AS (
+      SELECT doc_id, pos,
+             doc_id * {_SPAN_ORD} + pos AS ord,
+             array_to_string(t[pos:pos+{SPAN_N - 1}], ' ') AS gram
+      FROM spans),
+    gstat AS (
+      SELECT gram, count(*) AS c, min(ord) AS mino FROM grams GROUP BY gram),
+    dups AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN gstat s USING (gram)
+      WHERE s.c >= 2 AND g.ord <> s.mino),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS tpos
+      FROM dups, range({SPAN_N}) oo(o)),
+    tok_pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS tpos FROM toks),
+    kept AS (
+      SELECT tp.doc_id, tp.tpos, tp.t[tp.tpos] AS tok
+      FROM tok_pos tp ANTI JOIN cov c
+        ON tp.doc_id = c.doc_id AND tp.tpos = c.tpos),
+    stats AS (
+      SELECT tk.doc_id,
+             CAST(len(tk.t) AS BIGINT) AS n_tokens,
+             CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+             CAST(len(tk.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(k.clean, '') AS clean_text
+      FROM toks tk
+      LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM dups GROUP BY doc_id) d
+        USING (doc_id)
+      LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY tpos) AS clean
+                 FROM kept GROUP BY doc_id) k
+        USING (doc_id))
+    SELECT doc_id, n_tokens, n_dup_spans, n_removed, clean_text
+    FROM stats ORDER BY doc_id
+    """,
+)
+def q_xi_span_dedup(spark, sf_dir):
+    """Cross-document repeated-span removal, value-checked end to end — the
+    n-gram-granular approximation of exact-substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    public): any ``SPAN_N``-token span occurring more than once across the
+    corpus keeps only its globally-first occurrence (min (doc, pos) order);
+    every other occurrence's tokens are removed and the documents
+    reassembled. Document-level dedup (q_ns_dedup_*) misses this entirely:
+    a paragraph quoted by a thousand distinct pages survives all of them.
+
+    Scale shape: span fingerprints aggregate by gram (partial-agg shuffle
+    of (hash, ord) pairs — the gram string itself can be md5'd at
+    warehouse scale); duplicate occurrences explode to at most
+    ``SPAN_N x dup_spans`` covered token positions (duplicate-density
+    bound, not corpus bound); the reassembly anti-join + groupBy shuffles
+    token-position pairs once. No window over the corpus, no Python.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    toks = d.select("doc_id", TXT.tokens("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(TXT.word_ngrams(F.col("t"), SPAN_N)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("doc_id") * _SPAN_ORD + F.col("pos0") + 1).alias("ord"),
+        "gram",
+    )
+    gstat = grams.groupBy("gram").agg(
+        F.count("*").alias("c"), F.min("ord").alias("mino")
+    )
+    dups = (
+        grams.join(gstat, "gram")
+        .filter((F.col("c") >= 2) & (F.col("ord") != F.col("mino")))
+        .select("doc_id", "pos")
+    )
+    cov = (
+        dups.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + SPAN_N - 1)).alias("tpos")
+        )
+        .distinct()
+    )
+    tok_pos = toks.select(
+        "doc_id", F.posexplode("t").alias("tpos0", "tok")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = tok_pos.join(cov, ["doc_id", "tpos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    dup_agg = dups.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(dup_agg, "doc_id", "left")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("clean", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

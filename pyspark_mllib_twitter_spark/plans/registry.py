@@ -51,6 +51,7 @@ CHECK_WINDOW: list[str] = [
     "q_xg_chunk_dedup_bucketed",
     "q_ns_minhash_portable",
     "q_xh_para_dedup",
+    "q_xi_span_dedup",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -72,7 +73,6 @@ CHECK_WINDOW: list[str] = [
     "q_ns_scrub",
     "q_ns_token_bpe",
     "q_ns_token_stats",
-    "q_sample_hash",
     "q_sample_stratified",
     "q_sql_lateral",
     "q_sql_q3",
@@ -97,11 +97,11 @@ CHECK_WINDOW: list[str] = [
     "q_w5_sessionize",
     "q_w6_analytic",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
-    # q_f_map / q_u4_bag_setops sit out (most trivial round-3 greens —
-    # the last two gave up their slots to the two operators added mid-round,
-    # q_ns_minhash_portable / q_xh_para_dedup: never-checked beats
-    # stale-green), as do the round-3 rows-only streaming/ML entries — all
-    # locally tested.
+    # q_f_map / q_u4_bag_setops / q_sample_hash sit out (most trivial
+    # round-3 greens — the last three gave up their slots to the operators
+    # added mid-round, q_ns_minhash_portable / q_xh_para_dedup /
+    # q_xi_span_dedup: never-checked beats stale-green), as do the round-3
+    # rows-only streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -288,3 +288,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy("o_orderdate").count()
     )
     assert with_bloom == {(r.o_orderdate, r["count"]) for r in plain.collect()}
+
+
+def test_span_dedup_jvm_side_no_window(spark):
+    """Cross-document span removal must stay JVM-side (posexplode + aggs +
+    anti-join — no Python), use hash joins only (no cartesian/nested-loop),
+    and reassemble documents without a Window over the corpus (collect_list
+    + array_sort per doc, not row_number)."""
+    plan = _plan(spark, "q_xi_span_dedup")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Window" not in plan
