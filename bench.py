@@ -153,7 +153,10 @@ def main() -> int:
         _warm = pandas_udf(_warm_fn, "double")
 
         spark.range(32).select(_warm(F.col("id").cast("double"))).collect()
-        spark.range(32).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        # grouping expressions are NOT part of the input pdf — group on a
+        # real column or the identity fn fails RESULT_COLUMN_NAMES_MISMATCH
+        # (and the except-pass below silently skips this warm-up)
+        spark.range(32).withColumn("g", F.col("id") % 4).groupBy("g").applyInPandas(
             lambda pdf: pdf, "id long, g long"
         ).collect()
         _reset_session_state(spark)
