@@ -114,3 +114,59 @@ def test_as_of_join_equals_spec(spark, probes, updates):
         cands = [(rt, v) for v, (rk, rt) in enumerate(updates) if rk == k and rt <= t]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+_WORDS = ["alpha", "bravo", "cat", "dog", "echo", "fox", "golf", "hat"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    n=st.sampled_from([1, 2, 3]),
+)
+def test_minhash_portable_equals_naive_on_candidates(spark, docs, n):
+    """Randomized contract for the portable MinHash-LSH: against arbitrary
+    tiny corpora (tiny vocab → heavy collisions, empty docs, duplicate
+    docs), every emitted pair must carry the exact n-gram-set Jaccard of
+    its documents and clear the threshold — i.e. LSH banding may only
+    LOSE pairs relative to the naive all-pairs definition, never invent
+    or mis-score one."""
+    from pyspark_mllib_twitter_spark.operators.dedup import minhash_pairs_portable
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_pairs_portable(
+            df, shingle_n=n, num_hashes=16, bands=4, min_jaccard=0.4
+        ).collect()
+    }
+
+    def grams(t):
+        toks = [w for w in t.lower().strip().split() if w]
+        if n == 1:
+            return set(toks)
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    gs = {i: grams(t) for i, t in enumerate(docs) if grams(t)}
+    want = {}
+    for a in gs:
+        for b in gs:
+            if a < b:
+                j = len(gs[a] & gs[b]) / len(gs[a] | gs[b])
+                if j >= 0.4:
+                    want[(a, b)] = j
+    assert set(got) <= set(want)
+    for p, j in got.items():
+        assert abs(j - want[p]) < 1e-9
+    # identical documents always share every band key: zero-loss recall
+    # on exact duplicates is a hard guarantee, not a probability
+    for (a, b), j in want.items():
+        if j == 1.0:
+            assert (a, b) in got
