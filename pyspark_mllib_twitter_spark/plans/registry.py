@@ -18,11 +18,13 @@ the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
 Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
-written after round 4's sweep), the five entries benched in round 4
+written after round 4's sweep), the six operators added this round
+(IVF+PQ in-memory + persisted index, bucketed chunk dedup, portable
+MinHash, paragraph dedup, span dedup), the five entries benched in round 4
 (``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``, ``q_a6_approx_distinct``),
-and 43 of the 45 oracle-backed entries last green in round 3 (now two
-rounds stale). Sitting out: ``q_p1_filter``/``q_p3_project`` (the two most
-trivial round-3 greens) and the round-3 rows-only streaming/ML entries
+and 37 of the 45 oracle-backed entries last green in round 3 (now two
+rounds stale). Sitting out: the most trivial round-3 greens (see the list
+tail below) and the round-3 rows-only streaming/ML entries
 (``q_stream_dedup/session/stateful``, ``q_w1_user_similarity``,
 ``q_w2_als_recommend`` — each batch-equivalence/golden-tested locally; a
 rows-only driver row adds the least signal). Round-4's 49 entries all went
