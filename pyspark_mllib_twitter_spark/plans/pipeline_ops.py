@@ -1341,13 +1341,13 @@ _SPAN_ORD = 1 << 20
     grams AS (
       SELECT doc_id, pos,
              doc_id * {_SPAN_ORD} + pos AS ord,
-             array_to_string(t[pos:pos+{SPAN_N - 1}], ' ') AS gram
+             md5(array_to_string(t[pos:pos+{SPAN_N - 1}], ' ')) AS gfp
       FROM spans),
     gstat AS (
-      SELECT gram, count(*) AS c, min(ord) AS mino FROM grams GROUP BY gram),
+      SELECT gfp, count(*) AS c, min(ord) AS mino FROM grams GROUP BY gfp),
     dups AS (
       SELECT g.doc_id, g.pos
-      FROM grams g JOIN gstat s USING (gram)
+      FROM grams g JOIN gstat s USING (gfp)
       WHERE s.c >= 2 AND g.ord <> s.mino),
     cov AS (
       SELECT DISTINCT doc_id, pos + o AS tpos
@@ -1385,9 +1385,9 @@ def q_xi_span_dedup(spark, sf_dir):
     reassembled. Document-level dedup (q_ns_dedup_*) misses this entirely:
     a paragraph quoted by a thousand distinct pages survives all of them.
 
-    Scale shape: span fingerprints aggregate by gram (partial-agg shuffle
-    of (hash, ord) pairs — the gram string itself can be md5'd at
-    warehouse scale); duplicate occurrences explode to at most
+    Scale shape: the dup decision aggregates span FINGERPRINTS (md5 of the
+    gram — identical in DuckDB, so the oracle parity survives; the gram
+    text itself never shuffles); duplicate occurrences explode to at most
     ``SPAN_N x dup_spans`` covered token positions (duplicate-density
     bound, not corpus bound); the reassembly anti-join + groupBy shuffles
     token-position pairs once. No window over the corpus, no Python.
@@ -1401,13 +1401,13 @@ def q_xi_span_dedup(spark, sf_dir):
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
         (F.col("doc_id") * _SPAN_ORD + F.col("pos0") + 1).alias("ord"),
-        "gram",
+        F.md5("gram").alias("gfp"),
     )
-    gstat = grams.groupBy("gram").agg(
+    gstat = grams.groupBy("gfp").agg(
         F.count("*").alias("c"), F.min("ord").alias("mino")
     )
     dups = (
-        grams.join(gstat, "gram")
+        grams.join(gstat, "gfp")
         .filter((F.col("c") >= 2) & (F.col("ord") != F.col("mino")))
         .select("doc_id", "pos")
     )
