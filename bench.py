@@ -53,6 +53,7 @@ SINGLE_RUN = {
     "q_stream_sliding",
     "q_stream_stateful",
     "q_stream_join",
+    "q_stream_join_outer",
 }
 
 

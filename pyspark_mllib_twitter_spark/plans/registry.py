@@ -18,11 +18,12 @@ the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
 Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
-written after round 4's sweep), the six operators added this round
+written after round 4's sweep), the seven operators added this round
 (IVF+PQ in-memory + persisted index, bucketed chunk dedup, portable
-MinHash, paragraph dedup, span dedup), the five entries benched in round 4
+MinHash, paragraph dedup, span dedup, outer stream join), the five round-4
+benched entries
 (``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``, ``q_a6_approx_distinct``),
-and 37 of the 45 oracle-backed entries last green in round 3 (now two
+and 36 of the 45 oracle-backed entries last green in round 3 (now two
 rounds stale). Sitting out: the most trivial round-3 greens (see the list
 tail below) and the round-3 rows-only streaming/ML entries
 (``q_stream_dedup/session/stateful``, ``q_w1_user_similarity``,
@@ -54,6 +55,7 @@ CHECK_WINDOW: list[str] = [
     "q_ns_minhash_portable",
     "q_xh_para_dedup",
     "q_xi_span_dedup",
+    "q_stream_join_outer",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -85,7 +87,6 @@ CHECK_WINDOW: list[str] = [
     "q_stream_window_counts",
     "q_sub_q17",
     "q_sub_scalar",
-    "q_u1_setops",
     "q_u2_unpivot",
     "q_u3_union_by_name",
     "q_udf_arrow_map",
@@ -99,11 +100,12 @@ CHECK_WINDOW: list[str] = [
     "q_w5_sessionize",
     "q_w6_analytic",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
-    # q_f_map / q_u4_bag_setops / q_sample_hash sit out (most trivial
-    # round-3 greens — the last three gave up their slots to the operators
-    # added mid-round, q_ns_minhash_portable / q_xh_para_dedup /
-    # q_xi_span_dedup: never-checked beats stale-green), as do the round-3
-    # rows-only streaming/ML entries — all locally tested.
+    # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops sit out (most
+    # trivial round-3 greens — the last four gave up their slots to the
+    # operators added mid-round, q_ns_minhash_portable / q_xh_para_dedup /
+    # q_xi_span_dedup / q_stream_join_outer: never-checked beats
+    # stale-green), as do the round-3 rows-only streaming/ML entries — all
+    # locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -208,6 +208,85 @@ def q_stream_join(spark, sf_dir):
     ).orderBy("click_id", "purchase_id")
 
 
+@query(
+    "q_stream_join_outer",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+               FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM e WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the watermark-gated null
+    emission surface the inner join (q_stream_join) never exercises: a
+    click with no same-user purchase within the next hour emits with NULL
+    purchase columns only once the watermark proves no match can still
+    arrive. State eviction and null emission share one clock, which is why
+    outer stream joins REQUIRE the watermark Spark lets inner joins skip.
+
+    Replay design differs from the inner entry deliberately: a dedicated
+    no-late-rows replay (late_fraction_pct=0 — batches stay event-time
+    ordered) + a TIGHT 1-hour watermark, and the flush sentinel is kept
+    INSIDE both join sides (filtered out only after the sink, like the
+    windowed-agg entries): Catalyst pushes a plain ``event_type = 'click'``
+    filter BELOW the EventTimeWatermark node, so an upstream-filtered
+    sentinel never reaches the watermark and the final watermark stalls at
+    that side's own max event (measured: exactly one tail click withheld).
+    With the sentinel flowing through, the final watermark passes every
+    click's match horizon, every unmatched click emits its null row by end
+    of replay, and the availableNow output equals the batch LEFT JOIN —
+    hash-checked against the DuckDB oracle, nulls included. The shared
+    45-day never-drop watermark would stall null emission the same way."""
+    replay_dir = _replay_dir(spark, sf_dir, late_fraction_pct=0)
+
+    def side(ev_type, id_alias, ts_alias, user_alias, type_alias):
+        return (
+            read_events_stream(spark, replay_dir)
+            .withWatermark("ts", "1 hour")
+            .filter(F.col("event_type").isin([ev_type, FLUSH_EVENT_TYPE]))
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("event_type").alias(type_alias),
+            )
+        )
+
+    clicks = side("click", "click_id", "click_ts", "c_user", "c_type")
+    purchases = side("purchase", "purchase_id", "purchase_ts", "user_id", "p_type")
+    # NO event-type predicates in the ON clause: for a left-outer join the
+    # right-side ones are pushdown-eligible and land BELOW the right
+    # watermark node, re-introducing the sentinel stall (measured: right
+    # source read 0 rows from the sentinel file, watermark froze, 4 tail
+    # clicks withheld). The sentinel cannot match anyway — user_id -1
+    # never equals a real user and its ts is 60 days outside every range;
+    # the left sentinel's own null row is dropped after the sink.
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    joined = clicks.join(purchases, cond, "leftOuter")
+    out = run_to_memory(joined, output_mode="append")
+    return (
+        out.filter(F.col("c_type") != FLUSH_EVENT_TYPE)
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 @query("q_stream_stateful", oracle=None)  # per-batch update cadence is engine-specific
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): final running
