@@ -160,6 +160,18 @@ def main() -> int:
         spark.range(32).withColumn("g", F.col("id") % 4).groupBy("g").applyInPandas(
             lambda pdf: pdf, "id long, g long"
         ).collect()
+    except Exception:
+        pass  # bench numbers still valid, just order-sensitive for Arrow
+    # Replay-dir warm-up: the micro-batch replay parquet chunks are a
+    # disk-keyed one-time build (driver-side toPandas + ~10 writes, a few
+    # seconds at sf0.1) — pre-build every config the streaming entries use
+    # so whichever stream query runs FIRST doesn't absorb the replayer's
+    # cost into its own number.
+    try:
+        from pyspark_mllib_twitter_spark.plans.streaming_queries import _replay_dir
+
+        for kwargs in ({}, {"duplicate_every": 20}, {"late_fraction_pct": 0}):
+            _replay_dir(spark, sf_dir, **kwargs)
         _reset_session_state(spark)
     except Exception:
         pass
