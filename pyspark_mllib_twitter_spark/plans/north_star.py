@@ -344,10 +344,11 @@ def q_ns_dedup_minhash(spark, sf_dir):
     return survivors.select("doc_id").orderBy("doc_id")
 
 
-@query(
-    "q_ns_minhash_portable",
-    oracle=r"""
-    WITH g AS (
+#: Portable-MinHash pair CTE chain, shared by the pairs entry and the
+#: end-to-end dedup entry (must mirror operators.dedup.minhash_pairs_portable
+#: at shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.5 exactly).
+_MINHASH_PAIRS_CTES = r"""
+    g AS (
       SELECT doc_id, grams FROM (
         SELECT doc_id,
                list_distinct(list_transform(
@@ -374,16 +375,24 @@ def q_ns_dedup_minhash(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
       FROM bands a JOIN bands b2
         ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
-       AND a.doc_id < b2.doc_id)
-    SELECT c.id_a, c.id_b,
-           len(list_intersect(ga.grams, gb.grams))::DOUBLE
-             / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
-    FROM cand c
-    JOIN g ga ON ga.doc_id = c.id_a
-    JOIN g gb ON gb.doc_id = c.id_b
-    WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
-            / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.5
-    ORDER BY id_a, id_b
+       AND a.doc_id < b2.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(ga.grams, gb.grams))::DOUBLE
+               / len(list_distinct(list_concat(ga.grams, gb.grams))) AS jaccard
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b
+      WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+              / len(list_distinct(list_concat(ga.grams, gb.grams))) >= 0.5)
+"""
+
+
+@query(
+    "q_ns_minhash_portable",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
     """,
 )
 def q_ns_minhash_portable(spark, sf_dir):
@@ -400,6 +409,50 @@ def q_ns_minhash_portable(spark, sf_dir):
         shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.5,
     )
     return pairs.orderBy("id_a", "id_b")
+
+
+@query(
+    "q_ns_minhash_dedup_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, peer) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+    rep AS (
+      SELECT node, least(min(peer), node) AS rep_id
+      FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, coalesce(rep.rep_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN rep ON d.doc_id = rep.node)
+    SELECT doc_id FROM labeled WHERE doc_id = rep_id ORDER BY doc_id
+    """,
+)
+def q_ns_minhash_dedup_e2e(spark, sf_dir):
+    """Fuzzy dedup END TO END with value-checked SURVIVORS: portable
+    MinHash-LSH pairs -> connected components (label propagation with
+    pointer jumping) -> keep-min-id-per-component. The MLlib fuzzy-dedup
+    survivors (``q_ns_dedup_minhash``) are rows-only by necessity; this
+    entry closes that gap — the DuckDB oracle replays the identical md5
+    pipeline and a recursive-CTE transitive closure, so the exact surviving
+    id set, not just its size, is hash-checked. Same component machinery
+    as ``q_x6_cc_clusters`` but over LSH-verified near-dup edges instead of
+    gram-block edges — the composition a production fuzzy-dedup runs."""
+    d = spread(_docs(spark, sf_dir))
+    pairs = dedup.minhash_pairs_portable(
+        d, shingle_n=3, num_hashes=16, bands=4, min_jaccard=0.5
+    )
+    reps = dedup.keep_one_representatives(
+        pairs.select("id_a", "id_b"), d.select("doc_id"), "doc_id"
+    )
+    return (
+        reps.filter(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @query("q_ns_dedup_simhash", oracle=None)  # xxhash64-based signature, engine-specific

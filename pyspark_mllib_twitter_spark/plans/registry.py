@@ -18,12 +18,12 @@ the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
 Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
-written after round 4's sweep), the seven operators added this round
+written after round 4's sweep), the eight operators added this round
 (IVF+PQ in-memory + persisted index, bucketed chunk dedup, portable
-MinHash, paragraph dedup, span dedup, outer stream join), the five round-4
-benched entries
+MinHash pairs + end-to-end survivors, paragraph dedup, span dedup, outer
+stream join), the five round-4 benched entries
 (``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``, ``q_a6_approx_distinct``),
-and 36 of the 45 oracle-backed entries last green in round 3 (now two
+and 35 of the 45 oracle-backed entries last green in round 3 (now two
 rounds stale). Sitting out: the most trivial round-3 greens (see the list
 tail below) and the round-3 rows-only streaming/ML entries
 (``q_stream_dedup/session/stateful``, ``q_w1_user_similarity``,
@@ -53,6 +53,7 @@ CHECK_WINDOW: list[str] = [
     "q_ns_ann_ivfpq_idx",
     "q_xg_chunk_dedup_bucketed",
     "q_ns_minhash_portable",
+    "q_ns_minhash_dedup_e2e",
     "q_xh_para_dedup",
     "q_xi_span_dedup",
     "q_stream_join_outer",
@@ -81,7 +82,6 @@ CHECK_WINDOW: list[str] = [
     "q_sql_lateral",
     "q_sql_q3",
     "q_sql_q5",
-    "q_stat_crosstab",
     "q_stream_join",
     "q_stream_sliding",
     "q_stream_window_counts",
@@ -100,9 +100,10 @@ CHECK_WINDOW: list[str] = [
     "q_w5_sessionize",
     "q_w6_analytic",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
-    # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops sit out (most
-    # trivial round-3 greens — the last four gave up their slots to the
-    # operators added mid-round, q_ns_minhash_portable / q_xh_para_dedup /
+    # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
+    # q_stat_crosstab sit out (most trivial round-3 greens — the last five
+    # gave up their slots to the operators added mid-round,
+    # q_ns_minhash_portable / q_ns_minhash_dedup_e2e / q_xh_para_dedup /
     # q_xi_span_dedup / q_stream_join_outer: never-checked beats
     # stale-green), as do the round-3 rows-only streaming/ML entries — all
     # locally tested.
