@@ -18,12 +18,13 @@ the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
 Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
-written after round 4's sweep), the eight operators added this round
+written after round 4's sweep), the nine operators added this round
 (IVF+PQ in-memory + persisted index, bucketed chunk dedup, portable
-MinHash pairs + end-to-end survivors, paragraph dedup, span dedup, outer
-stream join), the five round-4 benched entries
+MinHash pairs + end-to-end survivors, Python Data Source connector,
+paragraph dedup, span dedup, outer stream join), the five round-4
+benched entries
 (``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``, ``q_a6_approx_distinct``),
-and 35 of the 45 oracle-backed entries last green in round 3 (now two
+and 34 of the 45 oracle-backed entries last green in round 3 (now two
 rounds stale). Sitting out: the most trivial round-3 greens (see the list
 tail below) and the round-3 rows-only streaming/ML entries
 (``q_stream_dedup/session/stateful``, ``q_w1_user_similarity``,
@@ -54,6 +55,7 @@ CHECK_WINDOW: list[str] = [
     "q_xg_chunk_dedup_bucketed",
     "q_ns_minhash_portable",
     "q_ns_minhash_dedup_e2e",
+    "q_s2_pysource",
     "q_xh_para_dedup",
     "q_xi_span_dedup",
     "q_stream_join_outer",
@@ -67,7 +69,6 @@ CHECK_WINDOW: list[str] = [
     "q_a5_id_dictionary",
     "q_a8_salted_agg",
     "q_e2e_w1doc",
-    "q_f_json",
     "q_g4_grouping_sets",
     "q_j_asof",
     "q_j_asof_generic",
@@ -101,12 +102,12 @@ CHECK_WINDOW: list[str] = [
     "q_w6_analytic",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
-    # q_stat_crosstab sit out (most trivial round-3 greens — the last five
-    # gave up their slots to the operators added mid-round,
-    # q_ns_minhash_portable / q_ns_minhash_dedup_e2e / q_xh_para_dedup /
-    # q_xi_span_dedup / q_stream_join_outer: never-checked beats
-    # stale-green), as do the round-3 rows-only streaming/ML entries — all
-    # locally tested.
+    # q_stat_crosstab / q_f_json sit out (most trivial round-3 greens —
+    # the last six gave up their slots to the operators added mid-round,
+    # q_ns_minhash_portable / q_ns_minhash_dedup_e2e / q_s2_pysource /
+    # q_xh_para_dedup / q_xi_span_dedup / q_stream_join_outer:
+    # never-checked beats stale-green), as do the round-3 rows-only
+    # streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

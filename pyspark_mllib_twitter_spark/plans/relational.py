@@ -38,6 +38,49 @@ def q_s1_scan(spark, sf_dir):
 
 
 @query(
+    "q_s2_pysource",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 300)) AS doc_id),
+    tok AS (
+      SELECT ids.doc_id, j,
+             ['alpha','bravo','charlie','delta','echo','foxtrot','golf',
+              'hotel','india','juliet','kilo','lima','mike','november',
+              'oscar','papa'][
+               strpos('0123456789abcdef',
+                      substring(md5(ids.doc_id::VARCHAR || '|' || j::VARCHAR),
+                                1, 1))] AS w
+      FROM ids,
+           unnest(range(1,
+             6 + ((strpos('0123456789abcdef',
+                          substring(md5(ids.doc_id::VARCHAR || '|0'), 1, 1))
+                   - 1) % 10))) r(j))
+    SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_s2_pysource(spark, sf_dir):
+    """S2+: custom connector via the Spark 4 Python Data Source API
+    (``pyspark.sql.datasource``) — a partition-parallel deterministic
+    document generator (``sources/pydatasource.py``). Every row is a pure
+    md5-hex function of ``doc_id``, so the DuckDB oracle regenerates the
+    identical corpus and the whole connector read path — partition
+    planning, per-partition iteration, schema — is value-checked, not just
+    smoke-tested. ``sf_dir`` is unused by design: the source IS the data.
+    Scale shape: the reader plans id-range input partitions driver-side
+    and generates executor-side; no driver materialization."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    return (
+        spark.read.format("docgen")
+        .option("n", 300)
+        .option("partitions", 8)
+        .load()
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_p1_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem

@@ -156,3 +156,38 @@ def test_spread_is_noop_when_already_parallel(spark, sf_smoke):
     assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     already = one.repartition(spark.sparkContext.defaultParallelism)
     assert spread(already) is already  # no second exchange
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """Spark 4 Python Data Source connector (sources/pydatasource.py): the
+    reader plans ceil(n/partitions) id-range input partitions (generation is
+    executor-parallel, not a driver loop), rows equal the shared pure
+    function doc_text() exactly, and re-reading is bit-identical."""
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        DocGenReader,
+        doc_text,
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("docgen")
+        .option("n", 64)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert len(rows) == 64
+    for i in (0, 7, 33, 63):
+        assert rows[i] == doc_text(i)
+    again = {
+        r.doc_id: r.text
+        for r in spark.read.format("docgen").option("n", 64).load().collect()
+    }
+    assert again == rows
+    # uneven split covers the whole range without overlap
+    parts = DocGenReader({"n": 10, "partitions": 3}).partitions()
+    spans = sorted(p.value for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 10
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
