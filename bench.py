@@ -54,6 +54,7 @@ SINGLE_RUN = {
     "q_stream_stateful",
     "q_stream_join",
     "q_stream_join_outer",
+    "q_stream_static_join",
 }
 
 

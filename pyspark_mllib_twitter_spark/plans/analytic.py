@@ -819,3 +819,68 @@ def q_sql_lateral(spark, sf_dir):
     correlated lookups without learning the decorrelation trick."""
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MEDIAN(l_extendedprice), 6) AS med_price,
+           round(quantile_cont(l_discount, 0.9), 6) AS p90_disc
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_udf_grouped_agg(spark, sf_dir):
+    """∅-ref UDF surface: grouped-AGGREGATE pandas UDF — a ``pandas_udf``
+    used as an aggregate expression inside ``.agg(...)``. Spark refuses to
+    mix grouped-agg pandas UDFs with non-pandas aggregates in one Aggregate
+    node ([INVALID_PANDAS_UDF_PLACEMENT]), so the row count is itself a
+    pandas UDF here — that restriction is part of the API surface this
+    entry pins. The fifth and last
+    Python escape hatch (scalar pandas_udf, grouped-map applyInPandas,
+    batch mapInArrow, row-to-rows UDTF, now Series→scalar UDAF): exact
+    per-group median and continuous 90th percentile, order-free selection
+    arithmetic so the DuckDB oracle matches bit-for-bit at 6dp.
+
+    Scale note: a grouped-agg pandas UDF cannot partial-aggregate — every
+    group's full column ships through Arrow to one task (the plan shows
+    ObjectHashAggregate, no partial_ stage for the UDF columns). Correct
+    for bounded group counts like the 6 returnflag×linestatus cells; for
+    high-cardinality keys use ``approx_percentile``/``median`` built-ins,
+    which combine map-side. This entry pins the API and that exact trade.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # This module's `from __future__ import annotations` turns inline type
+    # hints into strings, which pandas_udf's Series→scalar inference cannot
+    # read — attach real annotation objects instead.
+    def _med(v):
+        return float(v.median())
+
+    def _p90(v):
+        return float(v.quantile(0.9, interpolation="linear"))
+
+    def _cnt(v):
+        return len(v)
+
+    for fn in (_med, _p90):
+        fn.__annotations__ = {"v": pd.Series, "return": float}
+    _cnt.__annotations__ = {"v": pd.Series, "return": int}
+    med = pandas_udf(_med, "double")
+    p90 = pandas_udf(_p90, "double")
+    cnt = pandas_udf(_cnt, "bigint")
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            cnt("l_quantity").alias("n"),
+            F.round(med("l_extendedprice"), 6).alias("med_price"),
+            F.round(p90("l_discount"), 6).alias("p90_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

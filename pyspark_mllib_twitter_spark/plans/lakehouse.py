@@ -1,0 +1,298 @@
+"""Lakehouse mutation shapes and graph analytics as registry entries.
+
+∅-ref surface widening: the reference (``/root/reference/COMP5349_2.py``)
+never mutates a table, but a production corpus pipeline does — new document
+versions land as delta batches (MERGE/upsert), dimension attributes change
+over time (SCD type-2 history), and link analysis ranks sources (PageRank,
+beyond the connected-components already in ``operators/dedup.py``). Each
+entry is the idiomatic Spark plan for the shape plus a DuckDB oracle.
+
+Scale notes:
+
+- MERGE = ``delta ∪ (base ⟕anti delta)``. The delta batch is small relative
+  to the lake, so the anti join broadcasts the delta — the base side is a
+  map-only scan, no shuffle of lake data. This is exactly the physical
+  shape Delta/Iceberg MERGE compiles to when the source fits the broadcast
+  threshold.
+- SCD2 = change-detection (lag) + version ranges (lead) over one
+  ``(key, ts)`` window — a single shuffle on the key serves both window
+  passes and compaction, and nothing wider than the key's own history is
+  ever co-resident.
+- PageRank shuffles ``(node, rank)`` pairs only — never adjacency payloads;
+  out-degrees are joined once and carried with the edges. Contributions are
+  summed as ``DECIMAL(38,18)`` so addition is exact and order-independent —
+  the float sum of ``rank/outdeg`` over in-neighbors would drift by
+  partitioning, making distributed runs unreproducible (and breaking any
+  engine-to-engine comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xj_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, text, 1 AS version
+      FROM documents WHERE doc_id % 10 <> 7
+    ), delta AS (
+      SELECT doc_id, source, text || ' rev2' AS text, 2 AS version
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, source, CAST(version AS INT) AS version, md5(text) AS fp
+    FROM delta
+    UNION ALL
+    SELECT b.doc_id, b.source, CAST(b.version AS INT) AS version, md5(b.text) AS fp
+    FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.doc_id = b.doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_xj_merge_upsert(spark, sf_dir):
+    """MERGE (upsert) a delta batch into a base snapshot: matched keys take
+    the delta row (update), unmatched delta keys insert, untouched base rows
+    survive. ``base`` excludes ``doc_id % 10 == 7`` so a third of the delta
+    rows are genuine inserts, not just updates.
+
+    Spark-first: MERGE = ``delta ∪ (base ⟕anti broadcast(delta))`` — the
+    one-pass relational decomposition Delta/Iceberg compile to. The delta is
+    explicitly broadcast, so the 100 TB base side is a map-only scan + local
+    anti probe: zero shuffle of lake data, and the union is a no-exchange
+    concatenation. Output fingerprints (md5) rather than full text so the
+    check hashes versions, not megabytes."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", "source", "text", F.lit(1).alias("version")
+    )
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), F.lit(" rev2")).alias("text"),
+        F.lit(2).alias("version"),
+    )
+    survivors = base.join(F.broadcast(delta), "doc_id", "left_anti")
+    merged = delta.unionByName(survivors)
+    return merged.select(
+        "doc_id", "source", "version", F.md5(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xk_scd2_history",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_type AS state, event_id
+      FROM events WHERE user_id IS NOT NULL
+    ), changes AS (
+      SELECT * FROM (
+        SELECT user_id, ts, state, event_id,
+               LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_state
+        FROM log)
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version,
+           state,
+           CAST(ts AS TIMESTAMP) AS effective_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS TIMESTAMP) AS effective_to,
+           CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM changes
+    ORDER BY user_id, version
+    """,
+)
+def q_xk_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from a change log: treat each
+    user's event stream as attribute updates (``event_type`` as the tracked
+    state), keep only rows where the state actually CHANGED (consecutive
+    duplicates compact away), then close each version with the next change's
+    timestamp — ``effective_from / effective_to / is_current``.
+
+    Spark-first: one shuffle on ``user_id`` serves the change-detection lag,
+    the version-range lead, and the row_number — Catalyst reuses the same
+    sort+exchange for all three window passes (same partitioning + ordering).
+    Nothing wider than one key's history is co-resident, so the plan holds
+    for any number of keys; a key with a pathological history length is a
+    data-model problem, not a plan problem."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    log = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", F.col("event_type").alias("state"), "event_id")
+    )
+    changes = (
+        log.withColumn("prev_state", F.lag("state").over(w))
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .drop("prev_state")
+    )
+    return (
+        changes.withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("effective_from", F.col("ts"))
+        .withColumn("effective_to", F.lead("ts").over(w))
+        .withColumn(
+            "is_current", F.col("effective_to").isNull().cast("int")
+        )
+        .select(
+            "user_id", "version", "state",
+            "effective_from", "effective_to", "is_current",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, deterministic)
+# ---------------------------------------------------------------------------
+
+#: Damping factor and iteration count are FIXED so the oracle can unroll the
+#: recurrence; the operator itself takes them as parameters.
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_MOD = 100
+
+
+def pagerank(
+    edges: DataFrame, d: float = _PR_D, iters: int = _PR_ITERS
+) -> DataFrame:
+    """Simplified PageRank (no dangling-mass redistribution — mass that
+    flows into a sink node leaves the system, the common simplification) on
+    an ``(src, dst)`` edge DataFrame. Returns ``(node, rank)``.
+
+    Distributed shape: edges are joined ONCE with out-degrees and cached —
+    each iteration shuffles only ``(node, rank)`` pairs (16 bytes a row), so
+    the per-iteration cost is independent of adjacency-list width.
+    Contributions sum as DECIMAL(38,18): exact, order-independent addition —
+    the reproducibility contract distributed float sums can't give."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # loop-invariant, reused every iteration
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Edge list annotated with the source's out-degree; one join, reused
+    # every iteration (cache it — this is the loop-invariant).
+    ed = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # Teleport term computed with DECIMAL subtraction then one double
+    # division — `1.0 - d` in double arithmetic lands one ulp off the
+    # decimal-exact value an oracle engine computes, and the contract here
+    # is bit-equal ranks before any rounding.
+    teleport = F.expr(f"CAST(1.0 - {d!r} AS DOUBLE)") / F.lit(float(n_nodes))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).cast("decimal(38,18)")
+                .alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("double").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+@query(
+    "q_xl_pagerank",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey % {_PR_MOD} AS src, l_partkey % {_PR_MOD} AS dst
+      FROM lineitem WHERE l_suppkey % {_PR_MOD} <> l_partkey % {_PR_MOD}
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), n AS (SELECT COUNT(*)::DOUBLE AS n_nodes FROM nodes),
+    outdeg AS (SELECT src, COUNT(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)),
+    r0 AS (SELECT node, 1.0 / n.n_nodes AS rank FROM nodes CROSS JOIN n),
+    r1 AS (
+      SELECT nodes.node,
+             (1 - {_PR_D}) / n.n_nodes + {_PR_D} * COALESCE(c.inflow, 0) AS rank
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (SELECT ed.dst AS node,
+                        CAST(SUM(CAST(r0.rank / ed.outdeg AS DECIMAL(38,18)))
+                             AS DOUBLE) AS inflow
+                 FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst) c
+        ON nodes.node = c.node
+    ), r2 AS (
+      SELECT nodes.node,
+             (1 - {_PR_D}) / n.n_nodes + {_PR_D} * COALESCE(c.inflow, 0) AS rank
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (SELECT ed.dst AS node,
+                        CAST(SUM(CAST(r1.rank / ed.outdeg AS DECIMAL(38,18)))
+                             AS DOUBLE) AS inflow
+                 FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst) c
+        ON nodes.node = c.node
+    ), r3 AS (
+      SELECT nodes.node,
+             (1 - {_PR_D}) / n.n_nodes + {_PR_D} * COALESCE(c.inflow, 0) AS rank
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (SELECT ed.dst AS node,
+                        CAST(SUM(CAST(r2.rank / ed.outdeg AS DECIMAL(38,18)))
+                             AS DOUBLE) AS inflow
+                 FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst) c
+        ON nodes.node = c.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank
+    FROM r3 ORDER BY node
+    """,
+)
+def q_xl_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (d=0.85, 3 iterations) over the bipartite-ish
+    supplier→part link graph folded to {_PR_MOD} nodes. The oracle unrolls
+    the recurrence as a CTE chain — possible because iteration count is
+    fixed and contribution sums are exact decimals (order-independent), so
+    Spark's distributed sum and DuckDB's serial sum see identical values
+    bit-for-bit before the final 6dp round."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_suppkey") % _PR_MOD).alias("src"),
+            (F.col("l_partkey") % _PR_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return (
+        pagerank(edges)
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy("node")
+    )

@@ -59,6 +59,11 @@ CHECK_WINDOW: list[str] = [
     "q_xh_para_dedup",
     "q_xi_span_dedup",
     "q_stream_join_outer",
+    "q_udf_grouped_agg",
+    "q_stream_static_join",
+    "q_xj_merge_upsert",
+    "q_xk_scd2_history",
+    "q_xl_pagerank",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -69,7 +74,6 @@ CHECK_WINDOW: list[str] = [
     "q_a5_id_dictionary",
     "q_a8_salted_agg",
     "q_e2e_w1doc",
-    "q_g4_grouping_sets",
     "q_j_asof",
     "q_j_asof_generic",
     "q_j_nullsafe",
@@ -88,26 +92,26 @@ CHECK_WINDOW: list[str] = [
     "q_stream_window_counts",
     "q_sub_q17",
     "q_sub_scalar",
-    "q_u2_unpivot",
-    "q_u3_union_by_name",
     "q_udf_arrow_map",
     "q_udf_grouped_mad",
     "q_udf_pandas_cosine",
     "q_udtf_tokens",
     "q_w1_topk",
     "q_w2_ranking",
-    "q_w3_frames",
     "q_w4_time_rollup",
     "q_w5_sessionize",
-    "q_w6_analytic",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
     # q_stat_crosstab / q_f_json sit out (most trivial round-3 greens —
     # the last six gave up their slots to the operators added mid-round,
     # q_ns_minhash_portable / q_ns_minhash_dedup_e2e / q_s2_pysource /
     # q_xh_para_dedup / q_xi_span_dedup / q_stream_join_outer:
-    # never-checked beats stale-green), as do the round-3 rows-only
-    # streaming/ML entries — all locally tested.
+    # never-checked beats stale-green), as do q_g4_grouping_sets /
+    # q_u2_unpivot / q_u3_union_by_name / q_w3_frames / q_w6_analytic
+    # (stale-green slots given up to the five operators added in the
+    # round-5 continuation: q_udf_grouped_agg / q_stream_static_join /
+    # q_xj_merge_upsert / q_xk_scd2_history / q_xl_pagerank) and the
+    # round-3 rows-only streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -362,3 +362,58 @@ def q_stream_dedup(spark, sf_dir):
         .agg(F.count("*").alias("n_copies"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', CAST(e.ts AS TIMESTAMP)) AS w_start,
+           time_bucket(INTERVAL '1 day', CAST(e.ts AS TIMESTAMP))
+             + INTERVAL '1 day' AS w_end,
+           n.n_name AS nation,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY 1, 2, 3
+    ORDER BY w_start, nation
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-STATIC enrichment join — the most common production streaming
+    shape (events enriched against a slowly-changing dimension) and the one
+    the stream-stream entries can't stand in for: the static side needs no
+    watermark, no state store, and no co-shuffle — it broadcasts, exactly
+    as in a batch plan, and is re-resolvable every micro-batch.
+
+    Plan shape: EventTimeWatermark sits directly over the source scan
+    (``withWatermark`` BEFORE the join), so the flush sentinel informs the
+    watermark operator even though the inner join then drops it (its
+    user_id of -1 matches no nation key — belt-and-braces, no post-filter
+    needed). The dimension is explicitly broadcast: per micro-batch the
+    join is a map-only hash probe, zero streaming state. The downstream
+    tumbling 1-day aggregation closes every real window once the sentinel
+    advances the final watermark, so append-mode output equals the batch
+    join+group — hash-checked against the DuckDB oracle."""
+    ev = _replayed_stream(spark, sf_dir).withWatermark("ts", REPLAY_WATERMARK)
+    dim = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = ev.join(
+        F.broadcast(dim), (F.col("user_id") % 25) == F.col("n_nationkey")
+    )
+    agg = (
+        joined.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "nation", "n", "sum_value",
+        )
+    )
+    out = run_to_memory(agg, output_mode="append")
+    return out.orderBy("w_start", "nation")
