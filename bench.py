@@ -147,6 +147,12 @@ def main() -> int:
         from pyspark.sql.functions import pandas_udf
 
         def _warm_fn(v):
+            # Import the heavy scientific stack INSIDE the UDF: workers are
+            # long-lived (spark.python.worker.reuse), so paying the numpy
+            # import here — once per worker, 32 in parallel — means no later
+            # Arrow-UDF query absorbs it into its own number.
+            import numpy  # noqa: F401
+
             return v * 1.0
 
         # real annotation objects — module-level `from __future__ import

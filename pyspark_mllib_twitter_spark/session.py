@@ -54,7 +54,12 @@ def get_spark(
         # Kryo kept for RDD-path parity with the reference
         # (COMP5349_2.py:121); Tungsten encoders dominate the DataFrame path.
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 32g on a 128 GiB box: the single-JVM local[32] session holds every
+        # executor's shuffle/broadcast blocks in ONE heap, and a 100+-query
+        # suite accumulates them (ContextCleaner frees on GC only). A
+        # roomier heap postpones full GCs instead of forcing them — the
+        # measured-better trade (see periodicGC note below).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # Whole-stage codegen emits one or more classes per query plan; a
         # 110-query suite fills the JVM's default code cache, after which
         # the JIT disables itself and iterative ML (ALS) runs interpreted
@@ -64,6 +69,11 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOT set: spark.cleaner.periodicGC.interval. Forcing frequent GC
+        # to flush ContextCleaner-tracked broadcasts was measured WORSE —
+        # the full-GC pauses land on whichever query is running (suite
+        # 296s -> 322s, with +5-6s spikes on mid-suite queries). The
+        # single-JVM suite tolerates block accumulation better than pauses.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

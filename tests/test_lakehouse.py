@@ -1,0 +1,135 @@
+"""Lakehouse/graph operators: semantic properties and plan contracts.
+
+Value correctness of q_xj/q_xk/q_xl is driver-checked against their DuckDB
+oracles (tests/test_oracle.py); these tests pin the SEMANTIC invariants the
+oracle SQL can't express as failure messages (MERGE key uniqueness, SCD2
+chain integrity, PageRank mass conservation) and the physical-plan shapes
+that make them scale (broadcast anti-join, rank-pairs-only shuffles).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_mllib_twitter_spark.plans import REGISTRY
+from pyspark_mllib_twitter_spark.plans.lakehouse import pagerank
+
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_key_uniqueness_and_versions(spark):
+    out = REGISTRY["q_xj_merge_upsert"].spark(spark, SF).cache()
+    try:
+        # MERGE output is keyed: every doc_id exactly once.
+        assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+        # Every delta key (doc_id % 3 == 0) carries the delta version…
+        assert out.filter("doc_id % 3 = 0 AND version <> 2").count() == 0
+        # …including pure inserts (delta keys absent from base).
+        assert out.filter("doc_id % 3 = 0 AND doc_id % 10 = 7").count() > 0
+        # Untouched base rows keep version 1.
+        assert out.filter("doc_id % 3 <> 0 AND version <> 1").count() == 0
+        # Base rows never in delta and not re-inserted: keys with
+        # doc_id % 10 == 7 and % 3 != 0 must NOT appear.
+        assert out.filter("doc_id % 10 = 7 AND doc_id % 3 <> 0").count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_merge_upsert_broadcasts_delta_anti_join(spark):
+    """The 100 TB contract: the lake-sized base side must not shuffle — the
+    delta broadcasts into a BroadcastHashJoin LeftAnti."""
+    df = REGISTRY["q_xj_merge_upsert"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2
+# ---------------------------------------------------------------------------
+
+def test_scd2_chain_integrity(spark):
+    out = REGISTRY["q_xk_scd2_history"].spark(spark, SF).cache()
+    try:
+        # Exactly one open (is_current) version per user.
+        per_user = out.groupBy("user_id").agg(
+            F.sum("is_current").alias("n_open"),
+            F.count("*").alias("n_versions"),
+            F.max("version").alias("max_version"),
+        )
+        assert per_user.filter("n_open <> 1").count() == 0
+        # Versions are dense 1..n per user.
+        assert per_user.filter("max_version <> n_versions").count() == 0
+        # Ranges chain: next version's effective_from == this effective_to,
+        # and consecutive versions always change state (compaction worked).
+        w = F.expr(
+            "lead(effective_from) OVER "
+            "(PARTITION BY user_id ORDER BY version)"
+        )
+        nxt_state = F.expr(
+            "lead(state) OVER (PARTITION BY user_id ORDER BY version)"
+        )
+        chained = out.select(
+            "user_id", "version", "state", "effective_to",
+            w.alias("next_from"), nxt_state.alias("next_state"),
+        ).filter("next_from IS NOT NULL")
+        assert chained.filter("effective_to <> next_from").count() == 0
+        assert chained.filter("state = next_state").count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_scd2_single_shuffle_on_user(spark):
+    """lag + lead + row_number over the same (user_id, ts) window must all
+    reuse one exchange — three window passes, one shuffle."""
+    df = REGISTRY["q_xk_scd2_history"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # One hash partitioning on user_id (plus the final result range sort).
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_two_node_cycle_exact(spark):
+    """A 2-cycle is PageRank's fixed point: ranks stay 0.5/0.5 exactly for
+    any damping/iterations (teleport + full inflow are symmetric)."""
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src int, dst int")
+    out = {r.node: r["rank"] for r in pagerank(edges, iters=4).collect()}
+    assert out[0] == pytest.approx(0.5, abs=1e-12)
+    assert out[1] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_mass_and_floor(spark):
+    out = REGISTRY["q_xl_pagerank"].spark(spark, SF).cache()
+    try:
+        n = out.count()
+        stats = out.agg(
+            F.sum("rank").alias("mass"), F.min("rank").alias("floor")
+        ).first()
+        # Every node keeps at least the teleport share.
+        assert stats["floor"] >= (1 - 0.85) / n - 1e-9
+        # Simplified PageRank leaks dangling mass — total in (0, 1].
+        assert 0.0 < stats["mass"] <= 1.0 + 1e-9
+    finally:
+        out.unpersist()
+
+
+def test_pagerank_iteration_shuffles_ranks_not_vectors(spark):
+    """Each iteration's aggregate shuffles (node, decimal contrib) pairs —
+    the adjacency (with out-degrees) is checkpointed once and re-joined, so
+    no exchange in the final plan carries an adjacency-list payload wider
+    than (src, dst, outdeg)."""
+    df = REGISTRY["q_xl_pagerank"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The loop-invariant edge set is a localCheckpoint scan, not a rescan
+    # of the source parquet per iteration.
+    assert "Scan ExistingRDD" in plan
