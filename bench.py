@@ -55,6 +55,7 @@ SINGLE_RUN = {
     "q_stream_join",
     "q_stream_join_outer",
     "q_stream_static_join",
+    "q_stream_foreach_sink",
 }
 
 

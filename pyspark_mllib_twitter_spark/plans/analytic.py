@@ -884,3 +884,87 @@ def q_udf_grouped_agg(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q_xn_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL
+    ), v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT ev.user_id, MIN(ev.ts) AS t_click
+      FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'click' AND ev.ts >= v.t_view
+      GROUP BY ev.user_id
+    ), p AS (
+      SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts >= c.t_click
+      GROUP BY ev.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_xn_funnel(spark, sf_dir):
+    """∅-ref behavioral analytics: ORDERED funnel (view → click → purchase)
+    — per user, the first view, the first click AT OR AFTER that view, and
+    the first purchase at or after that click; ``stage`` = how deep the
+    user got. The ordering constraint is what distinguishes a funnel from
+    three independent mins: a purchase before the first qualifying click
+    does not count.
+
+    Spark-first: each stage is a filtered min-aggregate joined forward into
+    the next — aggregates shrink to one row per user BEFORE any join, so
+    every join is between user-sized sides co-partitioned on user_id, and
+    Catalyst reuses that one hash partitioning across all three stages plus
+    the final left joins (no re-shuffle). Event-type filters push into the
+    shared scan. Holds at any event volume; the per-stage state is one
+    timestamp per user."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("stage"),
+        )
+        .orderBy("user_id")
+    )

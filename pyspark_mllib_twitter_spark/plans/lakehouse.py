@@ -296,3 +296,112 @@ def q_xl_pagerank(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented)
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts on an undirected edge list
+    (columns ``u < v``, deduplicated, no loops). Returns ``(node, n_tri)``
+    for every node that closes at least one triangle.
+
+    Distributed shape — the Cohen / "count on the oriented graph" recipe:
+    orient every edge from its (degree, id)-SMALLER endpoint to the larger,
+    so each triangle is generated exactly once as a wedge at its unique
+    apex, and the wedge join's fan-out per key is bounded by the oriented
+    OUT-degree, which degree-ordering caps near sqrt(|E|) even on power-law
+    graphs — the id-ordered variant would put the whole fan-out of a hub
+    node on one key. Two equi-join shuffles on node keys; adjacency
+    payloads never move (edges are 2-int rows throughout).
+
+    The triangle SET is orientation-invariant (any total order generates
+    each triangle exactly once), so an oracle may orient by plain id and
+    still agree on every per-node count."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Orient by (deg, id): s -> t with (deg_s, s) < (deg_t, t).
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select("o.s", "o.t")
+        .localCheckpoint(eager=True)  # reused by both sides of the wedge join
+    )
+    w1 = e.select(F.col("s").alias("apex"), F.col("t").alias("b"))
+    w2 = e.select(F.col("s").alias("apex"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "apex").filter(F.col("b") < F.col("c"))
+    # A wedge (apex; b < c) closes iff the oriented edge between b and c
+    # exists in either direction — join once against the undirected key.
+    closing = e.select(
+        F.least("s", "t").alias("b"), F.greatest("s", "t").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"])
+    return (
+        tris.select(F.col("apex").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+
+
+_TRI_MOD = 100
+
+
+@query(
+    "q_xm_triangles",
+    oracle=f"""
+    WITH raw AS (
+      SELECT l_suppkey % {_TRI_MOD} AS a, l_partkey % {_TRI_MOD} AS b
+      FROM lineitem WHERE l_linenumber = 1
+    ), e AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), hits AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM hits GROUP BY node ORDER BY node
+    """,
+)
+def q_xm_triangles(spark, sf_dir):
+    """Per-node triangle counts over the folded supplier→part link graph —
+    the third graph operator (connected components, PageRank, now
+    triangles: the clustering-coefficient / community-density primitive).
+    The Spark side orients edges by DEGREE (skew-proof wedge generation);
+    the oracle orients by id — the triangle set, and therefore every
+    per-node count, is identical under any total order."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    raw = li.select(
+        (F.col("l_suppkey") % _TRI_MOD).alias("a"),
+        (F.col("l_partkey") % _TRI_MOD).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    edges = raw.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").cast("bigint").alias("node"), "n_tri")
+        .orderBy("node")
+    )

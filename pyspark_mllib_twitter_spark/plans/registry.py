@@ -64,6 +64,10 @@ CHECK_WINDOW: list[str] = [
     "q_xj_merge_upsert",
     "q_xk_scd2_history",
     "q_xl_pagerank",
+    "q_w7_range_frame",
+    "q_xm_triangles",
+    "q_xn_funnel",
+    "q_stream_foreach_sink",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -71,11 +75,7 @@ CHECK_WINDOW: list[str] = [
     "q_a11_sketch_merge",
     "q_a6_approx_distinct",
     # -- oracle entries last externally green in round 3 (two rounds stale)
-    "q_a5_id_dictionary",
-    "q_a8_salted_agg",
-    "q_e2e_w1doc",
     "q_j_asof",
-    "q_j_asof_generic",
     "q_j_nullsafe",
     "q_ns_langid",
     "q_ns_pipeline",
@@ -107,11 +107,14 @@ CHECK_WINDOW: list[str] = [
     # q_ns_minhash_portable / q_ns_minhash_dedup_e2e / q_s2_pysource /
     # q_xh_para_dedup / q_xi_span_dedup / q_stream_join_outer:
     # never-checked beats stale-green), as do q_g4_grouping_sets /
-    # q_u2_unpivot / q_u3_union_by_name / q_w3_frames / q_w6_analytic
-    # (stale-green slots given up to the five operators added in the
-    # round-5 continuation: q_udf_grouped_agg / q_stream_static_join /
-    # q_xj_merge_upsert / q_xk_scd2_history / q_xl_pagerank) and the
-    # round-3 rows-only streaming/ML entries — all locally tested.
+    # q_u2_unpivot / q_u3_union_by_name / q_w3_frames / q_w6_analytic /
+    # q_a5_id_dictionary / q_a8_salted_agg / q_e2e_w1doc /
+    # q_j_asof_generic (stale-green slots given up to the nine operators
+    # added in the round-5 continuation: q_udf_grouped_agg /
+    # q_stream_static_join / q_xj_merge_upsert / q_xk_scd2_history /
+    # q_xl_pagerank / q_w7_range_frame / q_xm_triangles / q_xn_funnel /
+    # q_stream_foreach_sink) and the round-3 rows-only streaming/ML
+    # entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -1287,3 +1287,49 @@ def q_e2e_w2pairs(spark, sf_dir):
         .agg(F.count("*").alias("y"))
         .orderBy("lang", "token")
     )
+
+
+@query(
+    "q_w7_range_frame",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+                  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_7d,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7d
+    FROM events
+    WHERE user_id IS NOT NULL
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_w7_range_frame(spark, sf_dir):
+    """∅-ref window surface: event-TIME range frame — trailing 7-day sum
+    and count per user via ``RANGE BETWEEN INTERVAL ... PRECEDING``. The
+    ROWS frames (q_w3) count physical rows; a RANGE-over-interval frame is
+    the time-series rollup users actually want (sliding by wall-clock, peers
+    at the same timestamp always in-frame together — which also makes the
+    result order-insensitive under ties, no ROW_NUMBER tiebreak needed).
+    The window sum routes through DECIMAL(38,6) so frame addition is exact
+    and order-independent; one shuffle on user_id serves both frames."""
+    frame = (
+        "(PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(
+                f"CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER {frame} AS DOUBLE)"
+            ).alias("sum_7d"),
+            F.expr(f"CAST(COUNT(*) OVER {frame} AS BIGINT)").alias("n_7d"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

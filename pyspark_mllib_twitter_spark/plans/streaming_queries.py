@@ -243,6 +243,10 @@ def q_stream_join_outer(spark, sf_dir):
     of replay, and the availableNow output equals the batch LEFT JOIN —
     hash-checked against the DuckDB oracle, nulls included. The shared
     45-day never-drop watermark would stall null emission the same way."""
+    # Measured at sf0.1: addBatch is ~14s whether replayed as 11 or 8
+    # micro-batches — the cost is the join's own row work + per-batch
+    # planning, not batch-count overhead — so this entry keeps the default
+    # batching and shares its replay dir shape with the other entries.
     replay_dir = _replay_dir(spark, sf_dir, late_fraction_pct=0)
 
     def side(ev_type, id_alias, ts_alias, user_alias, type_alias):
@@ -417,3 +421,56 @@ def q_stream_static_join(spark, sf_dir):
     )
     out = run_to_memory(agg, output_mode="append")
     return out.orderBy("w_start", "nation")
+
+
+@query(
+    "q_stream_foreach_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stream_foreach_sink(spark, sf_dir):
+    """``foreachBatch`` sink exercised END TO END: replay the events stream
+    through the idempotent per-``batch_id=N`` parquet layout (the production
+    pattern for sinks Spark has no native streaming writer for), then read
+    the sink back as a batch table and aggregate.
+
+    What the oracle proves: the union of all batch directories is EXACTLY
+    the input — ``n = n_ids`` per event type (no batch wrote twice, the
+    overwrite-own-partition discipline holds) and nothing was dropped. The
+    read-back path also exercises partition discovery over the
+    ``batch_id=N`` layout (the discovered column is dropped before
+    aggregation). Sink dir is rebuilt per run — this entry times sink write
+    + read-back, the real cost of the pattern."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..streaming import foreach_batch_parquet_sink
+
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_febq_{digest}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stream = _replayed_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    foreach_batch_parquet_sink(stream, out_dir)
+    back = spark.read.parquet(out_dir).filter(
+        F.col("event_type") != FLUSH_EVENT_TYPE
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
