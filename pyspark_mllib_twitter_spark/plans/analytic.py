@@ -968,3 +968,206 @@ def q_xn_funnel(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_xo_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS act_week
+      FROM events WHERE user_id IS NOT NULL
+    ), cohort AS (
+      SELECT user_id, MIN(act_week) AS cohort_week FROM ev GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(datediff('day', c.cohort_week, e.act_week) / 7 AS INT)
+             AS weeks_since,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_xo_cohort_retention(spark, sf_dir):
+    """∅-ref behavioral analytics: cohort retention matrix — users grouped
+    by first-activity week, counted distinct in each later week. The
+    companion to q_xn_funnel: funnel measures depth, retention measures
+    longevity; together they're the core product-analytics pair.
+
+    Spark-first: cohorts are a per-user min-aggregate joined back on
+    user_id — the same one-partitioning agg-then-join shape as the funnel,
+    so no second shuffle before the final (cohort_week, weeks_since)
+    rollup. Week truncation happens in the scan projection (both engines
+    start weeks on Monday); weeks_since is day-difference div 7, exact
+    integer arithmetic on both sides."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("act_week"),
+        )
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@query(
+    "q_xp_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+               AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), calendar AS (
+      SELECT s.user_id, CAST(g.g AS DATE) AS day
+      FROM spans s, LATERAL (SELECT UNNEST(generate_series(s.d0, s.d1,
+                                           INTERVAL 1 DAY)) AS g) g
+    )
+    SELECT c.user_id, c.day,
+           d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY c.user_id ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM calendar c LEFT JOIN daily d
+      ON c.user_id = d.user_id AND c.day = d.day
+    ORDER BY c.user_id, c.day
+    """,
+)
+def q_xp_gapfill(spark, sf_dir):
+    """∅-ref time-series: per-user daily gap filling with forward fill —
+    densify each user's [first_day, last_day] span via ``sequence`` +
+    ``explode`` (the hypertable "time_bucket_gapfill" shape), left-join the
+    real daily sums, and carry the last observation forward with an
+    IGNORE NULLS window.
+
+    Spark-first: the calendar is GENERATED distributed (sequence+explode
+    over the per-user span row — no driver-side date loop, no cross join
+    against a global calendar that would explode sparse users), day sums
+    are decimal-exact, and one user_id shuffle serves the span agg, the
+    calendar join, and the fill window. Span length is bounded per user, so
+    the densified size is Σ spans — the operator's cost is the OUTPUT size,
+    the floor for any gap-filler."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            .alias("day_value")
+        )
+    )
+    calendar = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "q_xq_editdist_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS blk,
+             length(p_name) AS ln
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+     AND abs(a.ln - b.ln) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_xq_editdist_join(spark, sf_dir):
+    """∅-ref string-similarity join: near-identical part names by edit
+    distance in [1, 3] (dist 0 — exact duplicates — is q_ns_dedup_exact's
+    job; this finds the NEAR misses), BLOCKED on the first name token + a
+    length band — the classic entity-resolution recipe (blocking cuts the
+    O(n²) pair space; the expensive Levenshtein runs only inside blocks;
+    the length band is a free lower-bound filter, |len(a)−len(b)| ≤ dist).
+
+    Spark-first: the block key is an equi-join condition, so this plans as
+    a hash join on ``blk`` with the length band and the Levenshtein
+    threshold as join-time filters — JVM ``levenshtein`` expression, no
+    Python. Pair count scales with Σ block², not n²; a skewed block is
+    handled the same way as any skewed join key (salt or AQE). The probe
+    side is ``spread()`` (a single-file part scan would put every
+    Levenshtein call on one core — measured 71s -> ~3s at sf0.1), and the
+    distance filter is an ``isin`` so the pushed join condition evaluates
+    levenshtein ONCE per pair (``between`` splits into two independent
+    calls after predicate pushdown)."""
+    from ..sources import spread
+
+    p = spread(_t(spark, sf_dir, "part")).select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("blk"),
+        F.col("ln").alias("ln_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("blk"),
+        F.col("ln").alias("ln_b"),
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 3)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist").isin(1, 2, 3))
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

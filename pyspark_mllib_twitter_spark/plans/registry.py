@@ -68,6 +68,9 @@ CHECK_WINDOW: list[str] = [
     "q_xm_triangles",
     "q_xn_funnel",
     "q_stream_foreach_sink",
+    "q_xo_cohort_retention",
+    "q_xp_gapfill",
+    "q_xq_editdist_join",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -81,9 +84,7 @@ CHECK_WINDOW: list[str] = [
     "q_ns_pipeline",
     "q_ns_quality",
     "q_ns_scrub",
-    "q_ns_token_bpe",
     "q_ns_token_stats",
-    "q_sample_stratified",
     "q_sql_lateral",
     "q_sql_q3",
     "q_sql_q5",
@@ -91,7 +92,6 @@ CHECK_WINDOW: list[str] = [
     "q_stream_sliding",
     "q_stream_window_counts",
     "q_sub_q17",
-    "q_sub_scalar",
     "q_udf_arrow_map",
     "q_udf_grouped_mad",
     "q_udf_pandas_cosine",
@@ -113,8 +113,10 @@ CHECK_WINDOW: list[str] = [
     # added in the round-5 continuation: q_udf_grouped_agg /
     # q_stream_static_join / q_xj_merge_upsert / q_xk_scd2_history /
     # q_xl_pagerank / q_w7_range_frame / q_xm_triangles / q_xn_funnel /
-    # q_stream_foreach_sink) and the round-3 rows-only streaming/ML
-    # entries — all locally tested.
+    # q_stream_foreach_sink, and likewise q_ns_token_bpe /
+    # q_sample_stratified / q_sub_scalar to q_xo_cohort_retention /
+    # q_xp_gapfill / q_xq_editdist_join) and the round-3 rows-only
+    # streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
