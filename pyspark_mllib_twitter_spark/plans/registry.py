@@ -71,6 +71,8 @@ CHECK_WINDOW: list[str] = [
     "q_xo_cohort_retention",
     "q_xp_gapfill",
     "q_xq_editdist_join",
+    "q_sql_recursive",
+    "q_f_variant",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -94,10 +96,8 @@ CHECK_WINDOW: list[str] = [
     "q_sub_q17",
     "q_udf_arrow_map",
     "q_udf_grouped_mad",
-    "q_udf_pandas_cosine",
     "q_udtf_tokens",
     "q_w1_topk",
-    "q_w2_ranking",
     "q_w4_time_rollup",
     "q_w5_sessionize",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
@@ -113,10 +113,12 @@ CHECK_WINDOW: list[str] = [
     # added in the round-5 continuation: q_udf_grouped_agg /
     # q_stream_static_join / q_xj_merge_upsert / q_xk_scd2_history /
     # q_xl_pagerank / q_w7_range_frame / q_xm_triangles / q_xn_funnel /
-    # q_stream_foreach_sink, and likewise q_ns_token_bpe /
+    # q_stream_foreach_sink, likewise q_ns_token_bpe /
     # q_sample_stratified / q_sub_scalar to q_xo_cohort_retention /
-    # q_xp_gapfill / q_xq_editdist_join) and the round-3 rows-only
-    # streaming/ML entries — all locally tested.
+    # q_xp_gapfill / q_xq_editdist_join, and q_udf_pandas_cosine /
+    # q_w2_ranking to the Spark-4 SQL-surface pair q_sql_recursive /
+    # q_f_variant) and the round-3 rows-only streaming/ML entries — all
+    # locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
