@@ -405,3 +405,98 @@ def q_xm_triangles(spark, sf_dir):
         .select(F.col("node").cast("bigint").alias("node"), "n_tri")
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup (mergeable aggregate state)
+# ---------------------------------------------------------------------------
+
+def rollup_state(events: DataFrame) -> DataFrame:
+    """Per-(day, event_type) MERGEABLE aggregate state over an events batch:
+    row count, non-null value count, decimal sum, min, max. Every column is
+    algebraically mergeable (counts/sums add, min/max re-min/max) — the
+    property that makes incremental maintenance CORRECT. avg is deliberately
+    NOT stored (it doesn't merge; it derives as sum/n_vals at read time)."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("value").cast("bigint").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def merge_rollup_states(*states: DataFrame) -> DataFrame:
+    """Merge rollup states from disjoint batches into the state the full
+    recompute would produce: union + one re-aggregation with each column's
+    own merge function. At scale the stored state is orders of magnitude
+    smaller than the raw events, so the nightly job shuffles state rows,
+    never history."""
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy("day", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("n_vals").cast("bigint").alias("n_vals"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "q_xr_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                / COUNT(value) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def q_xr_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance — the production nightly-ETL shape:
+    yesterday's stored rollup state plus today's delta batch must equal the
+    full recompute, which is exactly what the oracle checks (it recomputes
+    from ALL events; the Spark side never aggregates them in one batch).
+    The events table is split into three disjoint "ingest batches" by
+    event_id residue, each rolled up independently (in production: at
+    different times), then merged state-to-state.
+
+    Scale: the merge shuffles only state rows (days x types), not history —
+    incremental cost is O(delta + touched-state). avg derives from merged
+    sum/n_vals at read time; storing it would break mergeability. The
+    decimal sum also makes merge order irrelevant bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    states = [
+        rollup_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)
+    ]
+    merged = merge_rollup_states(*states)
+    return (
+        merged.select(
+            "day",
+            "event_type",
+            "n",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            "min_value",
+            "max_value",
+            (F.col("sum_value").cast("double") / F.col("n_vals"))
+            .alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -73,6 +73,7 @@ CHECK_WINDOW: list[str] = [
     "q_xq_editdist_join",
     "q_sql_recursive",
     "q_f_variant",
+    "q_xr_incremental_rollup",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -86,7 +87,6 @@ CHECK_WINDOW: list[str] = [
     "q_ns_pipeline",
     "q_ns_quality",
     "q_ns_scrub",
-    "q_ns_token_stats",
     "q_sql_lateral",
     "q_sql_q3",
     "q_sql_q5",
@@ -117,8 +117,8 @@ CHECK_WINDOW: list[str] = [
     # q_sample_stratified / q_sub_scalar to q_xo_cohort_retention /
     # q_xp_gapfill / q_xq_editdist_join, and q_udf_pandas_cosine /
     # q_w2_ranking to the Spark-4 SQL-surface pair q_sql_recursive /
-    # q_f_variant) and the round-3 rows-only streaming/ML entries — all
-    # locally tested.
+    # q_f_variant, and q_ns_token_stats to q_xr_incremental_rollup) and
+    # the round-3 rows-only streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -133,3 +133,35 @@ def test_pagerank_iteration_shuffles_ranks_not_vectors(spark):
     # The loop-invariant edge set is a localCheckpoint scan, not a rescan
     # of the source parquet per iteration.
     assert "Scan ExistingRDD" in plan
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup
+# ---------------------------------------------------------------------------
+
+def test_rollup_state_merge_equals_full_recompute(spark):
+    """The mergeability contract, independent of the query's 3-way split:
+    merging states from ANY disjoint partition of the input equals the
+    single-batch state — here a skewed 2-way split (one tiny batch)."""
+    from pyspark_mllib_twitter_spark.plans.lakehouse import (
+        merge_rollup_states,
+        rollup_state,
+    )
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    ev = read_table(spark, SF, "events")
+    full = rollup_state(ev)
+    merged = merge_rollup_states(
+        rollup_state(ev.filter(F.col("event_id") % 17 == 0)),
+        rollup_state(ev.filter(F.col("event_id") % 17 != 0)),
+    )
+    cols = ["day", "event_type", "n", "n_vals", "min_value", "max_value"]
+    full_p = {tuple(r) for r in full.select(*cols).collect()}
+    merged_p = {tuple(r) for r in merged.select(*cols).collect()}
+    assert full_p == merged_p
+    # Decimal sums merge bit-for-bit (order-independent addition).
+    sums_full = {
+        (r["day"], r["event_type"]): r["sum_value"] for r in full.collect()
+    }
+    for r in merged.collect():
+        assert sums_full[(r["day"], r["event_type"])] == r["sum_value"]
