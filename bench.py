@@ -56,6 +56,7 @@ SINGLE_RUN = {
     "q_stream_join_outer",
     "q_stream_static_join",
     "q_stream_foreach_sink",
+    "q_stream_state_reader",
 }
 
 

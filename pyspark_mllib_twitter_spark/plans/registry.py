@@ -74,6 +74,7 @@ CHECK_WINDOW: list[str] = [
     "q_sql_recursive",
     "q_f_variant",
     "q_xr_incremental_rollup",
+    "q_stream_state_reader",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -82,7 +83,6 @@ CHECK_WINDOW: list[str] = [
     "q_a6_approx_distinct",
     # -- oracle entries last externally green in round 3 (two rounds stale)
     "q_j_asof",
-    "q_j_nullsafe",
     "q_ns_langid",
     "q_ns_pipeline",
     "q_ns_quality",
@@ -117,8 +117,9 @@ CHECK_WINDOW: list[str] = [
     # q_sample_stratified / q_sub_scalar to q_xo_cohort_retention /
     # q_xp_gapfill / q_xq_editdist_join, and q_udf_pandas_cosine /
     # q_w2_ranking to the Spark-4 SQL-surface pair q_sql_recursive /
-    # q_f_variant, and q_ns_token_stats to q_xr_incremental_rollup) and
-    # the round-3 rows-only streaming/ML entries — all locally tested.
+    # q_f_variant, q_ns_token_stats to q_xr_incremental_rollup, and
+    # q_j_nullsafe to q_stream_state_reader) and the round-3 rows-only
+    # streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -474,3 +474,74 @@ def q_stream_foreach_sink(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_stream_state_reader",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+           time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+             + INTERVAL '10 minutes' AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY w_start, event_type
+    """,
+)
+def q_stream_state_reader(spark, sf_dir):
+    """State-store INTROSPECTION (Spark 4 ``statestore`` batch data source):
+    run the watermarked tumbling aggregation against a checkpoint, then read
+    the streaming STATE back as a batch table and hash-check it against the
+    batch SQL aggregation — the production debugging workflow for "what is
+    my streaming query holding right now".
+
+    The trick that makes state contents deterministic: the flush sentinel
+    is filtered INSIDE the streaming plan, so the filter pushes below the
+    EventTimeWatermark node and the final watermark stalls 45 days behind
+    the last real event — no window ever closes, nothing is evicted, and
+    after availableNow drains the replay the state holds EVERY window's
+    finalized aggregate (the same numbers append mode would eventually
+    emit). The sentinel-starves-the-watermark hazard the other entries
+    engineer around is exactly the fixture this one needs.
+
+    Scale: the statestore source reads each state partition's files in
+    parallel — introspection is a normal distributed scan, not a driver
+    download; at production state sizes the projection and any key filter
+    push into that scan."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_state_{digest}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = _replayed_stream(spark, sf_dir).filter(
+        F.col("event_type") != FLUSH_EVENT_TYPE
+    )
+    stream = tumbling_window_counts(ev, watermark=REPLAY_WATERMARK)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ckpt)
+    return (
+        st.select(
+            F.col("key.window.start").alias("w_start"),
+            F.col("key.window.end").alias("w_end"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("n"),
+            F.col("value.sum").cast("double").alias("sum_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
