@@ -57,6 +57,7 @@ SINGLE_RUN = {
     "q_stream_static_join",
     "q_stream_foreach_sink",
     "q_stream_state_reader",
+    "q_s3_pystream",
 }
 
 

@@ -75,6 +75,7 @@ CHECK_WINDOW: list[str] = [
     "q_f_variant",
     "q_xr_incremental_rollup",
     "q_stream_state_reader",
+    "q_s3_pystream",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -94,7 +95,6 @@ CHECK_WINDOW: list[str] = [
     "q_stream_sliding",
     "q_stream_window_counts",
     "q_sub_q17",
-    "q_udf_arrow_map",
     "q_udf_grouped_mad",
     "q_udtf_tokens",
     "q_w1_topk",
@@ -118,8 +118,9 @@ CHECK_WINDOW: list[str] = [
     # q_xp_gapfill / q_xq_editdist_join, and q_udf_pandas_cosine /
     # q_w2_ranking to the Spark-4 SQL-surface pair q_sql_recursive /
     # q_f_variant, q_ns_token_stats to q_xr_incremental_rollup, and
-    # q_j_nullsafe to q_stream_state_reader) and the round-3 rows-only
-    # streaming/ML entries — all locally tested.
+    # q_j_nullsafe to q_stream_state_reader, and q_udf_arrow_map to
+    # q_s3_pystream) and the round-3 rows-only streaming/ML entries — all
+    # locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

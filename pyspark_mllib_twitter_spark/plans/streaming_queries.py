@@ -545,3 +545,49 @@ def q_stream_state_reader(spark, sf_dir):
         )
         .orderBy("w_start", "event_type")
     )
+
+
+@query(
+    "q_s3_pystream",
+    oracle="""
+    WITH ids AS (SELECT unnest(range(0, 300)) AS doc_id),
+    tok AS (
+      SELECT ids.doc_id, j,
+             ['alpha','bravo','charlie','delta','echo','foxtrot','golf',
+              'hotel','india','juliet','kilo','lima','mike','november',
+              'oscar','papa'][
+               strpos('0123456789abcdef',
+                      substring(md5(ids.doc_id::VARCHAR || '|' || j::VARCHAR),
+                                1, 1))] AS w
+      FROM ids,
+           unnest(range(1,
+             6 + ((strpos('0123456789abcdef',
+                          substring(md5(ids.doc_id::VARCHAR || '|0'), 1, 1))
+                   - 1) % 10))) r(j))
+    SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS text,
+           CAST(COUNT(*) AS INT) AS n_tokens
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_s3_pystream(spark, sf_dir):
+    """STREAMING twin of q_s2_pysource: the same Python Data Source read
+    through ``readStream`` — exercising the connector's offset protocol
+    (initialOffset/latestOffset, per-batch partition planning, executor-side
+    generation, commit) end-to-end into a memory sink. Every row is the
+    same pure md5-hex function of doc_id, so the DuckDB oracle regenerates
+    the identical corpus: the STREAM path is value-checked, not just
+    smoke-tested. ``sf_dir`` is unused by design — the source IS the data.
+    Map-only streaming plan (no agg, no watermark): rows append as
+    generated, the shape of a streaming ingest connector."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("docgen")
+        .option("n", 300)
+        .option("partitions", 4)
+        .load()
+        .withColumn("n_tokens", F.size(F.split("text", " ")))
+    )
+    out = run_to_memory(stream, output_mode="append", state_partitions=None)
+    return out.orderBy("doc_id")

@@ -26,7 +26,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: 16 words so one md5 hex character indexes the vocabulary exactly.
 VOCAB: Sequence[str] = (
@@ -79,6 +84,48 @@ class DocGenDataSource(DataSource):
 
     def reader(self, schema) -> DocGenReader:
         return DocGenReader(self.options)
+
+    def streamReader(self, schema) -> "DocGenStreamReader":
+        return DocGenStreamReader(self.options)
+
+
+class DocGenStreamReader(DataSourceStreamReader):
+    """STREAMING read path of the same connector: explicit offset protocol
+    (``initialOffset`` → ``latestOffset`` → ``partitions(start, end)`` →
+    executor-side ``read`` → ``commit``). The corpus is static, so
+    ``latestOffset`` pins at ``n`` and an availableNow run drains it in one
+    planned batch; a live source would instead advance the offset as data
+    arrives and Spark would re-plan partitions every micro-batch — the
+    per-batch planning hook is exactly what this class exercises. Offsets
+    are plain dicts (the API json-serializes them into the checkpoint's
+    offset log, which is what makes the stream restartable)."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("partitions", 4))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": self.n}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        s, e = int(start["pos"]), int(end["pos"])
+        if e <= s:
+            return [InputPartition((s, s))]
+        step = max(1, -(-(e - s) // self.num_partitions))
+        return [
+            InputPartition((a, min(a + step, e))) for a in range(s, e, step)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        start, end = partition.value
+        for i in range(start, end):
+            yield (i, doc_text(i))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release — generation is stateless
 
 
 def register(spark) -> None:
