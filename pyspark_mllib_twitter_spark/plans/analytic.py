@@ -1247,3 +1247,95 @@ def q_f_variant(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_xt_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_d,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_d,
+           CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL,
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL,
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def q_xt_profile(spark, sf_dir):
+    """∅-ref data-quality surface: one-pass TABLE PROFILING — per-column
+    row count, null count, exact distinct count, and typed min/max (numeric
+    columns report doubles, string columns report strings) in a long
+    (column, stats) layout. The daily data-contract check every warehouse
+    runs.
+
+    Spark-first: ALL columns' aggregates are computed in a single Aggregate
+    over one scan (Spark evaluates the 5x5 aggregate expressions together;
+    exact COUNT(DISTINCT) over multiple columns expands but stays one
+    logical pass), then the single wide row is reshaped client-free with an
+    inline-explode into the long layout — the reshape costs nothing because
+    it runs on ONE row. The oracle spells the same numbers as five plain
+    aggregations. At 100 TB swap exact distinct counts for
+    approx_count_distinct (sketch, partial-aggregable) — pinned trade, same
+    as q_udf_grouped_agg's note."""
+    o = _t(spark, sf_dir, "orders")
+
+    def num(col):
+        return [
+            F.count("*").alias(f"{col}__n"),
+            (F.count("*") - F.count(col)).cast("bigint").alias(f"{col}__nn"),
+            F.countDistinct(col).cast("bigint").alias(f"{col}__nd"),
+            F.min(col).cast("double").alias(f"{col}__mind"),
+            F.max(col).cast("double").alias(f"{col}__maxd"),
+            F.lit(None).cast("string").alias(f"{col}__mins"),
+            F.lit(None).cast("string").alias(f"{col}__maxs"),
+        ]
+
+    def strg(col):
+        return [
+            F.count("*").alias(f"{col}__n"),
+            (F.count("*") - F.count(col)).cast("bigint").alias(f"{col}__nn"),
+            F.countDistinct(col).cast("bigint").alias(f"{col}__nd"),
+            F.lit(None).cast("double").alias(f"{col}__mind"),
+            F.lit(None).cast("double").alias(f"{col}__maxd"),
+            F.min(col).alias(f"{col}__mins"),
+            F.max(col).alias(f"{col}__maxs"),
+        ]
+
+    cols = {
+        "o_orderkey": num, "o_custkey": num, "o_totalprice": num,
+        "o_orderstatus": strg, "o_orderpriority": strg,
+    }
+    aggs = [expr for c, fn in cols.items() for expr in fn(c)]
+    wide = o.agg(*aggs)
+    entries = ", ".join(
+        f"struct('{c}' AS col, {c}__n AS n, {c}__nn AS n_null, "
+        f"{c}__nd AS n_distinct, {c}__mind AS min_d, {c}__maxd AS max_d, "
+        f"{c}__mins AS min_s, {c}__maxs AS max_s)"
+        for c in cols
+    )
+    return (
+        wide.select(F.expr(f"inline(array({entries}))"))
+        .orderBy("col")
+    )

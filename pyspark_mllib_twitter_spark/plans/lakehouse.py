@@ -500,3 +500,76 @@ def q_xr_incremental_rollup(spark, sf_dir):
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change-data-feed generation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xs_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 7
+    ), v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END)
+               AS fp
+      FROM documents WHERE doc_id % 9 <> 4
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'insert'
+                WHEN v2.doc_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.fp AS fp_old, v2.fp AS fp_new
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.fp <> v2.fp
+    ORDER BY doc_id
+    """,
+)
+def q_xs_snapshot_diff(spark, sf_dir):
+    """Snapshot DIFF — generate a change-data feed from two table versions:
+    rows only in v2 are inserts, only in v1 deletes, in both with different
+    content updates; unchanged rows are dropped. The at-rest complement of
+    MERGE (q_xj applies a known delta; this RECOVERS the delta when all you
+    have is two snapshots — backfills, vendor dumps, disaster audits).
+
+    Spark-first: one full-outer join co-partitioned on the key, comparing
+    md5 fingerprints instead of full payloads — text never shuffles, only
+    (key, 16-byte digest) pairs, so the diff of a 100 TB table moves
+    key+digest volume. The unchanged-row filter applies post-join (it needs
+    both sides), but the fingerprint PROJECTION pushes into both scans."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.md5("text").alias("fp_old")
+    )
+    v2 = docs.filter(F.col("doc_id") % 9 != 4).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp_new"),
+    )
+    j = v1.withColumnRenamed("doc_id", "id_old").join(
+        v2.withColumnRenamed("doc_id", "id_new"),
+        F.col("id_old") == F.col("id_new"),
+        "full_outer",
+    )
+    return (
+        j.filter(
+            F.col("id_old").isNull()
+            | F.col("id_new").isNull()
+            | (F.col("fp_old") != F.col("fp_new"))
+        )
+        .select(
+            F.coalesce("id_old", "id_new").alias("doc_id"),
+            F.when(F.col("id_old").isNull(), F.lit("insert"))
+            .when(F.col("id_new").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            "fp_old",
+            "fp_new",
+        )
+        .orderBy("doc_id")
+    )

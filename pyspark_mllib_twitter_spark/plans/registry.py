@@ -76,6 +76,9 @@ CHECK_WINDOW: list[str] = [
     "q_xr_incremental_rollup",
     "q_stream_state_reader",
     "q_s3_pystream",
+    "q_w8_session_window",
+    "q_xs_snapshot_diff",
+    "q_xt_profile",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -84,7 +87,6 @@ CHECK_WINDOW: list[str] = [
     "q_a6_approx_distinct",
     # -- oracle entries last externally green in round 3 (two rounds stale)
     "q_j_asof",
-    "q_ns_langid",
     "q_ns_pipeline",
     "q_ns_quality",
     "q_ns_scrub",
@@ -96,9 +98,7 @@ CHECK_WINDOW: list[str] = [
     "q_stream_window_counts",
     "q_sub_q17",
     "q_udf_grouped_mad",
-    "q_udtf_tokens",
     "q_w1_topk",
-    "q_w4_time_rollup",
     "q_w5_sessionize",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
@@ -118,9 +118,10 @@ CHECK_WINDOW: list[str] = [
     # q_xp_gapfill / q_xq_editdist_join, and q_udf_pandas_cosine /
     # q_w2_ranking to the Spark-4 SQL-surface pair q_sql_recursive /
     # q_f_variant, q_ns_token_stats to q_xr_incremental_rollup, and
-    # q_j_nullsafe to q_stream_state_reader, and q_udf_arrow_map to
-    # q_s3_pystream) and the round-3 rows-only streaming/ML entries — all
-    # locally tested.
+    # q_j_nullsafe to q_stream_state_reader, q_udf_arrow_map to
+    # q_s3_pystream, and q_ns_langid / q_udtf_tokens / q_w4_time_rollup
+    # to q_w8_session_window / q_xs_snapshot_diff / q_xt_profile) and the
+    # round-3 rows-only streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

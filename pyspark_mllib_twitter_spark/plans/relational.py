@@ -1333,3 +1333,63 @@ def q_w7_range_frame(spark, sf_dir):
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "q_w8_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events WHERE user_id IS NOT NULL
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM sessions GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def q_w8_session_window(spark, sf_dir):
+    """∅-ref: the NATIVE batch ``session_window`` aggregation — same
+    semantics as the hand-rolled lag+running-sum sessionizer (q_w5) but as
+    the one-liner API users reach for, pinned against a gap-logic oracle.
+    Semantic fine print the oracle encodes: ``session_window`` merges an
+    event into a session iff it lands strictly BEFORE the current session
+    end (last event + gap, end-exclusive), so an event exactly 30 minutes
+    after its predecessor starts a NEW session — the oracle's new-session
+    test is ``>= INTERVAL 30 MINUTE``, not ``>``; and the reported
+    ``session_end`` is last-event + gap, not last-event. One shuffle on
+    user_id; Spark plans a dedicated session-window aggregation (sort by
+    event time inside each key, then merge-scan) — no O(n) window pass."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            .alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+        .orderBy("user_id", "session_start")
+    )
