@@ -1339,3 +1339,92 @@ def q_xt_profile(spark, sf_dir):
         wide.select(F.expr(f"inline(array({entries}))"))
         .orderBy("col")
     )
+
+
+@query(
+    "q_xu_drift_psi",
+    oracle="""
+    WITH a AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 0),
+    b AS (SELECT o_totalprice AS x FROM orders WHERE o_orderkey % 2 = 1),
+    cuts AS (
+      SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+      FROM a
+    ),
+    ba AS (SELECT CAST(len(list_filter(cuts.cs, c -> a.x >= c)) AS INT)
+                    AS bucket
+           FROM a, cuts),
+    bb AS (SELECT CAST(len(list_filter(cuts.cs, c -> b.x >= c)) AS INT)
+                    AS bucket
+           FROM b, cuts),
+    ca AS (SELECT bucket, COUNT(*)::DOUBLE AS n_a,
+                  COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM a) AS p_a
+           FROM ba GROUP BY bucket),
+    cb AS (SELECT bucket, COUNT(*)::DOUBLE AS n_b,
+                  COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM b) AS p_b
+           FROM bb GROUP BY bucket)
+    SELECT ca.bucket,
+           CAST(ca.n_a AS BIGINT) AS n_a,
+           CAST(cb.n_b AS BIGINT) AS n_b,
+           round((cb.p_b - ca.p_a) * ln(cb.p_b / ca.p_a), 6) AS psi_term
+    FROM ca JOIN cb ON ca.bucket = cb.bucket
+    ORDER BY ca.bucket
+    """,
+)
+def q_xu_drift_psi(spark, sf_dir):
+    """∅-ref data-quality surface: distribution DRIFT between two batches
+    via the population stability index — decile boundaries fitted on the
+    baseline batch, both batches bucketed against them, per-bucket
+    ``(p_b − p_a)·ln(p_b/p_a)`` terms (sum ≥ 0.2 is the usual alarm). The
+    monitoring twin of q_xt_profile: profiling checks one batch's shape,
+    PSI checks shape CHANGE — the pre-training gate against ingest drift.
+
+    Spark-first: the nine cutpoints are ONE exact-percentile row broadcast
+    to both batches (no collect); bucket assignment is a codegen'd
+    higher-order ``size(filter(...))`` over the broadcast array; then two
+    tiny 10-row aggregates join. The baseline percentile is the only
+    full-width pass. At 100 TB swap exact percentiles for
+    ``approx_percentile`` — boundaries need stability, not exactness."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("x")
+    )
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("x")
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select("x")
+    cuts = a.agg(
+        F.percentile(
+            "x", F.array([F.lit(i / 10) for i in range(1, 10)])
+        ).alias("cs")
+    )
+
+    def bucketed(df):
+        return df.join(F.broadcast(cuts)).select(
+            F.size(
+                F.filter("cs", lambda c: F.col("x") >= c)
+            ).cast("int").alias("bucket")
+        )
+
+    n_a_total = a.count()
+    n_b_total = b.count()
+    ca = (
+        bucketed(a).groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_a"))
+        .withColumn("p_a", F.col("n_a") / F.lit(n_a_total))
+    )
+    cb = (
+        bucketed(b).groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_b"))
+        .withColumn("p_b", F.col("n_b") / F.lit(n_b_total))
+    )
+    return (
+        ca.join(cb, "bucket")
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("p_b") - F.col("p_a"))
+                * F.log(F.col("p_b") / F.col("p_a")),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

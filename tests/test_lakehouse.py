@@ -165,3 +165,58 @@ def test_rollup_state_merge_equals_full_recompute(spark):
     }
     for r in merged.collect():
         assert sums_full[(r["day"], r["event_type"])] == r["sum_value"]
+
+
+# ---------------------------------------------------------------------------
+# Plan contracts for the round-5 continuation entries
+# ---------------------------------------------------------------------------
+
+def _plan(spark, name):
+    return (
+        REGISTRY[name].spark(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_funnel_and_cohort_reuse_one_user_partitioning(spark):
+    """Funnel stages and cohort join-back must not re-shuffle per stage:
+    every hash partitioning in the plan is on user_id (no second key) and
+    no nested-loop join appears."""
+    for name in ("q_xn_funnel", "q_xo_cohort_retention"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_editdist_join_is_hash_join_on_block_key(spark):
+    """The Levenshtein join must be an equi-join on the blocking key —
+    a nested-loop all-pairs plan would be the O(n^2) failure mode."""
+    plan = _plan(spark, "q_xq_editdist_join")
+    assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # threshold evaluated join-side, JVM
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_shuffles_digests_not_text(spark):
+    """The diff joins (key, md5) pairs: no exchange in the plan may carry
+    the text column — fingerprints are projected at the scan."""
+    plan = _plan(spark, "q_xs_snapshot_diff")
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0)
+
+
+def test_profile_is_single_aggregate_pass(spark):
+    """All five columns' stats must come from ONE aggregation over one scan
+    (count-distinct expand allowed) — five separate scans would read the
+    table five times."""
+    plan = _plan(spark, "q_xt_profile")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_session_window_uses_native_session_node(spark):
+    """q_w8 must plan the dedicated session-window aggregation (merging
+    sort-based session assignment), not a generic window over all rows."""
+    plan = _plan(spark, "q_w8_session_window")
+    assert "session_window" in plan
