@@ -1428,3 +1428,75 @@ def q_xu_drift_psi(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end breadth: TPC-H Q10 and Q18 shapes (one text, both engines)
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@query("q_sql_q10", oracle=_Q10_SQL)
+def q_sql_q10(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q10 shape (returned-item report) — the
+    top-20 customers by revenue lost to returns in a half-year window, one
+    SQL text for both engines. Adds the join-breadth Q3/Q5 don't cover:
+    a selective fact filter (returnflag) joined up through TWO dimension
+    levels with a grouped top-k. Catalyst broadcasts nation and plans
+    TakeOrderedAndProject for the LIMIT — no global sort; money sums are
+    decimal-exact so the DESC order (and therefore the top-20 cut) is
+    engine-stable. The revenue-then-custkey ORDER BY is total, making the
+    LIMIT deterministic — an unkeyed top-k over ties would be
+    engine-dependent."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 210
+          )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+
+@query("q_sql_q18", oracle=_Q18_SQL)
+def q_sql_q18(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q18 shape (large-volume orders) — the
+    IN-subquery-with-HAVING pattern: orders whose total quantity clears a
+    threshold, rejoined to their customers. Catalyst plans the IN as a
+    LEFT SEMI join against the grouped-HAVING aggregate — the subquery
+    never duplicates rows, and the same lineitem scan feeds both the
+    filter aggregate and the outer sum (exchange reuse). Quantity sums are
+    decimal so the HAVING threshold cuts identically on both engines;
+    threshold 210 is tuned to the fixture's order sizes (selective but
+    non-empty at sf0.01)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)

@@ -80,6 +80,8 @@ CHECK_WINDOW: list[str] = [
     "q_xs_snapshot_diff",
     "q_xt_profile",
     "q_xu_drift_psi",
+    "q_sql_q10",
+    "q_sql_q18",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -89,8 +91,6 @@ CHECK_WINDOW: list[str] = [
     # -- oracle entries last externally green in round 3 (two rounds stale)
     "q_j_asof",
     "q_ns_pipeline",
-    "q_ns_scrub",
-    "q_sql_lateral",
     "q_sql_q3",
     "q_sql_q5",
     "q_stream_join",
@@ -121,8 +121,9 @@ CHECK_WINDOW: list[str] = [
     # q_j_nullsafe to q_stream_state_reader, q_udf_arrow_map to
     # q_s3_pystream, q_ns_langid / q_udtf_tokens / q_w4_time_rollup
     # to q_w8_session_window / q_xs_snapshot_diff / q_xt_profile, and
-    # q_ns_quality to q_xu_drift_psi) and the round-3 rows-only
-    # streaming/ML entries — all locally tested.
+    # q_ns_quality to q_xu_drift_psi, and q_ns_scrub / q_sql_lateral to
+    # the TPC-H additions q_sql_q10 / q_sql_q18) and the round-3
+    # rows-only streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
