@@ -47,6 +47,8 @@ SINGLE_RUN = {
     "q_ns_ann_ivfpq",
     "q_ns_ann_ivfpq_idx",
     "q_ml_quality_clf",
+    "q_ml_kmeans",
+    "q_ml_tuning",
     "q_stream_window_counts",
     "q_stream_session",
     "q_stream_dedup",

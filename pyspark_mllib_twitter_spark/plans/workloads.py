@@ -92,3 +92,30 @@ def q_ml_quality_clf(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return quality_predictions(docs).orderBy("doc_id")
+
+
+@query("q_ml_kmeans", oracle=None)  # learned clustering — property-tested
+def q_ml_kmeans(spark, sf_dir):
+    """W5: MLlib distributed KMeans (k=8, seeded k-means||) over
+    L2-normalized embeddings; output is the per-cluster profile (size +
+    mean centroid distance). Rows-only (cluster labels are
+    engine-specific); tests/test_workloads.py pins determinism, full
+    coverage of rows, and that clustering beats a random-assignment
+    compactness baseline."""
+    from ..workloads.w5_clustering import cluster_embeddings, cluster_profile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cluster_profile(cluster_embeddings(emb))
+
+
+@query("q_ml_tuning", oracle=None)  # learned model selection — property-tested
+def q_ml_tuning(spark, sf_dir):
+    """W3+: MLlib model selection — TrainValidationSplit over the quality
+    pipeline with a regParam grid scored by validation AUC (seeded split,
+    deterministic). Output: one audit row per grid point with the chosen
+    flag. Rows-only; tests assert the weakly-regularized model wins and
+    its AUC clears the W3 bar."""
+    from ..workloads.w3_quality_model import tuning_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tuning_report(docs).orderBy("reg_param")

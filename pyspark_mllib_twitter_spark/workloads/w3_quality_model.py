@@ -70,3 +70,58 @@ def quality_predictions(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "prediction",
         F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("p1"),
     )
+
+
+def tune_quality_classifier(feats: DataFrame, seed: int = 0):
+    """Model selection via ``TrainValidationSplit`` over the W3 pipeline:
+    a small regParam grid scored by validation AUC on a seeded 75/25
+    split. Returns ``(tvs_model, grid_values)``. Deterministic end-to-end:
+    seeded split, L-BFGS fits, exact AUC.
+
+    Scale: TVS fits |grid| models on the train fraction — embarrassingly
+    sequential in MLlib but each fit is distributed; at real scale set
+    ``parallelism`` to fit grid points concurrently."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    lr = LogisticRegression(
+        maxIter=25, featuresCol="features", labelCol="label"
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["n_char", "n_tok", "alpha", "awl"], outputCol="raw"
+            ),
+            StandardScaler(inputCol="raw", outputCol="features", withMean=True),
+            lr,
+        ]
+    )
+    grid_values = [0.01, 5.0]
+    grid = ParamGridBuilder().addGrid(lr.regParam, grid_values).build()
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol="label"),
+        trainRatio=0.75,
+        seed=seed,
+    )
+    return tvs.fit(feats), grid_values
+
+
+def tuning_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per grid point: ``(reg_param, auc, chosen)`` — the model
+    selection audit record."""
+    feats = quality_features(docs, text_col)
+    model, grid_values = tune_quality_classifier(feats)
+    metrics = model.validationMetrics
+    best = max(range(len(metrics)), key=lambda i: metrics[i])
+    rows = [
+        (float(grid_values[i]), round(float(metrics[i]), 4), int(i == best))
+        for i in range(len(grid_values))
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows, "reg_param double, auc double, chosen int"
+    )

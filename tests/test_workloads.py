@@ -224,3 +224,73 @@ def test_word2vec_distributed_fit_overlaps_pinned(spark, sf_oracle):
         a.setdefault(r["term"], set()).add(r["neighbor"])
     pooled_overlap = sum(len(a[t] & by_term[t]) for t in terms)
     assert pooled_overlap >= 1, "distributed and pinned geometries are unrelated"
+
+
+# ---------------------------------------------------------------------------
+# W5 clustering + W3 model selection
+# ---------------------------------------------------------------------------
+
+def test_kmeans_covers_rows_and_beats_random_baseline(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.sources import read_table
+    from pyspark_mllib_twitter_spark.workloads.w5_clustering import (
+        cluster_embeddings,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    assigned = cluster_embeddings(emb).cache()
+    try:
+        assert assigned.count() == n  # every row assigned exactly once
+        assert assigned.select("cluster").distinct().count() <= 8
+        mean_dist = assigned.agg(F.avg("dist")).first()[0]
+        # Compactness: the fitted assignment must beat assigning every row
+        # to the single GLOBAL centroid (the k=1 degenerate baseline any
+        # clustering must improve on; MLlib refuses k=1, so compute it
+        # directly with the same normalize+distance recipe).
+        from pyspark_mllib_twitter_spark.functions import vectors
+
+        arr = emb.select(vectors.l2_normalize("embedding").alias("a"))
+        dim = len(arr.first()["a"])
+        g = arr.select(
+            *[F.avg(F.col("a")[i]).alias(f"c{i}") for i in range(dim)]
+        ).first()
+        centroid = F.array(*[F.lit(float(g[i])) for i in range(dim)])
+        base = arr.select(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "a", centroid, lambda x, c: (x - c) * (x - c)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("d")
+        ).agg(F.avg("d")).first()[0]
+        assert mean_dist < base
+    finally:
+        assigned.unpersist()
+
+
+def test_kmeans_profile_deterministic(spark, sf_smoke):
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    a = [tuple(r) for r in REGISTRY["q_ml_kmeans"].spark(spark, sf_smoke).collect()]
+    b = [tuple(r) for r in REGISTRY["q_ml_kmeans"].spark(spark, sf_smoke).collect()]
+    assert a == b
+
+
+def test_tuning_picks_weak_regularization(spark, sf_smoke):
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    rows = {
+        r["reg_param"]: r
+        for r in REGISTRY["q_ml_tuning"].spark(spark, sf_smoke).collect()
+    }
+    assert set(rows) == {0.01, 5.0}
+    # The weakly-regularized fit must win the validation AUC and clear the
+    # W3 quality bar; the crushed model is the sanity control.
+    assert rows[0.01]["chosen"] == 1 and rows[5.0]["chosen"] == 0
+    assert rows[0.01]["auc"] >= 0.9
+    assert rows[0.01]["auc"] >= rows[5.0]["auc"]
