@@ -1500,3 +1500,51 @@ def q_sql_q18(spark, sf_dir):
     non-empty at sf0.01)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+@query(
+    "q_f_try",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(substring(p_name, 1, 3) AS INT)      AS bad_int,
+           TRY_CAST(p_size AS SMALLINT)                  AS ok_small,
+           CASE WHEN (p_partkey % 10) = 0 THEN NULL
+                ELSE CAST(p_retailprice / (p_partkey % 10) AS DOUBLE)
+           END                                           AS safe_div,
+           round(CASE WHEN p_retailprice - 900 <= 0 THEN NULL
+                      ELSE ln(p_retailprice - 900) END, 6) AS safe_ln
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q_f_try(spark, sf_dir):
+    """∅-ref error-safe scalar surface: the ``try_`` function family —
+    NULL-on-failure instead of job-killing exceptions, the ingestion-time
+    answer to dirty data at 100 TB (one malformed row must not fail a
+    million-task job; dropping to permissive modes engine-wide would hide
+    real bugs). Pins: ``try_cast`` on unparseable strings, a narrowing
+    ``try_cast`` that fits, ``try_divide`` by a sometimes-zero divisor
+    (NULL, not Inf/error), and ``ln`` guarded to NULL on non-positive
+    input. The oracle spells each as the equivalent TRY_CAST/CASE —
+    bitwise-identical including WHICH rows are NULL."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.substring("p_name", 1, 3).try_cast("int").alias("bad_int"),
+            F.col("p_size").try_cast("smallint").alias("ok_small"),
+            F.try_divide(
+                F.col("p_retailprice"),
+                F.when(F.col("p_partkey") % 10 == 0, F.lit(0.0)).otherwise(
+                    (F.col("p_partkey") % 10).cast("double")
+                ),
+            ).cast("double").alias("safe_div"),
+            F.round(
+                F.when(
+                    F.col("p_retailprice") - 900 > 0,
+                    F.log(F.col("p_retailprice") - 900),
+                ),
+                6,
+            ).alias("safe_ln"),
+        )
+        .orderBy("p_partkey")
+    )

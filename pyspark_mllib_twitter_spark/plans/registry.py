@@ -82,6 +82,7 @@ CHECK_WINDOW: list[str] = [
     "q_xu_drift_psi",
     "q_sql_q10",
     "q_sql_q18",
+    "q_f_try",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_ns_ann_lsh",
     "q_ns_ann_ivf",
@@ -98,7 +99,6 @@ CHECK_WINDOW: list[str] = [
     "q_stream_window_counts",
     "q_sub_q17",
     "q_udf_grouped_mad",
-    "q_w1_topk",
     "q_w5_sessionize",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
@@ -121,9 +121,10 @@ CHECK_WINDOW: list[str] = [
     # q_j_nullsafe to q_stream_state_reader, q_udf_arrow_map to
     # q_s3_pystream, q_ns_langid / q_udtf_tokens / q_w4_time_rollup
     # to q_w8_session_window / q_xs_snapshot_diff / q_xt_profile, and
-    # q_ns_quality to q_xu_drift_psi, and q_ns_scrub / q_sql_lateral to
-    # the TPC-H additions q_sql_q10 / q_sql_q18) and the round-3
-    # rows-only streaming/ML entries — all locally tested.
+    # q_ns_quality to q_xu_drift_psi, q_ns_scrub / q_sql_lateral to
+    # the TPC-H additions q_sql_q10 / q_sql_q18, and q_w1_topk to the
+    # error-safe scalar family q_f_try) and the round-3 rows-only
+    # streaming/ML entries — all locally tested.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
