@@ -1372,7 +1372,9 @@ def q_xt_profile(spark, sf_dir):
 )
 def q_xu_drift_psi(spark, sf_dir):
     """∅-ref data-quality surface: distribution DRIFT between two batches
-    via the population stability index — decile boundaries fitted on the
+    via the population stability index (the standard credit-scoring drift
+    metric; see e.g. Yurdakul, "Statistical Properties of the Population
+    Stability Index", 2018 — public) — decile boundaries fitted on the
     baseline batch, both batches bucketed against them, per-bucket
     ``(p_b − p_a)·ln(p_b/p_a)`` terms (sum ≥ 0.2 is the usual alarm). The
     monitoring twin of q_xt_profile: profiling checks one batch's shape,

@@ -66,7 +66,8 @@ def q_xj_merge_upsert(spark, sf_dir):
     """MERGE (upsert) a delta batch into a base snapshot: matched keys take
     the delta row (update), unmatched delta keys insert, untouched base rows
     survive. ``base`` excludes ``doc_id % 10 == 7`` so a third of the delta
-    rows are genuine inserts, not just updates.
+    rows are genuine inserts, not just updates. (SCD/merge taxonomy per
+    Kimball & Ross, "The Data Warehouse Toolkit" — public.)
 
     Spark-first: MERGE = ``delta ∪ (base ⟕anti broadcast(delta))`` — the
     one-pass relational decomposition Delta/Iceberg compile to. The delta is
@@ -176,9 +177,10 @@ _PR_MOD = 100
 def pagerank(
     edges: DataFrame, d: float = _PR_D, iters: int = _PR_ITERS
 ) -> DataFrame:
-    """Simplified PageRank (no dangling-mass redistribution — mass that
-    flows into a sink node leaves the system, the common simplification) on
-    an ``(src, dst)`` edge DataFrame. Returns ``(node, rank)``.
+    """Simplified PageRank (Page et al., "The PageRank Citation Ranking",
+    1999 — public; no dangling-mass redistribution — mass that flows into
+    a sink node leaves the system, the common simplification) on an
+    ``(src, dst)`` edge DataFrame. Returns ``(node, rank)``.
 
     Distributed shape: edges are joined ONCE with out-degrees and cached —
     each iteration shuffles only ``(node, rank)`` pairs (16 bytes a row), so
@@ -307,7 +309,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (columns ``u < v``, deduplicated, no loops). Returns ``(node, n_tri)``
     for every node that closes at least one triangle.
 
-    Distributed shape — the Cohen / "count on the oriented graph" recipe:
+    Distributed shape — the oriented-wedge recipe (Cohen, "Graph
+    Twiddling in a MapReduce World", 2009 — public):
     orient every edge from its (degree, id)-SMALLER endpoint to the larger,
     so each triangle is generated exactly once as a wedge at its unique
     apex, and the wedge join's fan-out per key is bounded by the oriented

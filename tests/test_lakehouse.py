@@ -220,3 +220,47 @@ def test_session_window_uses_native_session_node(spark):
     sort-based session assignment), not a generic window over all rows."""
     plan = _plan(spark, "q_w8_session_window")
     assert "session_window" in plan
+
+
+# ---------------------------------------------------------------------------
+# Degenerate inputs
+# ---------------------------------------------------------------------------
+
+def test_graph_ops_empty_edges(spark):
+    from pyspark_mllib_twitter_spark.plans.lakehouse import (
+        pagerank,
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame([], "src int, dst int")
+    assert pagerank(e).count() == 0
+    eu = spark.createDataFrame([], "u int, v int")
+    assert triangle_counts(eu).count() == 0
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 has 4 triangles; every vertex participates in exactly 3."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "u int, v int"
+    )
+    out = {r["node"]: r["n_tri"] for r in triangle_counts_collect(spark, edges)}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def triangle_counts_collect(spark, edges):
+    from pyspark_mllib_twitter_spark.plans.lakehouse import triangle_counts
+
+    return triangle_counts(edges).collect()
+
+
+def test_rollup_state_empty_batch_merges_as_identity(spark):
+    from pyspark_mllib_twitter_spark.plans.lakehouse import (
+        merge_rollup_states,
+        rollup_state,
+    )
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    ev = read_table(spark, SF, "events")
+    empty = rollup_state(ev.filter(F.lit(False)))
+    merged = merge_rollup_states(rollup_state(ev), empty)
+    assert merged.count() == rollup_state(ev).count()
