@@ -299,3 +299,20 @@ def test_span_dedup_jvm_side_no_window(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Window" not in plan
+
+
+def test_domain_quota_ranks_only_overquota_broadcast(spark):
+    """q_xv: the over-quota domain set reaches both routing joins as a
+    broadcast (anti for the pass-through path, inner for the ranked path) —
+    no sort-merge on the corpus side."""
+    plan = _plan(spark, "q_xv_domain_quota")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_topk_is_window_group_limit(spark):
+    """q_xw: the rank<=k postings filter plans as WindowGroupLimit (partial
+    top-k per task before the term shuffle), so stopword-grade terms never
+    sort a full posting list on one task."""
+    plan = _plan(spark, "q_xw_inverted_index")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
