@@ -231,3 +231,187 @@ def q_xw_inverted_index(spark, sf_dir):
         .select("term", "df", "total_tf", "postings")
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (fixed-size mergeable sketch)
+# ---------------------------------------------------------------------------
+
+#: Sketch geometry: depth (independent hash rows) x width (buckets/row).
+#: 3 x 64 keeps collisions visible at fixture scale (vocab ~a few hundred
+#: terms) so the overestimate property is non-vacuously exercised;
+#: production would use e.g. 5 x 2^16 (still < 3 MB — broadcastable).
+CMS_D = 3
+CMS_W = 64
+
+#: Heavy hitters reported (by exact count desc, term asc).
+CMS_TOP = 10
+
+
+def _cms_bucket_sql(term_expr: str, i: str) -> str:
+    """DuckDB bucket expression: first 8 md5 hex chars as an integer,
+    mod width — identical bytes to Spark's conv(substring(md5(..)))."""
+    return f"('0x' || substr(md5({term_expr} || ':' || {i}), 1, 8))::BIGINT % {CMS_W}"
+
+
+def _cms_bucket(term_col, i: int):
+    """Spark twin of :func:`_cms_bucket_sql` (same md5 bytes, same mod)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(term_col, F.lit(f":{i}"))), 1, 8), 16, 10
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+@query(
+    "q_xx_cms_heavy_hitters",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    hrows AS (SELECT unnest(range({CMS_D})) AS i),
+    cells AS (
+      SELECT r.i, {_cms_bucket_sql('tf.term', 'r.i')} AS bucket, tf.n
+      FROM tf CROSS JOIN hrows r),
+    sketch AS (SELECT i, bucket, sum(n) AS c FROM cells GROUP BY i, bucket),
+    cand AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT {CMS_TOP}),
+    est AS (
+      SELECT cand.term, cand.n, min(s.c) AS cms
+      FROM cand CROSS JOIN hrows r
+      JOIN sketch s
+        ON s.i = r.i AND s.bucket = {_cms_bucket_sql('cand.term', 'r.i')}
+      GROUP BY cand.term, cand.n)
+    SELECT term, CAST(n AS BIGINT) AS exact_n, CAST(cms AS BIGINT) AS cms_est
+    FROM est ORDER BY exact_n DESC, term
+    """,
+)
+def q_xx_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005,
+    public): build a ``CMS_D x CMS_W`` counter table over corpus terms, then
+    estimate the top-``CMS_TOP`` terms' counts from the sketch next to their
+    exact counts. The invariant ``cms_est >= exact_n`` (estimates only ever
+    overestimate) is value-checked by the oracle on every row.
+
+    Scale shape: the sketch is a FIXED-SIZE aggregate — ``d*w`` cells
+    regardless of corpus size — so at 100 TB it builds with one map-side-
+    combinable shuffle of at most ``d*w`` groups per task and merges across
+    days/partitions by cell-wise addition (same mergeability story as the
+    HLL path, q_a11). The md5-derived buckets make Spark and DuckDB place
+    every term in identical cells, so the sketch itself (not just the
+    query result) is engine-portable. Exact counts ride along here only
+    for the comparison; production reads estimates alone.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    tf = (
+        d.select(F.explode(TXT.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    cells = tf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("term"), i).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+        "n",
+    ).select(F.col("cell.i").alias("i"), F.col("cell.bucket").alias("bucket"), "n")
+    sketch = cells.groupBy("i", "bucket").agg(F.sum("n").alias("c"))
+    cand = tf.orderBy(F.desc("n"), F.asc("term")).limit(CMS_TOP)
+    probes = cand.select(
+        "term",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("term"), i).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", "n", F.col("cell.i").alias("i"), F.col("cell.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("c").alias("cms"))
+    )
+    return est.select(
+        "term",
+        F.col("n").cast("bigint").alias("exact_n"),
+        F.col("cms").cast("bigint").alias("cms_est"),
+    ).orderBy(F.desc("exact_n"), F.asc("term"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids (distributed mean-pool + pairwise cosine)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_xy_emb_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings),
+    c AS (SELECT label, dim, avg(val) AS m FROM e GROUP BY label, dim),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.m * b.m) AS dot,
+             sum(a.m * a.m) AS na, sum(b.m * b.m) AS nb
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+    FROM p ORDER BY label_a, label_b
+    """,
+)
+def q_xy_emb_centroids(spark, sf_dir):
+    """Distributed mean-pooling of embeddings per label + pairwise centroid
+    cosine — the cluster-audit primitive SemDeDup-style curation
+    (Abbas et al. 2023, public) runs after assignment: how separated are
+    the groups we just formed?
+
+    Scale shape: ``posexplode`` widens rows by the (fixed) dimension only —
+    a narrow map — and the mean reduces on ``(label, dim)``, map-side
+    combinable, into a centroid table of ``labels x dims`` cells that is
+    broadcast-tiny REGARDLESS of corpus size; the pairwise cosine is then a
+    self-join of that tiny table on ``dim``. No vector ever collects to the
+    driver and no array is reassembled — the dot/norm sums consume the
+    (label, dim, mean) rows directly.
+    """
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", (F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
+    c = e.groupBy("label", "dim").agg(F.avg("val").alias("m"))
+    a = c.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    p = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
+    ).orderBy("label_a", "label_b")
