@@ -415,3 +415,180 @@ def q_xy_emb_centroids(spark, sf_dir):
         "label_b",
         (F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))).alias("cosine"),
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering
+# ---------------------------------------------------------------------------
+
+#: Bits per dimension interleaved into the Morton code (8 -> 16-bit z).
+ZBITS = 8
+
+
+def _zorder_sql(x: str, y: str) -> str:
+    """DuckDB Morton interleave of two ``ZBITS``-bit values."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder(x, y):
+    """Spark twin of :func:`_zorder_sql` — one codegen'd bit expression."""
+    z = F.lit(0)
+    for i in range(ZBITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+    return z
+
+
+@query(
+    "q_xz_zorder_layout",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             datediff('day', DATE '1970-01-01', o_orderdate::DATE) % 256 AS y
+      FROM orders),
+    z AS (SELECT o_orderkey, x, y, {_zorder_sql('x', 'y')} AS zval FROM src),
+    f AS (SELECT *, zval >> {ZBITS} AS file_id FROM z)
+    SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+    FROM f GROUP BY file_id ORDER BY file_id
+    """,
+)
+def q_xz_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout clustering — the lakehouse ``OPTIMIZE ZORDER
+    BY (a, b)`` primitive (public: Morton 1966; Delta/Iceberg docs): bucket
+    two dimensions to ``ZBITS`` bits, interleave the bits into a Morton
+    code, and group rows into "files" by the code's high bits. The per-file
+    min/max of BOTH dims — exactly the footer stats a scan would prune on —
+    are the output: z-ordering makes both ranges narrow simultaneously,
+    which neither single-column sort achieves.
+
+    Scale shape: the Morton code is one whole-stage-codegen'd bit
+    expression (no UDF, no shuffle to compute); the production layout step
+    is ``repartitionByRange(zval)`` + write, one range shuffle; the stats
+    query here is a map-side-combinable groupBy over 2^ZBITS file groups.
+    Data skipping then prunes on both dims at 100 TB with no extra index.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 256
+        ).cast("bigint").alias("y"),
+    )
+    z = o.select("x", "y", _zorder(F.col("x"), F.col("y")).alias("zval"))
+    f = z.withColumn("file_id", F.shiftright("zval", ZBITS))
+    return (
+        f.groupBy("file_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("x").cast("bigint").alias("x_min"),
+            F.max("x").cast("bigint").alias("x_max"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+        )
+        .orderBy("file_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-metric evaluation (precision@k / NDCG@k)
+# ---------------------------------------------------------------------------
+
+#: Cutoff for the ranking metrics.
+RANK_K = 10
+
+
+@query(
+    "q_y1_rank_metrics",
+    oracle=f"""
+    WITH pop AS (
+      SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY l_partkey),
+    topk AS (
+      SELECT l_partkey, rn FROM (
+        SELECT l_partkey,
+               row_number() OVER (ORDER BY c DESC, l_partkey) AS rn
+        FROM pop) WHERE rn <= {RANK_K}),
+    truth AS (
+      SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    ts AS (
+      SELECT c_custkey, count(*) AS n_truth FROM truth GROUP BY c_custkey),
+    hits AS (
+      SELECT t.c_custkey, count(*) AS n_hits,
+             sum(1.0 / log2(k.rn + 1)) AS dcg
+      FROM truth t JOIN topk k USING (l_partkey) GROUP BY t.c_custkey)
+    SELECT ts.c_custkey,
+           CAST(ts.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n_hits, 0) / {RANK_K}.0 AS prec_at_k,
+           coalesce(h.dcg, 0.0)
+             / list_sum(list_transform(
+                 range(1, least({RANK_K}, ts.n_truth) + 1),
+                 r -> 1.0 / log2(r + 1))) AS ndcg_at_k
+    FROM ts LEFT JOIN hits h USING (c_custkey)
+    ORDER BY ts.c_custkey
+    """,
+)
+def q_y1_rank_metrics(spark, sf_dir):
+    """Offline ranking-metric evaluation — per-user precision@k and NDCG@k
+    of a deterministic popularity recommender (global top-``RANK_K`` parts
+    by order count) against each customer's actually-ordered parts. The
+    SQL-expressible twin of MLlib's RankingEvaluator, value-checked per
+    user; the same join-then-aggregate shape scores the W2 ALS output.
+
+    Scale shape: the candidate ranking lives on the PART dimension (bounded;
+    the global row_number window runs over per-part counts, not facts, and
+    only to extract k rows); truth is one fact-fact equi-join reduced to
+    distinct (cust, part) digests; the metric join broadcasts the k-row
+    ranking, so the per-user aggregation is the only fact-sized shuffle.
+    The IDCG denominator is a higher-order fold over ``sequence`` — pure
+    codegen, no UDF.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    pop = li.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("l_partkey"))
+    topk = (
+        pop.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RANK_K)
+        .select("l_partkey", "rn")
+    )
+    truth = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), "l_partkey")
+        .distinct()
+    )
+    ts = truth.groupBy("c_custkey").agg(F.count("*").alias("n_truth"))
+    hits = (
+        truth.join(F.broadcast(topk), "l_partkey")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum(1.0 / F.log2(F.col("rn") + 1)).alias("dcg"),
+        )
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(RANK_K), F.col("n_truth"))),
+        F.lit(0.0),
+        lambda acc, r: acc + 1.0 / F.log2(r.cast("double") + 1),
+    )
+    return (
+        ts.join(hits, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / float(RANK_K)).alias("prec_at_k"),
+            (F.coalesce("dcg", F.lit(0.0)) / idcg).alias("ndcg_at_k"),
+        )
+        .orderBy("c_custkey")
+    )
