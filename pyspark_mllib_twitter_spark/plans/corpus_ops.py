@@ -592,3 +592,178 @@ def q_y1_rank_metrics(spark, sf_dir):
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (one vocabulary-induction step)
+# ---------------------------------------------------------------------------
+
+#: Merge candidates reported per step (by weight desc, pair asc).
+BPE_TOP = 20
+
+
+@query(
+    "q_y2_bpe_merge_step",
+    oracle=rf"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS w
+      FROM documents),
+    freq AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) || '+' || substr(w, i + 1, 1) AS pair, f
+      FROM freq, LATERAL (
+        SELECT unnest(range(1, length(w))) AS i) u
+      WHERE length(w) >= 2),
+    agg AS (SELECT pair, sum(f) AS weight FROM pairs GROUP BY pair)
+    SELECT pair, CAST(weight AS BIGINT) AS weight
+    FROM agg ORDER BY weight DESC, pair LIMIT {BPE_TOP}
+    """,
+)
+def q_y2_bpe_merge_step(spark, sf_dir):
+    """One BPE vocabulary-induction step (Sennrich et al. 2016, public):
+    count adjacent symbol pairs across the corpus, weighted by word
+    frequency, and report the top merge candidates — the inner loop of BPE
+    tokenizer training, run here at character grain over raw words.
+
+    Scale shape: word frequencies reduce FIRST (map-side combinable), so
+    the pair explosion runs over the *vocabulary* (bounded, Heaps' law),
+    not the corpus — at 100 TB the corpus-sized stage is the word count
+    alone, and everything after operates on vocab-sized data. The pair
+    expansion is ``sequence`` + ``substring`` — pure codegen, no UDF.
+    Repeating the step after applying the winning merge (re-tokenize,
+    recount) is the full training loop; each iteration is this same plan.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    freq = (
+        d.select(F.explode(TXT.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = freq.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.col("w").substr(i, F.lit(1)),
+                    F.lit("+"),
+                    F.col("w").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed co-occurrence + PMI
+# ---------------------------------------------------------------------------
+
+#: Co-occurrence window (token distance) and min pair count reported.
+PMI_WINDOW = 2
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "q_y3_pmi_cooccur",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) AS p
+      FROM toks),
+    tot AS (SELECT count(*) AS t_total FROM pos),
+    uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+    co AS (
+      SELECT least(a.tok, b.tok) AS w_a, greatest(a.tok, b.tok) AS w_b,
+             count(*) AS c_ab
+      FROM pos a
+      JOIN pos b
+        ON a.doc_id = b.doc_id
+       AND b.p BETWEEN a.p + 1 AND a.p + {PMI_WINDOW}
+      GROUP BY 1, 2),
+    ptot AS (SELECT sum(c_ab) AS p_total FROM co)
+    SELECT co.w_a, co.w_b, CAST(co.c_ab AS BIGINT) AS c_ab,
+           -- ln, not log: DuckDB's log() is base 10, Spark's is natural
+           ln((co.c_ab / ptot.p_total)
+              / ((ua.c / tot.t_total) * (ub.c / tot.t_total))) AS pmi
+    FROM co
+    CROSS JOIN ptot CROSS JOIN tot
+    JOIN uni ua ON ua.tok = co.w_a
+    JOIN uni ub ON ub.tok = co.w_b
+    WHERE co.c_ab >= {PMI_MIN_COUNT}
+    ORDER BY co.w_a, co.w_b
+    """,
+)
+def q_y3_pmi_cooccur(spark, sf_dir):
+    """Windowed co-occurrence counts + pointwise mutual information (Church
+    & Hanks 1990, public) — the corpus-association primitive behind
+    collocation mining and word-vector objectives: for token pairs within
+    ``PMI_WINDOW`` positions, PMI = log(p(a,b) / (p(a) p(b))).
+
+    Scale shape: the pair generation is an EQUI-join on ``(doc_id,
+    position)`` after exploding each position into its <= PMI_WINDOW
+    forward offsets — no theta-join, no per-doc cross product; co-counts
+    and unigram counts are map-side-combinable aggregations on token
+    digests. The totals are single scalars broadcast into the final
+    projection. Output is threshold-filtered and ordered by the token pair
+    (never by the float PMI), so engine agreement is exact.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    pos = d.select(
+        "doc_id", F.posexplode(TXT.tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    uni = pos.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = pos.agg(F.count("*").alias("t_total"))
+    offs = pos.select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.col("p") + 1, F.col("p") + PMI_WINDOW)
+        ).alias("p_b"),
+    )
+    right = pos.select(
+        "doc_id", F.col("p").alias("p_b"), F.col("tok").alias("tok_b")
+    )
+    co = (
+        offs.join(right, ["doc_id", "p_b"])
+        .select(
+            F.least("tok", "tok_b").alias("w_a"),
+            F.greatest("tok", "tok_b").alias("w_b"),
+        )
+        .groupBy("w_a", "w_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    # p_total normalizes over ALL co-occurrences (the probability space),
+    # not just the pairs that clear the reporting threshold below.
+    ptot = co.agg(F.sum("c_ab").alias("p_total"))
+    co = co.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    ua = uni.select(F.col("tok").alias("w_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("w_b"), F.col("c").alias("c_b"))
+    return (
+        co.crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(tot))
+        .join(ua, "w_a")
+        .join(ub, "w_b")
+        .select(
+            "w_a",
+            "w_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.log(
+                (F.col("c_ab") / F.col("p_total"))
+                / ((F.col("c_a") / F.col("t_total")) * (F.col("c_b") / F.col("t_total")))
+            ).alias("pmi"),
+        )
+        .orderBy("w_a", "w_b")
+    )
