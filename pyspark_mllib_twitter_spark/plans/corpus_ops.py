@@ -767,3 +767,130 @@ def q_y3_pmi_cooccur(spark, sf_dir):
         )
         .orderBy("w_a", "w_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite (Deequ-style)
+# ---------------------------------------------------------------------------
+
+#: Discount conformance bound — deliberately tighter than the generator's
+#: actual [0, 0.1] range so the range check reports real violations.
+DQ_DISCOUNT_MAX = 0.08
+
+_DQ_FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+@query(
+    "q_y4_expectations",
+    oracle=f"""
+    WITH o AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+             count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+             sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS bad_status
+      FROM orders),
+    l AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN l_discount < 0 OR l_discount > {DQ_DISCOUNT_MAX}
+                      THEN 1 ELSE 0 END) AS bad_disc
+      FROM lineitem),
+    d AS (
+      SELECT count(*) AS n,
+             count(*) - count(DISTINCT {_DQ_FP_SQL}) AS dup_fp
+      FROM documents),
+    fk_l AS (
+      SELECT (SELECT count(*) FROM lineitem) AS n, count(*) AS orphans
+      FROM lineitem li ANTI JOIN orders oo ON li.l_orderkey = oo.o_orderkey),
+    fk_o AS (
+      SELECT (SELECT count(*) FROM orders) AS n, count(*) AS orphans
+      FROM orders oo ANTI JOIN customer c ON oo.o_custkey = c.c_custkey),
+    checks AS (
+      SELECT 'accepted_values' AS chk, 'orders.o_orderstatus' AS target,
+             n, bad_status AS n_violations FROM o
+      UNION ALL
+      SELECT 'fk', 'lineitem.l_orderkey->orders', n, orphans FROM fk_l
+      UNION ALL
+      SELECT 'fk', 'orders.o_custkey->customer', n, orphans FROM fk_o
+      UNION ALL
+      SELECT 'not_null', 'orders.o_custkey', n, nulls FROM o
+      UNION ALL
+      SELECT 'range', 'lineitem.l_discount', n, bad_disc FROM l
+      UNION ALL
+      SELECT 'unique', 'documents.fingerprint', n, dup_fp FROM d
+      UNION ALL
+      SELECT 'unique', 'orders.o_orderkey', n, dup_keys FROM o)
+    SELECT chk, target, CAST(n AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS passed
+    FROM checks ORDER BY chk, target
+    """,
+)
+def q_y4_expectations(spark, sf_dir):
+    """Data-quality expectation suite (Deequ/Great-Expectations shape, both
+    public): declarative checks — completeness, key uniqueness, accepted
+    values, numeric range, referential integrity — evaluated in bulk, one
+    result row per check with row/violation counts. The range check's bound
+    is deliberately tighter than the data so violations are non-zero and
+    the value hash exercises a real failure path.
+
+    Scale shape: all checks against one table fold into a SINGLE aggregate
+    over a single scan (no per-check pass — the Deequ optimization);
+    referential-integrity checks are anti-joins carrying key columns only.
+    Every aggregate is map-side combinable; the result is seven rows
+    however large the input. At 100 TB this is one pass over each fact
+    table plus two digest-width anti-joins.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cu = read_table(spark, sf_dir, "customer")
+    d = _docs(spark, sf_dir)
+
+    o_agg = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nulls"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")).alias(
+            "bad_status"
+        ),
+    )
+    l_agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > DQ_DISCOUNT_MAX)).cast(
+                "long"
+            )
+        ).alias("bad_disc"),
+    )
+    d_agg = d.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct(TXT.fingerprint("text"))).alias("dup_fp"),
+    )
+    fk_l = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count("*").alias("orphans")
+    ).crossJoin(li.agg(F.count("*").alias("n")))
+    fk_o = o.join(cu, o.o_custkey == cu.c_custkey, "left_anti").agg(
+        F.count("*").alias("orphans")
+    ).crossJoin(o.agg(F.count("*").alias("n")))
+
+    def row(df, chk, target, viol_col):
+        return df.select(
+            F.lit(chk).alias("chk"),
+            F.lit(target).alias("target"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col(viol_col).cast("bigint").alias("n_violations"),
+        )
+
+    checks = (
+        row(o_agg, "accepted_values", "orders.o_orderstatus", "bad_status")
+        .unionByName(row(fk_l, "fk", "lineitem.l_orderkey->orders", "orphans"))
+        .unionByName(row(fk_o, "fk", "orders.o_custkey->customer", "orphans"))
+        .unionByName(row(o_agg, "not_null", "orders.o_custkey", "nulls"))
+        .unionByName(row(l_agg, "range", "lineitem.l_discount", "bad_disc"))
+        .unionByName(row(d_agg, "unique", "documents.fingerprint", "dup_fp"))
+        .unionByName(row(o_agg, "unique", "orders.o_orderkey", "dup_keys"))
+    )
+    return checks.withColumn(
+        "passed", (F.col("n_violations") == 0).cast("bigint")
+    ).orderBy("chk", "target")
