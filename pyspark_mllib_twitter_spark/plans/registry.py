@@ -18,19 +18,19 @@ the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
 Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
-written after round 4's sweep), the nine operators added this round
+written after round 4's sweep), the many operators added this round
 (IVF+PQ in-memory + persisted index, bucketed chunk dedup, portable
 MinHash pairs + end-to-end survivors, Python Data Source connector,
-paragraph dedup, span dedup, outer stream join), the five round-4
-benched entries
-(``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``, ``q_a6_approx_distinct``),
-and 34 of the 45 oracle-backed entries last green in round 3 (now two
-rounds stale). Sitting out: the most trivial round-3 greens (see the list
-tail below) and the round-3 rows-only streaming/ML entries
-(``q_stream_dedup/session/stateful``, ``q_w1_user_similarity``,
-``q_w2_als_recommend`` — each batch-equivalence/golden-tested locally; a
-rows-only driver row adds the least signal). Round-4's 49 entries all went
-green and rotate out.
+paragraph dedup, span dedup, outer stream join, domain quota, inverted
+index, count-min sketch, embedding centroids, Z-order, ranking metrics,
+BPE merge step, PMI, DQ expectations), ``q_a6_approx_distinct`` (benched
+r4), and the stale round-3 greens that fit. Sitting out: the rest of the
+round-3 greens, the round-3 rows-only streaming/ML entries, and the
+rows-only ANN singles (``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``) —
+each recall/property-tested locally, and the never-checked oracle-backed
+additions beat a rows-only refresh for the bounded slots (the composed
+``q_ns_ann_ivfpq``/``_idx`` entries keep ANN represented in-window).
+Round-4's 49 entries all went green and rotate out.
 """
 
 from __future__ import annotations
@@ -83,23 +83,24 @@ CHECK_WINDOW: list[str] = [
     "q_sql_q10",
     "q_sql_q18",
     "q_f_try",
+    # -- new in the round-5 second half (all oracle-backed, never checked) --
+    "q_xv_domain_quota",
+    "q_xw_inverted_index",
+    "q_xx_cms_heavy_hitters",
+    "q_xy_emb_centroids",
+    "q_xz_zorder_layout",
+    "q_y1_rank_metrics",
+    "q_y2_bpe_merge_step",
+    "q_y3_pmi_cooccur",
+    "q_y4_expectations",
     # -- benched in round 4, last externally seen round 2 ------------------
-    "q_ns_ann_lsh",
-    "q_ns_ann_ivf",
-    "q_ns_ann_pq",
-    "q_a11_sketch_merge",
     "q_a6_approx_distinct",
     # -- oracle entries last externally green in round 3 (two rounds stale)
     "q_j_asof",
-    "q_ns_pipeline",
     "q_sql_q3",
-    "q_sql_q5",
     "q_stream_join",
     "q_stream_sliding",
     "q_stream_window_counts",
-    "q_sub_q17",
-    "q_udf_grouped_mad",
-    "q_w5_sessionize",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
     # q_stat_crosstab / q_f_json sit out (most trivial round-3 greens —
