@@ -894,3 +894,155 @@ def q_y4_expectations(spark, sf_dir):
     return checks.withColumn(
         "passed", (F.col("n_violations") == 0).cast("bigint")
     ).orderBy("chk", "target")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixture reweighting
+# ---------------------------------------------------------------------------
+
+#: Mixture temperature (alpha) and target corpus fraction. alpha=0.3 is the
+#: mC4/XLM-R published value: rare sources are upweighted toward uniform,
+#: dominant sources suppressed.
+MIX_ALPHA = 0.3
+MIX_TARGET_FRAC = 0.5
+
+
+@query(
+    "q_y5_mix_temperature",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_s) AS n_total, sum(pow(n_s, {MIX_ALPHA})) AS z FROM n),
+    k AS (
+      SELECT n.source, n.n_s,
+             least(n.n_s, CAST(round(
+               pow(n.n_s, {MIX_ALPHA}) / tot.z
+                 * tot.n_total * {MIX_TARGET_FRAC}, 0) AS BIGINT)) AS k_s
+      FROM n CROSS JOIN tot),
+    ranked AS (
+      SELECT d.doc_id, d.source, k.k_s,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+      FROM documents d JOIN k USING (source))
+    SELECT doc_id, source, CAST(k_s AS BIGINT) AS k_target,
+           CAST(CASE WHEN rnk <= k_s THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def q_y5_mix_temperature(spark, sf_dir):
+    """Temperature-based source mixture (mC4 / XLM-R, public): re-weight
+    sources by ``p_s^alpha`` (alpha < 1 flattens the distribution toward
+    uniform), convert the weights to integer per-source keep counts against
+    a target corpus size, and select each source's keep set by md5 rank —
+    deterministic, engine-portable. Complements ``q_x4_mix_sources`` (fixed
+    per-source weights): here the weights are COMPUTED from the observed
+    distribution, the production shape.
+
+    Float-robustness: the only cross-engine float math (pow/normalize) is
+    collapsed to ONE integer per source (``round``) before any row is
+    gated; per-row selection is then pure md5 ranking, so a 1-ulp libm
+    difference could only matter if a source's real-valued target count sat
+    within 1 ulp of .5 — not at every row boundary, as a per-row float
+    threshold gate would.
+
+    Scale shape: source counts and the normalizer are two broadcast-sized
+    aggregates; the rank is a window per source (same head-bounded rank
+    note as q_xv — the keep-only production form gets WindowGroupLimit).
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "source")
+    n = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = n.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow("n_s", F.lit(MIX_ALPHA))).alias("z"),
+    )
+    k = n.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.col("n_s"),
+            F.round(
+                F.pow("n_s", F.lit(MIX_ALPHA))
+                / F.col("z")
+                * F.col("n_total")
+                * MIX_TARGET_FRAC,
+                0,
+            ).cast("bigint"),
+        ).alias("k_s"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.join(F.broadcast(k.select("source", "k_s")), "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("k_s").cast("bigint").alias("k_target"),
+            (F.col("rnk") <= F.col("k_s")).cast("bigint").alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (quantile bucketizer)
+# ---------------------------------------------------------------------------
+
+#: Number of equi-depth bins (edges at i/NBINS, i = 1..NBINS-1).
+NBINS = 8
+
+
+@query(
+    "q_y6_equidepth_bins",
+    oracle=f"""
+    WITH edges AS (
+      SELECT quantile_disc(o_totalprice,
+               [{", ".join(str(i / NBINS) for i in range(1, NBINS))}]) AS e
+      FROM orders),
+    binned AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             len(list_filter(edges.e, x -> o.o_totalprice > x)) AS bin
+      FROM orders o CROSS JOIN edges)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_y6_equidepth_bins(spark, sf_dir):
+    """Equi-depth (quantile) binning — the feature-engineering bucketizer:
+    split a numeric column into ``NBINS`` buckets holding ~equal row
+    counts, report each bucket's population and [lo, hi] range. Both
+    engines pick edges with ``percentile_disc`` (DISCRETE quantiles — the
+    edges are actual data values, so engine interpolation differences
+    cannot arise) and assign bins by counting edges below the value.
+
+    Scale shape: the edges are ONE aggregate collapsing to ``NBINS - 1``
+    scalars broadcast into a map-only assignment (``size(filter(...))``
+    over a 7-element array — codegen, no join per edge, no global sort,
+    no single-partition ntile window, which is what makes naive equi-depth
+    binning scale-hostile); the per-bin stats are a map-side-combinable
+    groupBy over NBINS groups. Exact ``percentile_disc`` sorts within the
+    aggregate at 100 TB — production swaps in ``approx_percentile``
+    (mergeable KLL-style sketch, same plan shape) when exactness is not
+    the contract; exact is used here so the oracle can replay it.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    qs = ", ".join(
+        f"percentile_disc({i / NBINS}) WITHIN GROUP (ORDER BY o_totalprice)"
+        for i in range(1, NBINS)
+    )
+    edges = o.agg(F.expr(f"array({qs})").alias("e"))
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        "o_totalprice",
+        F.size(F.filter("e", lambda x: F.col("o_totalprice") > x)).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
