@@ -1046,3 +1046,141 @@ def q_y6_equidepth_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TSDB primitive)
+# ---------------------------------------------------------------------------
+
+#: Epoch base for the deterministic event ordering key — keeps
+#: ``delta_us * 2^20 + event_id`` far inside int64 for the fixture range.
+_TS_BASE = "TIMESTAMP '2024-01-01'"
+
+
+def _us(ts_col):
+    """Microseconds since epoch for a (possibly TIMESTAMP_NTZ) column —
+    ``unix_micros`` rejects ntz, and the ntz->tz cast shifts both operands
+    of every delta identically, so durations/order keys are unaffected."""
+    return F.unix_micros(ts_col.cast("timestamp"))
+
+
+@query(
+    "q_y7_time_weighted_avg",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, value, ts,
+             (epoch_us(ts) - epoch_us({_TS_BASE})) * 1048576 + event_id AS ord
+      FROM events),
+    iv AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ord) AS nxt
+      FROM k),
+    w AS (
+      SELECT user_id, value,
+             date_diff('microsecond', ts, nxt) AS dur_us
+      FROM iv WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           sum(value * dur_us) / sum(dur_us) AS twa,
+           avg(value) AS plain_avg
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_y7_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per key (the TimescaleDB ``time_weight``
+    primitive, public): each observation holds its value until the next
+    one (LOCF), so the mean weights every value by its holding duration —
+    the correct aggregate for irregularly-sampled gauges, where the plain
+    ``avg`` over-counts bursts. Reported next to ``plain_avg`` so the
+    fixture's irregular arrivals make the two visibly diverge.
+
+    Determinism: the interval chain orders by ``(ts, event_id)`` collapsed
+    into one integer key, so same-timestamp events chain identically on
+    both engines.
+
+    Scale shape: ONE window pass partitioned by the series key (the
+    natural partitioning of any time-series store — no global sort), then
+    a map-side-combinable per-key aggregate. Durations are computed in
+    int64 microseconds end-to-end; the only float math is the final
+    weighted ratio, stable under the driver's 6dp rounding.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ord_key = (
+        _us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) * 1048576 + F.col("event_id")
+    w = Window.partitionBy("user_id").orderBy(ord_key)
+    iv = e.withColumn("nxt", F.lead("ts").over(w)).filter(F.col("nxt").isNotNull())
+    dur = (_us(F.col("nxt")) - _us(F.col("ts"))).alias("dur_us")
+    return (
+        iv.select("user_id", "value", dur)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twa"),
+            F.avg("value").alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC (candlestick) aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_y8_ohlc",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) AS bucket,
+             (epoch_us(ts) - epoch_us({_TS_BASE})) * 1048576 + event_id AS ord
+      FROM events)
+    SELECT event_type, bucket,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM k GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_y8_ohlc(spark, sf_dir):
+    """OHLC (open/high/low/close) candlestick aggregation per series and
+    time bucket — the financial/TSDB rollup: first and last value by event
+    time plus the extremes, in ONE aggregate pass via ``min_by``/``max_by``
+    (no window, no self-join back to the endpoints). Endpoint selection
+    uses the same collapsed ``(ts, event_id)`` integer key as q_y7, so
+    same-timestamp ties resolve identically on both engines.
+
+    Scale shape: a single map-side-combinable groupBy — min_by/max_by
+    partials carry one (value, key) pair per group per task, so 100 TB of
+    ticks reduce to |series x buckets| rows with no shuffle of raw ticks
+    beyond the one aggregation exchange. The hour bucket comes from
+    ``date_trunc``, a codegen'd expression; sub-bucket ordering never
+    materializes.
+    """
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    ord_key = (
+        (_us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
+        * 1048576
+        + F.col("event_id")
+    ).alias("ord")
+    k = e.select(
+        "event_type", "value", F.date_trunc("hour", "ts").alias("bucket"), ord_key
+    )
+    return (
+        k.groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "bucket")
+    )
