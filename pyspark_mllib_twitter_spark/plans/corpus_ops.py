@@ -238,11 +238,12 @@ def q_xw_inverted_index(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 #: Sketch geometry: depth (independent hash rows) x width (buckets/row).
-#: 3 x 64 keeps collisions visible at fixture scale (vocab ~a few hundred
-#: terms) so the overestimate property is non-vacuously exercised;
-#: production would use e.g. 5 x 2^16 (still < 3 MB — broadcastable).
+#: The width is deliberately UNDERSIZED against the fixture vocabulary
+#: (31 terms over 8 buckets) so collisions — and the overestimate property
+#: the sketch is defined by — are non-vacuously exercised; production
+#: would use e.g. 5 x 2^16 (still < 3 MB — broadcastable).
 CMS_D = 3
-CMS_W = 64
+CMS_W = 8
 
 #: Heavy hitters reported (by exact count desc, term asc).
 CMS_TOP = 10

@@ -1,0 +1,190 @@
+"""Semantic invariants for the corpus-curation operators (corpus_ops.py).
+
+Hash equality with DuckDB is covered by tests/test_oracle.py; these pin the
+invariants the oracle cannot express — mathematical bounds (Morton locality,
+CMS overestimation, metric ranges), cap/monotonicity guarantees, and
+agreement with independent in-Python recomputation.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pyspark.sql.functions as F
+
+from pyspark_mllib_twitter_spark.plans import REGISTRY, corpus_ops
+
+
+def _rows(spark, sf, name):
+    return REGISTRY[name].spark(spark, sf).collect()
+
+
+def test_domain_quota_cap_and_pass_through(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_xv_domain_quota")
+    per_dom = collections.Counter()
+    kept = collections.Counter()
+    for r in rows:
+        per_dom[r.domain] += 1
+        kept[r.domain] += r.kept
+    for dom, n in per_dom.items():
+        assert kept[dom] <= corpus_ops.DOMAIN_QUOTA
+        if n <= corpus_ops.DOMAIN_QUOTA:  # under-quota domains keep everything
+            assert kept[dom] == n
+        else:  # over-quota domains keep exactly the quota
+            assert kept[dom] == corpus_ops.DOMAIN_QUOTA
+        # registered domain = host minus the cdnN subdomain
+        assert not dom.startswith("cdn")
+
+
+def test_inverted_index_postings_shape(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_xw_inverted_index")
+    assert rows, "index is empty"
+    for r in rows:
+        assert r.df >= 2
+        posts = r.postings.split("|")
+        assert 1 <= len(posts) <= corpus_ops.POSTINGS_K
+        tfs = [int(p.split(":")[1]) for p in posts]
+        assert tfs == sorted(tfs, reverse=True)  # ranked by tf desc
+        assert r.total_tf >= sum(tfs)
+
+
+def test_cms_only_overestimates(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_xx_cms_heavy_hitters")
+    assert len(rows) == corpus_ops.CMS_TOP
+    assert any(r.cms_est > r.exact_n for r in rows), (
+        "width deliberately undersized vs vocab: collisions must appear"
+    )
+    for r in rows:
+        assert r.cms_est >= r.exact_n  # the count-min guarantee
+
+
+def test_emb_centroid_cosine_bounds(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_xy_emb_centroids")
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2  # all pairs once
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.000001 <= r.cosine <= 1.000001
+
+
+def test_zorder_files_bound_both_dims(spark, sf_smoke):
+    """file_id = z >> 8 fixes the top 4 bits of BOTH dims, so each file's
+    x and y ranges span < 16 — the 2-dim locality single-column sorting
+    cannot give (sorting by x alone leaves y unbounded at 0..255)."""
+    rows = _rows(spark, sf_smoke, "q_xz_zorder_layout")
+    assert rows
+    for r in rows:
+        assert 0 <= r.file_id < 256
+        assert r.x_max - r.x_min < 16
+        assert r.y_max - r.y_min < 16
+
+
+def test_rank_metric_ranges(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_y1_rank_metrics")
+    assert rows
+    for r in rows:
+        assert r.n_hits <= min(corpus_ops.RANK_K, r.n_truth)
+        assert 0.0 <= r.prec_at_k <= 1.0
+        assert 0.0 <= r.ndcg_at_k <= 1.0 + 1e-9
+    assert any(r.n_hits > 0 for r in rows)  # popularity baseline isn't useless
+
+
+def test_bpe_merge_step_matches_naive_python(spark, sf_smoke):
+    """Top merge pairs equal an independent chars-and-Counter recomputation."""
+    pdf = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("text")
+        .toPandas()
+    )
+    counts: collections.Counter = collections.Counter()
+    word_freq: collections.Counter = collections.Counter()
+    for text in pdf["text"]:
+        for w in (text or "").lower().strip().split():
+            if w:
+                word_freq[w] += 1
+    for w, f_ in word_freq.items():
+        if len(w) >= 2:
+            for a, b in zip(w, w[1:]):
+                counts[f"{a}+{b}"] += f_
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : corpus_ops.BPE_TOP
+    ]
+    got = [(r.pair, r.weight) for r in _rows(spark, sf_smoke, "q_y2_bpe_merge_step")]
+    assert got == expect
+
+
+def test_pmi_canonical_pairs_and_threshold(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_y3_pmi_cooccur")
+    for r in rows:
+        assert r.w_a <= r.w_b
+        assert r.c_ab >= corpus_ops.PMI_MIN_COUNT
+
+
+def test_expectations_catch_planted_violations(spark, sf_smoke):
+    rows = {(r.chk, r.target): r for r in _rows(spark, sf_smoke, "q_y4_expectations")}
+    assert len(rows) == 7
+    # the deliberately-tight discount bound must flag real rows...
+    assert rows[("range", "lineitem.l_discount")].n_violations > 0
+    assert rows[("range", "lineitem.l_discount")].passed == 0
+    # ...the fixture has no EXACT duplicate documents (its planted dups are
+    # near-dups — shared prefixes), so full-text uniqueness must hold...
+    assert rows[("unique", "documents.fingerprint")].passed == 1
+    # ...and genuine integrity must hold.
+    assert rows[("fk", "lineitem.l_orderkey->orders")].passed == 1
+    assert rows[("unique", "orders.o_orderkey")].passed == 1
+
+
+def test_mix_temperature_flattens_toward_uniform(spark, sf_smoke):
+    """alpha < 1 upweights rare sources: keep FRACTION must be
+    non-increasing in source size, and per-source kept == min(n, k)."""
+    rows = _rows(spark, sf_smoke, "q_y5_mix_temperature")
+    by_src: dict[str, list] = collections.defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    stats = []
+    for src, rs in by_src.items():
+        n = len(rs)
+        kept = sum(r.kept for r in rs)
+        k_target = rs[0].k_target
+        assert kept == min(n, k_target)
+        stats.append((n, kept / n))
+    stats.sort()
+    fracs = [f for _, f in stats]
+    # allow equality (full-keep saturation at min(n, k)) but no strict rise
+    for small, big in zip(fracs, fracs[1:]):
+        assert big <= small + 1e-9
+
+
+def test_twa_within_value_hull_and_distinct_from_avg(spark, sf_smoke):
+    twa = {r.user_id: r for r in _rows(spark, sf_smoke, "q_y7_time_weighted_avg")}
+    hull = {
+        r.user_id: r
+        for r in spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert twa
+    for uid, r in twa.items():
+        assert hull[uid].lo - 1e-9 <= r.twa <= hull[uid].hi + 1e-9
+    # time weighting must actually differ from the plain mean somewhere
+    assert any(abs(r.twa - r.plain_avg) > 1e-6 for r in twa.values())
+
+
+def test_ohlc_invariants(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_y8_ohlc")
+    assert rows
+    for r in rows:
+        assert r.low <= min(r.open, r.close)
+        assert r.high >= max(r.open, r.close)
+        assert r.n >= 1
+
+
+def test_equidepth_bins_balanced(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_y6_equidepth_bins")
+    assert len(rows) == corpus_ops.NBINS
+    sizes = [r.n for r in rows]
+    # continuous values => discrete quantile edges keep bins within a hair
+    assert max(sizes) - min(sizes) <= max(2, sum(sizes) // 50)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # ranges are disjoint and ordered
