@@ -93,14 +93,16 @@ CHECK_WINDOW: list[str] = [
     "q_y2_bpe_merge_step",
     "q_y3_pmi_cooccur",
     "q_y4_expectations",
+    "q_y5_mix_temperature",
+    "q_y6_equidepth_bins",
+    "q_y7_time_weighted_avg",
+    "q_y8_ohlc",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_a6_approx_distinct",
-    # -- oracle entries last externally green in round 3 (two rounds stale)
-    "q_j_asof",
-    "q_sql_q3",
+    # -- oracle entry last externally green in round 3 (the streaming
+    # machinery's representative; its sibling stream entries share the
+    # replay harness, so one in-window row covers the family's health)
     "q_stream_join",
-    "q_stream_sliding",
-    "q_stream_window_counts",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
     # q_stat_crosstab / q_f_json sit out (most trivial round-3 greens —
