@@ -902,62 +902,69 @@ def q_y4_expectations(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 #: Mixture temperature (alpha) and target corpus fraction. alpha=0.3 is the
-#: mC4/XLM-R published value: rare sources are upweighted toward uniform,
-#: dominant sources suppressed.
+#: mC4/XLM-R published value: rare groups are upweighted toward uniform,
+#: dominant groups suppressed. The mixture key is LANGUAGE (the fixture's
+#: imbalanced axis — its `source` axis is exactly uniform at 25 docs each,
+#: which both makes flattening vacuous and parks every per-group target on
+#: the round-half boundary, where a 1-ulp engine difference flips the
+#: count).
 MIX_ALPHA = 0.3
-MIX_TARGET_FRAC = 0.5
+MIX_TARGET_FRAC = 0.6
 
 
 @query(
     "q_y5_mix_temperature",
     oracle=f"""
-    WITH n AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
     tot AS (SELECT sum(n_s) AS n_total, sum(pow(n_s, {MIX_ALPHA})) AS z FROM n),
     k AS (
-      SELECT n.source, n.n_s,
+      SELECT n.lang, n.n_s,
              least(n.n_s, CAST(round(
                pow(n.n_s, {MIX_ALPHA}) / tot.z
                  * tot.n_total * {MIX_TARGET_FRAC}, 0) AS BIGINT)) AS k_s
       FROM n CROSS JOIN tot),
     ranked AS (
-      SELECT d.doc_id, d.source, k.k_s,
+      SELECT d.doc_id, d.lang, k.k_s,
              row_number() OVER (
-               PARTITION BY d.source
+               PARTITION BY d.lang
                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
-      FROM documents d JOIN k USING (source))
-    SELECT doc_id, source, CAST(k_s AS BIGINT) AS k_target,
+      FROM documents d JOIN k USING (lang))
+    SELECT doc_id, lang, CAST(k_s AS BIGINT) AS k_target,
            CAST(CASE WHEN rnk <= k_s THEN 1 ELSE 0 END AS BIGINT) AS kept
     FROM ranked ORDER BY doc_id
     """,
 )
 def q_y5_mix_temperature(spark, sf_dir):
-    """Temperature-based source mixture (mC4 / XLM-R, public): re-weight
-    sources by ``p_s^alpha`` (alpha < 1 flattens the distribution toward
-    uniform), convert the weights to integer per-source keep counts against
-    a target corpus size, and select each source's keep set by md5 rank —
-    deterministic, engine-portable. Complements ``q_x4_mix_sources`` (fixed
-    per-source weights): here the weights are COMPUTED from the observed
-    distribution, the production shape.
+    """Temperature-based language/source mixture (mC4 / XLM-R, public):
+    re-weight groups by ``p_g^alpha`` (alpha < 1 flattens the distribution
+    toward uniform), convert the weights to integer per-group keep counts
+    against a target corpus size, and select each group's keep set by md5
+    rank — deterministic, engine-portable. Complements ``q_x4_mix_sources``
+    (fixed per-source weights): here the weights are COMPUTED from the
+    observed distribution, the production shape. Keyed on ``lang``, the
+    fixture's genuinely imbalanced axis.
 
     Float-robustness: the only cross-engine float math (pow/normalize) is
-    collapsed to ONE integer per source (``round``) before any row is
+    collapsed to ONE integer per group (``round``) before any row is
     gated; per-row selection is then pure md5 ranking, so a 1-ulp libm
-    difference could only matter if a source's real-valued target count sat
-    within 1 ulp of .5 — not at every row boundary, as a per-row float
-    threshold gate would.
+    difference only matters if a group's real-valued target count sits
+    within 1 ulp of the round-half boundary. The fixture's uniform
+    ``source`` axis lands EVERY group exactly there (25 * 0.5), which is
+    why the mixture keys on the imbalanced axis and a .6 target — keep
+    integer targets off the boundary or the answer is engine-dependent.
 
-    Scale shape: source counts and the normalizer are two broadcast-sized
-    aggregates; the rank is a window per source (same head-bounded rank
+    Scale shape: group counts and the normalizer are two broadcast-sized
+    aggregates; the rank is a window per group (same head-bounded rank
     note as q_xv — the keep-only production form gets WindowGroupLimit).
     """
-    d = spread(_docs(spark, sf_dir)).select("doc_id", "source")
-    n = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "lang")
+    n = d.groupBy("lang").agg(F.count("*").alias("n_s"))
     tot = n.agg(
         F.sum("n_s").alias("n_total"),
         F.sum(F.pow("n_s", F.lit(MIX_ALPHA))).alias("z"),
     )
     k = n.crossJoin(F.broadcast(tot)).select(
-        "source",
+        "lang",
         "n_s",
         F.least(
             F.col("n_s"),
@@ -970,15 +977,15 @@ def q_y5_mix_temperature(spark, sf_dir):
             ).cast("bigint"),
         ).alias("k_s"),
     )
-    w = Window.partitionBy("source").orderBy(
+    w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        d.join(F.broadcast(k.select("source", "k_s")), "source")
+        d.join(F.broadcast(k.select("lang", "k_s")), "lang")
         .withColumn("rnk", F.row_number().over(w))
         .select(
             "doc_id",
-            "source",
+            "lang",
             F.col("k_s").cast("bigint").alias("k_target"),
             (F.col("rnk") <= F.col("k_s")).cast("bigint").alias("kept"),
         )

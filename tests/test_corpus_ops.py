@@ -140,7 +140,7 @@ def test_mix_temperature_flattens_toward_uniform(spark, sf_smoke):
     rows = _rows(spark, sf_smoke, "q_y5_mix_temperature")
     by_src: dict[str, list] = collections.defaultdict(list)
     for r in rows:
-        by_src[r.source].append(r)
+        by_src[r.lang].append(r)
     stats = []
     for src, rs in by_src.items():
         n = len(rs)
