@@ -1192,3 +1192,198 @@ def q_y8_ohlc(spark, sf_dir):
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index distinct counting
+# ---------------------------------------------------------------------------
+
+#: Bits per bitmap word. 63, not 64 — DuckDB range-checks ``1 << 63`` as a
+#: signed overflow, and sign-bit-free words keep every intermediate
+#: comparable across engines.
+BITMAP_BITS = 63
+
+
+@query(
+    "q_y9_bitmap_distinct",
+    oracle=f"""
+    WITH words AS (
+      SELECT event_type,
+             user_id // {BITMAP_BITS} AS word_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % {BITMAP_BITS} AS INT))
+               AS word
+      FROM events GROUP BY event_type, user_id // {BITMAP_BITS}),
+    bm AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(bit_count(word)) AS BIGINT) AS bitmap_distinct
+      FROM words GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_words, bitmap_distinct, exact_distinct
+    FROM bm JOIN exact USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_y9_bitmap_distinct(spark, sf_dir):
+    """Bitmap-index distinct counting (the Druid/ClickHouse bitmap-aggregate
+    pattern, public; dense-word equivalent of Roaring, Chambi et al. 2016):
+    users fold into fixed ``BITMAP_BITS``-bit words via ``bit_or(1 << (id
+    mod w))`` keyed by ``id div w``; the distinct count is the popcount sum.
+    The bitmap IS the reusable artifact: per-segment word tables OR-merge
+    across segments/days without rescanning raw events — exact distincts
+    under incremental maintenance, where HLL (q_a11) trades exactness for
+    fixed size. Equality with ``count(DISTINCT ...)`` is value-checked.
+
+    Scale shape: two map-side-combinable aggregations on integer digests —
+    (type, word_id) then type; word count is bounded by |id space| / 63,
+    not row count, so 100 TB of events reduce to a bitmap table the size
+    of the id universe. No shuffle carries raw events; ``bit_or`` partials
+    merge associatively exactly like the production segment merge.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        e.withColumn("word_id", (F.col("user_id") / BITMAP_BITS).cast("bigint"))
+        .withColumn(
+            "bit",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_BITS} AS INT))"
+            ),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bm = words.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("bigint").alias("bitmap_distinct"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return bm.join(exact, "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ya_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source),
+    rows_m AS (SELECT lang, sum(o) AS r FROM obs GROUP BY lang),
+    cols_m AS (SELECT source, sum(o) AS c FROM obs GROUP BY source),
+    tot AS (SELECT sum(o) AS n FROM obs),
+    grid AS (
+      SELECT rm.lang, cm.source, rm.r * cm.c / tot.n AS e,
+             coalesce(obs.o, 0) AS o
+      FROM rows_m rm CROSS JOIN cols_m cm CROSS JOIN tot
+      LEFT JOIN obs ON obs.lang = rm.lang AND obs.source = cm.source)
+    SELECT lang,
+           CAST(sum(o) AS BIGINT) AS n_docs,
+           sum((o - e) * (o - e) / e) AS chi2_contrib,
+           CAST((SELECT count(*) - 1 FROM cols_m)
+                * (SELECT count(*) - 1 FROM rows_m) AS BIGINT) AS dof
+    FROM grid GROUP BY lang ORDER BY lang
+    """,
+)
+def q_ya_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between two categorical columns
+    (Pearson 1900; the SQL twin of MLlib's ChiSquareTest): observed
+    (lang x source) contingency cells vs the independence expectation
+    ``row * col / n``, reported as per-lang contributions plus the shared
+    degrees of freedom — summing ``chi2_contrib`` gives the statistic.
+    ZERO-observed cells are materialized via the margin cross-product and
+    contribute ``e`` each; dropping them (the naive groupBy-only version)
+    understates the statistic.
+
+    Scale shape: one contingency aggregation over the fact table
+    (map-side combinable), then all remaining math happens on the margins
+    — |langs| x |sources| cells, broadcast-sized however large the corpus;
+    the margins cross-join is cell-count work, not row-count work.
+    """
+    d = _docs(spark, sf_dir).select("lang", "source")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rows_m = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_m = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    n_rows = rows_m.agg((F.count("*") - 1).alias("rm1"))
+    n_cols = cols_m.agg((F.count("*") - 1).alias("cm1"))
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    dof = n_rows.crossJoin(n_cols).select(
+        (F.col("rm1") * F.col("cm1")).cast("bigint").alias("dof")
+    )
+    return (
+        grid.groupBy("lang")
+        .agg(
+            F.sum("o").cast("bigint").alias("n_docs"),
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+                "chi2_contrib"
+            ),
+        )
+        .crossJoin(F.broadcast(dof))
+        .select("lang", "n_docs", "chi2_contrib", "dof")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yb_markov_transitions",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, event_type,
+             (epoch_us(ts) - epoch_us({_TS_BASE})) * 1048576 + event_id AS ord
+      FROM events),
+    seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ord) AS b
+      FROM k),
+    trans AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+    outs AS (SELECT a, sum(n) AS n_out FROM trans GROUP BY a)
+    SELECT t.a, t.b, CAST(t.n AS BIGINT) AS n, t.n / o.n_out AS p
+    FROM trans t JOIN outs o USING (a)
+    ORDER BY t.a, t.b
+    """,
+)
+def q_yb_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    — the sequence-mining primitive behind clickstream analysis and
+    next-event prediction: ``P(next = b | current = a)`` estimated from
+    time-ordered transitions, with the same collapsed ``(ts, event_id)``
+    ordering key as q_y7/q_y8 so chains are engine-identical.
+
+    Scale shape: ONE window pass partitioned by the sequence key (users),
+    then two map-side-combinable aggregations over (a, b) pairs — the
+    transition table is |types|^2 regardless of event volume. The
+    normalizing out-degree join runs on that tiny table, not on events.
+    """
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    ord_key = (
+        _us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) * 1048576 + F.col("event_id")
+    w = Window.partitionBy("user_id").orderBy(ord_key)
+    seq = e.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).filter(F.col("b").isNotNull())
+    trans = seq.groupBy("a", "b").agg(F.count("*").alias("n"))
+    outs = trans.groupBy("a").agg(F.sum("n").alias("n_out"))
+    return (
+        trans.join(outs, "a")
+        .select("a", "b", F.col("n").cast("bigint").alias("n"), (F.col("n") / F.col("n_out")).alias("p"))
+        .orderBy("a", "b")
+    )
