@@ -1387,3 +1387,94 @@ def q_yb_markov_transitions(spark, sf_dir):
         .select("a", "b", F.col("n").cast("bigint").alias("n"), (F.col("n") / F.col("n_out")).alias("p"))
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source BFS shortest path (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+#: BFS depth. The customer-supplier bipartite graph is dense (every node
+#: within ~3 hops at fixture scale), so 4 levels reach the whole component.
+BFS_DEPTH = 4
+BFS_SOURCE = "c:0"
+
+_BFS_EDGES_SQL = """
+      SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      UNION
+      SELECT DISTINCT 's:' || l_suppkey AS u, 'c:' || o_custkey AS v
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def _bfs_oracle() -> str:
+    """Fixed-depth BFS unrolled as a CTE chain (the same style as the
+    PageRank recurrence oracle in lakehouse.py): level k = neighbors of
+    level k-1 not yet seen."""
+    parts = [
+        f"WITH e AS ({_BFS_EDGES_SQL}),",
+        f"l0 AS (SELECT '{BFS_SOURCE}' AS node),",
+    ]
+    seen = "SELECT node FROM l0"
+    for d in range(1, BFS_DEPTH + 1):
+        parts.append(
+            f"l{d} AS (SELECT DISTINCT e.v AS node FROM e "
+            f"JOIN l{d - 1} ON e.u = l{d - 1}.node "
+            f"WHERE e.v NOT IN ({seen})),"
+        )
+        seen += f" UNION SELECT node FROM l{d}"
+    levels = " UNION ALL ".join(
+        f"SELECT node, {d} AS dist FROM l{d}" for d in range(BFS_DEPTH + 1)
+    )
+    return "\n".join(parts)[:-1] + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM ({levels}) ORDER BY dist, node"
+
+
+@query("q_yc_bfs_sssp", oracle=_bfs_oracle())
+def q_yc_bfs_sssp(spark, sf_dir):
+    """Single-source shortest path (unweighted BFS) on the customer-supplier
+    bipartite graph — the iterative-frontier graph primitive alongside
+    PageRank (q_xl), connected components (q_x6), and triangles (q_xm):
+    ``BFS_DEPTH`` rounds of frontier expansion, each an equi-join of the
+    (broadcast-sized) frontier against the edge list plus an anti-join
+    against the visited set. The oracle unrolls the same recurrence as a
+    CTE chain, so every (node, dist) pair is value-checked.
+
+    Scale shape: per round, the frontier and visited sets carry node ids
+    only (digest-width); the edge list is the only big side and is probed
+    via hash join with the frontier broadcast — no edge-edge self-join,
+    no recursion in the engine. Rounds are bounded by graph diameter
+    (O(log n) on small-world graphs); each round's output feeds the next
+    without materializing paths.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cu"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("su"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("cu").alias("u"), F.col("su").alias("v")).unionByName(
+        cs.select(F.col("su").alias("u"), F.col("cu").alias("v"))
+    )
+    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, dist int")
+    frontier = dist.select("node")
+    for d in range(1, BFS_DEPTH + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(F.broadcast(dist.select("node")), "node", "left_anti").select(
+            "node", F.lit(d).alias("dist")
+        )
+        # Bound lineage growth across rounds (same discipline as the CC
+        # label-propagation loop in operators/dedup.py).
+        new = new.localCheckpoint(eager=True)
+        dist = dist.unionByName(new)
+        frontier = new.select("node")
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist")).orderBy(
+        "dist", "node"
+    )
