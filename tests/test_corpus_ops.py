@@ -188,3 +188,40 @@ def test_equidepth_bins_balanced(spark, sf_smoke):
     assert max(sizes) - min(sizes) <= max(2, sum(sizes) // 50)
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo  # ranges are disjoint and ordered
+
+
+def test_bitmap_distinct_is_exact(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_y9_bitmap_distinct")
+    assert rows
+    for r in rows:
+        assert r.bitmap_distinct == r.exact_distinct  # bitmaps are exact
+        assert r.n_words <= r.exact_distinct  # words cover >= 1 user each
+
+
+def test_chi2_contributions_and_dof(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_ya_chi2_independence")
+    n_langs = len(rows)
+    for r in rows:
+        assert r.chi2_contrib >= 0.0
+        assert r.dof == (n_langs - 1) * (20 - 1)  # fixture: 20 sources
+
+
+def test_markov_rows_are_distributions(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_yb_markov_transitions")
+    by_a = collections.defaultdict(float)
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_a[r.a] += r.p
+    assert by_a
+    for a, total in by_a.items():
+        assert abs(total - 1.0) < 1e-9  # outgoing probabilities sum to 1
+
+
+def test_bfs_levels_alternate_bipartite_sides(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_yc_bfs_sssp")
+    assert rows[0].node == corpus_ops.BFS_SOURCE and rows[0].dist == 0
+    dists = sorted({r.dist for r in rows})
+    assert dists == list(range(len(dists)))  # contiguous levels
+    for r in rows:
+        side = "c" if r.dist % 2 == 0 else "s"  # bipartite parity
+        assert r.node.startswith(side + ":")
