@@ -127,7 +127,11 @@ CHECK_WINDOW: list[str] = [
     # q_ns_quality to q_xu_drift_psi, q_ns_scrub / q_sql_lateral to
     # the TPC-H additions q_sql_q10 / q_sql_q18, and q_w1_topk to the
     # error-safe scalar family q_f_try) and the round-3 rows-only
-    # streaming/ML entries — all locally tested.
+    # streaming/ML entries — all locally tested. The four newest
+    # oracle-backed entries (q_y9_bitmap_distinct / q_ya_chi2_independence
+    # / q_yb_markov_transitions / q_yc_bfs_sssp) arrived with the window
+    # already at 50 never-checked-or-priority slots; they are
+    # driver-mirror-green locally and are first in line for round 6.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
