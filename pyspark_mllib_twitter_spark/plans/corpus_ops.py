@@ -1478,3 +1478,88 @@ def q_yc_bfs_sssp(spark, sf_dir):
     return dist.select("node", F.col("dist").cast("bigint").alias("dist")).orderBy(
         "dist", "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge learning)
+# ---------------------------------------------------------------------------
+
+#: Merge rounds learned by the trainer query.
+BPE_TRAIN_STEPS = 8
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = BPE_TRAIN_STEPS) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over a corpus (Sennrich et al. 2016,
+    public) — the full training loop whose single step is
+    ``q_y2_bpe_merge_step``: each round counts adjacent symbol pairs
+    weighted by word frequency, merges the (weight desc, pair asc) argmax
+    corpus-wide, and re-symbolizes.
+
+    Returns one row per learned merge: ``(step, pair, weight)``.
+
+    Spark shape: word frequencies reduce once up front, so every round
+    operates on the VOCABULARY (Heaps-law-bounded), not the corpus. The
+    merge application is a boundary-anchored ``regexp_replace`` — pure
+    JVM, replicating BPE's greedy left-to-right non-overlapping scan —
+    and each round collects exactly ONE row (the argmax) to the driver:
+    bounded control-flow state, not data. ``localCheckpoint`` per round
+    caps lineage growth exactly like the BFS/CC loops.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as _F
+
+    spark = docs.sparkSession
+    freq = (
+        docs.select(_F.explode(TXT.tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(_F.count("*").alias("f"))
+        .select(_F.array_join(_F.split("w", ""), " ").alias("sym"), "f")
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple[int, str, int]] = []
+    for step in range(1, n_merges + 1):
+        toks = _F.split("sym", " ")
+        pairs = freq.select(
+            _F.explode(
+                _F.when(
+                    _F.size(toks) >= 2,
+                    _F.transform(
+                        _F.sequence(_F.lit(1), _F.size(toks) - 1),
+                        lambda i: _F.concat(
+                            _F.element_at(toks, i), _F.lit("+"), _F.element_at(toks, i + 1)
+                        ),
+                    ),
+                ).otherwise(_F.array().cast("array<string>"))
+            ).alias("pair"),
+            "f",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(_F.sum("f").alias("weight"))
+            .orderBy(_F.desc("weight"), _F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, weight = top[0].pair, int(top[0].weight)
+        learned.append((step, pair, weight))
+        a, b = pair.split("+", 1)
+        pattern = rf"(?<!\S){_re.escape(a)} {_re.escape(b)}(?!\S)"
+        freq = freq.select(
+            _F.regexp_replace("sym", pattern, a + b).alias("sym"), "f"
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(learned, "step int, pair string, weight bigint").select(
+        _F.col("step").cast("bigint").alias("step"), "pair", "weight"
+    )
+
+
+@query("q_yd_bpe_train", oracle=None)  # iterative: rows-only + golden test
+def q_yd_bpe_train(spark, sf_dir):
+    """BPE tokenizer training over the documents corpus — the iterative
+    composition of ``q_y2_bpe_merge_step`` (see :func:`bpe_train`).
+    Rows-only by necessity (a driver-side loop is not one SQL text); the
+    golden test replays the identical greedy algorithm in pure Python and
+    requires the exact merge sequence (tests/test_corpus_ops.py)."""
+    return bpe_train(spread(_docs(spark, sf_dir)))

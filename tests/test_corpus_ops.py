@@ -225,3 +225,46 @@ def test_bfs_levels_alternate_bipartite_sides(spark, sf_smoke):
     for r in rows:
         side = "c" if r.dist % 2 == 0 else "s"  # bipartite parity
         assert r.node.startswith(side + ":")
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_smoke):
+    """The learned merge SEQUENCE (order, pairs, weights) must equal a
+    pure-Python BPE trainer running the same greedy left-to-right
+    non-overlapping merge rule."""
+    import re
+
+    pdf = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("text").toPandas()
+    vocab: collections.Counter = collections.Counter()
+    for text in pdf["text"]:
+        for w in (text or "").lower().strip().split():
+            if w:
+                vocab[w] += 1
+    sym = {" ".join(w): f for w, f in vocab.items()}
+
+    def merge_word(word: str, a: str, b: str) -> str:
+        return re.sub(rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)", a + b, word)
+
+    expect = []
+    for step in range(1, corpus_ops.BPE_TRAIN_STEPS + 1):
+        counts: collections.Counter = collections.Counter()
+        for w, f_ in sym.items():
+            toks = w.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                counts[f"{a}+{b}"] += f_
+        if not counts:
+            break
+        pair, weight = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((step, pair, weight))
+        a, b = pair.split("+", 1)
+        nxt: collections.Counter = collections.Counter()
+        for w, f_ in sym.items():
+            nxt[merge_word(w, a, b)] += f_
+        sym = dict(nxt)
+
+    got = [
+        (r.step, r.pair, r.weight)
+        for r in _rows(spark, sf_smoke, "q_yd_bpe_train")
+    ]
+    assert got == expect
+    # merges must actually compose (later merges can reference earlier ones)
+    assert any(len(p.split("+")[0]) > 1 or len(p.split("+")[1]) > 1 for _, p, _ in got)
