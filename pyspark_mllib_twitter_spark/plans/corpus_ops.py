@@ -1563,3 +1563,62 @@ def q_yd_bpe_train(spark, sf_dir):
     golden test replays the identical greedy algorithm in pure Python and
     requires the exact merge sequence (tests/test_corpus_ops.py)."""
     return bpe_train(spread(_docs(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+#: Sample size for the weighted-priority sample.
+WSAMPLE_K = 50
+
+#: Uniform-in-(0,1) from the first 8 md5 hex chars: (v + 1) / (2^32 + 1).
+#: Integers <= 2^32 convert to double exactly, so both engines compute the
+#: identical u before any libm call.
+_WS_U_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967297.0"
+
+
+@query(
+    "q_ye_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow({_WS_U_SQL}, 1.0 / n_chars) AS priority
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority
+    FROM keyed ORDER BY priority DESC, doc_id LIMIT {WSAMPLE_K}
+    """,
+)
+def q_ye_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    public): each row draws a deterministic md5-derived uniform ``u`` and
+    takes priority ``u^(1/w)`` (weight = document length); the top-k
+    priorities ARE a weight-proportional sample without replacement — the
+    distributed one-pass answer to "sample 50 documents proportional to
+    length" that needs no global weight total and no sequential reservoir.
+
+    Determinism: u is an exactly-representable dyadic rational from md5
+    bytes, so both engines call ``pow`` on identical inputs; a last-ulp
+    libm difference could only reorder two priorities that are within an
+    ulp of EACH OTHER — continuous-valued across documents, so the top-k
+    cut is stable (contrast the exact round-half boundary designed out of
+    q_y5).
+
+    Scale shape: priorities are map-only codegen; ``ORDER BY ... LIMIT k``
+    plans as TakeOrderedAndProject — per-task partial top-k then a single
+    k-row merge, no global sort, no single-partition window. Weighted
+    sampling over 100 TB costs one scan.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        + 1
+    ) / 4294967297.0
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.pow(u, 1.0 / F.col("n_chars")).alias("priority"),
+    )
+    return keyed.orderBy(F.desc("priority"), F.asc("doc_id")).limit(WSAMPLE_K)

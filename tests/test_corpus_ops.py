@@ -268,3 +268,21 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_smoke):
     assert got == expect
     # merges must actually compose (later merges can reference earlier ones)
     assert any(len(p.split("+")[0]) > 1 or len(p.split("+")[1]) > 1 for _, p, _ in got)
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_smoke):
+    """Length-proportional sampling must skew the sample's length
+    distribution above the corpus's."""
+    import statistics
+
+    rows = _rows(spark, sf_smoke, "q_ye_weighted_sample")
+    assert len(rows) == corpus_ops.WSAMPLE_K
+    all_lens = [
+        r.n_chars
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .select("n_chars")
+        .collect()
+    ]
+    assert statistics.mean(r.n_chars for r in rows) > statistics.mean(all_lens)
+    for r in rows:
+        assert 0.0 < r.priority < 1.0
