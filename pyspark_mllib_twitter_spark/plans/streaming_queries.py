@@ -151,6 +151,42 @@ def q_stream_sliding(spark, sf_dir):
 
 
 @query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+             (epoch_us(CAST(ts AS TIMESTAMP))
+              - epoch_us(TIMESTAMP '2024-01-01')) * 1048576 + event_id AS ord
+      FROM events)
+    SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, event_type,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM k GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+)
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC candles: tumbling-hour open/high/low/close per type
+    via single-aggregation min_by/max_by (state = one candidate pair per
+    live window), append mode, oracle-checked against the batch SQL twin —
+    valid for the same zero-drop reason as q_stream_window_counts, and the
+    collapsed (ts, event_id) key makes endpoint ties engine-identical."""
+    from ..streaming import windowed_ohlc
+
+    stream = windowed_ohlc(
+        _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+    )
+    out = run_to_memory(stream, output_mode="append")
+    return out.filter(F.col("event_type") != FLUSH_EVENT_TYPE).orderBy(
+        "w_start", "event_type"
+    )
+
+
+@query(
     "q_stream_join",
     oracle="""
     WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type

@@ -302,6 +302,49 @@ def sliding_window_stats(
     )
 
 
+def windowed_ohlc(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLC per event_type — the streaming twin
+    of the batch candlestick aggregate (plans/corpus_ops.py q_y8_ohlc):
+    open/close via ``min_by``/``max_by`` on the collapsed (ts, event_id)
+    integer key, extremes via min/max, all in ONE streaming aggregation.
+
+    State: one (open, high, low, close, n) tuple per live (window, type) —
+    min_by/max_by keep a single candidate pair each, so state size matches
+    plain windowed counts; evicted once the watermark passes window end.
+    Append mode emits each candle exactly once, when it can no longer
+    change — the contract a downstream chart/store wants."""
+    ord_key = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) * 1048576 + F.col("event_id")
+    return (
+        events.withColumn("ord", ord_key)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord").alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
 def sessionized(
     events: DataFrame,
     gap: str = "30 minutes",
