@@ -17,6 +17,11 @@ from ..workloads.w1_similarity import user_similarity_top_k
 from ..workloads.w2_recommend import implicit_als_recommend
 from .registry import query
 
+#: FPGrowth support threshold — ~0.2% of baskets: low enough that supplier
+#: PAIRS clear it (the mining is non-vacuous beyond the single-item level),
+#: high enough that the lattice stays small.
+MIN_SUPPORT = 0.002
+
 
 @query("q_w1_user_similarity", oracle=None)  # TF-IDF/CV cosine — golden-tested
 def q_w1_user_similarity(spark, sf_dir):
@@ -119,3 +124,42 @@ def q_ml_tuning(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return tuning_report(docs).orderBy("reg_param")
+
+
+@query("q_ml_fpgrowth", oracle=None)  # FP-tree mining — support-verified in tests
+def q_ml_fpgrowth(spark, sf_dir):
+    """Frequent-itemset mining with MLlib FPGrowth (Han et al. 2000; the
+    parallel PFP variant, Li et al. 2008 — both public) over per-order
+    supplier baskets: which suppliers co-occur in orders more often than
+    ``MIN_SUPPORT``. The itemset lattice is not one SQL text (arbitrary
+    itemset sizes) → rows-only here; tests/test_workloads.py recomputes
+    every returned itemset's support exactly and checks the single-item
+    level is complete.
+
+    Scale shape: baskets build with one distinct + collect_set shuffle;
+    PFP then mines group-partitioned projected trees (each task sees only
+    its items' conditional baskets) — the shuffle carries baskets once,
+    and support counting is local to each projection. Output is sorted
+    (freq desc, itemset asc) for determinism; support counts are exact,
+    so the result is run-stable.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", F.col("l_suppkey").cast("string").alias("item"))
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("item").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=MIN_SUPPORT, minConfidence=0.2
+    ).fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").cast("bigint").alias("n_items"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("itemset"))
+    )

@@ -294,3 +294,40 @@ def test_tuning_picks_weak_regularization(spark, sf_smoke):
     assert rows[0.01]["chosen"] == 1 and rows[5.0]["chosen"] == 0
     assert rows[0.01]["auc"] >= 0.9
     assert rows[0.01]["auc"] >= rows[5.0]["auc"]
+
+
+def test_fpgrowth_supports_exact_and_singles_complete(spark, sf_smoke):
+    """Every itemset FPGrowth returns has its support verified by exact
+    recomputation, and the single-item level is exhaustive."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.workloads import MIN_SUPPORT
+
+    got = REGISTRY["q_ml_fpgrowth"].spark(spark, sf_smoke).collect()
+    assert got
+    baskets = [
+        frozenset(r.items)
+        for r in spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        .selectExpr("l_orderkey", "CAST(l_suppkey AS STRING) AS item")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("item").alias("items"))
+        .collect()
+    ]
+    n = len(baskets)
+    floor = n * MIN_SUPPORT
+    for r in got:
+        items = frozenset(r.itemset.split(","))
+        support = sum(1 for b in baskets if items <= b)
+        assert support == r.freq, r.itemset
+        assert r.freq >= floor
+    # completeness at the single-item level
+    single_counts = collections.Counter(it for b in baskets for it in b)
+    expect_singles = {i for i, c in single_counts.items() if c >= floor}
+    got_singles = {r.itemset for r in got if r.n_items == 1}
+    assert got_singles == expect_singles
+    # mining reached beyond singles
+    assert any(r.n_items >= 2 for r in got)
