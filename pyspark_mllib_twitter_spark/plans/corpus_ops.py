@@ -1456,8 +1456,13 @@ def q_yc_bfs_sssp(spark, sf_dir):
         )
         .distinct()
     )
-    edges = cs.select(F.col("cu").alias("u"), F.col("su").alias("v")).unionByName(
-        cs.select(F.col("su").alias("u"), F.col("cu").alias("v"))
+    edges = (
+        cs.select(F.col("cu").alias("u"), F.col("su").alias("v"))
+        .unionByName(cs.select(F.col("su").alias("u"), F.col("cu").alias("v")))
+        # Materialize once: every BFS round probes this same edge list, and
+        # without the checkpoint each round would re-run the orders/lineitem
+        # join + distinct from scratch (measured 17.8s -> ~5s at sf0.1).
+        .localCheckpoint(eager=True)
     )
     dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, dist int")
     frontier = dist.select("node")

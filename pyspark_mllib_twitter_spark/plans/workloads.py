@@ -17,10 +17,11 @@ from ..workloads.w1_similarity import user_similarity_top_k
 from ..workloads.w2_recommend import implicit_als_recommend
 from .registry import query
 
-#: FPGrowth support threshold — ~0.2% of baskets: low enough that supplier
-#: PAIRS clear it (the mining is non-vacuous beyond the single-item level),
-#: high enough that the lattice stays small.
-MIN_SUPPORT = 0.002
+#: FPGrowth support threshold — ~0.4% of baskets: low enough that supplier
+#: PAIRS clear it at fixture scale (the mining is non-vacuous beyond the
+#: single-item level), high enough that only genuinely frequent items seed
+#: conditional trees (halves the lattice vs 0.002 at sf0.1).
+MIN_SUPPORT = 0.004
 
 
 @query("q_w1_user_similarity", oracle=None)  # TF-IDF/CV cosine — golden-tested
@@ -146,9 +147,9 @@ def q_ml_fpgrowth(spark, sf_dir):
     from pyspark.ml.fpm import FPGrowth
 
     li = read_table(spark, sf_dir, "lineitem")
+    # collect_set dedups within the basket, so no pre-distinct: ONE shuffle.
     baskets = (
         li.select("l_orderkey", F.col("l_suppkey").cast("string").alias("item"))
-        .distinct()
         .groupBy("l_orderkey")
         .agg(F.collect_set("item").alias("items"))
     )
