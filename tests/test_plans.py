@@ -316,3 +316,34 @@ def test_inverted_index_topk_is_window_group_limit(spark):
     sort a full posting list on one task."""
     plan = _plan(spark, "q_xw_inverted_index")
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_cms_probe_joins_broadcast_sketch(spark):
+    """q_xx: the d*w-cell sketch reaches the probe join as a broadcast —
+    the corpus-sized side never shuffles for the estimate lookup."""
+    plan = _plan(spark, "q_xx_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chi2_margins_stay_broadcast(spark):
+    """q_ya: every post-contingency join (margin cross-products, dof) is
+    broadcast-sized; no sort-merge anywhere in the plan."""
+    plan = _plan(spark, "q_ya_chi2_independence")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # 1-row totals/dof sides
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """q_ye: the weighted top-k is TakeOrderedAndProject (per-task partial
+    top-k + single k-row merge), not a global Sort."""
+    plan = _plan(spark, "q_ye_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmap_words_single_agg_chain(spark):
+    """q_y9: the bitmap builds through hash aggregates only (bit_or has
+    partial merge); no window, no expand over raw events."""
+    plan = _plan(spark, "q_y9_bitmap_distinct")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
