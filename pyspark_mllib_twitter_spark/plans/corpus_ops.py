@@ -30,7 +30,7 @@ the north-star mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -1072,6 +1072,38 @@ def _us(ts_col):
     return F.unix_micros(ts_col.cast("timestamp"))
 
 
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """LOCF time-weighted average per ``user_id`` over ``(event_id, ts,
+    value)`` rows — the reusable core of ``q_y7_time_weighted_avg`` (see
+    that query's docstring for semantics and the 100 TB shape).
+    Hypothesis-tested against a per-row Python specification on random
+    irregular series (tests/test_hypothesis_ops.py)."""
+    ord_key = (
+        _us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    ) * 1048576 + F.col("event_id")
+    w = Window.partitionBy("user_id").orderBy(ord_key)
+    iv = events.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dur = (_us(F.col("nxt")) - _us(F.col("ts"))).alias("dur_us")
+    return (
+        iv.select("user_id", "value", dur)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            # All-simultaneous series have zero total duration: the
+            # time-weighted mean is undefined there -> NULL, not a crash
+            # (hypothesis-found edge; ANSI mode raises DIVIDE_BY_ZERO).
+            F.when(
+                F.sum("dur_us") > 0,
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"),
+            ).alias("twa"),
+            F.avg("value").alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query(
     "q_y7_time_weighted_avg",
     oracle=f"""
@@ -1089,7 +1121,8 @@ def _us(ts_col):
       FROM iv WHERE nxt IS NOT NULL)
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_intervals,
-           sum(value * dur_us) / sum(dur_us) AS twa,
+           CASE WHEN sum(dur_us) > 0
+                THEN sum(value * dur_us) / sum(dur_us) END AS twa,
            avg(value) AS plain_avg
     FROM w GROUP BY user_id ORDER BY user_id
     """,
@@ -1115,22 +1148,7 @@ def q_y7_time_weighted_avg(spark, sf_dir):
     e = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    ord_key = (
-        _us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
-    ) * 1048576 + F.col("event_id")
-    w = Window.partitionBy("user_id").orderBy(ord_key)
-    iv = e.withColumn("nxt", F.lead("ts").over(w)).filter(F.col("nxt").isNotNull())
-    dur = (_us(F.col("nxt")) - _us(F.col("ts"))).alias("dur_us")
-    return (
-        iv.select("user_id", "value", dur)
-        .groupBy("user_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_intervals"),
-            (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twa"),
-            F.avg("value").alias("plain_avg"),
-        )
-        .orderBy("user_id")
-    )
+    return time_weighted_avg(e)
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,61 @@ def test_minhash_portable_equals_naive_on_candidates(spark, docs, n):
     for (a, b), j in want.items():
         if j == 1.0:
             assert (a, b) in got
+
+
+@settings(**_SETTINGS)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user
+            st.integers(0, 10_000_000),   # microsecond offset
+            st.integers(-1000, 1000),     # value
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_time_weighted_avg_equals_spec(spark, series):
+    """TWA over random irregular (possibly same-timestamp) series equals
+    the per-row LOCF specification computed in Python."""
+    import datetime as dt
+
+    from pyspark_mllib_twitter_spark.plans.corpus_ops import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(microseconds=off), float(v))
+        for i, (u, off, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        r.user_id: (r.n_intervals, r.twa)
+        for r in time_weighted_avg(df).collect()
+    }
+
+    expect = {}
+    by_user = {}
+    for i, u, ts, v in rows:
+        # ordering key: (ts, event_id) — same collapsed-integer semantics
+        by_user.setdefault(u, []).append((ts, i, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        num = den = 0.0
+        n_iv = 0
+        for (t0, _, v0), (t1, _, _) in zip(evs, evs[1:]):
+            d = (t1 - t0).total_seconds() * 1e6
+            num += v0 * d
+            den += d
+            n_iv += 1
+        if n_iv:
+            expect[u] = (n_iv, num / den if den > 0 else None)
+
+    assert set(got) == set(expect)
+    for u in got:
+        assert got[u][0] == expect[u][0]
+        if expect[u][1] is None:
+            assert got[u][1] is None  # all-simultaneous: TWA undefined
+        else:
+            assert abs(got[u][1] - expect[u][1]) < 1e-9
