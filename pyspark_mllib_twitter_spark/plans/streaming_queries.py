@@ -405,6 +405,50 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @query(
+    "q_stream_dedup_lake",
+    oracle="""
+    WITH lake AS (
+      SELECT md5(event_id || ':' || event_type) AS fp
+      FROM events WHERE event_id % 3 = 0)
+    SELECT e.event_id, e.event_type
+    FROM events e
+    ANTI JOIN lake ON md5(e.event_id || ':' || e.event_type) = lake.fp
+    ORDER BY e.event_id
+    """,
+)
+def q_stream_dedup_lake(spark, sf_dir):
+    """Streaming incremental dedup against the lake — the streaming twin of
+    ``q_xd_incremental_dedup``: each micro-batch anti-joins its content
+    digests against the persisted corpus digest set (here: every third
+    event plays the already-ingested lake), and only novel rows pass. The
+    production shape for continuous ingestion: digests-only on the static
+    side, stateless per batch (no watermark state — the lake set is
+    re-resolvable each trigger and broadcasts), append mode emits each
+    survivor exactly once. Hash-checked against the batch anti-join.
+    """
+    ev = _replayed_stream(spark, sf_dir)
+    fp = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("event_type")))
+    lake = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.md5(
+                F.concat(F.col("event_id").cast("string"), F.lit(":"), F.col("event_type"))
+            ).alias("fp")
+        )
+    )
+    survivors = ev.withColumn("fp", fp).join(
+        F.broadcast(lake), "fp", "left_anti"
+    )
+    out = run_to_memory(survivors, output_mode="append")
+    return (
+        out.filter(F.col("event_type") != FLUSH_EVENT_TYPE)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     SELECT time_bucket(INTERVAL '1 day', CAST(e.ts AS TIMESTAMP)) AS w_start,
