@@ -1645,3 +1645,142 @@ def q_ye_weighted_sample(spark, sf_dir):
         F.pow(u, 1.0 / F.col("n_chars")).alias("priority"),
     )
     return keyed.orderBy(F.desc("priority"), F.asc("doc_id")).limit(WSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD, JVM-side)
+# ---------------------------------------------------------------------------
+
+#: Outlier threshold in robust sigmas (1.4826 * MAD ~ sigma for normals).
+MAD_SIGMAS = 3.0
+
+
+@query(
+    "q_yf_robust_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev, m.med
+      FROM lineitem l JOIN med m USING (l_returnflag)),
+    mad AS (
+      SELECT l_returnflag, any_value(med) AS med,
+             quantile_disc(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag)
+    SELECT d.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(m.med) AS median,
+           any_value(m.mad) AS mad,
+           CAST(sum(CASE WHEN d.adev > {MAD_SIGMAS} * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag ORDER BY d.l_returnflag
+    """,
+)
+def q_yf_robust_outliers(spark, sf_dir):
+    """Robust per-group outlier detection via median/MAD (Hampel identifier,
+    public): flag values more than ``MAD_SIGMAS`` robust sigmas
+    (1.4826 * MAD) from the group median — the outlier rule that, unlike
+    mean/stddev z-scores, is not itself corrupted by the outliers it
+    hunts. The JVM-side twin of the pandas-UDF MAD entry
+    (``q_udf_grouped_mad``): ``percentile_disc`` keeps every step a
+    built-in aggregate, and DISCRETE medians make both engines pick
+    identical data values.
+
+    Scale shape: two aggregate passes (median, then MAD of deviations)
+    with the per-group medians broadcast back each time — group count is
+    bounded, so the joins are broadcast hash probes; no window, no Python.
+    At 100 TB this is two scans + two tiny broadcasts; the streaming-state
+    alternative (approx_percentile) drops one scan at the cost of
+    exactness.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.any_value("med").alias("med"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad"),
+    )
+    return (
+        dev.select("l_returnflag", "adev")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.any_value("med").alias("median"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > MAD_SIGMAS * 1.4826 * F.col("mad")).cast("long")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (rolling DAU/WAU)
+# ---------------------------------------------------------------------------
+
+#: Rolling window width in days.
+ROLL_DAYS = 7
+
+
+@query(
+    "q_yg_rolling_distinct",
+    oracle=f"""
+    WITH daily AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             user_id
+      FROM events),
+    fan AS (
+      SELECT event_type, user_id, day + CAST(o AS INT) AS obs_day
+      FROM daily CROSS JOIN (SELECT unnest(range({ROLL_DAYS})) AS o)),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT f.event_type, f.obs_day AS day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS users_7d
+    FROM fan f JOIN days d ON f.obs_day = d.day
+    GROUP BY f.event_type, f.obs_day
+    ORDER BY f.event_type, day
+    """,
+)
+def q_yg_rolling_distinct(spark, sf_dir):
+    """Rolling 7-day distinct users per event type (the product-analytics
+    WAU curve): for each observed day, how many distinct users acted in
+    the trailing week. COUNT DISTINCT over a sliding range frame is not a
+    window-function capability — the scale shape is pre-distinct then
+    fan-out: reduce raw events to DISTINCT (type, day, user) first (the
+    only corpus-sized aggregation), then explode each row into the <=
+    ``ROLL_DAYS`` observation days it contributes to and count distinct
+    per day. The fan-out multiplies the small daily-distinct table, never
+    raw events — same offset-explode-then-equi-join discipline as the PMI
+    pair generation (no range join).
+    """
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    daily = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    fan = daily.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1))
+        ).alias("o"),
+        "day",
+    ).select("event_type", "user_id", F.date_add("day", F.col("o")).alias("obs_day"))
+    days = daily.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        fan.join(F.broadcast(days), "obs_day")
+        .groupBy("event_type", F.col("obs_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
+        .orderBy("event_type", "day")
+    )
