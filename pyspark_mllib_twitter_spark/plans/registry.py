@@ -99,10 +99,11 @@ CHECK_WINDOW: list[str] = [
     "q_y8_ohlc",
     # -- benched in round 4, last externally seen round 2 ------------------
     "q_a6_approx_distinct",
-    # -- oracle entry last externally green in round 3 (the streaming
-    # machinery's representative; its sibling stream entries share the
-    # replay harness, so one in-window row covers the family's health)
-    "q_stream_join",
+    # -- the streaming machinery's in-window representative: never-checked
+    # AND oracle-backed (all stream entries share the replay harness, so
+    # one row covers the family's health; q_stream_join, green r3, yields
+    # its slot to this strictly-higher-signal sibling)
+    "q_stream_ohlc",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
     # q_stat_crosstab / q_f_json sit out (most trivial round-3 greens —
@@ -131,7 +132,10 @@ CHECK_WINDOW: list[str] = [
     # oracle-backed entries (q_y9_bitmap_distinct / q_ya_chi2_independence
     # / q_yb_markov_transitions / q_yc_bfs_sssp) arrived with the window
     # already at 50 never-checked-or-priority slots; they are
-    # driver-mirror-green locally and are first in line for round 6.
+    # driver-mirror-green locally and are first in line for round 6 —
+    # as are the later additions q_yd_bpe_train / q_ye_weighted_sample /
+    # q_yf_robust_outliers / q_yg_rolling_distinct / q_stream_dedup_lake /
+    # q_ml_fpgrowth.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
