@@ -95,11 +95,23 @@ def _reset_session_state(spark) -> None:
     except Exception:
         pass  # py4j internals shifted — stale RDD blocks only cost memory
     # Streaming memory sinks pin their batches in the driver until the view
-    # is dropped; a full suite accumulates dozens. (No forced System.gc()
-    # here — measured: ~73 full GCs on a 16g heap cost more than they save.)
+    # is dropped; a full suite accumulates dozens. (No per-query System.gc()
+    # — measured: ~73 full GCs on a 16g heap cost more than they save.)
     for table in spark.catalog.listTables():
         if table.isTemporary and table.name.startswith("mem_"):
             spark.catalog.dropTempView(table.name)
+    # AMORTIZED full GC: ContextCleaner only releases dead broadcasts /
+    # shuffle state when the driver JVM actually collects, and a 32g heap
+    # goes a long time between full GCs — by query ~120 of a 160+-query
+    # suite the block manager is thrashing (measured: q_ns_dedup_minhash
+    # 11.7s isolated vs 77s late-suite). One forced GC every 20 queries
+    # keeps the cleaner current at ~8 collections per full run.
+    _reset_session_state.calls = getattr(_reset_session_state, "calls", 0) + 1
+    if _reset_session_state.calls % 20 == 0:
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
 
 def main() -> int:
