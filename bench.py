@@ -59,7 +59,13 @@ SINGLE_RUN = {
     "q_stream_static_join",
     "q_stream_foreach_sink",
     "q_stream_state_reader",
+    "q_stream_ohlc",
+    "q_stream_dedup_lake",
     "q_s3_pystream",
+    "q_ml_fpgrowth",
+    "q_ml_word2vec",
+    "q_yc_bfs_sssp",
+    "q_yd_bpe_train",
 }
 
 
