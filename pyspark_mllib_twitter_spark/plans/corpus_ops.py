@@ -1784,3 +1784,228 @@ def q_yg_rolling_distinct(spark, sf_dir):
         .agg(F.countDistinct("user_id").cast("bigint").alias("users_7d"))
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (pairwise, SQL-expressible twin of FPGrowth's rule stage)
+# ---------------------------------------------------------------------------
+
+#: Minimum pair support (absolute basket count) for a reported rule.
+RULE_MIN_COUNT = 8
+
+
+@query(
+    "q_yh_assoc_rules",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_suppkey AS item FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b),
+    item AS (SELECT item, count(*) AS c FROM b GROUP BY item),
+    pair AS (
+      SELECT a.item AS x, bb.item AS y, count(*) AS c_xy
+      FROM b a JOIN b bb
+        ON a.l_orderkey = bb.l_orderkey AND a.item <> bb.item
+      GROUP BY a.item, bb.item
+      HAVING count(*) >= {RULE_MIN_COUNT})
+    SELECT p.x AS antecedent, p.y AS consequent,
+           CAST(p.c_xy AS BIGINT) AS n_xy,
+           p.c_xy / ix.c AS confidence,
+           (p.c_xy / ix.c) / (iy.c / n.n_baskets) AS lift
+    FROM pair p
+    JOIN item ix ON ix.item = p.x
+    JOIN item iy ON iy.item = p.y
+    CROSS JOIN n
+    ORDER BY antecedent, consequent
+    """,
+)
+def q_yh_assoc_rules(spark, sf_dir):
+    """Pairwise association rules (Agrawal et al. 1993, public): for item
+    pairs co-occurring in >= ``RULE_MIN_COUNT`` baskets, the rule x -> y
+    with confidence P(y|x) and lift P(y|x)/P(y) — the value-checked SQL
+    twin of the rule stage FPGrowth (q_ml_fpgrowth) runs engine-side, at
+    the pair level where SQL can express the lattice exactly.
+
+    Scale shape: baskets reduce to DISTINCT (basket, item) digests once;
+    the pair generation is a self-equi-join on the basket key, whose
+    output is bounded by sum(basket_size^2) — basket-size-governed, not
+    corpus-governed (the same bound PFP's projected trees rely on); item
+    margins broadcast into the final rule projection. The HAVING floor
+    applies in the pair aggregation, before any join fan-out.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("item")).distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = b.groupBy("item").agg(F.count("*").alias("c"))
+    b2 = b.select(F.col("l_orderkey").alias("k"), F.col("item").alias("y_item"))
+    pair = (
+        b.join(b2, (b.l_orderkey == b2.k) & (b.item != b2.y_item))
+        .groupBy(F.col("item").alias("x"), F.col("y_item").alias("y"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= RULE_MIN_COUNT)
+    )
+    ix = item.select(F.col("item").alias("x"), F.col("c").alias("c_x"))
+    iy = item.select(F.col("item").alias("y"), F.col("c").alias("c_y"))
+    return (
+        pair.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("c_xy").cast("bigint").alias("n_xy"),
+            (F.col("c_xy") / F.col("c_x")).alias("confidence"),
+            ((F.col("c_xy") / F.col("c_x")) / (F.col("c_y") / F.col("n_baskets"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B z-test
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yi_abtest_ztest",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS grp FROM (SELECT DISTINCT user_id FROM events)),
+    conv AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value >= 190),
+    cell AS (
+      SELECT a.grp,
+             count(*) AS n_users,
+             sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.grp),
+    wide AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n_users END) AS n0,
+        max(CASE WHEN grp = 0 THEN n_conv END) AS c0,
+        max(CASE WHEN grp = 1 THEN n_users END) AS n1,
+        max(CASE WHEN grp = 1 THEN n_conv END) AS c1
+      FROM cell)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           c1 / n1 - c0 / n0 AS lift_abs,
+           CASE WHEN (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+                THEN (c1 / n1 - c0 / n0)
+                     / sqrt(((c0 + c1) / (n0 + n1))
+                            * (1 - (c0 + c1) / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1)) END AS z_score
+    FROM wide
+    """,
+)
+def q_yi_abtest_ztest(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment (pooled-variance form,
+    any statistics text): users split deterministically by id parity,
+    conversion = any 'purchase' event; reports per-arm counts, absolute
+    lift, and the z statistic — the experimentation-platform readout query.
+
+    Scale shape: user assignment and conversion reduce to DISTINCT user
+    digests (two map-side-combinable aggregations + one digest-width
+    left join); everything after is arithmetic on a 2-row table pivoted
+    to one row. At 100 TB of events the only full-scan work is the two
+    distincts.
+    """
+    e = read_table(spark, sf_dir, "events")
+    assign = e.select("user_id").distinct().withColumn("grp", F.col("user_id") % 2)
+    # Conversion = any HIGH-VALUE purchase: the fixture's per-user purchase
+    # count (~13 at every SF) makes "any purchase" saturate to p = 1 for
+    # both arms, which zeroes the pooled variance — the z-test needs a
+    # non-degenerate event.
+    conv = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") >= 190))
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cell = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce("converted", F.lit(0))).alias("n_conv"),
+        )
+    )
+    wide = cell.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    lift = F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("c0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("c1").cast("bigint").alias("conv_treat"),
+        lift.alias("lift_abs"),
+        # Degenerate arms (all or none converted) have zero pooled variance:
+        # z undefined -> NULL on both engines, never a divide-by-zero.
+        F.when(
+            (F.col("c0") + F.col("c1") > 0)
+            & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+            lift
+            / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (concentration of spend)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yj_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS s
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, o_custkey) AS r FROM spend),
+    agg AS (
+      SELECT count(*) AS n, sum(s) AS total,
+             sum(CAST(r AS DECIMAL(38,6)) * s) AS rs
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(total AS DOUBLE) AS total_spend,
+           CAST((2 * rs / (n * total)) - (n + 1.0) / n AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def q_yj_gini(spark, sf_dir):
+    """Gini coefficient of per-customer spend (rank-sum identity
+    G = 2*sum(r_i*s_i)/(n*sum(s)) - (n+1)/n, standard econometrics) —
+    how concentrated revenue is across customers, the whale-detection
+    readout. Rank ties break on customer id so both engines rank
+    identically; the rank-weighted sum runs in DECIMAL so the answer is
+    bit-stable under any partition order.
+
+    Scale shape: one per-customer aggregation (map-side combinable), then
+    a global rank — a genuine total-order requirement (range-partitioned
+    sort, not a single-partition window, on a cluster) over the already-
+    aggregated per-customer table, which is orders-of-magnitude smaller
+    than the fact table — followed by one scalar aggregate.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s")
+    )
+    w = Window.orderBy("s", "o_custkey")
+    ranked = spend.withColumn("r", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("total"),
+        F.sum(F.col("r").cast("decimal(38,6)") * F.col("s")).alias("rs"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("total").cast("double").alias("total_spend"),
+        ((2 * F.col("rs") / (F.col("n") * F.col("total"))) - (F.col("n") + 1.0) / F.col("n"))
+        .cast("double")
+        .alias("gini"),
+    )
