@@ -286,3 +286,35 @@ def test_weighted_sample_favors_long_docs(spark, sf_smoke):
     assert statistics.mean(r.n_chars for r in rows) > statistics.mean(all_lens)
     for r in rows:
         assert 0.0 < r.priority < 1.0
+
+
+def test_assoc_rules_bounds_and_symmetry(spark, sf_smoke):
+    rows = _rows(spark, sf_smoke, "q_yh_assoc_rules")
+    assert rows
+    pairs = {(r.antecedent, r.consequent) for r in rows}
+    for r in rows:
+        assert r.n_xy >= corpus_ops.RULE_MIN_COUNT
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        # co-occurrence is symmetric, so the reversed rule clears the same
+        # floor and must be present (confidence/lift differ, existence not)
+        assert (r.consequent, r.antecedent) in pairs
+
+
+def test_abtest_counts_partition_users(spark, sf_smoke):
+    r = _rows(spark, sf_smoke, "q_yi_abtest_ztest")[0]
+    n_users = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_control + r.n_treat == n_users
+    assert 0 <= r.conv_control <= r.n_control
+    assert 0 <= r.conv_treat <= r.n_treat
+
+
+def test_gini_in_unit_interval(spark, sf_smoke):
+    r = _rows(spark, sf_smoke, "q_yj_gini")[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.total_spend > 0
