@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import ordering as ORD
 from ..functions import text as TXT
 from ..sources import read_table, spread
 from .registry import query
@@ -1060,11 +1061,6 @@ def q_y6_equidepth_bins(spark, sf_dir):
 # Time-weighted average (TSDB primitive)
 # ---------------------------------------------------------------------------
 
-#: Epoch base for the deterministic event ordering key — keeps
-#: ``delta_us * 2^20 + event_id`` far inside int64 for the fixture range.
-_TS_BASE = "TIMESTAMP '2024-01-01'"
-
-
 def _us(ts_col):
     """Microseconds since epoch for a (possibly TIMESTAMP_NTZ) column —
     ``unix_micros`` rejects ntz, and the ntz->tz cast shifts both operands
@@ -1078,10 +1074,7 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
     that query's docstring for semantics and the 100 TB shape).
     Hypothesis-tested against a per-row Python specification on random
     irregular series (tests/test_hypothesis_ops.py)."""
-    ord_key = (
-        _us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
-    ) * 1048576 + F.col("event_id")
-    w = Window.partitionBy("user_id").orderBy(ord_key)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     iv = events.withColumn("nxt", F.lead("ts").over(w)).filter(
         F.col("nxt").isNotNull()
     )
@@ -1107,14 +1100,10 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
 @query(
     "q_y7_time_weighted_avg",
     oracle=f"""
-    WITH k AS (
+    WITH iv AS (
       SELECT user_id, value, ts,
-             (epoch_us(ts) - epoch_us({_TS_BASE})) * 1048576 + event_id AS ord
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
       FROM events),
-    iv AS (
-      SELECT user_id, value, ts,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ord) AS nxt
-      FROM k),
     w AS (
       SELECT user_id, value,
              date_diff('microsecond', ts, nxt) AS dur_us
@@ -1135,9 +1124,9 @@ def q_y7_time_weighted_avg(spark, sf_dir):
     ``avg`` over-counts bursts. Reported next to ``plain_avg`` so the
     fixture's irregular arrivals make the two visibly diverge.
 
-    Determinism: the interval chain orders by ``(ts, event_id)`` collapsed
-    into one integer key, so same-timestamp events chain identically on
-    both engines.
+    Determinism: the interval chain orders by ``(ts, event_id)`` — a
+    two-column window ordering on both engines — so same-timestamp events
+    chain identically.
 
     Scale shape: ONE window pass partitioned by the series key (the
     natural partitioning of any time-series store — no global sort), then
@@ -1161,7 +1150,7 @@ def q_y7_time_weighted_avg(spark, sf_dir):
     WITH k AS (
       SELECT event_type, value,
              date_trunc('hour', ts) AS bucket,
-             (epoch_us(ts) - epoch_us({_TS_BASE})) * 1048576 + event_id AS ord
+             lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
       FROM events)
     SELECT event_type, bucket,
            arg_min(value, ord) AS open,
@@ -1178,8 +1167,9 @@ def q_y8_ohlc(spark, sf_dir):
     time bucket — the financial/TSDB rollup: first and last value by event
     time plus the extremes, in ONE aggregate pass via ``min_by``/``max_by``
     (no window, no self-join back to the endpoints). Endpoint selection
-    uses the same collapsed ``(ts, event_id)`` integer key as q_y7, so
-    same-timestamp ties resolve identically on both engines.
+    uses the shared fixed-width string key (``functions/ordering.py``)
+    whose lexicographic order is exactly (ts, event_id) on both engines —
+    no id-width or time-span overflow, unlike an integer packing.
 
     Scale shape: a single map-side-combinable groupBy — min_by/max_by
     partials carry one (value, key) pair per group per task, so 100 TB of
@@ -1191,11 +1181,7 @@ def q_y8_ohlc(spark, sf_dir):
     e = read_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
-    ord_key = (
-        (_us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp")))
-        * 1048576
-        + F.col("event_id")
-    ).alias("ord")
+    ord_key = ORD.ord_key(F.col("ts"), F.col("event_id")).alias("ord")
     k = e.select(
         "event_type", "value", F.date_trunc("hour", "ts").alias("bucket"), ord_key
     )
@@ -1363,14 +1349,11 @@ def q_ya_chi2_independence(spark, sf_dir):
 @query(
     "q_yb_markov_transitions",
     oracle=f"""
-    WITH k AS (
-      SELECT user_id, event_type,
-             (epoch_us(ts) - epoch_us({_TS_BASE})) * 1048576 + event_id AS ord
-      FROM events),
-    seq AS (
+    WITH seq AS (
       SELECT event_type AS a,
-             lead(event_type) OVER (PARTITION BY user_id ORDER BY ord) AS b
-      FROM k),
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
     trans AS (SELECT a, b, count(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY a, b),
     outs AS (SELECT a, sum(n) AS n_out FROM trans GROUP BY a)
     SELECT t.a, t.b, CAST(t.n AS BIGINT) AS n, t.n / o.n_out AS p
@@ -1382,8 +1365,8 @@ def q_yb_markov_transitions(spark, sf_dir):
     """First-order Markov transition matrix over per-user event sequences
     — the sequence-mining primitive behind clickstream analysis and
     next-event prediction: ``P(next = b | current = a)`` estimated from
-    time-ordered transitions, with the same collapsed ``(ts, event_id)``
-    ordering key as q_y7/q_y8 so chains are engine-identical.
+    time-ordered transitions, ordered by ``(ts, event_id)`` on both
+    engines so chains are engine-identical.
 
     Scale shape: ONE window pass partitioned by the sequence key (users),
     then two map-side-combinable aggregations over (a, b) pairs — the
@@ -1391,10 +1374,7 @@ def q_yb_markov_transitions(spark, sf_dir):
     normalizing out-degree join runs on that tiny table, not on events.
     """
     e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    ord_key = (
-        _us(F.col("ts")) - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
-    ) * 1048576 + F.col("event_id")
-    w = Window.partitionBy("user_id").orderBy(ord_key)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
     ).filter(F.col("b").isNotNull())

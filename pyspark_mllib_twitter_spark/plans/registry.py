@@ -102,7 +102,12 @@ CHECK_WINDOW: list[str] = [
     # -- the streaming machinery's in-window representative: never-checked
     # AND oracle-backed (all stream entries share the replay harness, so
     # one row covers the family's health; q_stream_join, green r3, yields
-    # its slot to this strictly-higher-signal sibling)
+    # its slot to this strictly-higher-signal sibling). The other round-3
+    # greens that held slots earlier in round 5 — q_j_asof, q_sql_q3,
+    # q_sql_q5, q_ns_pipeline, q_sub_q17, q_udf_grouped_mad,
+    # q_w5_sessionize, q_stream_sliding, q_stream_window_counts — likewise
+    # yielded to the never-checked q_xv..q_y8 block above and are now
+    # three rounds stale: rotate them back in round 6.
     "q_stream_ohlc",
     # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
     # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /

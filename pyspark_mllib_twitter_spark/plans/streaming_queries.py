@@ -156,8 +156,7 @@ def q_stream_sliding(spark, sf_dir):
     WITH k AS (
       SELECT event_type, value,
              time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
-             (epoch_us(CAST(ts AS TIMESTAMP))
-              - epoch_us(TIMESTAMP '2024-01-01')) * 1048576 + event_id AS ord
+             lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord
       FROM events)
     SELECT w_start, w_start + INTERVAL '1 hour' AS w_end, event_type,
            arg_min(value, ord) AS open,
@@ -174,7 +173,7 @@ def q_stream_ohlc(spark, sf_dir):
     via single-aggregation min_by/max_by (state = one candidate pair per
     live window), append mode, oracle-checked against the batch SQL twin —
     valid for the same zero-drop reason as q_stream_window_counts, and the
-    collapsed (ts, event_id) key makes endpoint ties engine-identical."""
+    shared string ordering key makes endpoint ties engine-identical."""
     from ..streaming import windowed_ohlc
 
     stream = windowed_ohlc(

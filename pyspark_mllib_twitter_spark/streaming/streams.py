@@ -309,20 +309,19 @@ def windowed_ohlc(
 ) -> DataFrame:
     """Watermarked tumbling-window OHLC per event_type — the streaming twin
     of the batch candlestick aggregate (plans/corpus_ops.py q_y8_ohlc):
-    open/close via ``min_by``/``max_by`` on the collapsed (ts, event_id)
-    integer key, extremes via min/max, all in ONE streaming aggregation.
+    open/close via ``min_by``/``max_by`` on the shared fixed-width string
+    ordering key (functions/ordering.py — lexicographic == (ts, event_id)
+    order), extremes via min/max, all in ONE streaming aggregation.
 
     State: one (open, high, low, close, n) tuple per live (window, type) —
     min_by/max_by keep a single candidate pair each, so state size matches
     plain windowed counts; evicted once the watermark passes window end.
     Append mode emits each candle exactly once, when it can no longer
     change — the contract a downstream chart/store wants."""
-    ord_key = (
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
-    ) * 1048576 + F.col("event_id")
+    from ..functions.ordering import ord_key
+
     return (
-        events.withColumn("ord", ord_key)
+        events.withColumn("ord", ord_key(F.col("ts"), F.col("event_id")))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
