@@ -1523,32 +1523,38 @@ def bpe_train(docs: DataFrame, text_col: str = "text", n_merges: int = BPE_TRAIN
     learned: list[tuple[int, str, int]] = []
     for step in range(1, n_merges + 1):
         toks = _F.split("sym", " ")
+        # Aggregate on the (a, b) STRUCT, never on a joined string: a
+        # symbol may itself contain any delimiter character (e.g. "+"
+        # after merging "+ +"), so string-encoding the pair and splitting
+        # it back is ambiguous. The "a+b" form below is display-only.
         pairs = freq.select(
             _F.explode(
                 _F.when(
                     _F.size(toks) >= 2,
                     _F.transform(
                         _F.sequence(_F.lit(1), _F.size(toks) - 1),
-                        lambda i: _F.concat(
-                            _F.element_at(toks, i), _F.lit("+"), _F.element_at(toks, i + 1)
+                        lambda i: _F.struct(
+                            _F.element_at(toks, i).alias("a"),
+                            _F.element_at(toks, i + 1).alias("b"),
                         ),
                     ),
-                ).otherwise(_F.array().cast("array<string>"))
+                ).otherwise(
+                    _F.array().cast("array<struct<a:string,b:string>>")
+                )
             ).alias("pair"),
             "f",
         )
         top = (
-            pairs.groupBy("pair")
+            pairs.groupBy("pair.a", "pair.b")
             .agg(_F.sum("f").alias("weight"))
-            .orderBy(_F.desc("weight"), _F.asc("pair"))
+            .orderBy(_F.desc("weight"), _F.asc("a"), _F.asc("b"))
             .limit(1)
             .collect()
         )
         if not top:
             break
-        pair, weight = top[0].pair, int(top[0].weight)
-        learned.append((step, pair, weight))
-        a, b = pair.split("+", 1)
+        a, b, weight = top[0].a, top[0].b, int(top[0].weight)
+        learned.append((step, f"{a}+{b}", weight))
         pattern = rf"(?<!\S){_re.escape(a)} {_re.escape(b)}(?!\S)"
         freq = freq.select(
             _F.regexp_replace("sym", pattern, a + b).alias("sym"), "f"
@@ -1966,17 +1972,33 @@ def q_yj_gini(spark, sf_dir):
     bit-stable under any partition order.
 
     Scale shape: one per-customer aggregation (map-side combinable), then
-    a global rank — a genuine total-order requirement (range-partitioned
-    sort, not a single-partition window, on a cluster) over the already-
-    aggregated per-customer table, which is orders-of-magnitude smaller
-    than the fact table — followed by one scalar aggregate.
+    a DISTRIBUTED global rank — range-repartition by (s, custkey), rank
+    locally within each sorted partition, add broadcast per-partition
+    offsets (the dense_id_dictionary recipe, w2_recommend.py:40 — an
+    unpartitioned row_number window would funnel every customer through
+    ONE task) — followed by one scalar aggregate. The offsets collect is
+    numPartitions rows, bounded control state, not data.
     """
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s")
     )
-    w = Window.orderBy("s", "o_custkey")
-    ranked = spend.withColumn("r", F.row_number().over(w))
+    parts = spend.repartitionByRange("s", "o_custkey").sortWithinPartitions(
+        "s", "o_custkey"
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(tuple(r) for r in with_pid.groupBy("_pid").count().collect())
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    local_rank = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("s", "o_custkey")
+    )
+    ranked = with_pid.join(F.broadcast(offsets_df), "_pid").withColumn(
+        "r", F.col("_offset") + local_rank
+    )
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("s").alias("total"),

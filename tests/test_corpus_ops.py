@@ -250,12 +250,14 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_smoke):
         for w, f_ in sym.items():
             toks = w.split(" ")
             for a, b in zip(toks, toks[1:]):
-                counts[f"{a}+{b}"] += f_
+                counts[(a, b)] += f_
         if not counts:
             break
-        pair, weight = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        expect.append((step, pair, weight))
-        a, b = pair.split("+", 1)
+        # ties break on the (a, b) SYMBOL TUPLE, matching the trainer's
+        # struct aggregation (a joined-string order would differ when a
+        # symbol contains the display separator)
+        (a, b), weight = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((step, f"{a}+{b}", weight))
         nxt: collections.Counter = collections.Counter()
         for w, f_ in sym.items():
             nxt[merge_word(w, a, b)] += f_

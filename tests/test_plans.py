@@ -347,3 +347,14 @@ def test_bitmap_words_single_agg_chain(spark):
     plan = _plan(spark, "q_y9_bitmap_distinct")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_gini_rank_is_not_single_partition(spark):
+    """q_yj: the global rank runs as pid-partitioned local windows over a
+    range-partitioned sort with broadcast offsets — the row_number window
+    itself is never a single-partition sort. (The one SinglePartition
+    exchange left in the plan is the final 1-row scalar aggregate, which
+    reduces partial aggregates, not data.)"""
+    plan = _plan(spark, "q_yj_gini")
+    assert "windowspecdefinition(_pid" in plan  # window is per-partition
+    assert "rangepartitioning(s" in plan  # global order via range exchange
