@@ -2011,3 +2011,103 @@ def q_yj_gini(spark, sf_dir):
         .cast("double")
         .alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN classifier evaluation (leave-one-out, exact cosine)
+# ---------------------------------------------------------------------------
+
+#: Number of neighbors voting, and the probe subset (fixed id prefix so the
+#: probe count is scale-independent and the oracle join stays tiny).
+KNN_K = 5
+KNN_PROBE_MAX_ID = 40
+
+
+@query(
+    "q_yk_knn_eval",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS p_id, embedding AS p_vec, label AS true_label
+      FROM embeddings WHERE vec_id < {KNN_PROBE_MAX_ID}),
+    scored AS (
+      SELECT p.p_id, p.true_label, c.label AS c_label,
+             row_number() OVER (
+               PARTITION BY p.p_id
+               ORDER BY list_cosine_similarity(p.p_vec, c.embedding) DESC,
+                        c.vec_id) AS rn
+      FROM probes p JOIN embeddings c ON c.vec_id <> p.p_id),
+    votes AS (
+      SELECT p_id, true_label, c_label, count(*) AS n_votes
+      FROM scored WHERE rn <= {KNN_K}
+      GROUP BY p_id, true_label, c_label),
+    pred AS (
+      SELECT p_id, true_label, c_label AS pred_label, n_votes,
+             row_number() OVER (PARTITION BY p_id
+                                ORDER BY n_votes DESC, c_label) AS vr
+      FROM votes)
+    SELECT p_id, true_label, pred_label, CAST(n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM pred WHERE vr = 1 ORDER BY p_id
+    """,
+)
+def q_yk_knn_eval(spark, sf_dir):
+    """Leave-one-out k-NN classifier evaluation over the embeddings table:
+    each probe vector is classified by majority vote of its ``KNN_K``
+    nearest neighbors (exact cosine, self excluded; vote ties break on
+    label) and scored against its true label — the standard
+    embedding-quality probe (Cover & Hart 1967, public), composing the
+    exact-kNN join with a voting layer.
+
+    Scale shape: the probe set is a broadcast (bounded by construction —
+    evaluation probes are a sample, not the corpus), so the scoring join
+    is a map-side hash probe over the candidate scan: no shuffle carries
+    vectors. The per-probe top-k is a rank-filtered window on the probe
+    key (WindowGroupLimit: each task keeps k candidates before the
+    shuffle); votes and the argmax run on k-row groups. Cosine stays in
+    one codegen'd ``aggregate``/``zip_with`` expression (functions/
+    vectors.py) — no Python, no UDF.
+    """
+    from ..functions import vectors as V
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < KNN_PROBE_MAX_ID).select(
+        F.col("vec_id").alias("p_id"),
+        V.as_double_array("embedding").alias("p_vec"),
+        F.col("label").alias("true_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("c_id"),
+        V.as_double_array("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        cands.join(F.broadcast(probes), F.col("c_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "true_label",
+            "c_label",
+            "c_id",
+            V.cosine("p_vec", "c_vec").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("p_id", "true_label", "c_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    vw = Window.partitionBy("p_id").orderBy(F.desc("n_votes"), F.asc("c_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            "p_id",
+            "true_label",
+            F.col("c_label").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+            (F.col("pred_label") == F.col("true_label")).cast("bigint").alias("correct"),
+        )
+        .orderBy("p_id")
+    )
