@@ -228,3 +228,95 @@ def test_time_weighted_avg_equals_spec(spark, series):
             assert got[u][1] is None  # all-simultaneous: TWA undefined
         else:
             assert abs(got[u][1] - expect[u][1]) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_matches_python_interleave(spark, pts):
+    """The codegen'd Morton expression equals bit interleaving computed in
+    Python, for arbitrary 8-bit coordinates (bijectivity follows)."""
+    from pyspark_mllib_twitter_spark.plans.corpus_ops import ZBITS, _zorder
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i int, x long, y long"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select("i", _zorder(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+
+    def interleave(x: int, y: int) -> int:
+        z = 0
+        for b in range(ZBITS):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for i, (x, y) in enumerate(pts):
+        assert got[i] == interleave(x, y)
+
+
+@settings(**_SETTINGS)
+@given(
+    baskets=st.lists(
+        st.sets(st.integers(0, 9), min_size=1, max_size=5),
+        min_size=4,
+        max_size=25,
+    )
+)
+def test_assoc_rule_math_equals_naive(spark, baskets):
+    """Confidence/lift computed by the q_yh shape on arbitrary baskets
+    equal the naive definitions (floor lowered to 1 so tiny random baskets
+    still produce rules)."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    rows = [(bid, item) for bid, items in enumerate(baskets) for item in items]
+    b = spark.createDataFrame(rows, "k long, item long").distinct()
+    n_baskets = len(baskets)
+    item_c = {}
+    pair_c = {}
+    for items in baskets:
+        for it in items:
+            item_c[it] = item_c.get(it, 0) + 1
+        for x, y in itertools.permutations(items, 2):
+            pair_c[(x, y)] = pair_c.get((x, y), 0) + 1
+
+    b2 = b.select(F.col("k").alias("k2"), F.col("item").alias("y_item"))
+    item_df = b.groupBy("item").agg(F.count("*").alias("c"))
+    pair = (
+        b.join(b2, (b.k == b2.k2) & (b.item != b2.y_item))
+        .groupBy(F.col("item").alias("x"), F.col("y_item").alias("y"))
+        .agg(F.count("*").alias("c_xy"))
+    )
+    ix = item_df.select(F.col("item").alias("x"), F.col("c").alias("c_x"))
+    iy = item_df.select(F.col("item").alias("y"), F.col("c").alias("c_y"))
+    out = (
+        pair.join(ix, "x")
+        .join(iy, "y")
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            (F.col("c_xy") / F.col("c_x")).alias("conf"),
+            ((F.col("c_xy") / F.col("c_x")) / (F.col("c_y") / F.lit(n_baskets))).alias(
+                "lift"
+            ),
+        )
+        .collect()
+    )
+    got = {(r.x, r.y): (r.c_xy, r.conf, r.lift) for r in out}
+    assert set(got) == set(pair_c)
+    for (x, y), c in pair_c.items():
+        c_got, conf, lift = got[(x, y)]
+        assert c_got == c
+        assert abs(conf - c / item_c[x]) < 1e-12
+        assert abs(lift - (c / item_c[x]) / (item_c[y] / n_baskets)) < 1e-12
