@@ -41,6 +41,7 @@ SINGLE_RUN = {
     "q_w1_user_similarity",
     "q_w2_als_recommend",
     "q_ns_dedup_minhash",
+    "q_ns_emb_neardup",
     "q_xc_semantic_dedup",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
@@ -107,13 +108,13 @@ def _reset_session_state(spark) -> None:
         if table.isTemporary and table.name.startswith("mem_"):
             spark.catalog.dropTempView(table.name)
     # AMORTIZED full GC: ContextCleaner only releases dead broadcasts /
-    # shuffle state when the driver JVM actually collects, and a 32g heap
+    # shuffle state when the driver JVM actually collects, and a 64g heap
     # goes a long time between full GCs — by query ~120 of a 160+-query
     # suite the block manager is thrashing (measured: q_ns_dedup_minhash
-    # 11.7s isolated vs 77s late-suite). One forced GC every 20 queries
-    # keeps the cleaner current at ~8 collections per full run.
+    # 11.7s isolated vs 77s late-suite). One forced GC every 10 queries
+    # keeps the cleaner current at ~17 collections per full run.
     _reset_session_state.calls = getattr(_reset_session_state, "calls", 0) + 1
-    if _reset_session_state.calls % 20 == 0:
+    if _reset_session_state.calls % 10 == 0:
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
