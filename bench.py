@@ -42,6 +42,8 @@ SINGLE_RUN = {
     "q_w2_als_recommend",
     "q_ns_dedup_minhash",
     "q_ns_emb_neardup",
+    "q_ns_minhash_dedup_e2e",
+    "q_x6_cc_clusters",
     "q_xc_semantic_dedup",
     "q_ns_ann_ivf",
     "q_ns_ann_pq",
