@@ -2111,3 +2111,138 @@ def q_yk_knn_eval(spark, sf_dir):
         )
         .orderBy("p_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution entropy / KL-vs-uniform (corpus mixture diagnostics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yl_entropy",
+    oracle="""
+    WITH src AS (
+      SELECT 'lang' AS axis, lang AS grp, count(*) AS c FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'source', source, count(*) FROM documents GROUP BY source),
+    tot AS (SELECT axis, sum(c) AS n FROM src GROUP BY axis),
+    h AS (
+      SELECT s.axis, count(*) AS n_groups,
+             -sum((s.c / t.n) * ln(s.c / t.n)) AS entropy
+      FROM src s JOIN tot t USING (axis) GROUP BY s.axis)
+    SELECT axis, CAST(n_groups AS BIGINT) AS n_groups, entropy,
+           -- KL >= 0 analytically; a perfectly uniform axis computes to
+           -- +/-1ulp of zero depending on summation order, and -0.0 vs 0.0
+           -- breaks cross-engine value hashing -> clamp at true zero.
+           greatest(0.0, ln(n_groups) - entropy) AS kl_uniform
+    FROM h ORDER BY axis
+    """,
+)
+def q_yl_entropy(spark, sf_dir):
+    """Shannon entropy and KL divergence from uniform for the corpus's
+    categorical axes (lang, source) — the information-theoretic mixture
+    diagnostic next to PSI drift (q_xu): H near ln(n) means a balanced
+    mixture; KL(p || uniform) = ln(n) - H is exactly the imbalance the
+    temperature reweighting (q_y5) exists to shrink. Natural log on both
+    engines (DuckDB ``log`` is base 10 — the PMI lesson).
+
+    Scale shape: one grouped count per axis over the scan (map-side
+    combinable), then all ratio/log math on the group-sized table.
+    """
+    d = _docs(spark, sf_dir)
+    src = (
+        d.groupBy(F.lit("lang").alias("axis"), F.col("lang").alias("grp"))
+        .agg(F.count("*").alias("c"))
+        .unionByName(
+            d.groupBy(F.lit("source").alias("axis"), F.col("source").alias("grp")).agg(
+                F.count("*").alias("c")
+            )
+        )
+    )
+    tot = src.groupBy("axis").agg(F.sum("c").alias("n"))
+    h = (
+        src.join(F.broadcast(tot), "axis")
+        .groupBy("axis")
+        .agg(
+            F.count("*").alias("n_groups"),
+            (-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")))).alias(
+                "entropy"
+            ),
+        )
+    )
+    return h.select(
+        "axis",
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        "entropy",
+        # clamp: see the oracle comment — KL is analytically >= 0 and the
+        # uniform axis lands within 1 ulp of zero with run-varying sign
+        F.greatest(F.lit(0.0), F.log("n_groups") - F.col("entropy")).alias(
+            "kl_uniform"
+        ),
+    ).orderBy("axis")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer-size planning)
+# ---------------------------------------------------------------------------
+
+#: Vocabulary sizes evaluated on the coverage curve.
+COVERAGE_KS = [5, 10, 20, 30]
+
+
+@query(
+    "q_ym_vocab_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT sum(c) AS n_tokens FROM tf),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tf),
+    cum AS (
+      SELECT r, sum(c) OVER (ORDER BY r) AS cum_c FROM ranked)
+    SELECT cum.r AS vocab_size,
+           CAST(cum.cum_c AS BIGINT) AS covered_tokens,
+           cum.cum_c / tot.n_tokens AS coverage
+    FROM cum CROSS JOIN tot
+    WHERE cum.r IN ({", ".join(map(str, COVERAGE_KS))})
+    ORDER BY vocab_size
+    """,
+)
+def q_ym_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — what fraction of corpus TOKENS the top-k
+    vocabulary terms cover, for the candidate sizes in ``COVERAGE_KS``:
+    the tokenizer-budget planning readout that motivates subword methods
+    (the curve's long tail is why word-level vocabularies lose, Sennrich
+    2016) and pairs with the BPE trainer (q_yd).
+
+    Scale shape: the corpus-sized stage is ONE term count (map-side
+    combinable); ranking and the running sum operate on the VOCABULARY
+    (Heaps-law-bounded — the same small-table window argument as the
+    popularity ranking in q_y1; at extreme vocabularies the distributed
+    rank recipe from q_yj applies verbatim).
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    tf = (
+        d.select(F.explode(TXT.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.agg(F.sum("c").alias("n_tokens"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("term"))
+    w_cum = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tf.withColumn("r", F.row_number().over(w_rank))
+        .withColumn("cum_c", F.sum("c").over(w_cum))
+        .filter(F.col("r").isin(COVERAGE_KS))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("bigint").alias("vocab_size"),
+            F.col("cum_c").cast("bigint").alias("covered_tokens"),
+            (F.col("cum_c") / F.col("n_tokens")).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

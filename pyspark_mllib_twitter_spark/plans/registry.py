@@ -141,7 +141,7 @@ CHECK_WINDOW: list[str] = [
     # as are the later additions q_yd_bpe_train / q_ye_weighted_sample /
     # q_yf_robust_outliers / q_yg_rolling_distinct / q_stream_dedup_lake /
     # q_ml_fpgrowth / q_yh_assoc_rules / q_yi_abtest_ztest / q_yj_gini /
-    # q_yk_knn_eval.
+    # q_yk_knn_eval / q_yl_entropy / q_ym_vocab_coverage.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
