@@ -1983,8 +1983,17 @@ def q_yj_gini(spark, sf_dir):
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s")
     )
-    parts = spend.repartitionByRange("s", "o_custkey").sortWithinPartitions(
-        "s", "o_custkey"
+    # Materialize the range partitioning BEFORE reading it twice: the counts
+    # job below and the final aggregate must see the SAME partition
+    # assignment, but RangePartitioner re-samples per execution and AQE may
+    # re-coalesce an unpinned shuffle — recomputing the plan could shift rows
+    # across partitions between the two jobs and silently corrupt the global
+    # ranks. localCheckpoint pins the physical layout (same discipline as
+    # q_yc_bfs_sssp's edge list).
+    parts = (
+        spend.repartitionByRange("s", "o_custkey")
+        .sortWithinPartitions("s", "o_custkey")
+        .localCheckpoint(eager=True)
     )
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     counts = sorted(tuple(r) for r in with_pid.groupBy("_pid").count().collect())
@@ -2107,7 +2116,10 @@ def q_yk_knn_eval(spark, sf_dir):
             "true_label",
             F.col("c_label").alias("pred_label"),
             F.col("n_votes").cast("bigint").alias("n_votes"),
-            (F.col("pred_label") == F.col("true_label")).cast("bigint").alias("correct"),
+            # Compare the source column, not the same-select "pred_label"
+            # alias — lateral column alias resolution is Spark >= 3.4 and
+            # flag-dependent; referencing c_label is portable.
+            (F.col("c_label") == F.col("true_label")).cast("bigint").alias("correct"),
         )
         .orderBy("p_id")
     )

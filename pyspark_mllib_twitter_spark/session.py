@@ -54,14 +54,16 @@ def get_spark(
         # Kryo kept for RDD-path parity with the reference
         # (COMP5349_2.py:121); Tungsten encoders dominate the DataFrame path.
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        # 64g on a 128 GiB box: the single-JVM local[32] session holds every
-        # executor's shuffle/broadcast blocks in ONE heap, and a 160+-query
-        # suite accumulates them (ContextCleaner frees on GC only). At 32g
-        # the full suite GC-thrashed whichever queries ran late (measured:
-        # q_ns_dedup_minhash 11.7s isolated, 77s late-suite; whole suite
-        # 423s); at 64g the same suite ran 360s with the late-suite spikes
-        # gone. Roomier heap postpones full GCs instead of forcing them.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # Default 32g: portable to ordinary dev machines. The bench harness
+        # (which measured the win on its 128 GiB box) exports
+        # SPARK_GRAFT_DRIVER_MEM=64g: the single-JVM local[32] session holds
+        # every executor's shuffle/broadcast blocks in ONE heap, and a
+        # 160+-query suite accumulates them (ContextCleaner frees on GC
+        # only). At 32g the full suite GC-thrashed whichever queries ran
+        # late (measured: q_ns_dedup_minhash 11.7s isolated, 77s late-suite;
+        # whole suite 423s); at 64g the same suite ran 360s with the
+        # late-suite spikes gone.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # Whole-stage codegen emits one or more classes per query plan; a
         # 110-query suite fills the JVM's default code cache, after which
         # the JIT disables itself and iterative ML (ALS) runs interpreted
