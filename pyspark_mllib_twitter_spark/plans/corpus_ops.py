@@ -1031,10 +1031,11 @@ def q_y6_equidepth_bins(spark, sf_dir):
     over a 7-element array — codegen, no join per edge, no global sort,
     no single-partition ntile window, which is what makes naive equi-depth
     binning scale-hostile); the per-bin stats are a map-side-combinable
-    groupBy over NBINS groups. Exact ``percentile_disc`` sorts within the
-    aggregate at 100 TB — production swaps in ``approx_percentile``
-    (mergeable KLL-style sketch, same plan shape) when exactness is not
-    the contract; exact is used here so the oracle can replay it.
+    groupBy over NBINS groups. Exact ``percentile_disc`` collects the
+    column inside one aggregate — this entry exists as the ORACLE FIXTURE;
+    the production default at scale is ``q_yo_equidepth_approx`` (same
+    plan shape, mergeable sketch edges, tolerance-tested against this
+    twin).
     """
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     qs = ", ".join(
@@ -1677,9 +1678,11 @@ def q_yf_robust_outliers(spark, sf_dir):
     Scale shape: two aggregate passes (median, then MAD of deviations)
     with the per-group medians broadcast back each time — group count is
     bounded, so the joins are broadcast hash probes; no window, no Python.
-    At 100 TB this is two scans + two tiny broadcasts; the streaming-state
-    alternative (approx_percentile) drops one scan at the cost of
-    exactness.
+    The exact ``percentile_disc`` is a collect-all-values aggregate, so
+    with 3 near-global groups a handful of tasks hold the whole column at
+    100 TB — this entry exists as the ORACLE FIXTURE; the production
+    default at scale is ``q_yn_robust_outliers_approx`` (identical plan
+    with mergeable sketches, tolerance-tested against this twin).
     """
     li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     med = li.groupBy("l_returnflag").agg(
@@ -2257,4 +2260,96 @@ def q_ym_vocab_coverage(spark, sf_dir):
             (F.col("cum_c") / F.col("n_tokens")).alias("coverage"),
         )
         .orderBy("vocab_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch percentiles: the 100 TB defaults for the two exact
+# percentile_disc entries above (q_yf_robust_outliers, q_y6_equidepth_bins)
+# ---------------------------------------------------------------------------
+
+#: approx_percentile accuracy. Error bound is ~1/accuracy of the RANK (the
+#: Greenwald-Khanna guarantee): 1e-4 relative rank error — far tighter than
+#: any downstream decision these operators feed.
+PCTL_ACCURACY = 10_000
+
+
+@query("q_yn_robust_outliers_approx")  # sketch-valued -> rows-only; bounds property-tested
+def q_yn_robust_outliers_approx(spark, sf_dir):
+    """Hampel outlier detection with **mergeable** percentile sketches — the
+    scale DEFAULT for robust outlier hunting; ``q_yf_robust_outliers`` is
+    the exact ``percentile_disc`` twin kept as the oracle fixture.
+
+    Why this is the default: ``percentile_disc`` is a collect-all-values
+    aggregate — with 3 near-global groups, 3 tasks each hold and sort an
+    entire column's partition of the corpus at 100 TB. ``approx_percentile``
+    (Greenwald-Khanna) is a bounded-size MERGEABLE sketch: every partition
+    contributes a partial (map-side combine), the merge is sketch-sized,
+    and no task ever materializes the column. Same plan shape otherwise
+    (two aggregate passes with the per-group scalars broadcast back);
+    rank error <= 1/``PCTL_ACCURACY``, asserted vs the exact twin in
+    tests/test_properties.py.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, PCTL_ACCURACY).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.any_value("med").alias("med"),
+        F.percentile_approx("adev", 0.5, PCTL_ACCURACY).alias("mad"),
+    )
+    return (
+        dev.select("l_returnflag", "adev")
+        .join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.any_value("med").alias("median"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > MAD_SIGMAS * 1.4826 * F.col("mad")).cast("long")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q_yo_equidepth_approx")  # sketch-valued -> rows-only; bounds property-tested
+def q_yo_equidepth_approx(spark, sf_dir):
+    """Equi-depth binning with a **mergeable** quantile sketch — the scale
+    DEFAULT; ``q_y6_equidepth_bins`` is the exact ``percentile_disc`` twin
+    kept as the oracle fixture.
+
+    ``approx_percentile`` takes the edge computation from a single
+    collect-the-column aggregate to a map-side-combinable sketch merge
+    (see q_yn's docstring); the assignment stays the same broadcast
+    map-only ``size(filter(...))`` — no join per edge, no global sort.
+    Per-bin populations are asserted within sketch tolerance of the exact
+    twin's in tests/test_properties.py.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    edges = o.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            [i / NBINS for i in range(1, NBINS)],
+            PCTL_ACCURACY,
+        ).alias("e")
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        "o_totalprice",
+        F.size(F.filter("e", lambda x: F.col("o_totalprice") > x)).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
     )

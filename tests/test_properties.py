@@ -400,3 +400,44 @@ def test_portable_signatures_are_full_width_quarters(documents):
         assert len(r.sig) == 16
         assert all(pat.match(s) for s in r.sig), r.sig
     assert len({tuple(r.sig) for r in rows}) > len(rows) * 0.5
+
+
+def test_robust_outliers_approx_matches_exact(spark, sf_smoke):
+    """The mergeable-sketch Hampel twin (q_yn, the scale default) must agree
+    with the exact percentile_disc fixture (q_yf) within sketch tolerance:
+    identical group counts, medians/MADs within 1% relative, and outlier
+    counts within the rows whose deviation sits inside that band."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_yf_robust_outliers"].spark(spark, sf_smoke).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_yn_robust_outliers_approx"].spark(spark, sf_smoke).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n"] == e["n"]
+        assert abs(a["median"] - e["median"]) <= 0.01 * abs(e["median"]), (k, a, e)
+        assert abs(a["mad"] - e["mad"]) <= 0.01 * abs(e["mad"]), (k, a, e)
+        # outlier counts may differ only by rows near the threshold; at
+        # rank-error 1e-4 that's a tiny fraction of the group
+        assert abs(a["n_outliers"] - e["n_outliers"]) <= max(5, 0.01 * e["n"]), (k, a, e)
+
+
+def test_equidepth_approx_matches_exact(spark, sf_smoke):
+    """The sketch-edged equi-depth twin (q_yo, the scale default) must put
+    ~the same population in each bin as the exact fixture (q_y6): per-bin
+    counts within 2% of total rows (edges differ by <= rank error)."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    exact = {r["bin"]: r["n"] for r in REGISTRY["q_y6_equidepth_bins"].spark(spark, sf_smoke).collect()}
+    approx = {r["bin"]: r["n"] for r in REGISTRY["q_yo_equidepth_approx"].spark(spark, sf_smoke).collect()}
+    total = sum(exact.values())
+    assert total == sum(approx.values())  # binning is a partition of rows
+    assert set(exact) == set(approx)
+    for b in exact:
+        assert abs(exact[b] - approx[b]) <= max(2, 0.02 * total), (b, exact[b], approx[b])
