@@ -81,6 +81,41 @@ def q_s2_pysource(spark, sf_dir):
 
 
 @query(
+    "q_s4_pysink_roundtrip",
+    oracle="SELECT doc_id, source, text FROM documents ORDER BY doc_id",
+)
+def q_s4_pysink_roundtrip(spark, sf_dir):
+    """S3+: custom connector SINK via the Spark 4 Python Data Source write
+    protocol (``DataSourceWriter`` — ``sources/pydatasource.py``,
+    ``DocStoreWriter``): the documents table is written through the
+    two-phase-commit JSONL store (per-task staged files → driver-side
+    atomic manifest publish) and read back through the same connector's
+    manifest-planned reader. The oracle is a plain SELECT over the source
+    table, so the ENTIRE write path — executor serialization, commit
+    message collection, manifest, read-back partition planning — is
+    value-checked byte-for-byte, not smoke-tested.
+
+    Scale shape: tasks write their own partitions in parallel and ship
+    only (path, row-count) messages to the driver; commit is O(#tasks).
+    The store path is deterministic per sf so reruns overwrite (exercising
+    the manifest-swap path) instead of appending."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    store = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_docstore_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src.write.format("docstore").mode("overwrite").save(store)
+    return spark.read.format("docstore").load(store).orderBy("doc_id")
+
+
+@query(
     "q_p1_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber FROM lineitem

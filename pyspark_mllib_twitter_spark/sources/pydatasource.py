@@ -30,7 +30,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: 16 words so one md5 hex character indexes the vocabulary exactly.
@@ -131,3 +133,171 @@ class DocGenStreamReader(DataSourceStreamReader):
 def register(spark) -> None:
     """Idempotent registration on a session (re-registering is harmless)."""
     spark.dataSource.register(DocGenDataSource)
+    spark.dataSource.register(DocStoreDataSource)
+
+
+# ---------------------------------------------------------------------------
+# DocStoreDataSource — the WRITE half of the connector surface
+# ---------------------------------------------------------------------------
+
+class _StagedFile(WriterCommitMessage):
+    """Per-task commit message: where the task staged its rows.
+
+    Must be picklable — plain attributes only."""
+
+    def __init__(self, relpath: str, rows: int) -> None:
+        self.relpath = relpath
+        self.rows = rows
+
+
+class DocStoreWriter(DataSourceWriter):
+    """Two-phase-commit JSONL writer (``DataSourceWriter`` protocol).
+
+    Executor side (``write``): each task streams its rows to a
+    task-unique staged file ``_staged/<uuid>.jsonl`` and returns a
+    :class:`_StagedFile` commit message. Speculative or retried task
+    attempts each write their own staged file; at most one attempt's
+    message reaches the driver.
+
+    Driver side (``commit``): move exactly the staged files named by the
+    collected messages into the store root, then atomically publish
+    ``_MANIFEST.json`` (temp file + ``os.replace``) listing the committed
+    files, their row counts, and the writer schema. Readers plan from the
+    manifest ONLY, so uncommitted/orphaned staged files are invisible —
+    that is what makes the protocol exactly-once from the reader's view.
+    ``abort`` deletes the staged files and leaves any previous manifest
+    untouched (a failed overwrite does not destroy the old version).
+
+    The staging directory here is a filesystem path (shared in local
+    mode); a production connector stages to the object store / remote
+    service under the same message-passing skeleton — the two-phase
+    protocol is the part this class demonstrates.
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        self.path = options.get("path") or options.get("location")
+        if not self.path:
+            raise ValueError("docstore: .save(path) is required")
+        self.schema_json = schema.json() if schema else ""
+        self.field_names = [f.name for f in schema.fields] if schema else []
+        self.overwrite = overwrite
+        self.fail_partition = int(options.get("fail_partition", -1))
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.partitionId() == self.fail_partition:
+            raise RuntimeError("docstore: injected task failure (test hook)")
+        staged = _os.path.join(self.path, "_staged")
+        _os.makedirs(staged, exist_ok=True)
+        relpath = _os.path.join("_staged", f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(_os.path.join(self.path, relpath), "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(_json.dumps(list(row), ensure_ascii=False, default=str))
+                f.write("\n")
+                n += 1
+        return _StagedFile(relpath, n)
+
+    # -- driver side --------------------------------------------------------
+    def _manifest_path(self) -> str:
+        import os as _os
+
+        return _os.path.join(self.path, "_MANIFEST.json")
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        files = []
+        prior = []
+        if not self.overwrite and _os.path.exists(self._manifest_path()):
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                prior = _json.load(f)["files"]
+        for m in messages:
+            if m is None:
+                continue
+            final = _os.path.basename(m.relpath)
+            _os.replace(
+                _os.path.join(self.path, m.relpath),
+                _os.path.join(self.path, final),
+            )
+            files.append({"file": final, "rows": m.rows})
+        manifest = {"schema": self.schema_json, "fields": self.field_names,
+                    "files": prior + files}
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, self._manifest_path())  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(_os.path.join(self.path, m.relpath))
+            except OSError:
+                pass  # staged file never materialized — nothing to clean
+
+
+class DocStoreReader(DataSourceReader):
+    """Manifest-planned read path: one input partition per committed file
+    (executors never list the directory, so orphaned staged files and
+    half-written data are unreachable by construction)."""
+
+    def __init__(self, options: dict) -> None:
+        import json as _json
+        import os as _os
+
+        self.path = options.get("path") or options.get("location")
+        if not self.path:
+            raise ValueError("docstore: .load(path) is required")
+        with open(_os.path.join(self.path, "_MANIFEST.json"), encoding="utf-8") as f:
+            self.manifest = _json.load(f)
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(e["file"]) for e in self.manifest["files"]]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(self.path, partition.value), encoding="utf-8") as f:
+            for line in f:
+                yield tuple(_json.loads(line))
+
+
+class DocStoreDataSource(DataSource):
+    """``df.write.format("docstore").mode(...).save(path)`` /
+    ``spark.read.format("docstore").load(path)`` — the engine's custom
+    connector SINK (plus its read-back), completing the Python Data Source
+    surface next to :class:`DocGenDataSource`'s batch+stream read."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docstore"
+
+    def schema(self):
+        # Read-back schema comes from what the writer committed.
+        import json as _json
+        import os as _os
+
+        from pyspark.sql.types import StructType
+
+        path = self.options.get("path") or self.options.get("location")
+        with open(_os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as f:
+            return StructType.fromJson(_json.loads(_json.load(f)["schema"]))
+
+    def reader(self, schema) -> DocStoreReader:
+        return DocStoreReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DocStoreWriter:
+        return DocStoreWriter(self.options, schema, overwrite)

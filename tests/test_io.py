@@ -191,3 +191,48 @@ def test_python_datasource_partitions_and_determinism(spark):
     spans = sorted(p.value for p in parts)
     assert spans[0][0] == 0 and spans[-1][1] == 10
     assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_docstore_write_commit_protocol(spark, tmp_path):
+    """DataSourceWriter two-phase commit (sources/pydatasource.py,
+    DocStoreWriter): committed data round-trips exactly; append extends the
+    manifest; a failed job ABORTS cleanly — staged files are removed and
+    the previously committed manifest keeps serving the old version."""
+    import json
+    import os
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import register
+
+    register(spark)
+    store = str(tmp_path / "store")
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text-', id, ' éß') AS text"
+    )
+    df.repartition(4).write.format("docstore").mode("overwrite").save(store)
+
+    manifest = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    assert sum(e["rows"] for e in manifest["files"]) == 100
+    back = spark.read.format("docstore").load(store)
+    assert back.rdd.getNumPartitions() == len(manifest["files"])
+    assert {(r.doc_id, r.text) for r in back.collect()} == {
+        (r.doc_id, r.text) for r in df.collect()
+    }
+
+    # append mode extends rather than replaces
+    spark.range(100, 150).selectExpr(
+        "id AS doc_id", "concat('text-', id, ' éß') AS text"
+    ).write.format("docstore").mode("append").save(store)
+    assert spark.read.format("docstore").load(store).count() == 150
+
+    # abort path: injected task failure -> job fails, staged dir drained,
+    # manifest still serves the 150 committed rows
+    try:
+        df.repartition(4).write.format("docstore").mode("overwrite").option(
+            "fail_partition", 2
+        ).save(store)
+        raise AssertionError("injected failure did not propagate")
+    except Exception as e:
+        assert "injected task failure" in str(e) or "RuntimeError" in str(e)
+    staged = os.listdir(os.path.join(store, "_staged"))
+    assert staged == [], f"orphaned staged files not aborted: {staged}"
+    assert spark.read.format("docstore").load(store).count() == 150
