@@ -69,6 +69,7 @@ SINGLE_RUN = {
     "q_ml_word2vec",
     "q_yc_bfs_sssp",
     "q_yd_bpe_train",
+    "q_xl2_pagerank_converged",
 }
 
 

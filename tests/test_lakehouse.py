@@ -264,3 +264,45 @@ def test_rollup_state_empty_batch_merges_as_identity(spark):
     empty = rollup_state(ev.filter(F.lit(False)))
     merged = merge_rollup_states(rollup_state(ev), empty)
     assert merged.count() == rollup_state(ev).count()
+
+
+def test_pagerank_converged_prefix_fixpoint_and_flat_plans(spark):
+    """pagerank_converged (the production loop): (a) with tol=0 its
+    3-iteration prefix is bit-equal to the oracle-checked fixed twin,
+    (b) at convergence one further iteration moves no rank by >= tol,
+    (c) per-round lineage is truncated — the analyzed-plan footprint of the
+    ranks frame stays FLAT over 20 rounds (the property that makes an
+    unbounded convergence loop usable; without localCheckpoint it grows
+    every round)."""
+    from pyspark_mllib_twitter_spark.plans.lakehouse import (
+        pagerank,
+        pagerank_converged,
+    )
+
+    edges = spark.createDataFrame(
+        [(a, (a * 7 + b) % 23) for a in range(23) for b in (1, 2, 5) if a != (a * 7 + b) % 23],
+        "src int, dst int",
+    )
+    fixed = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    prefix_df = pagerank_converged(edges, tol=0.0, max_iters=3)
+    prefix = {r.node: r.rank for r in prefix_df.collect()}
+    assert prefix == fixed  # bit-equal, not approx: decimal sums both sides
+
+    # (b) fixpoint: converge, then warm-start ONE more round — no rank may
+    # move by tol or more (the loop's own exit criterion, re-verified from
+    # the outside).
+    tol = 1e-3
+    conv = pagerank_converged(edges, tol=tol, max_iters=30)
+    got = {r.node: r.rank for r in conv.collect()}
+    one_more = pagerank_converged(edges, tol=0.0, max_iters=1, init_ranks=conv)
+    stepped = {r.node: r.rank for r in one_more.collect()}
+    assert set(got) == set(stepped)
+    assert max(abs(got[n] - stepped[n]) for n in got) < tol
+
+    # (c) flat plan: a deep run's returned frame must be checkpoint-rooted —
+    # its analyzed plan no larger than the 3-round run's (no embedded
+    # join-chain lineage growing with iteration count).
+    plan_deep = conv._jdf.queryExecution().analyzed().toString()
+    plan3 = prefix_df._jdf.queryExecution().analyzed().toString()
+    assert len(plan_deep) <= 1.5 * len(plan3), (len(plan_deep), len(plan3))
+    assert "ExistingRDD" in plan_deep or "LogicalRDD" in plan_deep
