@@ -1550,3 +1550,193 @@ def q_f_try(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end breadth, round 6: TPC-H Q12/Q14/Q16/Q19/Q21/Q22 shapes —
+# the correlated-subquery / disjunctive-predicate / conditional-aggregate
+# corners Q3/Q5/Q10/Q17/Q18 don't cover. One SQL text per query runs
+# verbatim on BOTH engines (fixture has no l_shipmode/l_receiptdate/
+# partsupp/c_phone, so each query keeps its TPC-H plan shape on the
+# columns that exist — the lateness predicate l_shipdate > o_orderdate +
+# 60/90 days stands in for receipt-vs-commit lateness).
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@query("q_sql_q12", oracle=_Q12_SQL)
+def q_sql_q12(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q12 shape (late shipments by priority) —
+    conditional-sum classification over a fact-dimension join with an
+    interval-arithmetic lateness predicate. Catalyst pushes both shipdate
+    range bounds to the scan and plans the priority CASE sums as one
+    map-side-combinable aggregate; the only shuffle is the orderkey join.
+    Counts are integers — no float comparison surface at all."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12_SQL)
+
+
+_Q14_SQL = """
+    SELECT CAST(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END)
+                / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+           AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-12-01'
+"""
+
+
+@query("q_sql_q14", oracle=_Q14_SQL)
+def q_sql_q14(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q14 shape (promotion effect) — the
+    conditional-numerator / total-denominator ratio aggregate. Both sums
+    run in DECIMAL(38,6) (exact, order-independent) so numerator and
+    denominator are bit-identical across engines before the one double
+    division; the part join is a broadcast hash probe (part is the small
+    side), and the shipdate window reaches the scan as PushedFilters."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
+
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("q_sql_q16", oracle=_Q16_SQL)
+def q_sql_q16(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q16 shape (supplier diversity per part
+    class, minus blacklisted suppliers) — the NOT IN subquery pattern.
+    Catalyst plans NOT IN as LEFT ANTI (null-aware) with the 6-row
+    blacklist broadcast; p_size IN (...) prunes at the part scan. The
+    COUNT(DISTINCT) shuffles (brand, type, size, suppkey) pairs — grouped
+    distinct, not a global expand."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16_SQL)
+
+
+_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+              AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+@query("q_sql_q19", oracle=_Q19_SQL)
+def q_sql_q19(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q19 shape (discounted revenue under
+    disjunctive brand/size/quantity predicates) — the OR-of-conjunctions
+    pattern that defeats naive pushdown. Catalyst splits the disjunction:
+    the common join key stays an equi-hash-join, per-side implied
+    predicates (p_brand IN (...), l_quantity ranges) are extracted and
+    pushed below the join, and the residual disjunction evaluates
+    post-join in codegen. Decimal revenue sum keeps the single-row answer
+    bit-stable."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '90' DAY
+      AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL '90' DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+"""
+
+
+@query("q_sql_q21", oracle=_Q21_SQL)
+def q_sql_q21(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q21 shape (suppliers who alone kept a
+    finished order waiting) — the EXISTS + NOT EXISTS correlated-subquery
+    pair on the same fact table. Catalyst rewrites them to LEFT SEMI and
+    LEFT ANTI joins on l_orderkey with the extra non-equi conditions
+    (suppkey inequality, lateness vs the OUTER order date) folded into the
+    join condition — three passes over lineitem, all equi-hash on
+    orderkey, no nested-loop. Lateness reuses the Q12 interval predicate
+    (fixture has no receipt/commit dates)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+        AND c_acctbal > (
+              SELECT AVG(c_acctbal) FROM customer
+              WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 2, 3, 4, 5))
+        AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01')
+    ) dormant
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@query("q_sql_q22", oracle=_Q22_SQL)
+def q_sql_q22(spark, sf_dir):
+    """∅-ref SQL front-end: TPC-H Q22 shape (global-sales-opportunity:
+    high-balance customers gone dormant) — uncorrelated scalar subquery
+    (the average balance, computed once and broadcast as a literal-like
+    filter) plus a correlated NOT EXISTS anti-join against recent orders.
+    Every fixture customer has SOME order, so dormancy is "no order since
+    1999" — same anti-join shape as the original's "no orders at all".
+    The c_nationkey % 10 code stands in for the phone prefix. The scalar
+    avg is float (both engines sum doubles in different orders) — safe
+    because it's a strict threshold on values ~1e3 with no fixture value
+    within float-noise of the mean; the OUTPUT sums are decimal-exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
