@@ -70,6 +70,7 @@ SINGLE_RUN = {
     "q_yc_bfs_sssp",
     "q_yd_bpe_train",
     "q_xl2_pagerank_converged",
+    "q_yr_setsim_prefix_join",
 }
 
 

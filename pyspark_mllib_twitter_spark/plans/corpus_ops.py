@@ -2353,3 +2353,471 @@ def q_yo_equidepth_approx(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (distributed 2-D dominance)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yp_skyline",
+    oracle="""
+    SELECT p_partkey, p_retailprice, CAST(p_size AS INT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p_partkey
+    """,
+)
+def q_yp_skyline(spark, sf_dir):
+    """Pareto frontier (skyline) of parts: minimize price, maximize size —
+    keep every part not DOMINATED by another (someone cheaper-or-equal and
+    bigger-or-equal, strictly better on at least one axis). The
+    multi-objective shortlist operator (Borzsony/Kossmann/Stocker, "The
+    Skyline Operator", ICDE 2001 — public).
+
+    Scale shape: the naive formulation is the oracle's O(n^2) NOT EXISTS —
+    useless at scale. For 2-D, dominance collapses to a PREFIX-MAX scan:
+    sort by price; a part survives iff no strictly-cheaper part has size
+    >= its size AND no equal-price part has size > its size. That is (a)
+    one per-price aggregate (map-side combinable), (b) a DISTRIBUTED
+    running max over price order — range-repartition, per-partition
+    window, broadcast per-partition prefix maxima (the q_yj_gini rank
+    recipe; the partitioned frame is localCheckpoint-pinned so the offsets
+    job and the final join see the same layout), and (c) one broadcast-
+    joined filter pass. No O(n^2) anywhere; shuffles carry (price, size)
+    pairs only.
+    """
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
+    )
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    parts = (
+        per_price.repartitionByRange("p_retailprice")
+        .sortWithinPartitions("p_retailprice")
+        .localCheckpoint(eager=True)  # pin layout: offsets job + final read
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    pmax = sorted(
+        tuple(r) for r in with_pid.groupBy("_pid").agg(F.max("mx").alias("m")).collect()
+    )
+    prior, run = [], None
+    for pid, m in pmax:
+        prior.append((pid, run))
+        run = m if run is None else max(run, m)
+    prior_df = spark.createDataFrame(prior or [(0, None)], "_pid int, _prior int")
+    w = Window.partitionBy("_pid").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = (
+        with_pid.join(F.broadcast(prior_df), "_pid")
+        .withColumn(
+            "strict_prev", F.greatest(F.max("mx").over(w), F.col("_prior"))
+        )
+        .select("p_retailprice", "mx", "strict_prev")
+    )
+    return (
+        p.join(F.broadcast(ranked), "p_retailprice")
+        .filter(
+            (F.col("strict_prev").isNull() | (F.col("strict_prev") < F.col("p_size")))
+            & (F.col("mx") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-pruned semi join (explicit runtime filter)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 256 bits as 4 longs, 3 md5-derived probes per key.
+BLOOM_WORDS = 4
+BLOOM_BITS = BLOOM_WORDS * 64
+BLOOM_K = 3
+
+
+def _bloom_pos(key_col, i: int):
+    """Bit position i (0..BLOOM_K-1) for a key: first 8 md5 hex chars as an
+    int, mod the bitmap size — identical bytes on any engine."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), key_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+@query(
+    "q_yq_bloom_prune_join",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_yq_bloom_prune_join(spark, sf_dir):
+    """Semi join with an EXPLICIT bloom-filter runtime pre-filter (the
+    pattern Spark's InjectRuntimeFilter applies internally, made portable
+    and visible): build a 256-bit bloom over the selective dim keys
+    (negative-balance suppliers) as FOUR bit_or-aggregated longs, cross-
+    join-broadcast that single row to the fact scan, drop fact rows
+    failing any of the 3 md5-derived bit probes, THEN run the exact
+    broadcast semi join on the survivors. False positives are removed by
+    the exact join; false negatives are impossible (every inserted key's
+    bits are set) — so the result equals the plain semi join, which is
+    exactly what the oracle checks (Bloom 1970, public).
+
+    Scale shape: the bloom is O(1) bytes regardless of dim cardinality —
+    at 100 TB, when the dim side is too big to broadcast as a hash set
+    but its BLOOM still fits in a few KB, the pre-filter drops most fact
+    rows BEFORE the shuffle the (then shuffled) exact join needs. Probes
+    are pure codegen bit arithmetic (conv/shift/and) — no Python, no UDF.
+    The no-false-negative property is asserted in tests/test_corpus_ops.py.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_extendedprice"
+    )
+    dim = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    # pyspark's shiftleft/shiftright helpers take a literal shift count, so
+    # the variable-shift bit arithmetic goes through SQL exprs on named
+    # position columns (still pure codegen — no Python).
+    keyed = dim
+    for i in range(BLOOM_K):
+        keyed = keyed.withColumn(f"p{i}", _bloom_pos(F.col("s_suppkey"), i))
+    word_exprs = []
+    for wi in range(BLOOM_WORDS):
+        parts_ = [
+            f"CASE WHEN CAST(p{i} / 64 AS INT) = {wi} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for i in range(BLOOM_K)
+        ]
+        word_exprs.append(F.bit_or(F.expr(" | ".join(parts_))).alias(f"w{wi}"))
+    bloom = keyed.agg(*word_exprs)
+
+    probed = li.crossJoin(F.broadcast(bloom))
+    for i in range(BLOOM_K):
+        probed = probed.withColumn(f"p{i}", _bloom_pos(F.col("l_suppkey"), i))
+    words = " ".join(
+        f"WHEN {wi} THEN w{wi}" for wi in range(BLOOM_WORDS)
+    )
+    hits = [
+        F.expr(
+            f"(shiftrightunsigned(CASE CAST(p{i} / 64 AS INT) {words} END, "
+            f"CAST(p{i} % 64 AS INT)) & 1) = 1"
+        )
+        for i in range(BLOOM_K)
+    ]
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    pruned = probed.filter(cond).select("l_suppkey", "l_returnflag", "l_extendedprice")
+    return (
+        pruned.join(F.broadcast(dim), pruned.l_suppkey == dim.s_suppkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join with prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold for the prefix-filtered similarity join. Set elements
+#: are word TRIGRAM shingles: the synthetic fixture's 31-word unigram
+#: vocabulary is a prefix filter's worst case (every "rare" token is still
+#: near-universal, so candidates degenerate toward all-pairs — measured 148s
+#: at sf0.1 on unigrams/bigrams); trigrams lift the element vocabulary to
+#: ~16k-27k with dfs in single digits — the Heaps/Zipf regime the algorithm
+#: targets (~2k candidates at sf0.01, ~500k at sf0.1, vs ~8M for bigrams).
+SETSIM_TAU = 0.5
+
+
+@query(
+    "q_yr_setsim_prefix_join",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gs
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.gs, b.gs))::DOUBLE
+                 / len(list_distinct(list_concat(a.gs, b.gs))), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+            / len(list_distinct(list_concat(a.gs, b.gs))) >= {SETSIM_TAU}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_yr_setsim_prefix_join(spark, sf_dir):
+    """All-pairs set-similarity join at Jaccard >= tau via PREFIX FILTERING
+    (SSJoin/PPJoin family — Chaudhuri, Ganti & Kaushik, ICDE 2006; Xiao
+    et al., WWW 2008 — public): two docs can reach tau only if they share
+    an element inside their (global-frequency-ordered, rare-first) PREFIX
+    of length ``n - ceil(tau*n) + 1``, so candidates are generated by an
+    equi-join on PREFIX elements only and the exact Jaccard verify runs
+    on candidates. UNBLOCKED — unlike ``q_ns_jaccard_pairs`` (blocked on
+    source), completeness here is the prefix-filter theorem, which the
+    quadratic oracle value-checks pair-for-pair.
+
+    Scale shape: one element-frequency aggregate (map-side combinable);
+    per-doc rare-first ordering is an in-row array_sort over (df,
+    element) structs — no window. The candidate join carries ONLY
+    (doc_id, prefix_element) — arrays never enter the fan-out or the
+    pair-dedup — and the verify re-attaches the two ordered arrays by
+    doc-id equi-joins (AQE turns these into broadcast probes while the
+    doc-side stays small; at corpus scale they are plain shuffle joins
+    moving each doc's array once per surviving candidate side). Rare-
+    first ordering pushes near-universal elements out of every prefix, so
+    the stopword key that explodes a naive token join generates no pairs.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    toks = d.select("doc_id", TXT.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 2),
+                lambda t, i: F.concat_ws(
+                    " ", t, F.element_at("toks", i + 2), F.element_at("toks", i + 3)
+                ),
+            )
+        ).alias("gs"),
+    )
+    g_df = (
+        grams.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+    )
+    # `ordered` feeds the prefix stream AND both verify-side re-joins; no
+    # explicit materialization — Catalyst's ReuseExchange dedupes the three
+    # identical subplans (measured: an eager localCheckpoint here was SLOWER,
+    # 24s -> 35s at sf0.1, by defeating exchange reuse and AQE planning)
+    ordered = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .join(g_df, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ord"))
+        .select("doc_id", F.transform("ord", lambda s: s["g"]).alias("gs_ord"))
+    )
+    prefix_len = (
+        F.size("gs_ord")
+        - F.ceil(F.lit(SETSIM_TAU) * F.size("gs_ord")).cast("int")
+        + 1
+    )
+    # slim prefix stream: (doc_id, prefix element) — no arrays in the fan-out
+    pfx = ordered.select(
+        "doc_id", F.explode(F.slice("gs_ord", 1, prefix_len)).alias("pg")
+    )
+    cands = (
+        pfx.alias("a")
+        .join(
+            pfx.alias("b"),
+            (F.col("a.pg") == F.col("b.pg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_arrays = (
+        cands.join(ordered.select(F.col("doc_id").alias("id_a"),
+                                  F.col("gs_ord").alias("ta")), "id_a")
+        .join(ordered.select(F.col("doc_id").alias("id_b"),
+                             F.col("gs_ord").alias("tb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    jac = inter.cast("double") / union
+    return (
+        with_arrays.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard"), jac.alias("_j")
+        )
+        .filter(F.col("_j") >= SETSIM_TAU)
+        .drop("_j")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haversine nearest neighbors (geo top-k)
+# ---------------------------------------------------------------------------
+
+#: Probe point (Paris) and earth radius in km — shared with the oracle.
+GEO_LAT0, GEO_LON0, GEO_R = 48.8566, 2.3522, 6371.0
+GEO_K = 20
+
+
+def _geo_sql(lat_expr: str, lon_expr: str) -> str:
+    """Haversine distance (km) SQL — identical text for both engines."""
+    return (
+        f"round(2.0 * {GEO_R} * asin(sqrt("
+        f"pow(sin(radians(({lat_expr}) - ({GEO_LAT0})) / 2), 2)"
+        f" + cos(radians({GEO_LAT0})) * cos(radians({lat_expr}))"
+        f" * pow(sin(radians(({lon_expr}) - ({GEO_LON0})) / 2), 2))), 6)"
+    )
+
+
+#: Deterministic synthetic coordinates from the customer key (fixture has no
+#: geo columns; same arithmetic on both engines).
+#: (CAST to DOUBLE: Spark parses the `100.0` literal as DECIMAL and would
+#: otherwise carry decimal lat/lon through to the output schema.)
+_GEO_LAT = "CAST(((c_custkey * 7919) % 17000) / 100.0 - 85.0 AS DOUBLE)"
+_GEO_LON = "CAST(((c_custkey * 104729) % 36000) / 100.0 - 180.0 AS DOUBLE)"
+
+
+@query(
+    "q_ys_haversine_knn",
+    oracle=f"""
+    SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon,
+           {_geo_sql(_GEO_LAT, _GEO_LON)} AS dist_km
+    FROM customer
+    ORDER BY dist_km, c_custkey
+    LIMIT {GEO_K}
+    """,
+)
+def q_ys_haversine_knn(spark, sf_dir):
+    """Geo nearest-neighbors: top-k customers by great-circle (haversine)
+    distance to a probe point. The geospatial function family — radians /
+    trig / spherical distance — over synthesized-but-deterministic
+    coordinates, value-checked against the oracle computing the SAME
+    formula text.
+
+    Scale shape: brute-force scan + ``TakeOrderedAndProject`` (per-
+    partition top-k, k-row merge on the driver — no global sort), the
+    exact-kNN baseline. At 100 TB the same two-stage discipline as vector
+    ANN applies: bucket by coarse geohash/S2 cell, probe only cells whose
+    bounding box can beat the current k-th distance (the q_ns_ann_ivf
+    recipe with cells for centroids). Distance is one codegen'd trig
+    expression — no UDF.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.withColumn("lat", F.expr(_GEO_LAT))
+        .withColumn("lon", F.expr(_GEO_LON))
+        .withColumn("dist_km", F.expr(_geo_sql("lat", "lon")))
+        .orderBy("dist_km", "c_custkey")
+        .limit(GEO_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (customer churn)
+# ---------------------------------------------------------------------------
+
+#: Customers whose LAST order lands on/after this date are right-censored
+#: (still active when observation ended).
+KM_CUTOFF = "2001-01-01"
+
+
+@query(
+    "q_yt_survival_km",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+             date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+             CASE WHEN max(o_orderdate) < TIMESTAMP '{KM_CUTOFF}'
+                  THEN 1 ELSE 0 END AS observed
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT count(*) AS n FROM life),
+    per_d AS (
+      SELECT dur, count(*) AS n_all,
+             sum(observed) AS n_deaths
+      FROM life GROUP BY dur),
+    risk AS (
+      SELECT dur, n_all, n_deaths,
+             (SELECT n FROM tot)
+               - coalesce(sum(n_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM per_d),
+    km AS (
+      SELECT dur, n_deaths, at_risk,
+             CASE WHEN min(1.0 - n_deaths::DOUBLE / at_risk)
+                       OVER (ORDER BY dur) <= 0.0 THEN 0.0
+                  ELSE exp(sum(ln(1.0 - n_deaths::DOUBLE / at_risk))
+                           OVER (ORDER BY dur)) END AS s
+      FROM risk)
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_deaths AS BIGINT) AS n_churned,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           round(s, 6) AS survival
+    FROM km WHERE n_deaths > 0 ORDER BY duration_days
+    """,
+)
+def q_yt_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of customer lifetime (first order →
+    last order, right-censored at {KM_CUTOFF}) — the product-limit
+    estimator S(t) = prod_(t_i <= t) (1 - d_i / n_i) with d_i churn
+    events and n_i the at-risk count (Kaplan & Meier, JASA 1958 —
+    public). Emits the standard curve rows: one per duration with >= 1
+    event.
+
+    Scale shape: the corpus-sized stage is ONE per-customer min/max
+    aggregate; everything after operates on per-DURATION aggregates
+    (calendar-bounded — a few thousand rows at any corpus size), so the
+    unpartitioned cumulative windows run on a vocabulary-sized frame
+    (same argument as q_ym_vocab_coverage; the q_yj distributed-rank
+    recipe applies if durations ever stop being calendar-bounded). The
+    product becomes exp-of-sum-of-logs with an explicit zero clamp —
+    Spark's ln() is NULL on 0 while DuckDB's is -inf, so the clamp keeps
+    both engines on the defined branch.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        (F.max("o_orderdate") < F.lit(KM_CUTOFF).cast("timestamp"))
+        .cast("long")
+        .alias("observed"),
+    )
+    n_total = life.count()
+    per_d = life.groupBy("dur").agg(
+        F.count("*").alias("n_all"), F.sum("observed").alias("n_deaths")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_d.withColumn(
+        "at_risk",
+        F.lit(n_total) - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)),
+    )
+    factor = 1.0 - F.col("n_deaths").cast("double") / F.col("at_risk")
+    km = risk.withColumn(
+        "s",
+        F.when(F.min(factor).over(w_cum) <= 0.0, F.lit(0.0)).otherwise(
+            F.exp(F.sum(F.log(factor)).over(w_cum))
+        ),
+    )
+    return (
+        km.filter(F.col("n_deaths") > 0)
+        .select(
+            F.col("dur").cast("bigint").alias("duration_days"),
+            F.col("n_deaths").cast("bigint").alias("n_churned"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
