@@ -65,6 +65,7 @@ SINGLE_RUN = {
     "q_stream_ohlc",
     "q_stream_dedup_lake",
     "q_s3_pystream",
+    "q_s5_pystream_sink",
     "q_ml_fpgrowth",
     "q_ml_word2vec",
     "q_yc_bfs_sssp",

@@ -670,3 +670,57 @@ def q_s3_pystream(spark, sf_dir):
     )
     out = run_to_memory(stream, output_mode="append", state_partitions=None)
     return out.orderBy("doc_id")
+
+
+@query(
+    "q_s5_pystream_sink",
+    oracle="""
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events ORDER BY event_id
+    """,
+)
+def q_s5_pystream_sink(spark, sf_dir):
+    """STREAMING write through the custom Python Data Source sink
+    (``DataSourceStreamWriter`` — ``sources/pydatasource.py``,
+    ``DocStoreStreamWriter``): the replayed events stream is written
+    micro-batch by micro-batch through the per-batch two-phase-commit
+    JSONL store (staged files → batch-idempotent manifest append), then
+    read back through the connector's manifest-planned reader and checked
+    against a plain SELECT over the events table — value-checking the
+    full streaming write path: per-batch task staging, commit-message
+    collection, batchId-idempotent manifest appends, and replay read-back.
+    Completes the connector matrix (batch read, stream read, batch write,
+    stream write). Idempotent-replay and abort semantics are unit-tested
+    in tests/test_io.py.
+
+    Scale shape: identical to the batch sink (tasks write in parallel,
+    driver commit is O(#tasks) per batch) plus the streaming engine's
+    offset log; the store path is wiped per run so the oracle comparison
+    is deterministic.
+    """
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    key = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    store = os.path.join(tempfile.gettempdir(), f"spark_graft_docstream_{key}")
+    ckpt = store + "_ckpt"
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev = _replayed_stream(spark, sf_dir).filter(
+        F.col("event_type") != FLUSH_EVENT_TYPE
+    ).select("event_id", "event_type", F.col("value").cast("double").alias("value"))
+    q = (
+        ev.writeStream.format("docstore")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.format("docstore").load(store).orderBy("event_id")

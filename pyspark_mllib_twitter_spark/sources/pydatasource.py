@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -301,3 +302,60 @@ class DocStoreDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DocStoreWriter:
         return DocStoreWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "DocStoreStreamWriter":
+        return DocStoreStreamWriter(self.options, schema, overwrite)
+
+
+class DocStoreStreamWriter(DocStoreWriter, DataSourceStreamWriter):
+    """STREAMING write path of the docstore connector — per-micro-batch
+    two-phase commit with IDEMPOTENT replay handling, which is what makes
+    the sink exactly-once end-to-end:
+
+    Spark's streaming engine may re-run a micro-batch after a failure (the
+    offset log says batch N started; the sink must decide whether its
+    effects already happened). The manifest records every committed
+    ``batchId``; a ``commit`` for an already-recorded batch DISCARDS the
+    re-staged files instead of double-appending — replayed batches become
+    no-ops, so "at-least-once delivery + idempotent commit = exactly-once
+    storage" (the standard streaming-sink contract).
+
+    Executor-side ``write`` is inherited from the batch writer (same
+    staged-file protocol); only the driver-side commit policy differs.
+    """
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        import json as _json
+        import os as _os
+
+        prior_files, batches = [], []
+        if _os.path.exists(self._manifest_path()):
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                m = _json.load(f)
+            prior_files, batches = m["files"], m.get("batches", [])
+        if batchId in batches:  # replayed batch — effects already committed
+            self.abort(messages, batchId)
+            return
+        files = []
+        for msg in messages:
+            if msg is None:
+                continue
+            final = _os.path.basename(msg.relpath)
+            _os.replace(
+                _os.path.join(self.path, msg.relpath),
+                _os.path.join(self.path, final),
+            )
+            files.append({"file": final, "rows": msg.rows, "batch": batchId})
+        manifest = {
+            "schema": self.schema_json,
+            "fields": self.field_names,
+            "files": prior_files + files,
+            "batches": batches + [batchId],
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, self._manifest_path())
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        DocStoreWriter.abort(self, messages)

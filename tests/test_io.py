@@ -236,3 +236,39 @@ def test_docstore_write_commit_protocol(spark, tmp_path):
     staged = os.listdir(os.path.join(store, "_staged"))
     assert staged == [], f"orphaned staged files not aborted: {staged}"
     assert spark.read.format("docstore").load(store).count() == 150
+
+
+def test_docstore_stream_commit_is_batch_idempotent(spark, tmp_path):
+    """DataSourceStreamWriter replay contract: committing the same batchId
+    twice must not double-append — the second commit discards its staged
+    files (at-least-once delivery + idempotent commit = exactly-once
+    storage)."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        DocStoreStreamWriter,
+        _StagedFile,
+    )
+
+    store = str(tmp_path / "s")
+    os.makedirs(os.path.join(store, "_staged"))
+    schema = StructType.fromDDL("doc_id bigint")
+    w = DocStoreStreamWriter({"path": store}, schema, overwrite=False)
+
+    def stage(name, rows):
+        rel = os.path.join("_staged", name)
+        with open(os.path.join(store, rel), "w") as f:
+            for i in range(rows):
+                f.write(f"[{i}]\n")
+        return _StagedFile(rel, rows)
+
+    w.commit([stage("a.jsonl", 3)], batchId=0)
+    w.commit([stage("b.jsonl", 2)], batchId=1)
+    # replay of batch 1 after a simulated failure: must be a no-op
+    w.commit([stage("c.jsonl", 2)], batchId=1)
+    m = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    assert m["batches"] == [0, 1]
+    assert sum(e["rows"] for e in m["files"]) == 5
+    assert os.listdir(os.path.join(store, "_staged")) == []  # replay drained
