@@ -17,20 +17,21 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-5 window: the two never-checked CDC entries (``q_xe``/``q_xf``,
-written after round 4's sweep), the many operators added this round
-(IVF+PQ in-memory + persisted index, bucketed chunk dedup, portable
-MinHash pairs + end-to-end survivors, Python Data Source connector,
-paragraph dedup, span dedup, outer stream join, domain quota, inverted
-index, count-min sketch, embedding centroids, Z-order, ranking metrics,
-BPE merge step, PMI, DQ expectations), ``q_a6_approx_distinct`` (benched
-r4), and the stale round-3 greens that fit. Sitting out: the rest of the
-round-3 greens, the round-3 rows-only streaming/ML entries, and the
-rows-only ANN singles (``q_ns_ann_lsh/ivf/pq``, ``q_a11_sketch_merge``) —
-each recall/property-tested locally, and the never-checked oracle-backed
-additions beat a rows-only refresh for the bounded slots (the composed
-``q_ns_ann_ivfpq``/``_idx`` entries keep ANN represented in-window).
-Round-4's 49 entries all went green and rotate out.
+Round-6 window, in priority order: (1) the 14 oracle-backed entries
+written after round 5's sweep and therefore never driver-checked
+(``q_y9``..``q_ym`` + ``q_stream_dedup_lake`` — all local-oracle-green);
+(2) the 13 oracle-backed round-6 additions (TPC-H Q12/Q14/Q16/Q19/Q21/
+Q22, the connector batch+stream write paths, skyline, bloom-pruned join,
+PPJoin, haversine kNN, Kaplan-Meier); (3) the 7 never-checked rows-only
+entries (round-6 ``q_xl2``/``q_yn``/``q_yo`` + round-5 ``q_yd_bpe_train``
+/ ``q_ml_fpgrowth`` / ``q_ml_kmeans`` / ``q_ml_tuning``); (4) 16 of the
+round-3 greens now three rounds stale (oracle-backed ones first —
+including the two round-5 bench-regression suspects ``q_ns_quality`` /
+``q_ns_pipeline``, re-timed solo this round). Sitting out: the remaining
+round-3/4/5 greens (all re-verified by the local oracle run each session)
+and the rows-only ANN/streaming singles, each property-tested locally.
+Round-5's 50 entries all went green (or rows-only-by-design) and rotate
+out.
 """
 
 from __future__ import annotations
@@ -46,102 +47,69 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- never externally checked (written after round 4's sweep) ----------
-    "q_xe_cdc_chunks",
-    "q_xf_chunk_dedup",
-    # -- new this round ----------------------------------------------------
-    "q_ns_ann_ivfpq",
-    "q_ns_ann_ivfpq_idx",
-    "q_xg_chunk_dedup_bucketed",
-    "q_ns_minhash_portable",
-    "q_ns_minhash_dedup_e2e",
-    "q_s2_pysource",
-    "q_xh_para_dedup",
-    "q_xi_span_dedup",
-    "q_stream_join_outer",
-    "q_udf_grouped_agg",
-    "q_stream_static_join",
-    "q_xj_merge_upsert",
-    "q_xk_scd2_history",
-    "q_xl_pagerank",
-    "q_w7_range_frame",
-    "q_xm_triangles",
-    "q_xn_funnel",
-    "q_stream_foreach_sink",
-    "q_xo_cohort_retention",
-    "q_xp_gapfill",
-    "q_xq_editdist_join",
-    "q_sql_recursive",
-    "q_f_variant",
-    "q_xr_incremental_rollup",
-    "q_stream_state_reader",
-    "q_s3_pystream",
-    "q_w8_session_window",
-    "q_xs_snapshot_diff",
-    "q_xt_profile",
-    "q_xu_drift_psi",
-    "q_sql_q10",
-    "q_sql_q18",
-    "q_f_try",
-    # -- new in the round-5 second half (all oracle-backed, never checked) --
-    "q_xv_domain_quota",
-    "q_xw_inverted_index",
-    "q_xx_cms_heavy_hitters",
-    "q_xy_emb_centroids",
-    "q_xz_zorder_layout",
-    "q_y1_rank_metrics",
-    "q_y2_bpe_merge_step",
-    "q_y3_pmi_cooccur",
-    "q_y4_expectations",
-    "q_y5_mix_temperature",
-    "q_y6_equidepth_bins",
-    "q_y7_time_weighted_avg",
-    "q_y8_ohlc",
-    # -- benched in round 4, last externally seen round 2 ------------------
-    "q_a6_approx_distinct",
-    # -- the streaming machinery's in-window representative: never-checked
-    # AND oracle-backed (all stream entries share the replay harness, so
-    # one row covers the family's health; q_stream_join, green r3, yields
-    # its slot to this strictly-higher-signal sibling). The other round-3
-    # greens that held slots earlier in round 5 — q_j_asof, q_sql_q3,
-    # q_sql_q5, q_ns_pipeline, q_sub_q17, q_udf_grouped_mad,
-    # q_w5_sessionize, q_stream_sliding, q_stream_window_counts — likewise
-    # yielded to the never-checked q_xv..q_y8 block above and are now
-    # three rounds stale: rotate them back in round 6.
-    "q_stream_ohlc",
-    # q_p1_filter / q_p3_project / q_s1_scan / q_t1_sort_limit / q_f_cond /
-    # q_f_map / q_u4_bag_setops / q_sample_hash / q_u1_setops /
-    # q_stat_crosstab / q_f_json sit out (most trivial round-3 greens —
-    # the last six gave up their slots to the operators added mid-round,
-    # q_ns_minhash_portable / q_ns_minhash_dedup_e2e / q_s2_pysource /
-    # q_xh_para_dedup / q_xi_span_dedup / q_stream_join_outer:
-    # never-checked beats stale-green), as do q_g4_grouping_sets /
-    # q_u2_unpivot / q_u3_union_by_name / q_w3_frames / q_w6_analytic /
-    # q_a5_id_dictionary / q_a8_salted_agg / q_e2e_w1doc /
-    # q_j_asof_generic (stale-green slots given up to the nine operators
-    # added in the round-5 continuation: q_udf_grouped_agg /
-    # q_stream_static_join / q_xj_merge_upsert / q_xk_scd2_history /
-    # q_xl_pagerank / q_w7_range_frame / q_xm_triangles / q_xn_funnel /
-    # q_stream_foreach_sink, likewise q_ns_token_bpe /
-    # q_sample_stratified / q_sub_scalar to q_xo_cohort_retention /
-    # q_xp_gapfill / q_xq_editdist_join, and q_udf_pandas_cosine /
-    # q_w2_ranking to the Spark-4 SQL-surface pair q_sql_recursive /
-    # q_f_variant, q_ns_token_stats to q_xr_incremental_rollup, and
-    # q_j_nullsafe to q_stream_state_reader, q_udf_arrow_map to
-    # q_s3_pystream, q_ns_langid / q_udtf_tokens / q_w4_time_rollup
-    # to q_w8_session_window / q_xs_snapshot_diff / q_xt_profile, and
-    # q_ns_quality to q_xu_drift_psi, q_ns_scrub / q_sql_lateral to
-    # the TPC-H additions q_sql_q10 / q_sql_q18, and q_w1_topk to the
-    # error-safe scalar family q_f_try) and the round-3 rows-only
-    # streaming/ML entries — all locally tested. The four newest
-    # oracle-backed entries (q_y9_bitmap_distinct / q_ya_chi2_independence
-    # / q_yb_markov_transitions / q_yc_bfs_sssp) arrived with the window
-    # already at 50 never-checked-or-priority slots; they are
-    # driver-mirror-green locally and are first in line for round 6 —
-    # as are the later additions q_yd_bpe_train / q_ye_weighted_sample /
-    # q_yf_robust_outliers / q_yg_rolling_distinct / q_stream_dedup_lake /
-    # q_ml_fpgrowth / q_yh_assoc_rules / q_yi_abtest_ztest / q_yj_gini /
-    # q_yk_knn_eval / q_yl_entropy / q_ym_vocab_coverage.
+    # -- (1) oracle-backed, written after round 5's sweep, never checked ---
+    "q_y9_bitmap_distinct",
+    "q_ya_chi2_independence",
+    "q_yb_markov_transitions",
+    "q_yc_bfs_sssp",
+    "q_ye_weighted_sample",
+    "q_yf_robust_outliers",
+    "q_yg_rolling_distinct",
+    "q_yh_assoc_rules",
+    "q_yi_abtest_ztest",
+    "q_yj_gini",
+    "q_yk_knn_eval",
+    "q_yl_entropy",
+    "q_ym_vocab_coverage",
+    "q_stream_dedup_lake",
+    # -- (2) oracle-backed round-6 additions -------------------------------
+    "q_sql_q12",
+    "q_sql_q14",
+    "q_sql_q16",
+    "q_sql_q19",
+    "q_sql_q21",
+    "q_sql_q22",
+    "q_s4_pysink_roundtrip",
+    "q_s5_pystream_sink",
+    "q_yp_skyline",
+    "q_yq_bloom_prune_join",
+    "q_yr_setsim_prefix_join",
+    "q_ys_haversine_knn",
+    "q_yt_survival_km",
+    # -- (3) rows-only, never externally checked ---------------------------
+    "q_xl2_pagerank_converged",
+    "q_yn_robust_outliers_approx",
+    "q_yo_equidepth_approx",
+    "q_yd_bpe_train",
+    "q_ml_fpgrowth",
+    "q_ml_kmeans",
+    "q_ml_tuning",
+    # -- (4) round-3 greens, three rounds stale (oracle-backed) ------------
+    "q_a5_id_dictionary",
+    "q_a8_salted_agg",
+    "q_e2e_w1doc",
+    "q_f_cond",
+    "q_f_json",
+    "q_f_map",
+    "q_g4_grouping_sets",
+    "q_j_asof",
+    "q_j_asof_generic",
+    "q_j_nullsafe",
+    "q_ns_langid",
+    "q_ns_pipeline",
+    "q_ns_quality",
+    "q_ns_scrub",
+    "q_ns_token_bpe",
+    "q_ns_token_stats",
+    # Sitting out (all locally green this session): the remaining round-3
+    # stale entries (q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
+    # q_sample_hash, q_sample_stratified, q_sql_lateral, q_sql_q3,
+    # q_sql_q5, q_stat_crosstab, q_sub_q17, q_sub_scalar, q_u1..q_u4,
+    # q_udf_*, q_udtf_tokens, q_w1_topk..q_w6_analytic, the round-3
+    # streaming entries, q_e2e_w2pairs) — next in line for round 7 — and
+    # the rows-only ANN/sketch singles (q_ns_ann_lsh/ivf/pq,
+    # q_a11_sketch_merge, r2-stale but recall/property-tested locally
+    # every session).
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -117,8 +117,10 @@ def test_pagerank_mass_and_floor(spark):
         ).first()
         # Every node keeps at least the teleport share.
         assert stats["floor"] >= (1 - 0.85) / n - 1e-9
-        # Simplified PageRank leaks dangling mass — total in (0, 1].
-        assert 0.0 < stats["mass"] <= 1.0 + 1e-9
+        # Simplified PageRank leaks dangling mass — total in (0, 1] up to
+        # the query's 6dp per-rank rounding (±5e-7 × n can push a dense
+        # graph's ~1.0 mass just over: measured 1.000016 at sf0.01).
+        assert 0.0 < stats["mass"] <= 1.0 + n * 5e-7 + 1e-9
     finally:
         out.unpersist()
 

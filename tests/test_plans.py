@@ -352,9 +352,43 @@ def test_bitmap_words_single_agg_chain(spark):
 def test_gini_rank_is_not_single_partition(spark):
     """q_yj: the global rank runs as pid-partitioned local windows over a
     range-partitioned sort with broadcast offsets — the row_number window
-    itself is never a single-partition sort. (The one SinglePartition
-    exchange left in the plan is the final 1-row scalar aggregate, which
-    reduces partial aggregates, not data.)"""
+    itself is never a single-partition sort. Since the round-6 advice fix,
+    the range-partitioned frame is localCheckpoint-PINNED (so the offsets
+    job and the final aggregate read the same physical layout): the final
+    plan is rooted at the checkpoint scan instead of showing the range
+    exchange, and must contain no other global sort."""
     plan = _plan(spark, "q_yj_gini")
     assert "windowspecdefinition(_pid" in plan  # window is per-partition
-    assert "rangepartitioning(s" in plan  # global order via range exchange
+    assert "Scan ExistingRDD" in plan  # checkpoint-pinned range layout
+    # no global single-partition sort anywhere (the pinned layout already
+    # carries the order)
+    assert "rangepartitioning(s" not in plan
+
+
+def test_survey_registry_totals_match():
+    """SURVEY.md's §2.12 registry totals must track the live registry —
+    the round-5 verdict flagged the doc going stale. Update the bolded
+    'N queries, M oracle-checked, K rows-only' line when registering new
+    queries."""
+    import os
+    import re
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    total, with_oracle = len(qs), len([k for k in qs if k in oracles])
+    survey = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "SURVEY.md"),
+        encoding="utf-8",
+    ).read()
+    m = re.search(
+        r"\*\*(\d+) queries, (\d+) oracle-checked, (\d+) rows-only\*\*", survey
+    )
+    assert m, "SURVEY.md totals line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        total,
+        with_oracle,
+        total - with_oracle,
+    ), f"SURVEY.md says {m.groups()}, registry has {(total, with_oracle, total - with_oracle)}"
