@@ -1740,3 +1740,43 @@ def q_sql_q22(spark, sf_dir):
     within float-noise of the mean; the OUTPUT sums are decimal-exact."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+@query(
+    "q_w9_topk_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def q_w9_topk_ties(spark, sf_dir):
+    """Tie-PRESERVING top-k per group: ``rank()`` (not row_number) keeps
+    every order that ties into the top 3 totals per customer — the
+    leaderboard semantics where equal scores share a place and the k-th
+    place may hold several rows. Complements q_w1_topk's deterministic
+    row_number tie-BREAK: the two are the engine's two top-k contracts.
+
+    The rank key is the price cast to DECIMAL(18,2): fixture prices carry
+    two decimals, so the cast is lossless, and tie GROUPS become an exact
+    value notion both engines agree on (double representation noise
+    cannot split or merge a tie group). Plan shape: rank-filter plans as
+    WindowGroupLimit exactly like row_number top-k — each map task keeps
+    at most the rows tying into the top 3 before the group shuffle
+    (plan-asserted in tests/test_plans.py).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc()
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )

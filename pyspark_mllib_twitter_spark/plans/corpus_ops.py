@@ -2821,3 +2821,218 @@ def q_yt_survival_km(spark, sf_dir):
         )
         .orderBy("duration_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Finite-window EWMA (TSDB smoothing primitive)
+# ---------------------------------------------------------------------------
+
+#: Smoothing factor and truncation depth. The classic recursive EWMA is not
+#: window-expressible; truncating at EWMA_K lags (weight (1-a)^j < 0.5% of
+#: the head at j=16, a=0.3) makes it a bounded ROWS frame both engines
+#: compute identically, re-normalized over the weights actually present.
+EWMA_ALPHA = 0.3
+EWMA_K = 16
+
+
+@query(
+    "q_yu_ewma",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_K - 1} PRECEDING
+                                        AND CURRENT ROW) AS trail
+      FROM events WHERE user_id IS NOT NULL)
+    SELECT user_id, event_id,
+           round(list_sum(list_transform(list_reverse(trail),
+                   (x, i) -> x * pow(1.0 - {EWMA_ALPHA}, i - 1)))
+                 / list_sum(list_transform(list_reverse(trail),
+                   (x, i) -> pow(1.0 - {EWMA_ALPHA}, i - 1))), 6) AS ewma
+    FROM w ORDER BY user_id, event_id
+    """,
+)
+def q_yu_ewma(spark, sf_dir):
+    """Exponentially weighted moving average per user over event time — the
+    TSDB smoothing primitive (RFC-free classic; Hunter, "The
+    exponentially weighted moving average", JQT 1986 — public), truncated
+    at ``EWMA_K`` lags so the infinite recursion becomes a bounded ROWS
+    frame: ewma_t = sum_j (1-a)^j x_(t-j) / sum_j (1-a)^j over the trail
+    actually present (self-normalizing at series heads).
+
+    Scale shape: ONE window pass with a constant-width ROWS frame
+    (bounded state per row — never holds a user's whole series), then the
+    weighting is a codegen'd higher-order fold over a <= K-element array
+    in-row (zip_with + aggregate; no Python, no explode — the row count
+    never multiplies). Per-user ordering ties break on event_id so both
+    engines assemble identical trails.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), 0)
+    )
+    trail = F.reverse(F.collect_list("value").over(w))
+    decay = 1.0 - EWMA_ALPHA
+    wts = F.transform(trail, lambda x, i: F.pow(F.lit(decay), i.cast("double")))
+    wx = F.zip_with(trail, wts, lambda x, wt: x * wt)
+    ewma = F.aggregate(wx, F.lit(0.0), lambda acc, v: acc + v) / F.aggregate(
+        wts, F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC (rank-sum / Mann-Whitney, distributed rank)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yv_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+             event_id
+      FROM events),
+    ranked AS (
+      SELECT label, row_number() OVER (ORDER BY score, event_id) AS r
+      FROM scored),
+    agg AS (
+      SELECT sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS rank_sum,
+             sum(label) AS n_pos, count(*) - sum(label) AS n_neg
+      FROM ranked)
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM agg
+    """,
+)
+def q_yv_auc(spark, sf_dir):
+    """ROC AUC of "does the value column predict a purchase event" via the
+    rank-sum (Mann-Whitney U) identity AUC = (R_pos - n_pos(n_pos+1)/2)
+    / (n_pos * n_neg) — the standard large-scale AUC formulation because
+    it needs only a GLOBAL RANK, not the O(n^2) pair enumeration or a
+    thresholds sweep (Hanley & McNeil 1982 — public). Score ties break on
+    event_id so both engines rank identically (fixture scores are
+    continuous doubles — tie handling is deterministic, not statistical).
+
+    Scale shape: the global rank uses the distributed range-repartition +
+    broadcast-offsets recipe (q_yj_gini; layout localCheckpoint-pinned so
+    the offsets job and the rank read the same partitioning) — no
+    single-partition window; the rest is one scalar aggregate.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+        "event_id",
+    )
+    parts = (
+        ev.repartitionByRange("score", "event_id")
+        .sortWithinPartitions("score", "event_id")
+        .localCheckpoint(eager=True)
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    counts = sorted(tuple(r) for r in with_pid.groupBy("_pid").count().collect())
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    local_rank = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("score", "event_id")
+    )
+    ranked = with_pid.join(F.broadcast(offsets_df), "_pid").withColumn(
+        "r", F.col("_offset") + local_rank
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0)).alias("rank_sum"),
+        F.sum("label").alias("n_pos"),
+        (F.count("*") - F.sum("label")).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (robust mean via percentile clipping)
+# ---------------------------------------------------------------------------
+
+#: Winsorization tail fraction (clip below p05 / above p95).
+WINSOR_P = 0.05
+
+
+@query(
+    "q_yw_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, {WINSOR_P}) AS lo,
+             quantile_disc(l_extendedprice, {1 - WINSOR_P}) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_extendedprice < lo THEN 1
+                         WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped,
+           round(avg(l_extendedprice), 6) AS raw_mean,
+           round(avg(greatest(lo, least(hi, l_extendedprice))), 6)
+             AS winsor_mean
+    FROM lineitem l JOIN cuts USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def q_yw_winsorize(spark, sf_dir):
+    """Winsorized mean per group: clip values below p05 / above p95 to the
+    percentile edges, then average — the robust-statistics companion to
+    the Hampel rule (q_yf): instead of FLAGGING outliers it bounds their
+    influence (Tukey/Winsor, classical). Reports raw vs winsorized mean
+    and how many rows were clipped.
+
+    Scale shape: one percentile aggregate per group broadcast back into a
+    map-only greatest/least clip, then one map-side-combinable average —
+    same two-pass broadcast discipline as q_yf. Exact ``percentile_disc``
+    keeps the oracle fixture; at 100 TB the mergeable approx_percentile
+    swaps in exactly as in q_yn/q_yo.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile_disc({WINSOR_P}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo"),
+        F.expr(
+            f"percentile_disc({1 - WINSOR_P}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(cuts), "l_returnflag")
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("long")
+            ).cast("bigint").alias("n_clipped"),
+            F.round(F.avg("l_extendedprice"), 6).alias("raw_mean"),
+            F.round(
+                F.avg(F.greatest("lo", F.least("hi", F.col("l_extendedprice")))), 6
+            ).alias("winsor_mean"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -392,3 +392,11 @@ def test_survey_registry_totals_match():
         with_oracle,
         total - with_oracle,
     ), f"SURVEY.md says {m.groups()}, registry has {(total, with_oracle, total - with_oracle)}"
+
+
+def test_topk_ties_plans_window_group_limit(spark):
+    """q_w9: the rank()<=3 filter must push into WindowGroupLimit (each
+    task pre-truncates to the rows that can tie into the top 3 before the
+    shuffle) — rank() qualifies for the pushdown exactly like row_number."""
+    plan = _plan(spark, "q_w9_topk_ties")
+    assert "WindowGroupLimit" in plan
