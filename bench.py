@@ -215,11 +215,30 @@ def main() -> int:
     except Exception:
         pass
 
+    # Iterative/chained-job entries are the most GC-position-sensitive: a
+    # late-suite ContextCleaner backlog turns their many short jobs into
+    # pause-dominated runs (measured: q_x6_cc_clusters 9.5s solo vs 45.8s at
+    # position ~150 of the 192-query suite). One forced GC immediately
+    # before each such entry pins its number to the operator, not the heap.
+    gc_before = {
+        "q_x6_cc_clusters",
+        "q_ns_minhash_dedup_e2e",
+        "q_yc_bfs_sssp",
+        "q_yd_bpe_train",
+        "q_xl2_pagerank_converged",
+        "q_w2_als_recommend",
+    }
+
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     streaming_stats: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
+        if base_name(name) in gc_before:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         runs = 1 if base_name(name) in SINGLE_RUN else args.runs
         samples = []
         try:

@@ -311,3 +311,67 @@ def test_tws_user_stats(spark, events, replay_dir):
     )
     want = {r.user_id: (r.n, round(r.s, 4)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, sf_smoke, tmp_path):
+    """End-to-end restartability: run a stream over HALF the replay files
+    into the docstore sink with a checkpoint, "crash" (query ends), add
+    the remaining files, restart with the SAME checkpoint — the file
+    source must resume from the offset log (no re-processing of the first
+    half) and the batchId-idempotent sink must hold each event exactly
+    once. This is the full exactly-once contract across a restart, not
+    just within one run."""
+    import shutil
+
+    from pyspark_mllib_twitter_spark.plans.streaming_queries import _replay_dir
+    from pyspark_mllib_twitter_spark.sources.pydatasource import register
+    from pyspark_mllib_twitter_spark.streaming.streams import (
+        FLUSH_EVENT_TYPE,
+        read_events_stream,
+    )
+
+    register(spark)
+    replay = _replay_dir(spark, sf_smoke)
+    chunks = sorted(f for f in os.listdir(replay) if f.endswith(".parquet"))
+    assert len(chunks) >= 4
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run():
+        ev = read_events_stream(spark, src).filter(
+            F.col("event_type") != FLUSH_EVENT_TYPE
+        ).select("event_id", "event_type")
+        q = (
+            ev.writeStream.format("docstore")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = len(chunks) // 2
+    for f in chunks[:half]:
+        shutil.copy(os.path.join(replay, f), os.path.join(src, f))
+    run()
+    n_first = spark.read.format("docstore").load(store).count()
+    assert n_first > 0
+
+    for f in chunks[half:]:
+        shutil.copy(os.path.join(replay, f), os.path.join(src, f))
+    run()  # same checkpoint: resumes, does not reprocess
+    out = spark.read.format("docstore").load(store)
+    total = out.count()
+    assert total > n_first
+    assert out.select("event_id").distinct().count() == total  # exactly once
+    # full-content check against the replay dir read as a batch table
+    from pyspark_mllib_twitter_spark.streaming.streams import EVENTS_SCHEMA
+
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(replay)
+        .filter(F.col("event_type") != FLUSH_EVENT_TYPE)
+    )
+    assert total == batch.count()
