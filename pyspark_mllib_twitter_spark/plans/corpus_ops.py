@@ -2616,8 +2616,10 @@ def q_yr_setsim_prefix_join(spark, sf_dir):
     )
     # `ordered` feeds the prefix stream AND both verify-side re-joins; no
     # explicit materialization — Catalyst's ReuseExchange dedupes the three
-    # identical subplans (measured: an eager localCheckpoint here was SLOWER,
-    # 24s -> 35s at sf0.1, by defeating exchange reuse and AQE planning)
+    # identical subplans (measured at sf0.1 solo: plain 24s, eager
+    # localCheckpoint 35s, lazy cache 36s — both "optimizations" lose by
+    # defeating exchange reuse / AQE sizing; the in-suite 68s spike is the
+    # same late-suite GC artifact as q_x6, not a plan problem).
     ordered = (
         grams.select("doc_id", F.explode("gs").alias("g"))
         .join(g_df, "g")
