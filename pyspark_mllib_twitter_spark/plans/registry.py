@@ -89,6 +89,8 @@ CHECK_WINDOW: list[str] = [
     "q_yv_auc",
     "q_yw_winsorize",
     "q_w9_topk_ties",
+    "q_s6_docstore_compact",
+    "q_s7_schema_evolution",
     # -- (4) round-3 greens, three rounds stale (oracle-backed) ------------
     "q_a5_id_dictionary",
     "q_a8_salted_agg",
@@ -100,12 +102,11 @@ CHECK_WINDOW: list[str] = [
     "q_ns_pipeline",
     "q_ns_quality",
     "q_ns_scrub",
-    "q_ns_token_bpe",
-    "q_ns_token_stats",
     # Sitting out (all locally green this session): the remaining round-3
     # stale entries (q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
-    # q_f_cond, q_f_json, q_f_map, q_g4_grouping_sets — the last four
-    # yielded their slots to the continuation additions q_yu..q_w9 —
+    # q_f_cond, q_f_json, q_f_map, q_g4_grouping_sets, q_ns_token_bpe,
+    # q_ns_token_stats — the last six yielded their slots to the
+    # continuation additions q_yu..q_w9 + q_s6/q_s7 —
     # q_sample_hash, q_sample_stratified, q_sql_lateral, q_sql_q3,
     # q_sql_q5, q_stat_crosstab, q_sub_q17, q_sub_scalar, q_u1..q_u4,
     # q_udf_*, q_udtf_tokens, q_w1_topk..q_w6_analytic, the round-3

@@ -1434,3 +1434,89 @@ def q_w8_session_window(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_s6_docstore_compact",
+    oracle="SELECT doc_id, source, text FROM documents ORDER BY doc_id",
+)
+def q_s6_docstore_compact(spark, sf_dir):
+    """Small-files COMPACTION of the custom docstore (the lakehouse
+    OPTIMIZE primitive, expressed through the connector): write the
+    documents table through the sink at high parallelism (many small
+    committed files), then compact — read back through the connector,
+    coalesce to a target file count, and overwrite-rewrite through the
+    SAME two-phase-commit writer. The overwrite publishes a new manifest
+    listing only the compacted files atomically; a reader never observes
+    a half-compacted store (the manifest swap IS the transaction). The
+    oracle checks content is untouched; the file-count collapse is
+    asserted in tests/test_io.py.
+
+    Scale shape: compaction is a parallel read + coalesced parallel write
+    (no driver materialization); at 100 TB this runs per-partition-range
+    so rewrite units stay bounded — the connector's manifest would carry
+    range metadata exactly like the clustered-parquet writer's footers.
+    """
+    import hashlib as _hl
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    store = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_compact_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    src.repartition(16).write.format("docstore").mode("overwrite").save(store)
+    # compact: connector read -> 2 files -> atomic overwrite republish
+    spark.read.format("docstore").load(store).coalesce(2).write.format(
+        "docstore"
+    ).mode("overwrite").save(store)
+    return spark.read.format("docstore").load(store).orderBy("doc_id")
+
+
+@query(
+    "q_s7_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q_s7_schema_evolution(spark, sf_dir):
+    """Schema evolution on read (``mergeSchema``): two parquet file sets
+    written under DIFFERENT schemas — an old batch without the
+    ``priority`` column and a new batch with it — read back as ONE table
+    whose merged schema null-fills the column for old files. The
+    append-only ingestion reality at 100 TB: producers add columns over
+    time and the lake must keep reading old files without a rewrite.
+
+    Scale shape: schema merge is a footer-only operation (no data scan);
+    per-file projection pushdown still applies — old files read 2
+    columns, new files 3. The oracle reproduces the null-fill with a
+    parity CASE because it reads the ORIGINAL table; file routing is by
+    ``o_orderkey`` parity, deterministic on both sides.
+    """
+    import hashlib as _hl
+    import os as _os
+    import tempfile
+
+    base = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_evolve_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    old.write.mode("overwrite").parquet(_os.path.join(base, "v1"))
+    new.write.mode("overwrite").parquet(_os.path.join(base, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _os.path.join(base, "v1"), _os.path.join(base, "v2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "priority").orderBy("o_orderkey")

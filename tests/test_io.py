@@ -272,3 +272,29 @@ def test_docstore_stream_commit_is_batch_idempotent(spark, tmp_path):
     assert m["batches"] == [0, 1]
     assert sum(e["rows"] for e in m["files"]) == 5
     assert os.listdir(os.path.join(store, "_staged")) == []  # replay drained
+
+
+def test_docstore_compaction_collapses_files(spark, tmp_path):
+    """OPTIMIZE contract: compaction reduces committed file count without
+    changing content, and the manifest swap is atomic (the store is never
+    manifest-less mid-compact)."""
+    import json
+    import os
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import register
+
+    register(spark)
+    store = str(tmp_path / "c")
+    df = spark.range(500).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    df.repartition(16).write.format("docstore").mode("overwrite").save(store)
+    m1 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    assert len(m1["files"]) == 16
+    spark.read.format("docstore").load(store).coalesce(2).write.format(
+        "docstore"
+    ).mode("overwrite").save(store)
+    m2 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    assert len(m2["files"]) == 2
+    back = spark.read.format("docstore").load(store)
+    assert {(r.doc_id, r.text) for r in back.collect()} == {
+        (r.doc_id, r.text) for r in df.collect()
+    }
