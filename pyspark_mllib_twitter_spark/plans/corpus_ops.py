@@ -3038,3 +3038,67 @@ def q_yw_winsorize(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality index (time-series decomposition readout)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yx_seasonality",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+             CAST(value AS DECIMAL(38,6)) AS v
+      FROM events),
+    per AS (
+      SELECT event_type, dow, count(*) AS n,
+             CAST(avg(v) AS DOUBLE) AS dow_avg
+      FROM base GROUP BY event_type, dow),
+    overall AS (
+      SELECT event_type, CAST(avg(v) AS DOUBLE) AS all_avg
+      FROM base GROUP BY event_type)
+    SELECT p.event_type, CAST(p.dow AS INT) AS dow, CAST(p.n AS BIGINT) AS n,
+           round(p.dow_avg, 6) AS dow_avg,
+           round(p.dow_avg / o.all_avg, 6) AS seasonal_index
+    FROM per p JOIN overall o USING (event_type)
+    ORDER BY event_type, dow
+    """,
+)
+def q_yx_seasonality(spark, sf_dir):
+    """Day-of-week seasonal index per event type: mean value per (type,
+    weekday) relative to the type's overall mean — the classical
+    multiplicative seasonality readout (index > 1 = above-trend weekday).
+    Means are computed over DECIMAL-cast values so both engines average
+    the identical exact sum before the one double division.
+
+    Scale shape: two map-side-combinable aggregates over the same scan
+    (Catalyst reuses the exchange) joined on the 5-row type key —
+    broadcast. DuckDB's dayofweek() is 0=Sunday while Spark's dayofweek()
+    is 1=Sunday, so the Spark side uses ``dayofweek(ts) - 1`` to match;
+    both engines index the SAME calendar days (fixture timestamps are tz-
+    naive UTC on both sides).
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+    )
+    per = ev.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.avg("v").cast("double").alias("dow_avg"),
+    )
+    overall = ev.groupBy("event_type").agg(
+        F.avg("v").cast("double").alias("all_avg")
+    )
+    return (
+        per.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.round("dow_avg", 6).alias("dow_avg"),
+            F.round(F.col("dow_avg") / F.col("all_avg"), 6).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

@@ -1520,3 +1520,38 @@ def q_s7_schema_evolution(spark, sf_dir):
         _os.path.join(base, "v1"), _os.path.join(base, "v2")
     )
     return merged.select("o_orderkey", "o_totalprice", "priority").orderBy("o_orderkey")
+
+
+@query(
+    "q_j_hints",
+    oracle="""
+    SELECT o_orderkey, c_name,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    ORDER BY o_orderkey
+    """,
+)
+def q_j_hints(spark, sf_dir):
+    """Join-strategy HINT surface: the same equi-join forced through
+    sort-merge with the ``MERGE`` hint (`.hint("merge")`), overriding the
+    planner's broadcast choice. Results are strategy-invariant — the
+    oracle is the plain join — and the plan contract (SortMergeJoin
+    present, no BroadcastHashJoin on the hinted side) is asserted in
+    tests/test_plans.py.
+
+    Why this is part of the engine surface: at 100 TB the planner's
+    size estimates are sometimes wrong in BOTH directions (a "small" side
+    that explodes after a filter-pushdown misestimate, or a broadcast
+    that OOMs the driver), and the hint family — BROADCAST /
+    MERGE / SHUFFLE_HASH / SHUFFLE_REPLICATE_NL — is the sanctioned
+    override. AQE can still re-coalesce partitions but honors the
+    strategy hint.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )

@@ -400,3 +400,11 @@ def test_topk_ties_plans_window_group_limit(spark):
     shuffle) — rank() qualifies for the pushdown exactly like row_number."""
     plan = _plan(spark, "q_w9_topk_ties")
     assert "WindowGroupLimit" in plan
+
+
+def test_join_hint_forces_sort_merge(spark):
+    """q_j_hints: the MERGE hint must override the planner's broadcast
+    preference — SortMergeJoin in the plan, no BroadcastHashJoin."""
+    plan = _plan(spark, "q_j_hints")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
