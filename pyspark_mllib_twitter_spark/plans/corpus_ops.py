@@ -3102,3 +3102,292 @@ def q_yx_seasonality(spark, sf_dir):
         )
         .orderBy("event_type", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q-Q decile comparison (distribution drift diagnostics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yy_qq_deciles",
+    oracle="""
+    WITH a AS (
+      SELECT quantile_disc(o_totalprice,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')),
+    b AS (
+      SELECT quantile_disc(o_totalprice,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+    SELECT i AS decile, a.qs[i] AS q_urgent, b.qs[i] AS q_other,
+           round(a.qs[i] / b.qs[i], 6) AS qq_ratio
+    FROM a, b, unnest(range(1, 10)) t(i)
+    ORDER BY decile
+    """,
+)
+def q_yy_qq_deciles(spark, sf_dir):
+    """Q-Q decile comparison between two order populations (urgent vs
+    other priority): the distribution-drift diagnostic that compares
+    QUANTILES pairwise instead of means — a flat qq_ratio curve means the
+    populations differ only in scale/none; a tilted curve localizes WHERE
+    (which decile) the distributions diverge. Discrete quantiles keep
+    edges as actual data values both engines agree on.
+
+    Scale shape: two percentile aggregates (one scan, Catalyst reuses the
+    exchange) each collapsing to a 9-element array; the decile table is a
+    posexplode of two broadcast 1-row frames — no join over data. The
+    mergeable approx_percentile swap-in (q_yn/q_yo) applies verbatim at
+    100 TB.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    qs = ", ".join(
+        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY o_totalprice)"
+        for i in range(1, 10)
+    )
+    a = o.filter(urgent).agg(F.expr(f"array({qs})").alias("qa"))
+    b = o.filter(~urgent).agg(F.expr(f"array({qs})").alias("qb"))
+    both = a.crossJoin(F.broadcast(b))
+    return (
+        both.select(F.posexplode("qa").alias("i", "q_urgent"), "qb")
+        .select(
+            (F.col("i") + 1).cast("bigint").alias("decile"),
+            "q_urgent",
+            F.expr("qb[i]").alias("q_other"),
+            F.round(F.col("q_urgent") / F.expr("qb[i]"), 6).alias("qq_ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Categorical mutual information (lang ; source)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_yz_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+    tot AS (SELECT sum(c) AS n FROM joint),
+    px AS (SELECT lang, sum(c) AS cx FROM joint GROUP BY lang),
+    py AS (SELECT source, sum(c) AS cy FROM joint GROUP BY source),
+    terms AS (
+      SELECT j.c / t.n * ln((j.c * t.n)::DOUBLE / (px.cx * py.cy)) AS term
+      FROM joint j CROSS JOIN tot t
+      JOIN px USING (lang) JOIN py USING (source))
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM px) AS BIGINT) AS n_lang,
+           CAST((SELECT count(*) FROM py) AS BIGINT) AS n_source,
+           round(greatest(0.0, sum(term)), 6) AS mutual_information
+    FROM terms
+    """,
+)
+def q_yz_mutual_information(spark, sf_dir):
+    """Mutual information between the lang and source columns — the
+    categorical-dependence readout that complements the chi-square test
+    (q_ya): MI = sum p(x,y) ln(p(x,y)/(p(x)p(y))), in nats. Near-zero MI
+    = the corpus mixes languages independently of source (what a balanced
+    crawl wants); high MI flags source-language entanglement that
+    stratified sampling must respect. All counts are exact integers; the
+    ln-ratio is arranged as (c*n)/(cx*cy) so each term is one double log
+    of an integer ratio — identical on both engines. Clamped at 0 (MI is
+    analytically >= 0; summation-order noise can land at -1ulp).
+
+    Scale shape: one (lang, source) aggregate (bounded grid), margins by
+    re-aggregating the GRID not the corpus, broadcast joins, one scalar
+    sum.
+    """
+    d = read_table(spark, sf_dir, "documents").select("lang", "source")
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    px = joint.groupBy("lang").agg(F.sum("c").alias("cx"))
+    py = joint.groupBy("source").agg(F.sum("c").alias("cy"))
+    terms = (
+        joint.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(px), "lang")
+        .join(F.broadcast(py), "source")
+        .select(
+            "n",
+            "cx",
+            (
+                F.col("c") / F.col("n")
+                * F.log((F.col("c") * F.col("n")).cast("double") / (F.col("cx") * F.col("cy")))
+            ).alias("term"),
+        )
+    )
+    n_lang = px.count()
+    n_source = py.count()
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.lit(n_lang).cast("bigint").alias("n_lang"),
+        F.lit(n_source).cast("bigint").alias("n_source"),
+        F.round(F.greatest(F.lit(0.0), F.sum("term")), 6).alias("mutual_information"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED-adjusted A/B metric (variance reduction via pre-period covariate)
+# ---------------------------------------------------------------------------
+
+#: Pre/post split point for the CUPED covariate (fixture spans Jan 2024).
+CUPED_SPLIT = "2024-01-15"
+
+
+@query(
+    "q_z1_abtest_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS grp,
+             sum(CASE WHEN ts <  TIMESTAMP '{CUPED_SPLIT}'
+                      THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                      THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    moments AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM per_user),
+    theta AS (
+      SELECT n, CAST(sx AS DOUBLE)/n AS xbar,
+             CAST(sxy - sx*sy/n AS DOUBLE) / CAST(sxx - sx*sx/n AS DOUBLE) AS th
+      FROM moments),
+    adj AS (
+      SELECT p.grp,
+             avg(CAST(p.y AS DOUBLE)) AS raw_mean,
+             avg(CAST(p.y AS DOUBLE) - t.th * (CAST(p.x AS DOUBLE) - t.xbar))
+               AS adj_mean,
+             count(*) AS n_users
+      FROM per_user p CROSS JOIN theta t GROUP BY p.grp)
+    SELECT CAST(grp AS INT) AS grp, CAST(n_users AS BIGINT) AS n_users,
+           round(raw_mean, 6) AS raw_mean, round(adj_mean, 6) AS adj_mean,
+           round((SELECT th FROM theta), 6) AS theta
+    FROM adj ORDER BY grp
+    """,
+)
+def q_z1_abtest_cuped(spark, sf_dir):
+    """CUPED-adjusted A/B means (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    public): reduce experiment variance by regressing out a PRE-period
+    covariate — y_adj = y - theta*(x - xbar) with theta = cov(x,y)/var(x)
+    — leaving arm means unbiased but tighter. The modern experimentation
+    default on top of the plain z-test (q_yi). Moment sums run in exact
+    DECIMAL (including the cross-moment sum(x*y)) so theta is identical
+    on both engines up to its single double division.
+
+    Scale shape: one per-user aggregate, one 5-scalar moment aggregate,
+    theta broadcast back as a 1-row cross join — two scans' worth of
+    work at any corpus size, no window, no Python.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    dv = F.col("value").cast("decimal(38,6)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, dv).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, dv).otherwise(F.lit(0).cast("decimal(38,6)"))).alias("y"),
+    ).withColumn("grp", (F.col("user_id") % 2).cast("int"))
+    moments = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = moments.select(
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")).cast("double")
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).cast("double")
+        ).alias("th"),
+    )
+    adj = (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(F.avg(F.col("y").cast("double")), 6).alias("raw_mean"),
+            F.round(
+                F.avg(
+                    F.col("y").cast("double")
+                    - F.col("th") * (F.col("x").cast("double") - F.col("xbar"))
+                ),
+                6,
+            ).alias("adj_mean"),
+            F.round(F.any_value("th"), 6).alias("theta"),
+        )
+    )
+    return adj.select("grp", "n_users", "raw_mean", "adj_mean", "theta").orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (gap statistics per user)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_z2_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events WHERE user_id IS NOT NULL),
+    stats AS (
+      SELECT user_id, count(*) AS n_gaps,
+             sum(gap_us) AS s1,
+             sum(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+      FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(s1 / n_gaps / 1e6, 6) AS mean_gap_s,
+           round(sqrt(greatest(0.0,
+                 (s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps) / n_gaps)) / 1e6, 6)
+             AS std_gap_s,
+           round(sqrt(greatest(0.0,
+                 (s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps) / n_gaps))
+                 / nullif(s1 / n_gaps, 0), 6) AS burstiness_cv
+    FROM stats ORDER BY user_id
+    """,
+)
+def q_z2_interarrival(spark, sf_dir):
+    """Inter-arrival gap statistics per user: mean/std of the gaps between
+    consecutive events and their coefficient of variation — the
+    burstiness readout (CV ~ 1 = Poisson-like arrivals, CV >> 1 = bursty
+    sessions; Goh & Barabási 2008 — public). Gaps are exact integer
+    MICROSECONDS (epoch-microsecond longs both engines agree on), so the
+    moment sums s1/s2 are exact integer arithmetic; mean/std convert to
+    seconds in one double step each (population std, computed from the
+    two moments — no streaming variance accumulation order to diverge).
+
+    Scale shape: one lag window per user (narrow frame, sorted once by
+    the same shuffle the groupBy reuses), one map-side-combinable moment
+    aggregate. No data-sized driver state.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    # gap^2 overflows int64 (multi-day gaps in microseconds square to
+    # ~1e24) — widen to DECIMAL(38,0) before the product; DuckDB twin uses
+    # HUGEINT. Both stay exact integers.
+    gd = F.col("gap_us").cast("decimal(38,0)")
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_us").alias("s1"),
+        F.sum(gd * F.col("gap_us")).alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_gaps")) / F.col(
+        "n_gaps"
+    )
+    std = F.sqrt(F.greatest(F.lit(0.0), var))
+    mean = F.col("s1") / F.col("n_gaps")
+    return (
+        stats.select(
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round(mean / 1e6, 6).alias("mean_gap_s"),
+            F.round(std / 1e6, 6).alias("std_gap_s"),
+            F.round(std / F.nullif(mean, F.lit(0)), 6).alias("burstiness_cv"),
+        )
+        .orderBy("user_id")
+    )
