@@ -3391,3 +3391,191 @@ def q_z2_interarrival(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (k minimum values, md5-portable, oracle-exact)
+# ---------------------------------------------------------------------------
+
+#: Sketch size: the k smallest hash values retained.
+KMV_K = 64
+
+
+@query(
+    "q_z3_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT md5(l_partkey::VARCHAR) AS h
+      FROM lineitem),
+    kmin AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS r FROM hashed),
+    kth AS (SELECT h AS kth_hash FROM kmin WHERE r = {KMV_K}),
+    exact AS (SELECT count(*) AS n_exact FROM hashed)
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           kth_hash,
+           CAST(round(({KMV_K} - 1)
+                 / (CAST(('0x' || substring(kth_hash, 1, 15))::BIGINT AS DOUBLE)
+                    / CAST(1152921504606846976 AS DOUBLE))) AS BIGINT)
+             AS kmv_estimate,
+           CAST(n_exact AS BIGINT) AS n_exact
+    FROM kth CROSS JOIN exact
+    """,
+)
+def q_z3_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+    RANDOM 2002 — public): hash every key, keep the K smallest DISTINCT
+    hash values; if the k-th smallest maps to fraction u of the hash
+    space, distinct ≈ (k-1)/u. Unlike the JVM-internal HLL
+    (q_a6_approx_distinct, rows-only by necessity), KMV over md5 is
+    ENGINE-PORTABLE — the k-th smallest hash is a deterministic value
+    both engines compute bit-identically, so this sketch entry is
+    hash-checked by the oracle, estimate included. u comes from the
+    first 15 hex chars as a 60-bit integer over 2^60 — exact in a
+    double, same literal both sides.
+
+    Scale shape: a distinct-hash aggregate then a global k-smallest —
+    TakeOrderedAndProject territory (per-partition top-k merge, k rows
+    to the driver-side plan, no global sort); the sketch property that
+    matters at 100 TB is MERGEABILITY (union = keep k smallest of the
+    union), which the estimate-accuracy property test exercises
+    (tests/test_corpus_ops.py).
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.md5(F.col("l_partkey").cast("string")).alias("h")
+    )
+    hashed = li.distinct()
+    n_exact = hashed.count()
+    kth = (
+        hashed.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("got"))
+    )
+    # 2^60 as an exact double; u = first 60 bits / 2^60
+    space = float(1 << 60)
+    u = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.lit(space)
+    return kth.select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        "kth_hash",
+        F.round((F.lit(KMV_K) - 1) / u).cast("bigint").alias("kmv_estimate"),
+        F.lit(n_exact).cast("bigint").alias("n_exact"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve (reliability diagram bins)
+# ---------------------------------------------------------------------------
+
+#: Number of equal-width score bins in the reliability diagram.
+CALIB_BINS = 10
+
+
+@query(
+    "q_z4_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least({CALIB_BINS - 1},
+                   CAST(floor(value / 200.0 * {CALIB_BINS}) AS INT)) AS bin,
+             value / 200.0 AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events WHERE value >= 0 AND value <= 200)
+    SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS mean_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS frac_positive
+    FROM scored GROUP BY bin ORDER BY bin
+    """,
+)
+def q_z4_calibration(spark, sf_dir):
+    """Calibration / reliability diagram for a score: bucket the
+    (normalized) score into equal-width bins and compare each bin's mean
+    score against its observed positive rate — the probability-
+    calibration readout that complements ranking quality (q_yv AUC): a
+    model can rank well and still be badly calibrated (DeGroot &
+    Fienberg 1983 — public). Scores are value/200 (the fixture value
+    range), labels are purchase events.
+
+    Scale shape: one map-only bin assignment + one map-side-combinable
+    aggregate over CALIB_BINS groups. Nothing else.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") <= 200)
+    )
+    score = F.col("value") / 200.0
+    binned = ev.select(
+        F.least(
+            F.lit(CALIB_BINS - 1),
+            F.floor(score * CALIB_BINS).cast("int"),
+        ).alias("bin"),
+        score.alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown (running-max deficit per customer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_z5_drawdown",
+    oracle="""
+    WITH series AS (
+      SELECT o_custkey, o_orderdate, o_orderkey,
+             sum(CAST(o_totalprice AS DECIMAL(38,6)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS equity
+      FROM orders),
+    dd AS (
+      SELECT o_custkey, equity,
+             max(equity) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS peak
+      FROM series)
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(max(peak - equity) AS DOUBLE) AS max_drawdown,
+           CAST(max(equity) AS DOUBLE) AS final_peak
+    FROM dd GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_z5_drawdown(spark, sf_dir):
+    """Maximum drawdown per customer over the cumulative order-value
+    series: running peak minus current cumulative value, maximized — the
+    classic risk statistic computed as two stacked windows (running sum,
+    then running max) and one aggregate. With monotone non-negative
+    increments the drawdown is 0 throughout (orders only add value), so
+    the entry pins the WINDOW-STACKING semantics — cumulative frames
+    feeding cumulative frames with decimal-exact arithmetic — rather
+    than a financial story; on a signed series (returns) the same plan
+    computes the real statistic.
+
+    Scale shape: both windows share ONE per-customer sort (same
+    partition key and ordering — Spark plans a single Window node), then
+    a map-side-combinable aggregate. Decimal running sums keep the
+    series bit-identical across engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    series = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(wcum).alias("equity"),
+    )
+    dd = series.withColumn("peak", F.max("equity").over(wcum))
+    return (
+        dd.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.max(F.col("peak") - F.col("equity")).cast("double").alias("max_drawdown"),
+            F.max("equity").cast("double").alias("final_peak"),
+        )
+        .orderBy("o_custkey")
+    )

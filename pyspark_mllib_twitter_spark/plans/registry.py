@@ -97,18 +97,20 @@ CHECK_WINDOW: list[str] = [
     "q_yz_mutual_information",
     "q_z1_abtest_cuped",
     "q_z2_interarrival",
+    "q_z3_kmv_distinct",
+    "q_z4_calibration",
+    "q_z5_drawdown",
     # -- (4) round-3 greens, three rounds stale (oracle-backed) ------------
-    "q_a5_id_dictionary",
-    "q_j_asof",
-    "q_ns_pipeline",
     "q_ns_quality",
     # Sitting out (all locally green this session): the remaining round-3
     # stale entries (q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
     # q_f_cond, q_f_json, q_f_map, q_g4_grouping_sets, q_ns_token_bpe,
     # q_ns_token_stats, q_j_asof_generic, q_ns_scrub, q_a8_salted_agg,
-    # q_e2e_w1doc, q_j_nullsafe, q_ns_langid — the last twelve yielded
-    # their slots to the continuation additions q_yu..q_w9, q_s6/q_s7,
-    # q_j_hints, q_yx_seasonality, q_yy..q_z2 —
+    # q_e2e_w1doc, q_j_nullsafe, q_ns_langid, q_a5_id_dictionary,
+    # q_j_asof, q_ns_pipeline — fifteen of these yielded their slots to
+    # the never-driver-checked continuation additions q_yu..q_w9,
+    # q_s6/q_s7, q_j_hints, q_yx_seasonality, q_yy..q_z5 (a first driver
+    # row beats refreshing a 3-round-stale green) —
     # q_sample_hash, q_sample_stratified, q_sql_lateral, q_sql_q3,
     # q_sql_q5, q_stat_crosstab, q_sub_q17, q_sub_scalar, q_u1..q_u4,
     # q_udf_*, q_udtf_tokens, q_w1_topk..q_w6_analytic, the round-3

@@ -407,3 +407,33 @@ def test_survival_curve_invariants(spark, sf_smoke):
         if prev_risk is not None:
             assert r.at_risk <= prev_risk
         prev_s, prev_risk = r.survival, r.at_risk
+
+
+def test_kmv_sketch_mergeable_and_bounded(spark, sf_smoke):
+    """KMV contract: (a) the estimate lands within the sketch's standard
+    error envelope of the exact count; (b) MERGEABILITY — the k smallest
+    hashes of a union equal the k smallest of the merged per-part
+    sketches, so the union estimate computed from merged sketches equals
+    the直 direct-union estimate."""
+    import hashlib
+
+    from pyspark_mllib_twitter_spark.plans import corpus_ops as co
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    r = _rows(spark, sf_smoke, "q_z3_kmv_distinct")[0]
+    k = co.KMV_K
+    # ~1/sqrt(k-2) relative error at 1 sigma; allow 4 sigma
+    assert abs(r.kmv_estimate - r.n_exact) <= 4 * r.n_exact / (k - 2) ** 0.5, r
+
+    # mergeability on raw python hashes
+    keys = [
+        row.l_partkey
+        for row in read_table(spark, sf_smoke, "lineitem").select("l_partkey").collect()
+    ]
+    hs = sorted({hashlib.md5(str(x).encode()).hexdigest() for x in keys})
+    direct = hs[:k]
+    half = len(keys) // 2
+    s1 = sorted({hashlib.md5(str(x).encode()).hexdigest() for x in keys[:half]})[:k]
+    s2 = sorted({hashlib.md5(str(x).encode()).hexdigest() for x in keys[half:]})[:k]
+    merged = sorted(set(s1) | set(s2))[:k]
+    assert merged == direct

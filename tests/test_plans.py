@@ -408,3 +408,14 @@ def test_join_hint_forces_sort_merge(spark):
     plan = _plan(spark, "q_j_hints")
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_drawdown_windows_share_one_sort(spark):
+    """q_z5: the stacked cumulative-sum -> cumulative-max windows are two
+    Window nodes by necessity (the second consumes the first's output),
+    but they share the partition key and ordering — so the plan must
+    contain exactly ONE per-customer exchange and ONE sort; a second sort
+    would mean the stacking re-shuffled."""
+    plan = _plan(spark, "q_z5_drawdown")
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert plan.count("Sort ") <= 1 + plan.count("rangepartitioning"), plan.count("Sort ")
