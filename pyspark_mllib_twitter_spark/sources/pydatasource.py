@@ -236,6 +236,7 @@ class DocStoreWriter(DataSourceWriter):
         with open(tmp, "w", encoding="utf-8") as f:
             _json.dump(manifest, f)
         _os.replace(tmp, self._manifest_path())  # atomic publish
+        self._sweep_staged()
 
     def abort(self, messages) -> None:
         import os as _os
@@ -247,6 +248,30 @@ class DocStoreWriter(DataSourceWriter):
                 _os.remove(_os.path.join(self.path, m.relpath))
             except OSError:
                 pass  # staged file never materialized — nothing to clean
+        self._sweep_staged()
+
+    def _sweep_staged(self) -> None:
+        """Drain _staged/ after the job's outcome is decided: files left
+        behind belong to task attempts that produced no commit message —
+        speculative duplicates, or attempts KILLED mid-write when a sibling
+        task failed the job (those never reach the driver's message list,
+        so per-message cleanup cannot see them). Readers plan from the
+        manifest and never observe staged files, so orphans are invisible
+        rather than incorrect — the sweep is hygiene. Safe under the
+        connector's single-writer-per-store contract (one batch job or one
+        streaming query owns a store; Spark serializes a query's jobs and a
+        stream's micro-batches)."""
+        import os as _os
+
+        staged = _os.path.join(self.path, "_staged")
+        try:
+            for f in _os.listdir(staged):
+                try:
+                    _os.remove(_os.path.join(staged, f))
+                except OSError:
+                    pass
+        except OSError:
+            pass  # staging dir never created — no task wrote anything
 
 
 class DocStoreReader(DataSourceReader):
