@@ -419,3 +419,44 @@ def test_drawdown_windows_share_one_sort(spark):
     plan = _plan(spark, "q_z5_drawdown")
     assert plan.count("hashpartitioning(o_custkey") == 1
     assert plan.count("Sort ") <= 1 + plan.count("rangepartitioning"), plan.count("Sort ")
+
+
+def test_q21_exists_pair_rewrites_to_semi_and_anti(spark):
+    """q_sql_q21: the EXISTS / NOT EXISTS correlated pair must decorrelate
+    to LEFT SEMI and LEFT ANTI hash joins on l_orderkey — no nested-loop,
+    no cartesian (the docstring's claim, pinned)."""
+    plan = _plan(spark, "q_sql_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_null_aware_anti_join(spark):
+    """q_sql_q16: NOT IN must plan as a null-aware anti join against the
+    broadcast blacklist, not a per-row subquery."""
+    plan = _plan(spark, "q_sql_q16")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q19_disjunction_extracts_join_side_predicates(spark):
+    """q_sql_q19: from the OR-of-conjunctions Catalyst must extract implied
+    per-side predicates and push the brand filter below the join — the
+    part scan carries a PushedFilters entry mentioning p_brand."""
+    plan = _plan(spark, "q_sql_q19")
+    part_scans = [
+        l for l in plan.splitlines() if "FileScan parquet" in l and "p_brand" in l
+    ]
+    assert any("PushedFilters: [" in l and "p_brand" in l.split("PushedFilters:")[1]
+               for l in part_scans), "brand predicate not pushed to part scan"
+
+
+def test_bloom_prune_stays_jvm_side_and_prefilters(spark):
+    """q_yq: the bloom probe is codegen bit arithmetic (no Python node) and
+    the pre-filter sits BELOW the semi join — the Filter containing the
+    shiftrightunsigned probe must appear under the join in the tree."""
+    plan = _plan(spark, "q_yq_bloom_prune_join")
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "shiftrightunsigned" in plan
+    join_pos = plan.find("LeftSemi")
+    probe_pos = plan.find("shiftrightunsigned")
+    assert join_pos != -1 and probe_pos != -1
