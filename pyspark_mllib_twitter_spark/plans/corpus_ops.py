@@ -3579,3 +3579,83 @@ def q_z5_drawdown(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction (iterative peel)
+# ---------------------------------------------------------------------------
+
+#: Core order: nodes that survive iterated removal of degree-<K nodes.
+KCORE_K = 4
+KCORE_MOD = 100
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = 50) -> DataFrame:
+    """Nodes of the k-core of an undirected edge list ``(u, v)`` (Seidman,
+    "Network structure and minimum degree", Social Networks 1983 —
+    public): repeatedly delete nodes of degree < k until none remain; the
+    surviving subgraph (unique, order-independent) is the k-core.
+
+    Loop discipline — the PEEL pattern, distinct from the engine's other
+    loops (pointer-jumping CC contracts labels, PageRank/BFS re-derive
+    values; peeling REMOVES rows): each round computes degrees
+    (map-side-combinable agg over 2-int rows), drops low-degree nodes by
+    anti-joining the edge list on BOTH endpoints, and localCheckpoints
+    the shrunken edge list so lineage stays flat. The removed-node count
+    is the natural termination probe (one scalar per round, bounded
+    control state); rounds are data-dependent but bounded by the peel
+    depth (<= max node degree, in practice a handful).
+
+    Scale: per-round cost shrinks monotonically (edges only leave);
+    degree agg + two broadcast-able anti joins per round, digest-free.
+    """
+    ed = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = (
+            ed.select(F.col("u").alias("node"))
+            .unionByName(ed.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        low = deg.filter(F.col("deg") < k).select("node")
+        n_low = low.count()
+        if n_low == 0:
+            break
+        ed = (
+            ed.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ed.select(F.col("u").alias("node"))
+        .unionByName(ed.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+
+
+@query("q_z6_kcore")  # data-dependent peel rounds -> rows-only; properties tested
+def q_z6_kcore(spark, sf_dir):
+    """k-core (k=4) of the folded supplier→part link graph (same graph
+    family as q_xl_pagerank / q_xm_triangles) — the dense-substructure
+    extraction used for community cores and spam-farm detection. Rows-only
+    by design: the peel's round count is data-dependent so no SQL oracle
+    can unroll it; the test layer pins the two defining properties —
+    every surviving node has >= k neighbors among survivors, and every
+    peeled node fails that bound against the survivor set (maximality) —
+    plus exactness on a hand-built graph (tests/test_corpus_ops.py).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_suppkey") % KCORE_MOD).alias("u"),
+            (F.col("l_partkey") % KCORE_MOD).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # undirected: canonical orientation so (a,b)/(b,a) collapse
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    return kcore(edges).orderBy("node")

@@ -24,12 +24,15 @@ written after round 5's sweep and therefore never driver-checked
 Q22, the connector batch+stream write paths, skyline, bloom-pruned join,
 PPJoin, haversine kNN, Kaplan-Meier); (3) the 7 never-checked rows-only
 entries (round-6 ``q_xl2``/``q_yn``/``q_yo`` + round-5 ``q_yd_bpe_train``
-/ ``q_ml_fpgrowth`` / ``q_ml_kmeans`` / ``q_ml_tuning``); (4) 16 of the
-round-3 greens now three rounds stale (oracle-backed ones first —
-including the two round-5 bench-regression suspects ``q_ns_quality`` /
-``q_ns_pipeline``, re-timed solo this round). Sitting out: the remaining
-round-3/4/5 greens (all re-verified by the local oracle run each session)
-and the rows-only ANN/streaming singles, each property-tested locally.
+/ ``q_ml_fpgrowth`` / ``q_ml_kmeans`` / ``q_ml_tuning``); (4) the 16
+oracle-backed round-6-continuation additions (``q_yu``..``q_z6``, the
+connector compaction/evolution pair, join hints) — every one of these is
+never-driver-checked, which outranks refreshing a stale green. Sitting
+out: the ~20 round-3 greens now three rounds stale (all re-verified by
+the local oracle run each session; first in line for round 7, including
+the round-5 bench-regression suspects ``q_ns_quality``/``q_ns_pipeline``,
+both re-timed solo this round and attributed to suite-position GC) and
+the rows-only ANN/streaming singles, each property-tested locally.
 Round-5's 50 entries all went green (or rows-only-by-design) and rotate
 out.
 """
@@ -100,24 +103,21 @@ CHECK_WINDOW: list[str] = [
     "q_z3_kmv_distinct",
     "q_z4_calibration",
     "q_z5_drawdown",
-    # -- (4) round-3 greens, three rounds stale (oracle-backed) ------------
-    "q_ns_quality",
-    # Sitting out (all locally green this session): the remaining round-3
-    # stale entries (q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
+    "q_z6_kcore",
+    # Sitting out (all locally green this session): every round-3 stale
+    # green — q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
     # q_f_cond, q_f_json, q_f_map, q_g4_grouping_sets, q_ns_token_bpe,
     # q_ns_token_stats, q_j_asof_generic, q_ns_scrub, q_a8_salted_agg,
     # q_e2e_w1doc, q_j_nullsafe, q_ns_langid, q_a5_id_dictionary,
-    # q_j_asof, q_ns_pipeline — fifteen of these yielded their slots to
-    # the never-driver-checked continuation additions q_yu..q_w9,
-    # q_s6/q_s7, q_j_hints, q_yx_seasonality, q_yy..q_z5 (a first driver
-    # row beats refreshing a 3-round-stale green) —
-    # q_sample_hash, q_sample_stratified, q_sql_lateral, q_sql_q3,
-    # q_sql_q5, q_stat_crosstab, q_sub_q17, q_sub_scalar, q_u1..q_u4,
-    # q_udf_*, q_udtf_tokens, q_w1_topk..q_w6_analytic, the round-3
-    # streaming entries, q_e2e_w2pairs) — next in line for round 7 — and
-    # the rows-only ANN/sketch singles (q_ns_ann_lsh/ivf/pq,
-    # q_a11_sketch_merge, r2-stale but recall/property-tested locally
-    # every session).
+    # q_j_asof, q_ns_pipeline, q_ns_quality, q_sample_hash,
+    # q_sample_stratified, q_sql_lateral, q_sql_q3, q_sql_q5,
+    # q_stat_crosstab, q_sub_q17, q_sub_scalar, q_u1..q_u4, q_udf_*,
+    # q_udtf_tokens, q_w1_topk..q_w6_analytic, the round-3 streaming
+    # entries, q_e2e_w2pairs — a FIRST driver row for the round-6
+    # additions beats refreshing a stale green; the stale set is first in
+    # line for round 7. Also out: the rows-only ANN/sketch singles
+    # (q_ns_ann_lsh/ivf/pq, q_a11_sketch_merge — r2-stale but
+    # recall/property-tested locally every session).
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

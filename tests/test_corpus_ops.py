@@ -437,3 +437,42 @@ def test_kmv_sketch_mergeable_and_bounded(spark, sf_smoke):
     s2 = sorted({hashlib.md5(str(x).encode()).hexdigest() for x in keys[half:]})[:k]
     merged = sorted(set(s1) | set(s2))[:k]
     assert merged == direct
+
+
+def test_kcore_defining_properties_and_known_graph(spark, sf_smoke):
+    """k-core contract: (a) on a hand-built graph (K5 plus a pendant path)
+    the 4-core is exactly the K5; (b) on the fixture graph every survivor
+    has >= k neighbors among survivors and every peeled node has < k
+    (maximality of the core)."""
+    from pyspark_mllib_twitter_spark.plans import corpus_ops as co
+
+    # (a) K5 (nodes 0-4) + path 5-6 hanging off node 0
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    extra = [(0, 5), (5, 6)]
+    edges = spark.createDataFrame(k5 + extra, "u int, v int")
+    core = {r.node for r in co.kcore(edges, k=4).collect()}
+    assert core == {0, 1, 2, 3, 4}
+
+    # (b) fixture graph properties
+    rows = _rows(spark, sf_smoke, "q_z6_kcore")
+    survivors = {r.node for r in rows}
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    import collections as c
+
+    adj = c.defaultdict(set)
+    for r in (
+        li.selectExpr(
+            f"l_suppkey % {co.KCORE_MOD} AS u", f"l_partkey % {co.KCORE_MOD} AS v"
+        )
+        .where("u <> v")
+        .distinct()
+        .collect()
+    ):
+        adj[r.u].add(r.v)
+        adj[r.v].add(r.u)
+    for n in survivors:
+        assert len(adj[n] & survivors) >= co.KCORE_K, n
+    for n in set(adj) - survivors:
+        # maximality: a peeled node must NOT have k surviving neighbors
+        # (otherwise it belonged in the core)
+        assert len(adj[n] & survivors) < co.KCORE_K or n in survivors, n
