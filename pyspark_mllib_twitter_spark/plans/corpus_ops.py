@@ -3659,3 +3659,146 @@ def q_z6_kcore(spark, sf_dir):
         .distinct()
     )
     return kcore(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve (decile concentration profile — the Gini's curve)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_z7_lorenz",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS s
+      FROM orders GROUP BY o_custkey),
+    edges AS (
+      SELECT quantile_disc(s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS e,
+             count(*) AS n_total, sum(s) AS s_total
+      FROM spend),
+    binned AS (
+      SELECT len(list_filter(edges.e, x -> spend.s > x)) AS decile,
+             spend.s, edges.n_total, edges.s_total
+      FROM spend CROSS JOIN edges),
+    per AS (
+      SELECT decile, count(*) AS n, sum(s) AS s_sum,
+             max(n_total) AS n_total, max(s_total) AS s_total
+      FROM binned GROUP BY decile)
+    SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n_customers,
+           round(CAST(sum(n) OVER w AS DOUBLE) / n_total, 6) AS cum_pop_share,
+           round(CAST(sum(s_sum) OVER w AS DOUBLE) / CAST(s_total AS DOUBLE), 6)
+             AS cum_spend_share
+    FROM per
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def q_z7_lorenz(spark, sf_dir):
+    """Lorenz curve of customer spend at decile grain — the CURVE behind
+    the Gini scalar (q_yj): cumulative population share vs cumulative
+    spend share, the concentration profile that localizes WHERE
+    inequality lives (whales vs long tail). Decile edges are discrete
+    quantiles (engine-identical data values); spend sums are exact
+    decimals; only the two final shares divide in double.
+
+    Scale shape: one per-customer aggregate, ONE quantile aggregate
+    collapsing to 9 scalars broadcast into a map-only bin assignment
+    (the q_y6 equi-depth recipe — no ntile, no global sort), a 10-group
+    aggregate, and cumulative windows over 10 rows.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s")
+    )
+    qs = ", ".join(
+        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY s)" for i in range(1, 10)
+    )
+    edges = spend.agg(
+        F.expr(f"array({qs})").alias("e"),
+        F.count("*").alias("n_total"),
+        F.sum("s").alias("s_total"),
+    )
+    binned = spend.crossJoin(F.broadcast(edges)).select(
+        F.size(F.filter("e", lambda x: F.col("s") > x)).alias("decile"),
+        "s",
+        "n_total",
+        "s_total",
+    )
+    per = binned.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("s_sum"),
+        F.max("n_total").alias("n_total"),
+        F.max("s_total").alias("s_total"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("n").over(w).cast("double") / F.col("n_total"), 6
+            ).alias("cum_pop_share"),
+            F.round(
+                F.sum("s_sum").over(w).cast("double") / F.col("s_total").cast("double"),
+                6,
+            ).alias("cum_spend_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-quality screen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_z8_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT CAST(d AS INT) AS digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_p,
+           round(log10(1.0 + 1.0 / d), 6) AS benford_p,
+           round(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / d), 6) AS deviation
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+)
+def q_z8_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals: observed
+    leading-digit frequencies vs the Benford expectation log10(1 + 1/d)
+    (Newcomb 1881 / Benford 1938 — public; the classic forensic
+    data-quality screen — fabricated or truncated numeric columns deviate
+    hard). The leading digit is extracted from the DECIMAL(18,2) string
+    form so both engines see identical text (raw double formatting is
+    engine-specific); values < 1 are excluded to keep the first character
+    a digit. NOTE: the fixture's totals are NOT Benford-distributed
+    (bounded uniform-ish synthesis), so the deviation column is the
+    interesting readout — the test layer pins that the screen actually
+    flags it.
+
+    Scale shape: map-only digit extraction + a 9-group aggregate. Nothing
+    else.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("int").alias("digit"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_p"),
+            F.round(benford, 6).alias("benford_p"),
+            F.round(
+                F.col("n").cast("double") / F.col("total") - benford, 6
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -85,8 +85,9 @@ CHECK_WINDOW: list[str] = [
     "q_yo_equidepth_approx",
     "q_yd_bpe_train",
     "q_ml_fpgrowth",
-    "q_ml_kmeans",
-    "q_ml_tuning",
+    # (q_ml_kmeans / q_ml_tuning — also never checked, but rows-only —
+    # yielded their slots to the oracle-backed q_z7/q_z8: a hash row
+    # outranks a rows-only row; they queue for round 7.)
     # -- (2b) oracle-backed additions from the round-6 continuation --------
     "q_yu_ewma",
     "q_yv_auc",
@@ -104,6 +105,8 @@ CHECK_WINDOW: list[str] = [
     "q_z4_calibration",
     "q_z5_drawdown",
     "q_z6_kcore",
+    "q_z7_lorenz",
+    "q_z8_benford",
     # Sitting out (all locally green this session): every round-3 stale
     # green — q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
     # q_f_cond, q_f_json, q_f_map, q_g4_grouping_sets, q_ns_token_bpe,

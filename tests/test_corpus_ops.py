@@ -476,3 +476,29 @@ def test_kcore_defining_properties_and_known_graph(spark, sf_smoke):
         # maximality: a peeled node must NOT have k surviving neighbors
         # (otherwise it belonged in the core)
         assert len(adj[n] & survivors) < co.KCORE_K or n in survivors, n
+
+
+def test_lorenz_curve_convex_and_consistent_with_gini(spark, sf_smoke):
+    """Lorenz invariants: cumulative shares are increasing, the curve sits
+    on/below the diagonal (spend share <= population share at every
+    decile, since rows are sorted poorest-first), ends at (1, 1), and its
+    implied concentration agrees in SIGN with q_yj's Gini (> 0)."""
+    rows = _rows(spark, sf_smoke, "q_z7_lorenz")
+    assert rows and rows[-1].cum_pop_share == 1.0 and rows[-1].cum_spend_share == 1.0
+    prev_p = prev_s = 0.0
+    for r in rows:
+        assert r.cum_pop_share > prev_p and r.cum_spend_share >= prev_s
+        assert r.cum_spend_share <= r.cum_pop_share + 1e-9  # below diagonal
+        prev_p, prev_s = r.cum_pop_share, r.cum_spend_share
+    # area gap exists <=> positive Gini
+    assert any(r.cum_pop_share - r.cum_spend_share > 1e-6 for r in rows)
+
+
+def test_benford_screen_flags_synthetic_totals(spark, sf_smoke):
+    """The fixture's bounded synthetic totals are NOT Benford — the screen
+    must show a material deviation somewhere; probabilities still sum
+    to 1 and expectations to ~1."""
+    rows = _rows(spark, sf_smoke, "q_z8_benford")
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
+    assert max(abs(r.deviation) for r in rows) > 0.02  # the flag fires
