@@ -19,6 +19,13 @@ fully computed and serialized, nothing is collected to the driver).
 Heavy ML/iterative entries (ALS, MinHash label propagation) run once
 instead of ``--runs`` times — flagged in ``--verbose`` output; medians of
 one run are that run.
+
+METHODOLOGY NOTE for cross-round comparisons: since round 6 the harness
+forces one driver-JVM GC every 10 queries (see ``_reset_session_state``)
+to keep ContextCleaner current; suite totals from rounds <= 5 were
+measured without it and are not directly comparable. Independently,
+identical back-to-back suite runs vary ±50% from GC timing alone —
+``--only <q> --runs 3`` is the authoritative per-query instrument.
 """
 
 from __future__ import annotations
@@ -139,8 +146,17 @@ def main() -> int:
     from pyspark_mllib_twitter_spark.session import get_spark
 
     # The 64g heap win was measured by THIS harness on its 128 GiB box
-    # (session.py keeps a portable 32g default); explicit env still wins.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+    # (session.py keeps a portable 32g default); explicit env still wins,
+    # and hosts without the headroom fall back to the portable default
+    # rather than requesting a heap the box can't give (round-6 advice).
+    try:
+        page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        host_gib = page / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        host_gib = 0.0
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM", "64g" if host_gib >= 96 else "32g"
+    )
     spark = get_spark("bench")
     sf_dir = args.sf_dir
 

@@ -2386,9 +2386,12 @@ def q_yp_skyline(spark, sf_dir):
     running max over price order — range-repartition, per-partition
     window, broadcast per-partition prefix maxima (the q_yj_gini rank
     recipe; the partitioned frame is localCheckpoint-pinned so the offsets
-    job and the final join see the same layout), and (c) one broadcast-
-    joined filter pass. No O(n^2) anywhere; shuffles carry (price, size)
-    pairs only.
+    job and the final join see the same layout), and (c) one equi-joined
+    filter pass back against part, left UN-hinted: the per-price frame
+    has one row per distinct price — linear in |part| for TPC-H — so AQE
+    decides broadcast-vs-shuffle from observed size instead of a hint
+    that would force an unbounded broadcast at scale. No O(n^2) anywhere;
+    shuffles carry (price, size) pairs only.
     """
     p = read_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("int").alias("p_size")
@@ -2418,8 +2421,13 @@ def q_yp_skyline(spark, sf_dir):
         )
         .select("p_retailprice", "mx", "strict_prev")
     )
+    # No broadcast hint on `ranked`: it has one row per DISTINCT retail
+    # price, which for TPC-H part grows linearly with |part| (retail price
+    # is a function of partkey) — a forced broadcast would OOM executors at
+    # 100×. The equi-join is correct shuffled; AQE picks broadcast at small
+    # scale on observed size and falls back to shuffle when the side grows.
     return (
-        p.join(F.broadcast(ranked), "p_retailprice")
+        p.join(ranked, "p_retailprice")
         .filter(
             (F.col("strict_prev").isNull() | (F.col("strict_prev") < F.col("p_size")))
             & (F.col("mx") <= F.col("p_size"))
@@ -2469,10 +2477,11 @@ def q_yq_bloom_prune_join(spark, sf_dir):
     (negative-balance suppliers) as FOUR bit_or-aggregated longs, cross-
     join-broadcast that single row to the fact scan, drop fact rows
     failing any of the 3 md5-derived bit probes, THEN run the exact
-    broadcast semi join on the survivors. False positives are removed by
-    the exact join; false negatives are impossible (every inserted key's
-    bits are set) — so the result equals the plain semi join, which is
-    exactly what the oracle checks (Bloom 1970, public).
+    SHUFFLED (SHUFFLE_HASH-hinted) semi join on the survivors. False
+    positives are removed by the exact join; false negatives are
+    impossible (every inserted key's bits are set) — so the result equals
+    the plain semi join, which is exactly what the oracle checks (Bloom
+    1970, public).
 
     Scale shape: the bloom is O(1) bytes regardless of dim cardinality —
     at 100 TB, when the dim side is too big to broadcast as a hash set
@@ -2522,9 +2531,28 @@ def q_yq_bloom_prune_join(spark, sf_dir):
     cond = hits[0]
     for h in hits[1:]:
         cond = cond & h
-    pruned = probed.filter(cond).select("l_suppkey", "l_returnflag", "l_extendedprice")
+    pruned = probed.filter(cond).select(
+        "l_suppkey", "l_returnflag", "l_extendedprice", "w0"
+    )
+    # SHUFFLE_HASH, not broadcast: the operator's premise is a dim side too
+    # big to broadcast as a hash set — the demonstration only holds if the
+    # exact semi join actually shuffles, so the bloom pre-filter is the
+    # thing that shrinks the shuffled fact side. The `+ 0 * w0` term in
+    # the equi key (w0 is a bloom word: the product is always 0, and null
+    # only when dim is empty — where a null key matching nothing equals
+    # the plain semi join's empty result) pins that order: the key
+    # expression references the bloom side of the cross join and is NOT a
+    # separable conjunct, so Catalyst's PushDownLeftSemiAntiJoin — which
+    # re-ordered the semi join below the probe (shuffling the UNpruned
+    # fact side) under both a plain condition and a separable always-true
+    # w0 term — cannot push through. Probe-below-exchange is
+    # plan-asserted in tests/test_plans.py.
     return (
-        pruned.join(F.broadcast(dim), pruned.l_suppkey == dim.s_suppkey, "left_semi")
+        pruned.join(
+            dim.hint("shuffle_hash"),
+            (pruned.l_suppkey + 0 * pruned.w0) == dim.s_suppkey,
+            "left_semi",
+        )
         .groupBy("l_returnflag")
         .agg(
             F.count("*").cast("bigint").alias("n_lines"),
@@ -2586,13 +2614,24 @@ def q_yr_setsim_prefix_join(spark, sf_dir):
     Scale shape: one element-frequency aggregate (map-side combinable);
     per-doc rare-first ordering is an in-row array_sort over (df,
     element) structs — no window. The candidate join carries ONLY
-    (doc_id, prefix_element) — arrays never enter the fan-out or the
-    pair-dedup — and the verify re-attaches the two ordered arrays by
-    doc-id equi-joins (AQE turns these into broadcast probes while the
-    doc-side stays small; at corpus scale they are plain shuffle joins
-    moving each doc's array once per surviving candidate side). Rare-
-    first ordering pushes near-universal elements out of every prefix, so
-    the stopword key that explodes a naive token join generates no pairs.
+    (doc_id, set_size, prefix_pos, prefix_element) — arrays never enter
+    the fan-out or the pair-dedup — and applies BOTH of PPJoin's
+    candidate-pruning filters inside the join condition, before the two
+    array re-attachment joins that dominate cost (Xiao et al. 2008 §3):
+    the LENGTH filter (`tau*|a| <= |b| <= |a|/tau`, else Jaccard can't
+    reach tau no matter the overlap) and the POSITIONAL filter (a match
+    on prefix positions (i, j) bounds attainable overlap by
+    `min(|a|-i, |b|-j)`, which must reach `ceil(tau/(1+tau)*(|a|+|b|))`
+    — the overlap a tau-Jaccard pair needs). Keeping a pair when ANY
+    prefix co-occurrence passes is exact: under the shared global element
+    order the pair's FIRST co-occurrence has the loosest bound, so a pair
+    whose every occurrence fails provably can't reach tau. The verify
+    re-attaches the two ordered arrays by doc-id equi-joins (AQE turns
+    these into broadcast probes while the doc-side stays small; at corpus
+    scale they are plain shuffle joins moving each doc's array once per
+    surviving candidate side). Rare-first ordering pushes near-universal
+    elements out of every prefix, so the stopword key that explodes a
+    naive token join generates no pairs.
     """
     d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
     toks = d.select("doc_id", TXT.tokens("text").alias("toks")).filter(
@@ -2632,16 +2671,34 @@ def q_yr_setsim_prefix_join(spark, sf_dir):
         - F.ceil(F.lit(SETSIM_TAU) * F.size("gs_ord")).cast("int")
         + 1
     )
-    # slim prefix stream: (doc_id, prefix element) — no arrays in the fan-out
+    # slim prefix stream: (doc_id, set size, 0-based prefix position,
+    # prefix element) — no arrays in the fan-out
     pfx = ordered.select(
-        "doc_id", F.explode(F.slice("gs_ord", 1, prefix_len)).alias("pg")
+        F.col("doc_id"),
+        F.size("gs_ord").alias("sz"),
+        F.posexplode(F.slice("gs_ord", 1, prefix_len)).alias("pos", "pg"),
+    )
+    # PPJoin candidate pruning, inside the join condition so it runs on the
+    # (doc_id, sz, pos) ints during the hash-join probe — before dedup and
+    # before any array moves: length filter (size ratio within [tau, 1/tau])
+    # and positional filter (attainable overlap from this co-occurrence
+    # onward must reach the tau-implied required overlap alpha).
+    alpha = F.ceil(
+        F.lit(SETSIM_TAU) / (1.0 + SETSIM_TAU)
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
+    ubound = F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
     cands = (
         pfx.alias("a")
         .join(
             pfx.alias("b"),
             (F.col("a.pg") == F.col("b.pg"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= SETSIM_TAU * F.col("a.sz"))
+            & (F.col("a.sz") >= SETSIM_TAU * F.col("b.sz"))
+            & (ubound >= alpha),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -2991,8 +3048,10 @@ WINSOR_P = 0.05
            CAST(sum(CASE WHEN l_extendedprice < lo THEN 1
                          WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped,
-           round(avg(l_extendedprice), 6) AS raw_mean,
-           round(avg(greatest(lo, least(hi, l_extendedprice))), 6)
+           round(CAST(avg(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+             AS raw_mean,
+           round(CAST(avg(CAST(greatest(lo, least(hi, l_extendedprice))
+                               AS DECIMAL(38,6))) AS DOUBLE), 6)
              AS winsor_mean
     FROM lineitem l JOIN cuts USING (l_returnflag)
     GROUP BY l.l_returnflag ORDER BY l.l_returnflag
@@ -3003,7 +3062,10 @@ def q_yw_winsorize(spark, sf_dir):
     percentile edges, then average — the robust-statistics companion to
     the Hampel rule (q_yf): instead of FLAGGING outliers it bounds their
     influence (Tukey/Winsor, classical). Reports raw vs winsorized mean
-    and how many rows were clipped.
+    and how many rows were clipped. Both means average DECIMAL(38,6)-cast
+    values on BOTH engines (exact sum, one double division at the end) —
+    double summation order differs per engine/partitioning, the same
+    reason q_a4 decimal-casts money sums and q_yx does for its averages.
 
     Scale shape: one percentile aggregate per group broadcast back into a
     map-only greatest/least clip, then one map-side-combinable average —
@@ -3031,9 +3093,17 @@ def q_yw_winsorize(spark, sf_dir):
                     | (F.col("l_extendedprice") > F.col("hi"))
                 ).cast("long")
             ).cast("bigint").alias("n_clipped"),
-            F.round(F.avg("l_extendedprice"), 6).alias("raw_mean"),
             F.round(
-                F.avg(F.greatest("lo", F.least("hi", F.col("l_extendedprice")))), 6
+                F.avg(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("raw_mean"),
+            F.round(
+                F.avg(
+                    F.greatest("lo", F.least("hi", F.col("l_extendedprice"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                6,
             ).alias("winsor_mean"),
         )
         .orderBy("l_returnflag")
@@ -3407,13 +3477,14 @@ KMV_K = 64
     WITH hashed AS (
       SELECT DISTINCT md5(l_partkey::VARCHAR) AS h
       FROM lineitem),
+    exact AS (SELECT count(*) AS n_exact FROM hashed),
     kmin AS (
       SELECT h, row_number() OVER (ORDER BY h) AS r FROM hashed),
-    kth AS (SELECT h AS kth_hash FROM kmin WHERE r = {KMV_K}),
-    exact AS (SELECT count(*) AS n_exact FROM hashed)
-    SELECT CAST({KMV_K} AS BIGINT) AS k,
+    kth AS (SELECT h AS kth_hash, r AS k_actual FROM kmin
+            WHERE r = (SELECT least({KMV_K}, n_exact) FROM exact))
+    SELECT CAST(k_actual AS BIGINT) AS k,
            kth_hash,
-           CAST(round(({KMV_K} - 1)
+           CAST(round((k_actual - 1)
                  / (CAST(('0x' || substring(kth_hash, 1, 15))::BIGINT AS DOUBLE)
                     / CAST(1152921504606846976 AS DOUBLE))) AS BIGINT)
              AS kmv_estimate,
@@ -3445,20 +3516,22 @@ def q_z3_kmv_distinct(spark, sf_dir):
     )
     hashed = li.distinct()
     n_exact = hashed.count()
-    kth = (
-        hashed.orderBy("h")
-        .limit(KMV_K)
-        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("got"))
-    )
+    # Small-fixture guard (round-6 advice): with fewer than KMV_K distinct
+    # keys both engines use k_actual = min(K, n_distinct) — the estimate is
+    # then exact-ish by construction and the k-th hash still deterministic,
+    # instead of the Spark side silently aggregating a short sketch while
+    # the oracle's `r = K` row vanishes.
+    k_actual = min(KMV_K, n_exact)
+    kth = hashed.orderBy("h").limit(k_actual).agg(F.max("h").alias("kth_hash"))
     # 2^60 as an exact double; u = first 60 bits / 2^60
     space = float(1 << 60)
     u = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.lit(space)
     return kth.select(
-        F.lit(KMV_K).cast("bigint").alias("k"),
+        F.lit(k_actual).cast("bigint").alias("k"),
         "kth_hash",
-        F.round((F.lit(KMV_K) - 1) / u).cast("bigint").alias("kmv_estimate"),
+        F.round((F.lit(k_actual) - 1) / u).cast("bigint").alias("kmv_estimate"),
         F.lit(n_exact).cast("bigint").alias("n_exact"),
-    )
+    ).filter(F.col("kth_hash").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -3610,6 +3683,7 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = 50) -> DataFrame
     degree agg + two broadcast-able anti joins per round, digest-free.
     """
     ed = edges.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_rounds):
         deg = (
             ed.select(F.col("u").alias("node"))
@@ -3620,12 +3694,22 @@ def kcore(edges: DataFrame, k: int = KCORE_K, max_rounds: int = 50) -> DataFrame
         low = deg.filter(F.col("deg") < k).select("node")
         n_low = low.count()
         if n_low == 0:
+            converged = True
             break
         ed = (
             ed.join(low.withColumnRenamed("node", "u"), "u", "left_anti")
             .join(low.withColumnRenamed("node", "v"), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint(eager=True)
+        )
+    if not converged:
+        # A partially-peeled edge list is NOT a k-core (some survivors may
+        # still have degree < k) — returning it silently would hand callers
+        # a wrong graph. Peel depth is bounded by the degeneracy ordering
+        # length, so hitting this means max_rounds was set far too low.
+        raise RuntimeError(
+            f"kcore: fixpoint not reached within max_rounds={max_rounds}; "
+            "raise max_rounds (peel depth is data-dependent but finite)"
         )
     return (
         ed.select(F.col("u").alias("node"))

@@ -379,7 +379,7 @@ def pagerank_converged(
 
 @query("q_xl2_pagerank_converged")  # data-dependent iteration count -> rows-only
 def q_xl2_pagerank_converged(spark, sf_dir):
-    """PageRank run to convergence (tol=1e-6) on the same folded link graph
+    """PageRank run to convergence (tol=1e-4) on the same folded link graph
     as ``q_xl_pagerank``. No SQL oracle by design — the iteration count is
     data-dependent so the recurrence cannot be unrolled; instead the
     property layer pins (a) bit-equality of the 3-iteration prefix to the

@@ -17,24 +17,22 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-6 window, in priority order: (1) the 14 oracle-backed entries
-written after round 5's sweep and therefore never driver-checked
-(``q_y9``..``q_ym`` + ``q_stream_dedup_lake`` — all local-oracle-green);
-(2) the 13 oracle-backed round-6 additions (TPC-H Q12/Q14/Q16/Q19/Q21/
-Q22, the connector batch+stream write paths, skyline, bloom-pruned join,
-PPJoin, haversine kNN, Kaplan-Meier); (3) the 7 never-checked rows-only
-entries (round-6 ``q_xl2``/``q_yn``/``q_yo`` + round-5 ``q_yd_bpe_train``
-/ ``q_ml_fpgrowth`` / ``q_ml_kmeans`` / ``q_ml_tuning``); (4) the 16
-oracle-backed round-6-continuation additions (``q_yu``..``q_z6``, the
-connector compaction/evolution pair, join hints) — every one of these is
-never-driver-checked, which outranks refreshing a stale green. Sitting
-out: the ~20 round-3 greens now three rounds stale (all re-verified by
-the local oracle run each session; first in line for round 7, including
-the round-5 bench-regression suspects ``q_ns_quality``/``q_ns_pipeline``,
-both re-timed solo this round and attributed to suite-position GC) and
-the rows-only ANN/streaming singles, each property-tested locally.
-Round-5's 50 entries all went green (or rows-only-by-design) and rotate
-out.
+Round-7 window — the LEDGER-CONVERGENCE round (round-6 verdict task #1):
+(1) all 45 oracle-backed entries whose last driver row is round 3 — four
+rounds stale, the oldest hash evidence in the ledger; (2) the only two
+entries that have NEVER had a driver row (``q_ml_kmeans`` /
+``q_ml_tuning``, rows-only, property-tested locally every session);
+(3) three of the round-2-stale rows-only ANN/sketch singles
+(``q_a11_sketch_merge``, ``q_ns_ann_lsh``, ``q_ns_ann_ivf``). This
+round deliberately INVERTS the usual "first row for new entries beats a
+stale refresh" rule: the round-6 verdict's top task is converging the
+verification ledger, every round-7 addition is hash-checked against the
+same DuckDB oracle locally by ``tests/test_oracle.py`` before it ships,
+and new entries queue for their first driver row in round 8 alongside
+the remaining rows-only stragglers (``q_ns_ann_pq``, ``q_stream_dedup``,
+``q_stream_session``, ``q_stream_stateful``, ``q_w1_user_similarity``,
+``q_w2_als_recommend``). After this window lands green, no entry's
+driver evidence predates round 4.
 """
 
 from __future__ import annotations
@@ -50,77 +48,65 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- (1) oracle-backed, written after round 5's sweep, never checked ---
-    "q_y9_bitmap_distinct",
-    "q_ya_chi2_independence",
-    "q_yb_markov_transitions",
-    "q_yc_bfs_sssp",
-    "q_ye_weighted_sample",
-    "q_yf_robust_outliers",
-    "q_yg_rolling_distinct",
-    "q_yh_assoc_rules",
-    "q_yi_abtest_ztest",
-    "q_yj_gini",
-    "q_yk_knn_eval",
-    "q_yl_entropy",
-    "q_ym_vocab_coverage",
-    "q_stream_dedup_lake",
-    # -- (2) oracle-backed round-6 additions -------------------------------
-    "q_sql_q12",
-    "q_sql_q14",
-    "q_sql_q16",
-    "q_sql_q19",
-    "q_sql_q21",
-    "q_sql_q22",
-    "q_s4_pysink_roundtrip",
-    "q_s5_pystream_sink",
-    "q_yp_skyline",
-    "q_yq_bloom_prune_join",
-    "q_yr_setsim_prefix_join",
-    "q_ys_haversine_knn",
-    "q_yt_survival_km",
-    # -- (3) rows-only, never externally checked ---------------------------
-    "q_xl2_pagerank_converged",
-    "q_yn_robust_outliers_approx",
-    "q_yo_equidepth_approx",
-    "q_yd_bpe_train",
-    "q_ml_fpgrowth",
-    # (q_ml_kmeans / q_ml_tuning — also never checked, but rows-only —
-    # yielded their slots to the oracle-backed q_z7/q_z8: a hash row
-    # outranks a rows-only row; they queue for round 7.)
-    # -- (2b) oracle-backed additions from the round-6 continuation --------
-    "q_yu_ewma",
-    "q_yv_auc",
-    "q_yw_winsorize",
-    "q_w9_topk_ties",
-    "q_s6_docstore_compact",
-    "q_s7_schema_evolution",
-    "q_j_hints",
-    "q_yx_seasonality",
-    "q_yy_qq_deciles",
-    "q_yz_mutual_information",
-    "q_z1_abtest_cuped",
-    "q_z2_interarrival",
-    "q_z3_kmv_distinct",
-    "q_z4_calibration",
-    "q_z5_drawdown",
-    "q_z6_kcore",
-    "q_z7_lorenz",
-    "q_z8_benford",
-    # Sitting out (all locally green this session): every round-3 stale
-    # green — q_p1_filter, q_p3_project, q_s1_scan, q_t1_sort_limit,
-    # q_f_cond, q_f_json, q_f_map, q_g4_grouping_sets, q_ns_token_bpe,
-    # q_ns_token_stats, q_j_asof_generic, q_ns_scrub, q_a8_salted_agg,
-    # q_e2e_w1doc, q_j_nullsafe, q_ns_langid, q_a5_id_dictionary,
-    # q_j_asof, q_ns_pipeline, q_ns_quality, q_sample_hash,
-    # q_sample_stratified, q_sql_lateral, q_sql_q3, q_sql_q5,
-    # q_stat_crosstab, q_sub_q17, q_sub_scalar, q_u1..q_u4, q_udf_*,
-    # q_udtf_tokens, q_w1_topk..q_w6_analytic, the round-3 streaming
-    # entries, q_e2e_w2pairs — a FIRST driver row for the round-6
-    # additions beats refreshing a stale green; the stale set is first in
-    # line for round 7. Also out: the rows-only ANN/sketch singles
-    # (q_ns_ann_lsh/ivf/pq, q_a11_sketch_merge — r2-stale but
-    # recall/property-tested locally every session).
+    # -- (1) oracle-backed, last driver row round 3 (45 entries) -----------
+    "q_a5_id_dictionary",
+    "q_a8_salted_agg",
+    "q_e2e_w1doc",
+    "q_f_cond",
+    "q_f_json",
+    "q_f_map",
+    "q_g4_grouping_sets",
+    "q_j_asof",
+    "q_j_asof_generic",
+    "q_j_nullsafe",
+    "q_ns_langid",
+    "q_ns_pipeline",
+    "q_ns_quality",
+    "q_ns_scrub",
+    "q_ns_token_bpe",
+    "q_ns_token_stats",
+    "q_p1_filter",
+    "q_p3_project",
+    "q_s1_scan",
+    "q_sample_hash",
+    "q_sample_stratified",
+    "q_sql_lateral",
+    "q_sql_q3",
+    "q_sql_q5",
+    "q_stat_crosstab",
+    "q_stream_join",
+    "q_stream_sliding",
+    "q_stream_window_counts",
+    "q_sub_q17",
+    "q_sub_scalar",
+    "q_t1_sort_limit",
+    "q_u1_setops",
+    "q_u2_unpivot",
+    "q_u3_union_by_name",
+    "q_u4_bag_setops",
+    "q_udf_arrow_map",
+    "q_udf_grouped_mad",
+    "q_udf_pandas_cosine",
+    "q_udtf_tokens",
+    "q_w1_topk",
+    "q_w2_ranking",
+    "q_w3_frames",
+    "q_w4_time_rollup",
+    "q_w5_sessionize",
+    "q_w6_analytic",
+    # -- (2) never driver-checked (rows-only, property-tested) -------------
+    "q_ml_kmeans",
+    "q_ml_tuning",
+    # -- (3) oldest rows-only singles (last driver row round 2) ------------
+    "q_a11_sketch_merge",
+    "q_ns_ann_lsh",
+    "q_ns_ann_ivf",
+    # Sitting out (queue for round 8, with first rows for every round-7
+    # addition): q_ns_ann_pq (r2, recall-property-tested), the round-3
+    # rows-only streaming trio q_stream_dedup / q_stream_session /
+    # q_stream_stateful (batch-equivalence-tested), and the golden-tested
+    # workload pair q_w1_user_similarity / q_w2_als_recommend. Everything
+    # else in the ledger has a driver row from round 4 or later.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

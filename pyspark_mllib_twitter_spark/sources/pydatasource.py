@@ -218,9 +218,14 @@ class DocStoreWriter(DataSourceWriter):
 
         files = []
         prior = []
-        if not self.overwrite and _os.path.exists(self._manifest_path()):
+        replaced: list[str] = []
+        if _os.path.exists(self._manifest_path()):
             with open(self._manifest_path(), encoding="utf-8") as f:
-                prior = _json.load(f)["files"]
+                committed = _json.load(f)["files"]
+            if self.overwrite:
+                replaced = [e["file"] for e in committed]
+            else:
+                prior = committed
         for m in messages:
             if m is None:
                 continue
@@ -236,6 +241,20 @@ class DocStoreWriter(DataSourceWriter):
         with open(tmp, "w", encoding="utf-8") as f:
             _json.dump(manifest, f)
         _os.replace(tmp, self._manifest_path())  # atomic publish
+        # Overwrite hygiene: files listed only in the PRIOR manifest are
+        # unreachable the instant the new manifest publishes (readers plan
+        # from the manifest, never the directory), so delete them — without
+        # this every overwrite (and q_s6's OPTIMIZE compaction, which is an
+        # overwrite) orphans its predecessors on disk forever. Staged names
+        # are uuid4, so a new file can never collide with a prior one.
+        keep = {e["file"] for e in files}
+        for name in replaced:
+            if name in keep:
+                continue
+            try:
+                _os.remove(_os.path.join(self.path, name))
+            except OSError:
+                pass  # already gone — deletion is best-effort hygiene
         self._sweep_staged()
 
     def abort(self, messages) -> None:

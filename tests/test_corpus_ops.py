@@ -478,6 +478,22 @@ def test_kcore_defining_properties_and_known_graph(spark, sf_smoke):
         assert len(adj[n] & survivors) < co.KCORE_K or n in survivors, n
 
 
+def test_kcore_raises_when_max_rounds_exhausted(spark):
+    """Termination contract (round-6 verdict #6): a peel cut short by
+    max_rounds must RAISE, not silently return a partially-peeled graph
+    that is not a k-core. A path graph peels one layer per round from each
+    end, so max_rounds=1 cannot finish a 6-node path at k=2."""
+    import pytest as _pytest
+
+    from pyspark_mllib_twitter_spark.plans import corpus_ops as co
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)], "u int, v int")
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        co.kcore(path, k=2, max_rounds=1)
+    # and with room to finish, the same graph converges (to an empty core)
+    assert co.kcore(path, k=2, max_rounds=50).count() == 0
+
+
 def test_lorenz_curve_convex_and_consistent_with_gini(spark, sf_smoke):
     """Lorenz invariants: cumulative shares are increasing, the curve sits
     on/below the diagonal (spend share <= population share at every

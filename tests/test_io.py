@@ -274,6 +274,34 @@ def test_docstore_stream_commit_is_batch_idempotent(spark, tmp_path):
     assert os.listdir(os.path.join(store, "_staged")) == []  # replay drained
 
 
+def test_docstore_overwrite_reclaims_prior_files(spark, tmp_path):
+    """Overwrite hygiene (round-6 verdict #5 / advice): publishing an
+    overwrite manifest must DELETE the files the prior manifest listed —
+    they are unreachable by construction (readers plan from the manifest)
+    and would otherwise orphan on disk forever, growing the store with
+    every overwrite and defeating q_s6's OPTIMIZE space reclaim."""
+    import json
+    import os
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import register
+
+    register(spark)
+    store = str(tmp_path / "ow")
+    df = spark.range(200).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    df.repartition(8).write.format("docstore").mode("overwrite").save(store)
+    df.repartition(3).write.format("docstore").mode("overwrite").save(store)
+    df.repartition(2).write.format("docstore").mode("overwrite").save(store)
+
+    manifest = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    listed = {e["file"] for e in manifest["files"]}
+    assert len(listed) == 2
+    on_disk = {
+        f for f in os.listdir(store) if f not in ("_MANIFEST.json", "_staged")
+    }
+    assert on_disk == listed, f"orphaned files not reclaimed: {on_disk - listed}"
+    assert spark.read.format("docstore").load(store).count() == 200
+
+
 def test_docstore_compaction_collapses_files(spark, tmp_path):
     """OPTIMIZE contract: compaction reduces committed file count without
     changing content, and the manifest swap is atomic (the store is never

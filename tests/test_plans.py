@@ -451,12 +451,51 @@ def test_q19_disjunction_extracts_join_side_predicates(spark):
 
 
 def test_bloom_prune_stays_jvm_side_and_prefilters(spark):
-    """q_yq: the bloom probe is codegen bit arithmetic (no Python node) and
-    the pre-filter sits BELOW the semi join — the Filter containing the
-    shiftrightunsigned probe must appear under the join in the tree."""
+    """q_yq: the bloom probe is codegen bit arithmetic (no Python node), the
+    exact semi join SHUFFLES (SHUFFLE_HASH hint honored — the operator's
+    premise is a dim too big to broadcast, so a BroadcastHashJoin would
+    make the bloom decorative), and the probe Filter sits BELOW the semi
+    join's exchange: in the printed tree the Exchange on l_suppkey appears
+    above (before) the shiftrightunsigned filter it feeds, i.e. the bloom
+    prunes fact rows before they are shuffled."""
     plan = _plan(spark, "q_yq_bloom_prune_join")
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "shiftrightunsigned" in plan
     join_pos = plan.find("LeftSemi")
     probe_pos = plan.find("shiftrightunsigned")
     assert join_pos != -1 and probe_pos != -1
+    assert "ShuffledHashJoin" in plan, "exact semi join must shuffle, not broadcast"
+    # the semi key is `l_suppkey + 0*w0` (the pushdown barrier), so the
+    # fact-side exchange partitions on that expression
+    exch_pos = plan.find("Exchange hashpartitioning((l_suppkey")
+    assert exch_pos != -1, "semi join left side must have a shuffle exchange"
+    assert exch_pos < probe_pos, "bloom probe must run below the exchange"
+
+
+def test_skyline_has_no_forced_broadcast_on_per_price_frame(spark):
+    """q_yp: the per-price dominance frame has one row per DISTINCT retail
+    price — linear in |part| for TPC-H — so the final join back to part
+    must carry NO broadcast hint (round-6 verdict #3): AQE may still pick
+    broadcast at small scale from observed sizes, but nothing may FORCE it
+    when the side grows 100x."""
+    df = REGISTRY["q_yp_skyline"].spark(spark, SF)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the bounded one-row-per-partition offsets frame keeps its broadcast
+    # hint; the p_retailprice join back to part must not carry one
+    bad = [
+        l for l in logical.splitlines()
+        if "strategy=broadcast" in l and "p_retailprice" in l
+    ]
+    assert not bad, f"broadcast hint survived on per-price join: {bad}"
+
+
+def test_setsim_candidate_join_carries_ppjoin_filters(spark):
+    """q_yr: PPJoin's length and positional filters must live in the
+    candidate join CONDITION (pruning during the hash probe, before the
+    pair-dedup and the array re-attachment joins) — the join node's
+    printed condition references the sz/pos ints, and no array column
+    enters the candidate exchange."""
+    plan = _plan(spark, "q_yr_setsim_prefix_join")
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "doc_id" in l]
+    cond = next((l for l in join_lines if "sz" in l and "pos" in l), None)
+    assert cond is not None, "length/positional filters not in join condition"
