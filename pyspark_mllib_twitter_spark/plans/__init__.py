@@ -9,6 +9,7 @@ from . import streaming_queries  # noqa: E402,F401
 from . import pipeline_ops  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
 from . import corpus_ops  # noqa: E402,F401
+from . import mining_ops  # noqa: E402,F401
 
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides
@@ -24,5 +25,5 @@ del _missing
 __all__ = [
     "REGISTRY", "QuerySpec", "query",
     "relational", "analytic", "north_star", "workloads", "streaming_queries",
-    "pipeline_ops", "lakehouse", "corpus_ops",
+    "pipeline_ops", "lakehouse", "corpus_ops", "mining_ops",
 ]

@@ -1522,6 +1522,65 @@ def q_s7_schema_evolution(spark, sf_dir):
     return merged.select("o_orderkey", "o_totalprice", "priority").orderBy("o_orderkey")
 
 
+#: DELETE predicate for q_s8 — a doc_id range that exists at every sf.
+DOCSTORE_DELETE_LO, DOCSTORE_DELETE_HI = 10, 25
+
+
+@query(
+    "q_s8_docstore_delete",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT BETWEEN {DOCSTORE_DELETE_LO} AND {DOCSTORE_DELETE_HI}
+    ORDER BY doc_id
+    """,
+)
+def q_s8_docstore_delete(spark, sf_dir):
+    """Surgical DELETE through the docstore connector with zone-map file
+    pruning (the lakehouse DELETE shape — Delta/Iceberg rewrite-with-
+    stats, public designs): the documents table is written range-
+    partitioned on ``doc_id`` with per-file min/max stats recorded in the
+    manifest (``stats_field``), then ``docstore_delete`` removes a doc_id
+    range by rewriting ONLY the files whose ``[min, max]`` intersects the
+    predicate — untouched files keep their names and bytes (asserted in
+    tests/test_io.py), the rewrite commits atomically via
+    ``replace_files`` two-phase commit, and the replaced files are
+    reclaimed. The oracle is the source table minus the range, so the
+    entire chain — stats capture, pruning, subset read, rewrite, manifest
+    swap, read-back — is value-checked.
+
+    Scale shape: at 100 TB a DELETE touching one range partition rewrites
+    a bounded file set selected by metadata only; the scan for the
+    rewrite reads ONLY those files (manifest-subset partition planning),
+    never the store.
+    """
+    import hashlib as _hl
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import docstore_delete, register
+
+    register(spark)
+    store = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_delete_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    (
+        src.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore")
+        .mode("overwrite")
+        .option("stats_field", "doc_id")
+        .save(store)
+    )
+    docstore_delete(
+        spark, store, "doc_id", DOCSTORE_DELETE_LO, DOCSTORE_DELETE_HI
+    )
+    return spark.read.format("docstore").load(store).orderBy("doc_id")
+
+
 @query(
     "q_j_hints",
     oracle="""

@@ -36,6 +36,13 @@ from .registry import query
 #: ``google.protobuf`` for its driver-side worker; where present, the
 #: ``q_stream_tws`` entry below registers and is checked like any other
 #: query — where absent, the flag records WHY the registry lacks the entry.
+#: Rounds 5-7 each re-verified absence in this container (no installed
+#: copy, no vendorable wheel on disk, installs prohibited); vendoring is
+#: ruled out deliberately — the generated ``*_pb2`` modules need the full
+#: protobuf runtime (descriptor pool + wire format), and reimplementing
+#: that to unskip one test is worse than the documented gate. The
+#: ``applyInPandasWithState`` twin covers the stateful-streaming semantics
+#: meanwhile (`q_stream_stateful`).
 CAPABILITIES: dict[str, bool] = {"transform_with_state": tws_available()}
 
 

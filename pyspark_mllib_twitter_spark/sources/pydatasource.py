@@ -142,13 +142,18 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------------
 
 class _StagedFile(WriterCommitMessage):
-    """Per-task commit message: where the task staged its rows.
+    """Per-task commit message: where the task staged its rows, plus the
+    optional min/max of the writer's ``stats_field`` — the zone-map entry
+    that lets maintenance jobs (DELETE, compaction) prune whole files
+    without reading them.
 
     Must be picklable — plain attributes only."""
 
-    def __init__(self, relpath: str, rows: int) -> None:
+    def __init__(self, relpath: str, rows: int, vmin=None, vmax=None) -> None:
         self.relpath = relpath
         self.rows = rows
+        self.vmin = vmin
+        self.vmax = vmax
 
 
 class DocStoreWriter(DataSourceWriter):
@@ -183,6 +188,23 @@ class DocStoreWriter(DataSourceWriter):
         self.field_names = [f.name for f in schema.fields] if schema else []
         self.overwrite = overwrite
         self.fail_partition = int(options.get("fail_partition", -1))
+        # Zone-map stats: record min/max of this field per committed file.
+        # Stats are what make file-level pruning (DELETE / clustering-aware
+        # compaction) possible without reading data — the docstore twin of
+        # parquet footer min/max.
+        stats_field = options.get("stats_field")
+        self.stats_idx = (
+            self.field_names.index(stats_field)
+            if stats_field and stats_field in self.field_names
+            else None
+        )
+        # Surgical file replacement (append mode only): these prior-manifest
+        # files are superseded by this commit's files and deleted after the
+        # new manifest publishes. The rewrite primitive under DELETE.
+        rf = options.get("replace_files", "")
+        self.replace_files = [f for f in rf.split(",") if f]
+        if self.replace_files and overwrite:
+            raise ValueError("docstore: replace_files requires mode('append')")
 
     # -- executor side ------------------------------------------------------
     def write(self, iterator):
@@ -199,12 +221,18 @@ class DocStoreWriter(DataSourceWriter):
         _os.makedirs(staged, exist_ok=True)
         relpath = _os.path.join("_staged", f"{_uuid.uuid4().hex}.jsonl")
         n = 0
+        vmin = vmax = None
         with open(_os.path.join(self.path, relpath), "w", encoding="utf-8") as f:
             for row in iterator:
                 f.write(_json.dumps(list(row), ensure_ascii=False, default=str))
                 f.write("\n")
                 n += 1
-        return _StagedFile(relpath, n)
+                if self.stats_idx is not None:
+                    v = row[self.stats_idx]
+                    if v is not None:
+                        vmin = v if vmin is None or v < vmin else vmin
+                        vmax = v if vmax is None or v > vmax else vmax
+        return _StagedFile(relpath, n, vmin, vmax)
 
     # -- driver side --------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -225,16 +253,29 @@ class DocStoreWriter(DataSourceWriter):
             if self.overwrite:
                 replaced = [e["file"] for e in committed]
             else:
-                prior = committed
+                replace = set(self.replace_files)
+                prior = [e for e in committed if e["file"] not in replace]
+                replaced = [e["file"] for e in committed if e["file"] in replace]
         for m in messages:
             if m is None:
+                continue
+            if m.rows == 0:
+                # empty task output — no file to commit (DELETE rewrites
+                # that drop every row would otherwise litter empty files)
+                try:
+                    _os.remove(_os.path.join(self.path, m.relpath))
+                except OSError:
+                    pass
                 continue
             final = _os.path.basename(m.relpath)
             _os.replace(
                 _os.path.join(self.path, m.relpath),
                 _os.path.join(self.path, final),
             )
-            files.append({"file": final, "rows": m.rows})
+            entry = {"file": final, "rows": m.rows}
+            if getattr(m, "vmin", None) is not None:
+                entry["min"], entry["max"] = m.vmin, m.vmax
+            files.append(entry)
         manifest = {"schema": self.schema_json, "fields": self.field_names,
                     "files": prior + files}
         tmp = self._manifest_path() + ".tmp"
@@ -307,9 +348,20 @@ class DocStoreReader(DataSourceReader):
             raise ValueError("docstore: .load(path) is required")
         with open(_os.path.join(self.path, "_MANIFEST.json"), encoding="utf-8") as f:
             self.manifest = _json.load(f)
+        # Optional manifest-subset read: plan partitions for ONLY the named
+        # committed files. Maintenance jobs (DELETE) use this so file-level
+        # zone-map pruning actually prunes the SCAN, not just the rewrite.
+        subset = options.get("files", "")
+        self.file_subset = {f for f in subset.split(",") if f} or None
 
     def partitions(self) -> list[InputPartition]:
-        return [InputPartition(e["file"]) for e in self.manifest["files"]]
+        entries = self.manifest["files"]
+        if self.file_subset is not None:
+            unknown = self.file_subset - {e["file"] for e in entries}
+            if unknown:
+                raise ValueError(f"docstore: files not in manifest: {sorted(unknown)}")
+            entries = [e for e in entries if e["file"] in self.file_subset]
+        return [InputPartition(e["file"]) for e in entries]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         import json as _json
@@ -318,6 +370,54 @@ class DocStoreReader(DataSourceReader):
         with open(_os.path.join(self.path, partition.value), encoding="utf-8") as f:
             for line in f:
                 yield tuple(_json.loads(line))
+
+
+def docstore_delete(spark, store: str, field: str, lo, hi) -> dict:
+    """Surgical DELETE on a docstore: remove rows with ``lo <= field <= hi``
+    by rewriting ONLY the committed files whose zone-map ``[min, max]``
+    intersects the predicate range — untouched files keep their names and
+    bytes. Files without stats are rewritten conservatively (correct,
+    just unpruned). The rewrite goes through the normal two-phase commit
+    with ``replace_files``, so a crash mid-delete leaves the old manifest
+    serving the old version (delete is atomic-or-nothing), and the
+    replaced files are reclaimed after the new manifest publishes.
+
+    This is the lakehouse DELETE shape (Delta/Iceberg rewrite-with-stats,
+    public designs): predicate → file pruning by footer/zone stats →
+    rewrite the touched subset → swap metadata. Returns the pruning
+    decision (``touched``/``untouched`` file lists) so callers and tests
+    can assert the scan actually pruned.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    with open(_os.path.join(store, "_MANIFEST.json"), encoding="utf-8") as f:
+        entries = _json.load(f)["files"]
+
+    def _touched(e: dict) -> bool:
+        if "min" not in e or "max" not in e:
+            return True  # no stats recorded — cannot prove it misses
+        return not (e["max"] < lo or e["min"] > hi)
+
+    hit = [e["file"] for e in entries if _touched(e)]
+    miss = [e["file"] for e in entries if not _touched(e)]
+    if hit:
+        kept = (
+            spark.read.format("docstore")
+            .option("files", ",".join(hit))
+            .load(store)
+            .filter(~_F.col(field).between(lo, hi))
+        )
+        (
+            kept.write.format("docstore")
+            .mode("append")
+            .option("replace_files", ",".join(hit))
+            .option("stats_field", field)
+            .save(store)
+        )
+    return {"touched": hit, "untouched": miss}
 
 
 class DocStoreDataSource(DataSource):

@@ -302,6 +302,63 @@ def test_docstore_overwrite_reclaims_prior_files(spark, tmp_path):
     assert spark.read.format("docstore").load(store).count() == 200
 
 
+def test_docstore_delete_prunes_by_zone_map(spark, tmp_path):
+    """DELETE contract: with range-partitioned files and stats_field
+    zone-maps, docstore_delete must (a) rewrite ONLY the files whose
+    [min, max] intersects the predicate — untouched files keep their
+    exact names, (b) delete exactly the in-range rows, (c) reclaim the
+    replaced files so the store holds only manifest-listed files, and
+    (d) record fresh stats on the rewritten files."""
+    import json
+    import os
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        docstore_delete,
+        register,
+    )
+
+    register(spark)
+    store = str(tmp_path / "del")
+    df = spark.range(400).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    (
+        df.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore")
+        .mode("overwrite")
+        .option("stats_field", "doc_id")
+        .save(store)
+    )
+    m1 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    assert all("min" in e and "max" in e for e in m1["files"])
+    before = {e["file"]: (e["min"], e["max"]) for e in m1["files"]}
+
+    res = docstore_delete(spark, store, "doc_id", 100, 149)
+    expect_touch = {f for f, (lo, hi) in before.items() if not (hi < 100 or lo > 149)}
+    assert set(res["touched"]) == expect_touch
+    assert 0 < len(expect_touch) < len(before), "pruning must be non-trivial"
+
+    m2 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    after = {e["file"] for e in m2["files"]}
+    # untouched files keep their identity; touched ones are gone
+    assert set(res["untouched"]) <= after
+    assert not (expect_touch & after)
+    assert all("min" in e and "max" in e for e in m2["files"])
+    # content: exactly the out-of-range rows survive
+    back = spark.read.format("docstore").load(store)
+    ids = sorted(r.doc_id for r in back.collect())
+    assert ids == [i for i in range(400) if not (100 <= i <= 149)]
+    # disk holds only manifest-listed files (+ manifest, + empty staging)
+    on_disk = {
+        f for f in os.listdir(store) if f not in ("_MANIFEST.json", "_staged")
+    }
+    assert on_disk == after
+    # a delete that misses every file is a metadata-only no-op
+    m_before = os.path.getmtime(os.path.join(store, "_MANIFEST.json"))
+    res2 = docstore_delete(spark, store, "doc_id", 10_000, 20_000)
+    assert res2["touched"] == []
+    assert os.path.getmtime(os.path.join(store, "_MANIFEST.json")) == m_before
+
+
 def test_docstore_compaction_collapses_files(spark, tmp_path):
     """OPTIMIZE contract: compaction reduces committed file count without
     changing content, and the manifest swap is atomic (the store is never
