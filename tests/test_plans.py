@@ -489,6 +489,42 @@ def test_skyline_has_no_forced_broadcast_on_per_price_frame(spark):
     assert not bad, f"broadcast hint survived on per-price join: {bad}"
 
 
+def test_q2_correlated_min_decorrelates(spark):
+    """q_sql_q2: the correlated scalar MIN must decorrelate into an
+    aggregate joined back — no nested-loop, no per-row subquery
+    re-execution."""
+    plan = _plan(spark, "q_sql_q2")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the per-region min is ONE aggregate hash-joined back, not a per-row
+    # ScalarSubquery re-execution
+    assert "HashAggregate" in plan and "min(" in plan
+    assert "ScalarSubquery" not in plan
+
+
+def test_q13_outer_join_survives_on_clause_filter(spark):
+    """q_sql_q13: the priority filter lives in the join's ON clause, so the
+    plan must keep the OUTER join (customers with zero qualifying orders
+    survive) — Catalyst must NOT rewrite it to inner."""
+    plan = _plan(spark, "q_sql_q13")
+    assert "LeftOuter" in plan
+
+
+def test_q15_scalar_max_evaluates_once(spark):
+    """q_sql_q15: the scalar MAX over the revenue CTE must plan as ONE
+    shared subquery (a single subquery id referenced by the filter), not
+    a per-row re-execution — and the filter side must not degrade to a
+    nested loop. (Spark does NOT reuse the CTE's aggregate exchange
+    across the subquery/main-plan boundary — the revenue aggregate runs
+    twice, a known planner boundary the docstring documents; the
+    contract here is the once-per-query scalar.)"""
+    import re
+
+    plan = _plan(spark, "q_sql_q15")
+    ids = set(re.findall(r"Subquery subquery#(\d+)", plan))
+    assert len(ids) == 1, f"expected one shared scalar subquery, got {ids}"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_setsim_candidate_join_carries_ppjoin_filters(spark):
     """q_yr: PPJoin's length and positional filters must live in the
     candidate join CONDITION (pruning during the hash probe, before the
