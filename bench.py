@@ -71,6 +71,7 @@ SINGLE_RUN = {
     "q_stream_state_reader",
     "q_stream_ohlc",
     "q_stream_dedup_lake",
+    "q_stream_attribution",
     "q_s3_pystream",
     "q_s5_pystream_sink",
     "q_ml_fpgrowth",

@@ -3886,3 +3886,108 @@ def q_z8_benford(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set operations (union / intersection / Jaccard from sketches)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_zg_kmv_setops",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT md5(o_custkey::VARCHAR) AS h FROM orders),
+    b AS (SELECT DISTINCT md5(c_custkey::VARCHAR) AS h
+          FROM customer WHERE c_acctbal > 0),
+    sa AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+    sb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+    su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+           ORDER BY h LIMIT {KMV_K}),
+    kth AS (SELECT max(h) AS t, count(*) AS k_u FROM su),
+    common AS (
+      SELECT count(*) AS c FROM sa JOIN sb USING (h) CROSS JOIN kth
+      WHERE h <= t),
+    est AS (
+      SELECT k_u, t, c,
+             (k_u - 1) / (CAST(('0x' || substring(t, 1, 15))::BIGINT AS DOUBLE)
+                          / CAST(1152921504606846976 AS DOUBLE)) AS est_u
+      FROM kth CROSS JOIN common),
+    exact AS (
+      SELECT (SELECT count(*) FROM a) AS n_a,
+             (SELECT count(*) FROM b) AS n_b,
+             (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+               AS n_union,
+             (SELECT count(*) FROM a JOIN b USING (h)) AS n_inter)
+    SELECT CAST(k_u AS BIGINT) AS k_u,
+           t AS kth_hash,
+           CAST(round(est_u) AS BIGINT) AS est_union,
+           CAST(round(c * est_u / k_u) AS BIGINT) AS est_inter,
+           round(CAST(c AS DOUBLE) / k_u, 6) AS jaccard_est,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_union AS BIGINT) AS n_union, CAST(n_inter AS BIGINT) AS n_inter
+    FROM est CROSS JOIN exact
+    """,
+)
+def q_zg_kmv_setops(spark, sf_dir):
+    """KMV sketch SET OPERATIONS (Beyer et al., SIGMOD 2007 — public): from
+    two independently-built k-minimum-values sketches (customers with
+    orders vs positive-balance customers), estimate |A ∪ B|, |A ∩ B| and
+    the Jaccard similarity WITHOUT touching the raw sets again — the
+    mergeability payoff the single-set entry (q_z3) only property-tests.
+    Union sketch = k smallest of the merged sketch hashes; intersection
+    via the ρ = |S_A ∩ S_B ∩ S_U| / k estimator. md5 portability makes
+    every step — sketch contents, threshold hash, the estimates
+    themselves — bit-identical in DuckDB, so the sketch algebra is
+    hash-checked, with the exact cardinalities alongside as the audit
+    columns.
+
+    Scale shape: each sketch is a distinct-hash aggregate + TakeOrdered
+    top-k (k rows); everything after operates on ≤ 3k rows driver-free.
+    At 100 TB the exact audit columns would be dropped and ONLY the
+    sketch algebra remains — per-partition sketches OR-merge exactly like
+    the bitmap entry (q_y9).
+    """
+    a = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.md5(F.col("o_custkey").cast("string")).alias("h"))
+        .distinct()
+    )
+    b = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.md5(F.col("c_custkey").cast("string")).alias("h"))
+        .distinct()
+    )
+    n_a, n_b = a.count(), b.count()
+    n_union = a.union(b).distinct().count()
+    n_inter = a.join(b, "h").count()
+    sa = a.orderBy("h").limit(KMV_K)
+    sb = b.orderBy("h").limit(KMV_K)
+    su = sa.union(sb).distinct().orderBy("h").limit(KMV_K)
+    kth = su.agg(F.max("h").alias("t"), F.count("*").alias("k_u"))
+    common = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(kth))
+        .filter(F.col("h") <= F.col("t"))
+        .agg(F.count("*").alias("c"))
+    )
+    space = float(1 << 60)
+    est = kth.crossJoin(F.broadcast(common)).select(
+        "k_u", "t", "c",
+        (
+            (F.col("k_u") - 1)
+            / (F.conv(F.substring("t", 1, 15), 16, 10).cast("double") / F.lit(space))
+        ).alias("est_u"),
+    )
+    return est.select(
+        F.col("k_u").cast("bigint").alias("k_u"),
+        F.col("t").alias("kth_hash"),
+        F.round("est_u").cast("bigint").alias("est_union"),
+        F.round(F.col("c") * F.col("est_u") / F.col("k_u")).cast("bigint").alias(
+            "est_inter"
+        ),
+        F.round(F.col("c").cast("double") / F.col("k_u"), 6).alias("jaccard_est"),
+        F.lit(n_a).cast("bigint").alias("n_a"),
+        F.lit(n_b).cast("bigint").alias("n_b"),
+        F.lit(n_union).cast("bigint").alias("n_union"),
+        F.lit(n_inter).cast("bigint").alias("n_inter"),
+    )

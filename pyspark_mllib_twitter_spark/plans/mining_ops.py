@@ -437,9 +437,10 @@ ATTR_TOUCH_TYPES = ("click", "view")
 ATTR_LOOKBACK_DAYS = 7
 
 
-@query(
-    "q_zd_attribution",
-    oracle=f"""
+#: Shared with the streaming twin (q_stream_attribution) — the stateful
+#: operator over the zero-late replay must reproduce this batch result
+#: row-for-row, so both entries check against the identical oracle text.
+ATTR_ORACLE = f"""
     WITH ev AS (
       SELECT event_id, user_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -466,8 +467,10 @@ ATTR_LOOKBACK_DAYS = 7
            CASE WHEN us - touch_us <= {ATTR_LOOKBACK_DAYS} * 86400000000
                 THEN CAST(us - touch_us AS BIGINT) END AS gap_us
     FROM tagged WHERE event_type = 'purchase' ORDER BY event_id
-    """,
-)
+    """
+
+
+@query("q_zd_attribution", oracle=ATTR_ORACLE)
 def q_zd_attribution(spark, sf_dir):
     """Last-touch conversion attribution: each purchase is credited to the
     user's most recent click/view STRICTLY BEFORE it and within a 7-day

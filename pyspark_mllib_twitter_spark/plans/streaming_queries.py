@@ -731,3 +731,30 @@ def q_s5_pystream_sink(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.format("docstore").load(store).orderBy("event_id")
+
+
+from .mining_ops import ATTR_ORACLE  # noqa: E402  (shared batch oracle text)
+
+
+@query("q_stream_attribution", oracle=ATTR_ORACLE)
+def q_stream_attribution(spark, sf_dir):
+    """Stateful last-touch attribution over the ZERO-LATE replay
+    (``streaming/streams.py::stateful_attribution``) — the only stateful
+    streaming entry with a full value ORACLE: because attribution is
+    order-sensitive, the replay runs with ``late_fraction_pct=0`` (event-
+    time-ordered batches, boundaries respect the sort), under which the
+    one-touch-tuple-per-user state machine reproduces the batch window
+    plan (q_zd_attribution) row-for-row — both entries check the
+    identical oracle SQL. The flush sentinel (user_id = -1) emits
+    nothing; null-user events are excluded exactly as the batch twin
+    excludes them."""
+    from ..streaming import stateful_attribution
+
+    stream = stateful_attribution(
+        _replayed_stream(spark, sf_dir, late_fraction_pct=0).filter(
+            F.col("user_id").isNotNull()
+        ),
+        watermark=REPLAY_WATERMARK,
+    )
+    out = run_to_memory(stream, output_mode="update")
+    return out.filter(F.col("user_id") >= 0).orderBy("event_id")

@@ -588,3 +588,97 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful last-touch attribution (streaming twin of q_zd_attribution)
+# ---------------------------------------------------------------------------
+
+_ATTR_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("attributed_type", T.StringType()),
+        T.StructField("touch_event_id", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+#: Last observed touch per user: (epoch_us, event_id, event_type);
+#: us = -1 encodes "no touch yet" (state schemas cannot hold a None row).
+_ATTR_STATE = T.StructType(
+    [
+        T.StructField("us", T.LongType()),
+        T.StructField("eid", T.LongType()),
+        T.StructField("etype", T.StringType()),
+    ]
+)
+
+
+def stateful_attribution(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    touch_types: tuple = ("click", "view"),
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Streaming last-touch attribution via ``applyInPandasWithState`` —
+    the stateful twin of the batch window plan (q_zd_attribution in
+    plans/mining_ops.py): per-user state is ONE (ts, id, type) tuple for
+    the latest touch; each purchase is attributed the moment it arrives.
+
+    Unlike the other stateful entries (counts — monotone, so late data
+    cannot corrupt the final row), attribution is ORDER-SENSITIVE: it is
+    correct exactly when each user's events are processed in (ts,
+    event_id) order. The replayer guarantees that with
+    ``late_fraction_pct=0`` (batches are event-time-ordered and
+    boundaries respect the sort), which is what lets the streaming result
+    be checked against the BATCH ORACLE row-for-row — the only stateful
+    streaming entry with a full value oracle rather than a
+    batch-equivalence property. With late data this operator would need
+    per-user event buffering until the watermark (the standard
+    out-of-orderness tax); the zero-late replay isolates the state
+    machinery under test.
+
+    Scale: state is O(1) per user (one touch tuple); each batch's rows
+    arrive Arrow-batched per user and are walked once in order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lookback_us = lookback_days * 86_400_000_000
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        t_us, t_eid, t_type = state.get if state.exists else (-1, -1, "")
+        rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000).sort_values(
+                ["_us", "event_id"], kind="mergesort"
+            )
+            for us, eid, etype in zip(pdf["_us"], pdf["event_id"], pdf["event_type"]):
+                if etype == "purchase":
+                    if t_us >= 0 and us - t_us <= lookback_us:
+                        rows.append((int(eid), int(key[0]), t_type, int(t_eid),
+                                     int(us - t_us)))
+                    else:
+                        rows.append((int(eid), int(key[0]), None, None, None))
+                if etype in touch_types:
+                    t_us, t_eid, t_type = int(us), int(eid), etype
+        state.update((t_us, t_eid, t_type))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_id", "user_id", "attributed_type",
+                     "touch_event_id", "gap_us"],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_ATTR_OUT,
+            stateStructType=_ATTR_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -518,3 +518,21 @@ def test_benford_screen_flags_synthetic_totals(spark, sf_smoke):
     assert abs(sum(r.observed_p for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.benford_p for r in rows) - 1.0) < 1e-4
     assert max(abs(r.deviation) for r in rows) > 0.02  # the flag fires
+
+
+def test_kmv_setops_estimates_within_bounds(spark, sf_smoke):
+    """Sketch-algebra sanity beyond the hash check: union/intersection
+    estimates land within the KMV error envelope of the exacts (4 sigma ~
+    4/sqrt(k-2) relative), and the Jaccard estimate is a valid fraction
+    consistent with est_inter/est_union."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans import corpus_ops as co
+
+    r = REGISTRY["q_zg_kmv_setops"].spark(spark, sf_smoke).collect()[0]
+    k = r.k_u
+    assert k <= co.KMV_K
+    tol = 4.0 / (k - 2) ** 0.5
+    assert abs(r.est_union - r.n_union) <= max(3, tol * r.n_union), r
+    # intersection compounds two estimates — double the envelope
+    assert abs(r.est_inter - r.n_inter) <= max(3, 2 * tol * max(r.n_inter, 1)), r
+    assert 0.0 <= r.jaccard_est <= 1.0
