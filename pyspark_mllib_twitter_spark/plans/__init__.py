@@ -10,6 +10,7 @@ from . import pipeline_ops  # noqa: E402,F401
 from . import lakehouse  # noqa: E402,F401
 from . import corpus_ops  # noqa: E402,F401
 from . import mining_ops  # noqa: E402,F401
+from . import inference_ops  # noqa: E402,F401
 
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides

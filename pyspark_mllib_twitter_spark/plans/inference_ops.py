@@ -1,0 +1,641 @@
+"""Statistical inference & sequence analytics (round 7, batch 2):
+Poisson-bootstrap confidence intervals, autocorrelation, RFM
+segmentation, degree assortativity, sequential-pattern support, and M4
+time-series downsampling.
+
+Design rules carried from the rest of the engine (see mining_ops.py):
+
+- **Cross-engine float discipline.** Everything the oracle hashes is
+  exact integer/DECIMAL arithmetic (cents, epoch microseconds, degree
+  moments) until a final shared-text DOUBLE expression that both engines
+  evaluate on identical inputs — IEEE multiply/divide/sqrt on identical
+  operands with identical expression text is bit-deterministic.
+- **One-pass mergeable aggregation.** Bootstrap replicates, ACF moment
+  sums, assortativity moments, and M4 bucket extrema are all map-side
+  combinable aggregates; nothing here sorts the corpus globally or
+  collects data to the driver.
+- **Deterministic pseudo-randomness.** Resampling weights derive from
+  md5 of (key, replicate) — the same portable-hash idiom as the
+  weighted-priority sample (corpus_ops: ``_WS_U_SQL``) — so both engines
+  draw the identical bootstrap and the result is hash-checkable, unlike
+  ``rand()``-based resampling.
+
+Reference scope: the reference (COMP5349_2.py) has none of this surface;
+these extend the engine per the north-star mandate (training-data
+pipeline + warehouse analytics at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import query
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (the resampling method that scales)
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicate count. 32 is plenty for a percentile-free
+#: rank-symmetric CI at demo scale; at 100 TB you'd use 100-500 — the
+#: plan shape (explode x R, one combinable aggregate) is unchanged.
+BOOT_R = 32
+
+#: Cumulative Poisson(1) probabilities P(X <= k), k = 0..7; a draw lands
+#: in bucket k when u < cdf[k]. Beyond 7 the tail mass is < 1.1e-5; the
+#: CASE clamps there (bias < 1e-4 draws per million, identical on both
+#: engines because the clamp is part of the shared text).
+_POIS_CDF = [
+    "0.36787944117144233",
+    "0.73575888234288467",
+    "0.91969860292860584",
+    "0.98101184312384615",
+    "0.99634015317265628",
+    "0.99940581518241827",
+    "0.99991675885404192",
+    "0.99998975943598505",
+]
+
+
+def _pois_case(u_expr: str) -> str:
+    """Shared-text Poisson(1) inverse CDF: uniform expression -> weight."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {whens} ELSE 8 END)"
+
+
+#: Uniform-in-(0,1) for (order, replicate) — md5 first 8 hex chars, the
+#: established portable-hash idiom. Dyadic rational: exact in DOUBLE.
+_BOOT_U_DUCK = (
+    "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+    " CAST(rep AS VARCHAR)), 1, 8))::BIGINT + 1) / 4294967297.0"
+)
+_BOOT_U_SPARK = (
+    "((CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+    " CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT) + 1) / 4294967297.0)"
+)
+
+#: Shared final arithmetic on the exact per-replicate sums.
+_BOOT_MEAN = "round(CAST(swc AS DOUBLE) / sw / 100.0, 6)"
+
+
+@query(
+    "q_zh_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    reps AS (
+      SELECT b.o_orderkey, b.cents, r.rep,
+             {_pois_case(_BOOT_U_DUCK)} AS w
+      FROM base b CROSS JOIN (SELECT unnest(range({BOOT_R})) AS rep) r),
+    boot AS (
+      SELECT rep,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             SUM(CAST(w AS DECIMAL(38,0)) * cents) AS swc
+      FROM reps GROUP BY rep),
+    means AS (SELECT rep, sw, {_BOOT_MEAN} AS boot_mean FROM boot),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             round(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                   / COUNT(*) / 100.0, 6) AS point_mean
+      FROM base)
+    SELECT p.n, p.point_mean,
+           CAST({BOOT_R} AS BIGINT) AS n_reps,
+           quantile_disc(m.boot_mean, 0.025) AS boot_lo,
+           quantile_disc(m.boot_mean, 0.975) AS boot_hi
+    FROM means m CROSS JOIN point p
+    GROUP BY p.n, p.point_mean
+    """,
+)
+def q_zh_poisson_bootstrap(spark, sf_dir):
+    """Poisson bootstrap confidence interval for mean order value — THE
+    resampling scheme that survives 100 TB. Classical bootstrap draws n
+    rows WITH replacement, which needs the global n and a sequential
+    sampler; the Poisson approximation gives every row an independent
+    Poisson(1) resample count, so the whole bootstrap is one map-side
+    expression (explode x R replicates) plus one combinable aggregate —
+    no coordination, no second pass, mergeable across 1000 executors.
+
+    Determinism: the per-(row, replicate) uniform comes from md5 — the
+    portable-hash idiom of q_ye_weighted_sample — pushed through a
+    shared-text Poisson(1) inverse-CDF CASE, so both engines draw the
+    IDENTICAL resample and the replicate means hash-match exactly;
+    ``rand()``-based bootstraps cannot be oracle-checked at all. Weighted
+    sums stay in exact cents-DECIMAL until one shared-text double
+    division per replicate.
+
+    Scale shape: scan -> explode(sequence(0, R-1)) -> groupBy(rep) —
+    R x n rows, all whole-stage codegen, partial-aggregated map-side to
+    R rows before the (tiny) shuffle. The CI is read off the replicate
+    means by discrete quantile. Spark's plan: one scan, one exchange of
+    32 rows.
+    """
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    reps = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("rep"),
+    ).withColumn("w", F.expr(_pois_case(_BOOT_U_SPARK)))
+    boot = reps.groupBy("rep").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).alias("swc"),
+    )
+    means = boot.select("rep", "sw", F.expr(_BOOT_MEAN).alias("boot_mean"))
+    point = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("point_mean"),
+    )
+    ci = means.groupBy().agg(
+        F.expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY boot_mean)").alias(
+            "boot_lo"
+        ),
+        F.expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY boot_mean)").alias(
+            "boot_hi"
+        ),
+    )
+    return point.crossJoin(ci).select(
+        "n",
+        "point_mean",
+        F.lit(BOOT_R).cast("bigint").alias("n_reps"),
+        "boot_lo",
+        "boot_hi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (ACF) of the daily revenue series
+# ---------------------------------------------------------------------------
+
+#: Maximum lag (days).
+ACF_MAX_LAG = 7
+
+#: Shared-text ACF estimator on exact cents-domain moment sums; mu and the
+#: demeaned cross-moment expansion happen ONCE here, in text both engines
+#: interpolate. acf_k = sum_{t<=n-k}(x_t - mu)(x_{t+k} - mu) / sum(x - mu)^2
+#: with the full-series mean mu (the textbook biased estimator).
+_ACF_EXPR = (
+    "round(((CAST(sxy AS DOUBLE) / 10000.0)"
+    " - mu * (CAST(sa AS DOUBLE) / 100.0)"
+    " - mu * (CAST(sb AS DOUBLE) / 100.0)"
+    " + nk * mu * mu)"
+    " / ((CAST(sxx AS DOUBLE) / 10000.0) - n * mu * mu), 6)"
+)
+_ACF_MU = "CAST(sx AS DOUBLE) / n / 100.0"
+
+
+@query(
+    "q_zi_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS x
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, x FROM daily),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+             SUM(x * x) AS sxx
+      FROM idx),
+    lagged AS (
+      SELECT k.lag AS lag, CAST(COUNT(*) AS BIGINT) AS nk,
+             SUM(a.x * b.x) AS sxy, SUM(a.x) AS sa, SUM(b.x) AS sb
+      FROM (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag) k
+      JOIN idx a ON TRUE
+      JOIN idx b ON b.t = a.t + k.lag
+      GROUP BY k.lag),
+    mu AS (SELECT n, sx, sxx, {_ACF_MU} AS mu FROM totals)
+    SELECT l.lag, l.nk, {_ACF_EXPR} AS acf
+    FROM lagged l CROSS JOIN mu
+    ORDER BY l.lag
+    """,
+)
+def q_zi_acf(spark, sf_dir):
+    """Autocorrelation function (lags 1..7) of the daily order-revenue
+    series — the time-series diagnostic behind seasonality detection
+    (q_yx gives the day-of-week decomposition; the ACF says WHICH lags
+    carry structure without assuming a period).
+
+    Exactness: daily revenue is an exact cents DECIMAL; every ACF moment
+    (sum, sum of squares, lagged cross-products) stays in DECIMAL(38,0),
+    and the demeaned estimator is expanded algebraically so the ONLY
+    floating-point work is one shared-text expression on those exact
+    sums — no engine-ordered float accumulation anywhere.
+
+    Scale shape: the corpus-sized work is the one map-side-combinable
+    groupBy(day); everything after runs on the day-count-sized series
+    (bounded: 10 years of micro-batched telemetry is ~3.7k rows), so the
+    row_number window and the 7-lag self-join are deliberately
+    driver-scale-tiny — document-and-contain, the same post-aggregate
+    smallness argument as q_y7/q_yx. The lag join is an equi-join on t
+    generated from explode(sequence(1, 7)).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).alias("x")
+    )
+    idx = daily.selectExpr("row_number() OVER (ORDER BY day) AS t", "x")
+    glob = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).withColumn("mu", F.expr(_ACF_MU))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    lagged = (
+        lags.crossJoin(a)
+        .join(b, F.col("b.t") == F.col("a.t") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("nk"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum(F.col("a.x")).alias("sa"),
+            F.sum(F.col("b.x")).alias("sb"),
+        )
+    )
+    return (
+        lagged.crossJoin(F.broadcast(glob))
+        .select("lag", "nk", F.expr(_ACF_EXPR).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zj_rfm",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, monetary_cents,
+             ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey) AS m_score
+      FROM cust)
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def q_zj_rfm(spark, sf_dir):
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores (classical direct-marketing segmentation), reported
+    as segment sizes and average spend per (R,F,M) cell. Score direction
+    follows the convention that 5 is best: most recent, most frequent,
+    highest spend.
+
+    Determinism: each ntile orders by (metric, o_custkey) — a total
+    order — so tile assignment is exactly reproducible on both engines
+    (ntile's uneven-bucket rule is SQL-standard: the first n mod 5 tiles
+    get the extra row). Monetary stays exact cents-DECIMAL until the
+    final shared-text average.
+
+    Scale shape: the per-customer rollup is one combinable groupBy; the
+    three ntile windows are global sorts of the CUSTOMER aggregate (one
+    row per customer — orders-of-magnitude smaller than the fact table,
+    and Spark runs all three in one Window stage per sort key). At the
+    1e9-customer extreme you'd swap exact ntile for approx_percentile
+    score cuts exactly as q_yn/q_yo document; exact quintiles keep the
+    oracle fixture.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("asof"))
+    cust = (
+        orders.crossJoin(F.broadcast(asof))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("asof"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            ).alias("monetary_cents"),
+        )
+    )
+    scored = cust.selectExpr(
+        "o_custkey",
+        "monetary_cents",
+        "ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score",
+        "ntile(5) OVER (ORDER BY frequency ASC, o_custkey) AS f_score",
+        "ntile(5) OVER (ORDER BY monetary_cents ASC, o_custkey) AS m_score",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("monetary_cents").cast("double") / F.count("*") / 100.0, 6
+            ).alias("avg_monetary"),
+        )
+        .select(
+            F.col("r_score").cast("int").alias("r_score"),
+            F.col("f_score").cast("int").alias("f_score"),
+            F.col("m_score").cast("int").alias("m_score"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the folded link graph
+# ---------------------------------------------------------------------------
+
+#: Node-fold modulus — same constant family as the other graph entries
+#: (kcore/pagerank/triangles) so all graph operators run on one graph.
+ASSORT_MOD = 211
+
+#: Shared-text Pearson correlation over directed edge endpoint degrees
+#: (each undirected edge contributes both orientations — the standard
+#: Newman 2002 formulation). Moments are exact DECIMAL sums.
+_ASSORT_EXPR = (
+    "round((m2 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(m2 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(m2 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+@query(
+    "q_zk_assortativity",
+    oracle=f"""
+    WITH folded AS (
+      SELECT DISTINCT
+             least(l_suppkey % {ASSORT_MOD}, l_partkey % {ASSORT_MOD}) AS u,
+             greatest(l_suppkey % {ASSORT_MOD}, l_partkey % {ASSORT_MOD}) AS v
+      FROM lineitem
+      WHERE l_suppkey % {ASSORT_MOD} <> l_partkey % {ASSORT_MOD}),
+    directed AS (
+      SELECT u AS s, v AS d FROM folded
+      UNION ALL SELECT v AS s, u AS d FROM folded),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM directed GROUP BY s),
+    pairs AS (
+      SELECT ds.deg AS du, dd.deg AS dv
+      FROM directed e JOIN deg ds ON ds.node = e.s
+                      JOIN deg dd ON dd.node = e.d),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             SUM(CAST(du AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(dv AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(du AS DECIMAL(38,0)) * du) AS sxx,
+             SUM(CAST(dv AS DECIMAL(38,0)) * dv) AS syy,
+             SUM(CAST(du AS DECIMAL(38,0)) * dv) AS sxy
+      FROM pairs)
+    SELECT m2, {_ASSORT_EXPR} AS assortativity FROM m
+    """,
+)
+def q_zk_assortativity(spark, sf_dir):
+    """Degree assortativity coefficient (Newman 2002, public) of the
+    folded supplier-part link graph — the graph family shared with
+    pagerank/triangles/k-core. Answers "do hubs link to hubs?": the
+    Pearson correlation of endpoint degrees over all directed edges.
+
+    Exactness: degrees are exact BIGINTs; all five correlation moments
+    accumulate in DECIMAL(38,0); the closing Pearson expression is one
+    shared-text double formula (two IEEE sqrts on identical inputs).
+
+    Scale shape: distinct-fold the edge list (one shuffle), degree count
+    (one combinable groupBy), then two broadcast-able joins of the edge
+    list against the degree table (node-count sized — broadcast when it
+    fits, shuffle-hash when not; at this fold width Spark's AQE picks
+    broadcast) and one global moment aggregate that partial-aggregates
+    map-side to a single row. No windows, no iteration.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    su = (F.col("l_suppkey") % ASSORT_MOD).alias("a")
+    pu = (F.col("l_partkey") % ASSORT_MOD).alias("b")
+    folded = (
+        li.select(su, pu)
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    directed = folded.select(
+        F.col("u").alias("s"), F.col("v").alias("d")
+    ).unionAll(folded.select(F.col("v").alias("s"), F.col("u").alias("d")))
+    deg = directed.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    pairs = (
+        directed.join(
+            deg.select(F.col("node").alias("s"), F.col("deg").alias("du")), "s"
+        )
+        .join(deg.select(F.col("node").alias("d"), F.col("deg").alias("dv")), "d")
+        .select("du", "dv")
+    )
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum(F.col("du").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dv").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv").cast("decimal(38,0)") * F.col("dv")).alias("syy"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("dv")).alias("sxy"),
+    )
+    return m.select("m2", F.expr(_ASSORT_EXPR).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support (a-then-b over per-user event streams)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zl_seqpat",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS tmin,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS tmax
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id, event_type),
+    users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+              FROM per_type),
+    pat AS (
+      SELECT a.event_type AS first_type, b.event_type AS then_type,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM per_type a JOIN per_type b USING (user_id)
+      WHERE a.event_type <> b.event_type AND a.tmin < b.tmax
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.first_type, p.then_type, p.support,
+           round(CAST(p.support AS DOUBLE) / u.n_users, 6) AS support_frac
+    FROM pat p CROSS JOIN users u
+    ORDER BY p.first_type, p.then_type
+    """,
+)
+def q_zl_seqpat(spark, sf_dir):
+    """Length-2 sequential-pattern support over per-user event streams
+    (the counting core of GSP/PrefixSpan, public): for every ordered
+    type pair (a, b), how many users performed SOME a strictly before
+    SOME b. The existence quantifier reduces exactly to min/max: a user
+    exhibits a-then-b iff min_ts(a) < max_ts(b) — so the whole mining
+    pass needs only one per-(user, type) min/max aggregate, never a
+    per-occurrence self-join.
+
+    Scale shape: the corpus-sized reduce is the combinable
+    groupBy(user, type) min/max; the pattern join is per-user and
+    bounded by the (small) event-type alphabet, so its output is at most
+    |types|^2 rows per user — linear in users, NOT in events. Support
+    arithmetic is exact epoch-microsecond integers; the only double is
+    the shared-text support fraction. At 100 TB this is the canonical
+    two-shuffle plan: reduce by (user, type), then reduce by (a, b).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("tmin"), F.max(us).alias("tmax")
+    )
+    n_users = per_type.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = per_type.select(
+        "user_id", F.col("event_type").alias("first_type"), "tmin"
+    )
+    b = per_type.select(
+        "user_id", F.col("event_type").alias("then_type"), "tmax"
+    )
+    pat = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("first_type") != F.col("then_type"))
+            & (F.col("tmin") < F.col("tmax"))
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    return (
+        pat.crossJoin(F.broadcast(n_users))
+        .select(
+            "first_type",
+            "then_type",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("n_users"), 6).alias(
+                "support_frac"
+            ),
+        )
+        .orderBy("first_type", "then_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling (visualization-exact aggregation)
+# ---------------------------------------------------------------------------
+
+#: Pixel-bucket count. M4 emits <= 4 points per bucket.
+M4_BUCKETS = 64
+
+#: Shared-text bucket index: equal-width over the [tmin, tmax] epoch-us
+#: span. (e - tmin) * B stays < 2^53, so the double multiply/divide is
+#: exact enough to be engine-identical; least() clamps e = tmax into the
+#: last bucket.
+_M4_BUCKET = (
+    f"CAST(least({M4_BUCKETS - 1}, floor(CAST((us - tmin) AS DOUBLE)"
+    f" * {M4_BUCKETS} / CAST((tmax - tmin + 1) AS DOUBLE))) AS BIGINT)"
+)
+
+
+@query(
+    "q_zm_m4_downsample",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    span AS (SELECT MIN(us) AS tmin, MAX(us) AS tmax FROM ev),
+    bucketed AS (
+      SELECT {_M4_BUCKET} AS bucket, event_id, value, us
+      FROM ev CROSS JOIN span),
+    ranked AS (
+      SELECT bucket, value, us,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY us, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY us DESC, event_id DESC) AS rn_last
+      FROM bucketed)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           MIN(CASE WHEN rn_first = 1 THEN value END) AS vfirst,
+           MIN(CASE WHEN rn_last = 1 THEN value END) AS vlast
+    FROM ranked
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_zm_m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014, public): reduce a time
+    series to min/max/first/last per equal-width time bucket — the
+    error-free aggregation for line-chart rendering (those four points
+    per pixel column reproduce the exact pixel-perfect polyline), and
+    the standard first pass for dashboarding 100 TB of telemetry.
+
+    Determinism: first/last tie-break on (ts, event_id) — a total order.
+    The Spark side uses min_by/max_by with a struct key (one combinable
+    aggregate, NO window); the oracle states the same selection with
+    row_number, and the hash compare proves the semantics equal. min/max
+    of doubles are selections, not sums — no float-order hazard.
+
+    Scale shape: global span is a 1-row broadcast; bucketing is map-only
+    shared-text arithmetic on epoch-us integers; the M4 reduce is ONE
+    map-side-combinable groupBy(bucket) carrying four scalars per
+    bucket. Contrast the oracle's window formulation: fine for SQL, but
+    a per-bucket sort at scale — the aggregate form ships O(buckets)
+    rows through the shuffle instead.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    span = ev.agg(F.min("us").alias("tmin"), F.max("us").alias("tmax"))
+    bucketed = ev.crossJoin(F.broadcast(span)).withColumn(
+        "bucket", F.expr(_M4_BUCKET)
+    )
+    key = F.struct(F.col("us"), F.col("event_id"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.min_by("value", key).alias("vfirst"),
+            F.max_by("value", key).alias("vlast"),
+        )
+        .orderBy("bucket")
+    )

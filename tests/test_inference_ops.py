@@ -1,0 +1,215 @@
+"""Round-7 inference/sequence operators: independent re-computations
+(pure Python / pandas) and structural contracts beyond the DuckDB hash
+checks in tests/test_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark_mllib_twitter_spark.plans import REGISTRY
+from pyspark_mllib_twitter_spark.plans.inference_ops import (
+    ACF_MAX_LAG,
+    BOOT_R,
+    M4_BUCKETS,
+)
+
+
+def _rows(spark, sf, name):
+    return REGISTRY[name].spark(spark, sf).collect()
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_smoke):
+    """The 95% bootstrap interval must be ordered and (for a mean with
+    thousands of iid rows) bracket the point estimate; the replicate
+    count is part of the contract."""
+    r = _rows(spark, sf_smoke, "q_zh_poisson_bootstrap")[0]
+    assert r.n_reps == BOOT_R
+    assert r.boot_lo <= r.boot_hi
+    assert r.boot_lo <= r.point_mean <= r.boot_hi
+    # CI width sanity: ~2 * 1.96 * sigma/sqrt(n); generously bounded so the
+    # check survives fixture regeneration but catches a broken resampler
+    # (degenerate weights give width 0; unhashed uniforms blow it up).
+    assert 0 < (r.boot_hi - r.boot_lo) < 0.5 * r.point_mean
+
+
+def test_bootstrap_weights_are_poisson_like(spark, sf_smoke):
+    """Mean Poisson(1) weight over all (row, replicate) draws must be ~1
+    (law of large numbers; the inverse-CDF CASE preserves the mean up to
+    the clamped >8 tail)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.plans.inference_ops import (
+        _BOOT_U_SPARK,
+        _pois_case,
+    )
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    base = read_table(spark, sf_smoke, "orders").select("o_orderkey")
+    reps = base.select(
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("rep"),
+    ).withColumn("w", F.expr(_pois_case(_BOOT_U_SPARK)))
+    stats = reps.agg(
+        F.avg("w").alias("mean_w"), F.stddev_pop("w").alias("sd_w")
+    ).collect()[0]
+    assert abs(stats.mean_w - 1.0) < 0.02
+    assert abs(stats.sd_w - 1.0) < 0.05  # Var[Poisson(1)] = 1
+
+
+# ---------------------------------------------------------------------------
+# ACF
+# ---------------------------------------------------------------------------
+
+
+def test_acf_bounds_and_python_recompute(spark, sf_smoke):
+    """|acf_k| <= 1 for every lag, one row per lag, and the lag-1 value
+    must match a pure-Python recomputation of the textbook estimator on
+    the collected daily series."""
+    rows = _rows(spark, sf_smoke, "q_zi_acf")
+    assert [r.lag for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+    for r in rows:
+        assert abs(r.acf) <= 1.0 + 1e-9
+
+    daily = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .selectExpr(
+            "date_trunc('day', o_orderdate) AS day",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day")
+        .sum("cents")
+        .orderBy("day")
+        .collect()
+    )
+    x = [r[1] / 100.0 for r in daily]
+    n = len(x)
+    mu = sum(x) / n
+    den = sum((v - mu) ** 2 for v in x)
+    acf1 = sum((x[t] - mu) * (x[t + 1] - mu) for t in range(n - 1)) / den
+    got = rows[0]
+    assert got.nk == n - 1
+    assert abs(got.acf - acf1) < 1e-6, (got.acf, acf1)
+
+
+# ---------------------------------------------------------------------------
+# RFM
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_partitions_customers_into_balanced_quintiles(spark, sf_smoke):
+    """Scores live in 1..5; segments partition the ordering customers
+    exactly; each marginal score dimension is a balanced quintile (sizes
+    differ by at most 1 — the SQL-standard ntile contract)."""
+    rows = _rows(spark, sf_smoke, "q_zj_rfm")
+    n_cust = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        marg = {}
+        for r in rows:
+            marg[getattr(r, dim)] = marg.get(getattr(r, dim), 0) + r.n_customers
+        assert set(marg) == {1, 2, 3, 4, 5}
+        assert max(marg.values()) - min(marg.values()) <= 1, (dim, marg)
+    assert all(r.avg_monetary > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_is_a_correlation(spark, sf_smoke):
+    """The coefficient is a Pearson r (|r| <= 1) and m2 counts each
+    undirected edge exactly twice."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.plans.inference_ops import ASSORT_MOD
+
+    r = _rows(spark, sf_smoke, "q_zk_assortativity")[0]
+    assert abs(r.assortativity) <= 1.0 + 1e-9
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    n_edges = (
+        li.select(
+            (F.col("l_suppkey") % ASSORT_MOD).alias("a"),
+            (F.col("l_partkey") % ASSORT_MOD).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .count()
+    )
+    assert r.m2 == 2 * n_edges
+
+
+# ---------------------------------------------------------------------------
+# Sequential patterns
+# ---------------------------------------------------------------------------
+
+
+def test_seqpat_support_matches_bruteforce(spark, sf_smoke):
+    """Support for every pair must equal a brute-force per-occurrence
+    existence check (the min/max reduction is an algebraic shortcut —
+    prove it against the quantifier it claims to implement)."""
+    rows = _rows(spark, sf_smoke, "q_zl_seqpat")
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .selectExpr("user_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP)) AS us")
+        .filter("user_id IS NOT NULL")
+        .collect()
+    )
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append((e.us, e.event_type))
+    support: dict = {}
+    for _, evs in by_user.items():
+        evs.sort()
+        seen_pairs = set()
+        for i, (ta, a) in enumerate(evs):
+            for tb, b in evs[i + 1 :]:
+                if tb > ta and a != b:
+                    seen_pairs.add((a, b))
+        for p in seen_pairs:
+            support[p] = support.get(p, 0) + 1
+    got = {(r.first_type, r.then_type): r.support for r in rows}
+    assert got == support
+    n_users = len(by_user)
+    for r in rows:
+        assert 0 < r.support <= n_users
+        assert abs(r.support_frac - round(r.support / n_users, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# M4
+# ---------------------------------------------------------------------------
+
+
+def test_m4_bucket_invariants(spark, sf_smoke):
+    """Buckets cover all events; per bucket the four M4 points satisfy
+    vmin <= {vfirst, vlast} <= vmax; bucket ids stay in range."""
+    rows = _rows(spark, sf_smoke, "q_zm_m4_downsample")
+    total = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    assert sum(r.n for r in rows) == total
+    assert all(0 <= r.bucket < M4_BUCKETS for r in rows)
+    for r in rows:
+        assert r.vmin <= r.vfirst <= r.vmax
+        assert r.vmin <= r.vlast <= r.vmax
+    # equal-width bucketing over a uniform-ish event stream must actually
+    # spread: far more than one bucket populated
+    assert len(rows) > M4_BUCKETS // 2
+
+
+def test_m4_no_window_in_plan(spark, sf_smoke):
+    """The Spark side must deliver first/last via the combinable
+    min_by/max_by aggregate, not a per-bucket window sort."""
+    df = REGISTRY["q_zm_m4_downsample"].spark(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan.replace("WindowGroupLimit", ""), plan
