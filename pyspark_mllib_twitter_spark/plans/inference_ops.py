@@ -639,3 +639,393 @@ def q_zm_m4_downsample(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (nonparametric monotone trend)
+# ---------------------------------------------------------------------------
+
+#: Shared-text close: continuity-corrected z from exact integer S and the
+#: tie-corrected variance (Kendall 1975). var_s arrives pre-multiplied by
+#: 18 so it is an exact integer too.
+_MK_Z = (
+    "round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)"
+    " / sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+    " ELSE 0.0 END, 6)"
+)
+
+
+@query(
+    "q_zn_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.day > a.day),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie18
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+            GROUP BY cents HAVING COUNT(*) > 1)),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    m AS (
+      SELECT p.s, nn.n,
+             nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS var18
+      FROM pairs p CROSS JOIN ties CROSS JOIN nn)
+    SELECT n, s, {_MK_Z} AS z FROM m
+    """,
+)
+def q_zn_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the daily order-revenue series — the
+    nonparametric "is there a monotone trend?" companion to the CUSUM
+    change-point (q_zc) and the ACF (q_zi): S counts concordant minus
+    discordant day pairs, variance gets the exact tie correction, z is
+    continuity-corrected (Mann 1945 / Kendall 1975, public).
+
+    Exactness: S, n, and the tie term are exact integers (cents
+    comparisons, integer products; var18 keeps the /18 un-applied so it
+    stays integral); z is one shared-text expression with a single sqrt.
+
+    Scale shape: the corpus-sized reduce is the combinable groupBy(day);
+    the O(days^2) pair join runs on the POST-AGGREGATE series (bounded:
+    a decade is ~3.7k rows, ~7M comparisons — document-and-contain, the
+    same smallness argument as q_zi). S is a one-row aggregate off that
+    join; ties reduce over the same tiny series.
+    """
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, F.col("b.day") > F.col("a.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    m = (
+        pairs.crossJoin(ties)
+        .crossJoin(nn)
+        .withColumn(
+            "var18",
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie18"),
+        )
+    )
+    return m.select("n", "s", F.expr(_MK_Z).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+#: Shared-text per-pair slope: cents/day -> currency units per day. Exact
+#: integer numerator and denominator, one double division.
+_TS_SLOPE = (
+    "CAST((b_cents - a_cents) AS DOUBLE) / 100.0"
+    " / CAST(date_diff('day', a_day, b_day) AS DOUBLE)"
+)
+
+
+@query(
+    "q_zo_theil_sen",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    slopes AS (
+      SELECT {_TS_SLOPE} AS slope
+      FROM (SELECT day AS a_day, cents AS a_cents FROM daily) a
+      JOIN (SELECT day AS b_day, cents AS b_cents FROM daily) b
+        ON b_day > a_day)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_disc(slope, 0.5), 6) AS slope_per_day
+    FROM slopes
+    """,
+)
+def q_zo_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope of the daily revenue series: the MEDIAN of
+    all pairwise slopes (Theil 1950 / Sen 1968, public) — up to ~29%
+    contamination tolerance where OLS (q_z9) has none; the estimator
+    behind robust trend lines. Pairs with the Mann-Kendall test (q_zn):
+    MK decides trend EXISTENCE, Theil-Sen gives its MAGNITUDE.
+
+    Exactness: every pair slope is one shared-text division of exact
+    integers (cents delta / day delta); the median is a discrete
+    quantile — selection, not summation, so no float-order hazard.
+
+    Scale shape: same document-and-contain O(days^2) envelope as q_zn —
+    the self-join runs on the post-aggregate series, and the median runs
+    on the pair set (a few million rows at a decade of days; Spark
+    percentile_disc partial-aggregates map-side). For series too long
+    for exact pairs, the published scale path is slope sampling or
+    approx_percentile over bucketed pair slopes — the q_yn/q_yo swap.
+    """
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    a = daily.select(F.col("day").alias("a_day"), F.col("cents").alias("a_cents"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("cents").alias("b_cents"))
+    slopes = a.join(b, F.col("b_day") > F.col("a_day")).select(
+        (
+            (F.col("b_cents") - F.col("a_cents")).cast("double")
+            / 100.0
+            / F.datediff(F.col("b_day"), F.col("a_day")).cast("double")
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"), 6
+        ).alias("slope_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI + CR4) per customer segment
+# ---------------------------------------------------------------------------
+
+#: Shared-text closes on exact cents sums: HHI on the 0..10000 "points"
+#: scale (share-in-percent squared), CR4 as a fraction.
+_HHI_EXPR = (
+    "round(CAST(sum_sq AS DOUBLE) * 10000.0"
+    " / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)"
+)
+_CR4_EXPR = "round(CAST(top4 AS DOUBLE) / CAST(tot AS DOUBLE), 6)"
+
+
+@query(
+    "q_zp_concentration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT segment, cents,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cents DESC, o_custkey) AS rk
+      FROM spend),
+    agg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(cents) AS tot,
+             SUM(cents * cents) AS sum_sq,
+             SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS top4
+      FROM ranked GROUP BY segment)
+    SELECT segment, n_customers, {_HHI_EXPR} AS hhi, {_CR4_EXPR} AS cr4
+    FROM agg ORDER BY segment
+    """,
+)
+def q_zp_concentration(spark, sf_dir):
+    """Market-concentration audit per customer segment: Herfindahl-
+    Hirschman index and CR4 (top-4 share) of customer spend — the
+    antitrust-economics concentration measures (public), and in a
+    training-data pipeline the same math audits SOURCE concentration
+    (is one domain dominating the mix? cf. q_xv quotas / q_y5 mixing).
+
+    Exactness trick: HHI = sum(share^2) is an ORDER-DEPENDENT double sum
+    if computed share-by-share — instead sum(cents^2) exactly in
+    DECIMAL and divide by tot^2 ONCE in shared text:
+    sum((c_i/T)^2) = sum(c_i^2)/T^2 algebraically. CR4's top-4 is an
+    exact integer sum selected by a deterministic (cents DESC, custkey)
+    rank.
+
+    Scale shape: one combinable rollup to customer grain, then a
+    PER-SEGMENT window on the customer aggregate (partitioned — never a
+    single global sort) feeding one combinable per-segment aggregate.
+    At 1e9 customers the rank-for-CR4 swaps to a top-4-per-group
+    WindowGroupLimit (q_w1_topk's shape) — the HHI half needs no rank at
+    all.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            ).alias("cents")
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("segment").orderBy(
+            F.desc("cents"), F.asc("o_custkey")
+        )
+    )
+    ranked = spend.withColumn("rk", rk)
+    agg = ranked.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sum_sq"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0)).alias(
+            "top4"
+        ),
+    )
+    return agg.select(
+        "segment",
+        "n_customers",
+        F.expr(_HHI_EXPR).alias("hhi"),
+        F.expr(_CR4_EXPR).alias("cr4"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic (distribution drift, exact)
+# ---------------------------------------------------------------------------
+
+KS_SAMPLE_A = "purchase"
+KS_SAMPLE_B = "click"
+
+#: Shared-text close: D from the exact integer max of |cum_a*n_b -
+#: cum_b*n_a| (cross-multiplied so the running difference never touches
+#: floats), then one division.
+_KS_EXPR = "round(CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)"
+
+
+@query(
+    "q_zq_ks_twosample",
+    oracle=f"""
+    WITH ev AS (
+      SELECT value,
+             CASE WHEN event_type = '{KS_SAMPLE_A}' THEN 1 ELSE 0 END AS ia,
+             CASE WHEN event_type = '{KS_SAMPLE_B}' THEN 1 ELSE 0 END AS ib
+      FROM events WHERE event_type IN ('{KS_SAMPLE_A}', '{KS_SAMPLE_B}')),
+    grp AS (
+      SELECT value, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+      FROM ev GROUP BY value),
+    cum AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cb) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM grp),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM grp),
+    d AS (
+      SELECT c.value, abs(c.cum_a * t.nb - c.cum_b * t.na) AS dn,
+             t.na, t.nb
+      FROM cum c CROSS JOIN tot t),
+    best AS (
+      SELECT na, nb, dn AS d_num, value AS at_value
+      FROM d ORDER BY dn DESC, value ASC LIMIT 1)
+    SELECT na, nb, at_value, {_KS_EXPR} AS ks_d FROM best
+    """,
+)
+def q_zq_ks_twosample(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event types — the distribution-drift detector
+    that needs NO binning choice, complementing PSI (q_xu: binned,
+    scalar) and Q-Q deciles (q_yy: visual). D = sup_x |F_a(x) - F_b(x)|
+    evaluated exactly at every observed value.
+
+    Exactness: the running difference is cross-multiplied into integers
+    (|cum_a*n_b - cum_b*n_a|) so the sup and its argmax location carry
+    zero float ambiguity; ties across samples are handled by grouping on
+    value BEFORE accumulating (both samples step together at a shared
+    point, the correct ECDF convention). One shared-text division at the
+    end.
+
+    Scale shape: group-by-value first (combinable — collapses duplicate
+    observations), then the prefix sum. Locally that is one ordered
+    window; at 100 TB the window swaps for the distributed
+    range-repartition + broadcast-offsets prefix recipe already proven
+    in q_yv_auc/q_yj_gini — the statistic itself is engineered
+    integer-exact so EITHER layout hashes identically. The argmax is
+    TakeOrderedAndProject (per-partition top-1 merge), not a global
+    sort.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(KS_SAMPLE_A, KS_SAMPLE_B))
+        .select(
+            "value",
+            (F.col("event_type") == KS_SAMPLE_A).cast("long").alias("ia"),
+            (F.col("event_type") == KS_SAMPLE_B).cast("long").alias("ib"),
+        )
+    )
+    grp = ev.groupBy("value").agg(
+        F.sum("ia").cast("bigint").alias("ca"),
+        F.sum("ib").cast("bigint").alias("cb"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grp.select(
+        "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = grp.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ).alias("dn"),
+        F.col("value").alias("at_value"),
+    )
+    best = d.orderBy(F.desc("dn"), F.asc("at_value")).limit(1)
+    return best.select(
+        "na",
+        "nb",
+        "at_value",
+        F.expr("round(CAST(dn AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6)").alias(
+            "ks_d"
+        ),
+    )

@@ -1582,6 +1582,100 @@ def q_s8_docstore_delete(spark, sf_dir):
 
 
 @query(
+    "q_s9_time_travel",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS sum_cents
+    FROM s WHERE p = '1-URGENT'
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+    FROM s WHERE p = '2-HIGH'
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+    FROM s WHERE p IN ('2-HIGH', '3-MEDIUM')
+    ORDER BY version
+    """,
+)
+def q_s9_time_travel(spark, sf_dir):
+    """TIME TRAVEL through the docstore connector (the lakehouse
+    snapshot-isolation read — Delta ``versionAsOf`` / Iceberg
+    snapshot-id, public designs): three commits against one store with
+    ``retain_history`` — v1 overwrite (urgent orders), v2 overwrite
+    (high), v3 append (medium) — then every version is read back BY
+    VERSION via ``.option("version", N)`` and summarized. Each commit
+    publishes an immutable ``_MANIFEST.vN.json`` snapshot before swapping
+    the latest pointer, and superseded data files are retained (history
+    pins them) until ``docstore_vacuum`` expires old snapshots — vacuum
+    semantics (retention, orphan reclamation, version-gone-after-vacuum)
+    are asserted in tests/test_io.py.
+
+    The oracle recomputes all three version summaries from the source
+    table, so snapshot isolation itself is value-checked: v1 must still
+    read EXACTLY the urgent rows after being overwritten twice, and v3
+    must see the append stacked on v2, not on v1.
+
+    Scale shape: version planning is metadata-only (one manifest read);
+    a version read scans only that snapshot's files. History cost is
+    bounded by vacuum's retention window, not by write count.
+    """
+    import hashlib as _hl
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    store = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ttravel_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    for mode, pri in (
+        ("overwrite", ["1-URGENT"]),
+        ("overwrite", ["2-HIGH"]),
+        ("append", ["3-MEDIUM"]),
+    ):
+        (
+            src.filter(F.col("o_orderpriority").isin(pri))
+            .write.format("docstore")
+            .mode(mode)
+            .option("retain_history", "true")
+            .save(store)
+        )
+    outs = []
+    for v in (1, 2, 3):
+        df = spark.read.format("docstore").option("version", v).load(store)
+        outs.append(
+            df.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("bigint")
+                    .cast("decimal(38,0)")
+                )
+                .cast("bigint")
+                .alias("sum_cents"),
+            ).select(
+                F.lit(v).cast("int").alias("version"), "n_rows", "sum_cents"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("version")
+
+
+@query(
     "q_j_hints",
     oracle="""
     SELECT o_orderkey, c_name,

@@ -205,6 +205,15 @@ class DocStoreWriter(DataSourceWriter):
         self.replace_files = [f for f in rf.split(",") if f]
         if self.replace_files and overwrite:
             raise ValueError("docstore: replace_files requires mode('append')")
+        # Time travel (opt-in, per-store): every commit also publishes an
+        # immutable versioned snapshot ``_MANIFEST.v{N}.json`` and SKIPS
+        # reclaiming superseded data files (older versions still reference
+        # them); ``docstore_vacuum`` owns reclamation instead. Without the
+        # flag, behavior is unchanged: replaced files are deleted at commit
+        # (the round-6 overwrite-hygiene contract).
+        self.retain_history = str(options.get("retain_history", "")).lower() in (
+            "1", "true", "yes",
+        )
 
     # -- executor side ------------------------------------------------------
     def write(self, iterator):
@@ -247,9 +256,12 @@ class DocStoreWriter(DataSourceWriter):
         files = []
         prior = []
         replaced: list[str] = []
+        version = 1
         if _os.path.exists(self._manifest_path()):
             with open(self._manifest_path(), encoding="utf-8") as f:
-                committed = _json.load(f)["files"]
+                latest = _json.load(f)
+            committed = latest["files"]
+            version = int(latest.get("version", 1)) + 1
             if self.overwrite:
                 replaced = [e["file"] for e in committed]
             else:
@@ -277,7 +289,16 @@ class DocStoreWriter(DataSourceWriter):
                 entry["min"], entry["max"] = m.vmin, m.vmax
             files.append(entry)
         manifest = {"schema": self.schema_json, "fields": self.field_names,
-                    "files": prior + files}
+                    "files": prior + files, "version": version}
+        if self.retain_history:
+            # Versioned snapshot FIRST (tmp + replace, atomic): once the
+            # latest pointer below lands, version N is already readable.
+            vtmp = self._manifest_path() + f".v{version}.tmp"
+            with open(vtmp, "w", encoding="utf-8") as f:
+                _json.dump(manifest, f)
+            _os.replace(
+                vtmp, _os.path.join(self.path, f"_MANIFEST.v{version}.json")
+            )
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
             _json.dump(manifest, f)
@@ -288,14 +309,17 @@ class DocStoreWriter(DataSourceWriter):
         # this every overwrite (and q_s6's OPTIMIZE compaction, which is an
         # overwrite) orphans its predecessors on disk forever. Staged names
         # are uuid4, so a new file can never collide with a prior one.
-        keep = {e["file"] for e in files}
-        for name in replaced:
-            if name in keep:
-                continue
-            try:
-                _os.remove(_os.path.join(self.path, name))
-            except OSError:
-                pass  # already gone — deletion is best-effort hygiene
+        # EXCEPT under retain_history: superseded files stay readable
+        # through older manifest versions; docstore_vacuum reclaims them.
+        if not self.retain_history:
+            keep = {e["file"] for e in files}
+            for name in replaced:
+                if name in keep:
+                    continue
+                try:
+                    _os.remove(_os.path.join(self.path, name))
+                except OSError:
+                    pass  # already gone — deletion is best-effort hygiene
         self._sweep_staged()
 
     def abort(self, messages) -> None:
@@ -346,8 +370,22 @@ class DocStoreReader(DataSourceReader):
         self.path = options.get("path") or options.get("location")
         if not self.path:
             raise ValueError("docstore: .load(path) is required")
-        with open(_os.path.join(self.path, "_MANIFEST.json"), encoding="utf-8") as f:
-            self.manifest = _json.load(f)
+        # Time travel: .option("version", N) plans from the immutable
+        # snapshot manifest instead of the latest pointer. Versions exist
+        # only for stores written with retain_history (and survive until
+        # docstore_vacuum retires them).
+        version = options.get("version")
+        name = f"_MANIFEST.v{int(version)}.json" if version else "_MANIFEST.json"
+        try:
+            with open(_os.path.join(self.path, name), encoding="utf-8") as f:
+                self.manifest = _json.load(f)
+        except FileNotFoundError:
+            if version:
+                raise ValueError(
+                    f"docstore: version {version} not found (never written "
+                    "with retain_history, or vacuumed)"
+                ) from None
+            raise
         # Optional manifest-subset read: plan partitions for ONLY the named
         # committed files. Maintenance jobs (DELETE) use this so file-level
         # zone-map pruning actually prunes the SCAN, not just the rewrite.
@@ -418,6 +456,65 @@ def docstore_delete(spark, store: str, field: str, lo, hi) -> dict:
             .save(store)
         )
     return {"touched": hit, "untouched": miss}
+
+
+def docstore_vacuum(store: str, retain_last: int = 2) -> dict:
+    """Reclaim unreachable history from a ``retain_history`` docstore: keep
+    the newest ``retain_last`` manifest versions (the latest pointer always
+    survives), delete older version snapshots, then delete every data file
+    referenced by NO retained manifest. The lakehouse VACUUM shape
+    (Delta/Iceberg expire-snapshots, public designs): time travel is a
+    retention CONTRACT, not an unbounded log — without vacuum every
+    overwrite pins its predecessors to disk forever.
+
+    Metadata-only: reads manifests, never data. Safe under the store's
+    single-writer contract (no commit races the sweep). Returns the
+    decision — ``kept_versions`` / ``dropped_versions`` /
+    ``deleted_files`` / ``live_files`` — so callers and tests can assert
+    reclamation actually happened.
+    """
+    import json as _json
+    import os as _os
+    import re as _re
+
+    if retain_last < 1:
+        raise ValueError("docstore_vacuum: retain_last must be >= 1")
+    vpat = _re.compile(r"^_MANIFEST\.v(\d+)\.json$")
+    versions = sorted(
+        int(m.group(1))
+        for m in (vpat.match(f) for f in _os.listdir(store))
+        if m
+    )
+    kept_v = versions[-retain_last:]
+    dropped_v = versions[: -retain_last] if len(versions) > retain_last else []
+
+    def _files(name: str) -> set[str]:
+        with open(_os.path.join(store, name), encoding="utf-8") as f:
+            return {e["file"] for e in _json.load(f)["files"]}
+
+    live = _files("_MANIFEST.json")
+    for v in kept_v:
+        live |= _files(f"_MANIFEST.v{v}.json")
+    dead: set[str] = set()
+    for v in dropped_v:
+        dead |= _files(f"_MANIFEST.v{v}.json")
+    dead -= live
+    for name in sorted(dead):
+        try:
+            _os.remove(_os.path.join(store, name))
+        except OSError:
+            pass  # already gone — reclamation is idempotent
+    for v in dropped_v:
+        try:
+            _os.remove(_os.path.join(store, f"_MANIFEST.v{v}.json"))
+        except OSError:
+            pass
+    return {
+        "kept_versions": kept_v,
+        "dropped_versions": dropped_v,
+        "deleted_files": sorted(dead),
+        "live_files": sorted(live),
+    }
 
 
 class DocStoreDataSource(DataSource):

@@ -213,3 +213,123 @@ def test_m4_no_window_in_plan(spark, sf_smoke):
     df = REGISTRY["q_zm_m4_downsample"].spark(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan.replace("WindowGroupLimit", ""), plan
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall + Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_python_recompute(spark, sf_smoke):
+    """S, n, tie-corrected variance, and z must match a pure-Python
+    recomputation on the collected daily series."""
+    r = _rows(spark, sf_smoke, "q_zn_mann_kendall")[0]
+    daily = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .selectExpr(
+            "date_trunc('day', o_orderdate) AS day",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day")
+        .sum("cents")
+        .orderBy("day")
+        .collect()
+    )
+    x = [row[1] for row in daily]
+    n = len(x)
+    s = sum(
+        (1 if x[j] > x[i] else -1 if x[j] < x[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = [t for t in Counter(x).values() if t > 1]
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties
+    )
+    var = var18 / 18.0
+    z = (s - 1) / var**0.5 if s > 0 else (s + 1) / var**0.5 if s < 0 else 0.0
+    assert r.n == n and r.s == s
+    assert abs(r.z - z) < 1e-6
+
+
+def test_theil_sen_is_median_of_pair_slopes(spark, sf_smoke):
+    """slope_per_day must be the exact discrete median of the pairwise
+    slope multiset (recomputed in Python) and n_pairs = C(n, 2)."""
+    r = _rows(spark, sf_smoke, "q_zo_theil_sen")[0]
+    daily = (
+        spark.read.parquet(f"{sf_smoke}/orders.parquet")
+        .selectExpr(
+            "date_trunc('day', o_orderdate) AS day",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("day")
+        .sum("cents")
+        .orderBy("day")
+        .collect()
+    )
+    pts = [(row[0], row[1]) for row in daily]
+    slopes = sorted(
+        (b_c - a_c) / 100.0 / ((b_d - a_d).days)
+        for i, (a_d, a_c) in enumerate(pts)
+        for (b_d, b_c) in pts[i + 1 :]
+    )
+    n = len(pts)
+    assert r.n_pairs == n * (n - 1) // 2 == len(slopes)
+    # percentile_disc(0.5): smallest value with CDF >= 0.5
+    import math
+
+    med = slopes[math.ceil(0.5 * len(slopes)) - 1]
+    assert abs(r.slope_per_day - round(med, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Concentration
+# ---------------------------------------------------------------------------
+
+
+def test_concentration_bounds_and_extremes(spark, sf_smoke):
+    """HHI lives in (0, 10000]; CR4 in (0, 1]; a segment's CR4 must be
+    >= 4/n_customers-ish uniform floor and HHI >= 10000/n (uniform
+    lower bound, exact)."""
+    rows = _rows(spark, sf_smoke, "q_zp_concentration")
+    assert rows, "no segments"
+    for r in rows:
+        assert 0 < r.hhi <= 10000 + 1e-6
+        assert 0 < r.cr4 <= 1 + 1e-9
+        assert r.hhi >= 10000.0 / r.n_customers - 1e-6  # uniform lower bound
+        if r.n_customers >= 4:
+            assert r.cr4 >= 4.0 / r.n_customers - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# KS
+# ---------------------------------------------------------------------------
+
+
+def test_ks_matches_scipy_style_recompute(spark, sf_smoke):
+    """ks_d must equal the classical sup-|ECDF diff| recomputed in pure
+    Python over both samples (evaluated at every observed point)."""
+    r = _rows(spark, sf_smoke, "q_zq_ks_twosample")[0]
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .filter("event_type IN ('purchase', 'click')")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(e.value for e in ev if e.event_type == "purchase")
+    b = sorted(e.value for e in ev if e.event_type == "click")
+    import bisect
+
+    points = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            bisect.bisect_right(a, x) / len(a)
+            - bisect.bisect_right(b, x) / len(b)
+        )
+        for x in points
+    )
+    assert r.na == len(a) and r.nb == len(b)
+    assert abs(r.ks_d - round(d, 6)) < 1e-9
+    assert 0 <= r.ks_d <= 1

@@ -383,3 +383,78 @@ def test_docstore_compaction_collapses_files(spark, tmp_path):
     assert {(r.doc_id, r.text) for r in back.collect()} == {
         (r.doc_id, r.text) for r in df.collect()
     }
+
+
+def test_docstore_time_travel_and_vacuum(spark, tmp_path):
+    """Time-travel contract: with retain_history every commit publishes an
+    immutable versioned manifest; old versions stay readable (data files
+    pinned) after later overwrites; docstore_vacuum(retain_last) expires
+    old snapshots, reclaims data files referenced by NO retained version,
+    and makes expired version reads fail loudly — while every retained
+    version and the latest pointer read exactly as before."""
+    import json
+    import os
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        docstore_vacuum,
+        register,
+    )
+
+    register(spark)
+    store = str(tmp_path / "tt")
+
+    def write(lo, hi, mode):
+        (
+            spark.range(lo, hi)
+            .selectExpr("id AS doc_id", "concat('t', id) AS text")
+            .repartition(2)
+            .write.format("docstore")
+            .mode(mode)
+            .option("retain_history", "true")
+            .save(store)
+        )
+
+    write(0, 100, "overwrite")    # v1
+    write(100, 150, "overwrite")  # v2
+    write(150, 170, "append")     # v3 = v2 + append
+
+    def ids(version=None):
+        r = spark.read.format("docstore")
+        if version is not None:
+            r = r.option("version", version)
+        return sorted(x.doc_id for x in r.load(store).collect())
+
+    # snapshot isolation: v1 unchanged after two later commits
+    assert ids(1) == list(range(0, 100))
+    assert ids(2) == list(range(100, 150))
+    assert ids(3) == list(range(100, 170))
+    assert ids() == ids(3)  # latest pointer == newest version
+
+    # history pins superseded files: v1's files still on disk
+    v1_files = {
+        e["file"]
+        for e in json.load(open(os.path.join(store, "_MANIFEST.v1.json")))["files"]
+    }
+    assert v1_files <= set(os.listdir(store))
+
+    out = docstore_vacuum(store, retain_last=2)
+    assert out["kept_versions"] == [2, 3]
+    assert out["dropped_versions"] == [1]
+    # v1's files were referenced ONLY by v1 -> reclaimed
+    assert set(out["deleted_files"]) == v1_files
+    assert not (v1_files & set(os.listdir(store)))
+    assert not os.path.exists(os.path.join(store, "_MANIFEST.v1.json"))
+
+    # retained versions and latest still read exactly
+    assert ids(2) == list(range(100, 150))
+    assert ids(3) == list(range(100, 170))
+    assert ids() == ids(3)
+
+    # expired version reads fail loudly, not silently-empty
+    with pytest.raises(Exception, match="version 1"):
+        ids(1)
+
+    # vacuum is idempotent
+    again = docstore_vacuum(store, retain_last=2)
+    assert again["dropped_versions"] == []
+    assert again["deleted_files"] == []
