@@ -432,3 +432,590 @@ def q_zu_zipf(spark, sf_dir):
         f"round({_ZIPF_ICEPT}, 6) AS intercept",
         f"round({_ZIPF_R2}, 6) AS r2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between language sub-corpora
+# ---------------------------------------------------------------------------
+
+_JSD_TOP = 300
+
+#: Per-token JSD contribution p*ln(2p/(p+q)) + q*ln(2q/(p+q)) on count
+#: ratios (ca/na, cb/nb), quantized to integer femto-units so the sum is
+#: exact. Individual terms can be negative (when p < q); the TOTAL is
+#: >= 0 analytically, and the final sqrt clamps at 0 like q_yl's KL.
+_JSD_P = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+_JSD_Q = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+_JSD_TERM = (
+    f"(CASE WHEN ca > 0 THEN {_JSD_P} * ln(2.0 * {_JSD_P} / ({_JSD_P} + {_JSD_Q})) ELSE 0.0 END"
+    f" + CASE WHEN cb > 0 THEN {_JSD_Q} * ln(2.0 * {_JSD_Q} / ({_JSD_P} + {_JSD_Q})) ELSE 0.0 END)"
+)
+_JSD_TERM_Q = f"CAST(round({_JSD_TERM} * 1000000000000000.0, 0) AS BIGINT)"
+_JSD_VAL = "greatest(0.0, CAST(sq AS DOUBLE) / 2.0 / 1000000000000000.0)"
+_JSD_OUT = (
+    f"round({_JSD_VAL}, 6) AS jsd",
+    f"round(sqrt({_JSD_VAL} / ln(2.0)), 6) AS jsd_distance",
+)
+
+
+@query(
+    "q_zv_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang, tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, sum(c) AS tot FROM cnt GROUP BY tok
+        ORDER BY tot DESC, tok LIMIT {_JSD_TOP}) v),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    grid AS (
+      SELECT l.lang, v.tok, coalesce(c.c, 0) AS c
+      FROM langs l CROSS JOIN vocab v
+      LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = v.tok),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY lang),
+    pairs AS (
+      SELECT g1.lang AS lang_a, g2.lang AS lang_b,
+             g1.c AS ca, g2.c AS cb, t1.n AS na, t2.n AS nb
+      FROM grid g1
+      JOIN grid g2 ON g1.tok = g2.tok AND g1.lang < g2.lang
+      JOIN tot t1 ON t1.lang = g1.lang
+      JOIN tot t2 ON t2.lang = g2.lang),
+    agg AS (
+      SELECT lang_a, lang_b, max(na) AS n_tok_a, max(nb) AS n_tok_b,
+             SUM(CAST({_JSD_TERM_Q} AS DECIMAL(38,0))) AS sq
+      FROM pairs GROUP BY lang_a, lang_b)
+    SELECT lang_a, lang_b, n_tok_a, n_tok_b, {_JSD_OUT[0]}, {_JSD_OUT[1]}
+    FROM agg ORDER BY lang_a, lang_b
+    """,
+)
+def q_zv_js_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between the language
+    sub-corpora over the global top-300 token vocabulary — the bounded,
+    symmetric distribution distance (Lin 1991, public) that corpus-mixing
+    pipelines use to quantify how far two sources' token distributions
+    sit apart; ``sqrt(JSD/ln 2)`` is the [0,1] JS distance. Every
+    per-token contribution is computed in shared-text DOUBLE from exact
+    integer counts, quantized to femto-units, and summed exactly — the
+    same no-double-sums discipline as the Zipf fit.
+
+    Scale shape: per-(lang, token) counts are one combinable aggregate;
+    the vocabulary restriction is a distributed top-k (vocabulary is
+    Heaps-sublinear in corpus size); the lang x vocab grid is |C|*|V|
+    rows — tiny next to the corpus — and the pair join runs on that
+    grid, never on raw tokens.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("lang", "text")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    cnt = tok.groupBy("lang", "tok").agg(F.count("*").cast("bigint").alias("c"))
+    vocab = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("tok"))
+        .limit(_JSD_TOP)
+        .select("tok")
+    )
+    langs = docs.select("lang").distinct()
+    grid = (
+        langs.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["lang", "tok"], "left")
+        .select("lang", "tok", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = grid.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    g1 = grid.select(
+        F.col("lang").alias("lang_a"), "tok", F.col("c").alias("ca")
+    )
+    g2 = grid.select(
+        F.col("lang").alias("lang_b"), "tok", F.col("c").alias("cb")
+    )
+    pairs = (
+        g1.join(g2, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .join(
+            F.broadcast(tot.select(F.col("lang").alias("lang_a"), F.col("n").alias("na"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb"))),
+            "lang_b",
+        )
+    )
+    agg = pairs.groupBy("lang_a", "lang_b").agg(
+        F.max("na").alias("n_tok_a"),
+        F.max("nb").alias("n_tok_b"),
+        F.sum(F.expr(_JSD_TERM_Q).cast("decimal(38,0)")).alias("sq"),
+    )
+    return agg.selectExpr(
+        "lang_a", "lang_b", "n_tok_a", "n_tok_b", _JSD_OUT[0], _JSD_OUT[1]
+    ).orderBy("lang_a", "lang_b")
+
+
+# ---------------------------------------------------------------------------
+# Train/test n-gram novelty (memorization / leakage audit)
+# ---------------------------------------------------------------------------
+
+#: Word-trigram generator per engine (identical token stream, identical
+#: 1-based indexing; Spark needs the size guard because sequence(1, 0)
+#: DESCENDS instead of returning empty).
+_TRI_SPARK = (
+    "CASE WHEN size(toks) >= 3 THEN"
+    " transform(sequence(1, size(toks) - 2),"
+    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',"
+    " element_at(toks, i + 2)))"
+    " ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+_TRI_DUCK = (
+    "list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
+#: q_xa's engine-portable split nibble: last hex char of md5(doc_id).
+_SPLIT_TRAIN = "substring(md5(CAST(doc_id AS STRING)), 32, 1) NOT IN ('d', 'e', 'f')"
+_SPLIT_TRAIN_DUCK = "substring(md5(doc_id::VARCHAR), 32, 1) NOT IN ('d', 'e', 'f')"
+
+
+@query(
+    "q_zw_ngram_novelty",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks,
+             {_SPLIT_TRAIN_DUCK} AS is_train
+      FROM documents),
+    train_g AS (
+      SELECT DISTINCT md5(g) AS gh
+      FROM (SELECT unnest({_TRI_DUCK}) AS g FROM base WHERE is_train) t),
+    test_g AS (
+      SELECT lang, md5(g) AS gh
+      FROM (SELECT lang, unnest({_TRI_DUCK}) AS g FROM base WHERE NOT is_train) t)
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+           round(CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM test_g s LEFT JOIN train_g tr USING (gh)
+    GROUP BY s.lang ORDER BY s.lang
+    """,
+)
+def q_zw_ngram_novelty(spark, sf_dir):
+    """Held-out n-gram novelty — the memorization/leakage audit a
+    training pipeline runs before trusting an eval set: what fraction of
+    the TEST split's word trigrams never occur in the TRAIN split
+    (cf. the n-gram overlap audits in public LM-benchmark methodology,
+    e.g. the GPT-2/GPT-3 papers' 8-gram decontamination — public). Low
+    novelty means the eval set is effectively memorizable from train.
+    Uses q_xa's engine-portable md5-nibble split, so the assignment
+    itself is oracle-checkable.
+
+    Scale shape: trigrams never shuffle as text — both sides join on
+    md5(gram) digests (16-byte keys; same discipline as the dedup
+    family). The train side is a distinct over digests (partial-agg
+    combinable); the novelty probe is a digest equi-join; per-language
+    rates are one small aggregate. At 100 TB you'd bucket the train
+    digest index once and reuse it across eval sets (q_xg's recipe).
+    """
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "regexp_extract_all(lower(text), '[a-z]+', 0) AS toks",
+            f"{_SPLIT_TRAIN} AS is_train",
+        )
+        .selectExpr("doc_id", "lang", "is_train", f"{_TRI_SPARK} AS grams")
+    )
+    train_g = (
+        base.filter("is_train")
+        .select(F.explode("grams").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    test_g = base.filter("NOT is_train").select(
+        "lang", F.explode("grams").alias("g")
+    ).select("lang", F.md5("g").alias("gh"))
+    return (
+        test_g.join(train_g.withColumn("seen", F.lit(1)), "gh", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unseen"),
+        )
+        .selectExpr(
+            "lang",
+            "n_grams",
+            "n_unseen",
+            "round(CAST(n_unseen AS DOUBLE) / n_grams, 6) AS novelty",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two event series
+# ---------------------------------------------------------------------------
+
+_XC_A, _XC_B = "click", "purchase"
+_XC_MAXLAG = 3
+
+_XC_RHO = _pearson_sql("n", "sa", "sb", "sab", "saa", "sbb")
+
+
+@query(
+    "q_zx_crosscorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CASE WHEN event_type = '{_XC_A}' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = '{_XC_B}' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest(range(-{_XC_MAXLAG}, {_XC_MAXLAG} + 1)) AS lag),
+    paired AS (
+      SELECT l.lag, d1.ca AS a, d2.cb AS b
+      FROM lags l
+      JOIN daily d1 ON TRUE
+      JOIN daily d2 ON d2.day = d1.day + l.lag),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(a AS DECIMAL(38,0))) AS sa,
+             SUM(CAST(b AS DECIMAL(38,0))) AS sb,
+             SUM(CAST(a AS DECIMAL(38,0)) * b) AS sab,
+             SUM(CAST(a AS DECIMAL(38,0)) * a) AS saa,
+             SUM(CAST(b AS DECIMAL(38,0)) * b) AS sbb
+      FROM paired GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days, round({_XC_RHO}, 6) AS rho
+    FROM m ORDER BY lag
+    """,
+)
+def q_zx_crosscorr(spark, sf_dir):
+    """Lagged cross-correlation between the daily 'click' and 'purchase'
+    event series: Pearson correlation of count(click) on day d with
+    count(purchase) on day d+lag for lags -3..+3 — the lead/lag
+    diagnostic behind "do clicks predict purchases, and by how many
+    days?" (the classical time-series cross-correlation function). Days
+    are epoch-day INTEGERS on both engines (no timezone arithmetic can
+    drift), counts are integers, the six moment sums are exact DECIMAL,
+    and rho is one shared-text expression — the same exactness recipe
+    as q_zr.
+
+    Scale shape: the daily rollup is one combinable aggregate that
+    shrinks the corpus to one row per day; everything after (the 7-lag
+    self-join, the moment reduction) runs on the day-count table, which
+    is ~4 orders of magnitude smaller than events at any SF.
+    """
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == _XC_A, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("event_type") == _XC_B, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    lags = spark.range(-_XC_MAXLAG, _XC_MAXLAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    d1 = daily.select("day", F.col("ca").alias("a"))
+    d2 = daily.select(F.col("day").alias("day_b"), F.col("cb").alias("b"))
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(d1)
+        .join(d2, F.col("day_b") == F.col("day") + F.col("lag"))
+    )
+    m = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b")).alias("sbb"),
+    )
+    return m.selectExpr(
+        "CAST(lag AS BIGINT) AS lag", "n AS n_days", f"round({_XC_RHO}, 6) AS rho"
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (counting-only, quantized-log exact argmax)
+# ---------------------------------------------------------------------------
+
+#: Laplace-smoothed log-likelihood of one vocab token under one class,
+#: quantized to integer nano-units (exact to sum). Inputs are integers.
+_NB_LP_Q = (
+    "CAST(round(ln(CAST(cwc + 1 AS DOUBLE) / CAST(tokc + vsize AS DOUBLE))"
+    " * 1000000000.0, 0) AS BIGINT)"
+)
+#: Class prior ln(Nc/N), same quantization.
+_NB_PRIOR_Q = (
+    "CAST(round(ln(CAST(nc AS DOUBLE) / CAST(ntot AS DOUBLE))"
+    " * 1000000000.0, 0) AS BIGINT)"
+)
+
+
+@query(
+    "q_zy_naive_bayes",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks,
+             {_SPLIT_TRAIN_DUCK} AS is_train
+      FROM documents),
+    train_tok AS (
+      SELECT lang, unnest(toks) AS tok FROM base WHERE is_train),
+    cwc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cwc
+            FROM train_tok GROUP BY lang, tok),
+    tokc AS (SELECT lang, CAST(count(*) AS BIGINT) AS tokc
+             FROM train_tok GROUP BY lang),
+    vocab AS (SELECT DISTINCT tok FROM train_tok),
+    vs AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM vocab),
+    langs AS (SELECT DISTINCT lang FROM base WHERE is_train),
+    prior AS (
+      SELECT t.lang, {_NB_PRIOR_Q} AS prior_q
+      FROM (SELECT lang, count(*) AS nc FROM base WHERE is_train GROUP BY lang) t
+      CROSS JOIN (SELECT count(*) AS ntot FROM base WHERE is_train) tt),
+    grid AS (
+      SELECT lang, tok, {_NB_LP_Q} AS lp_q FROM (
+        SELECT l.lang, v.tok, coalesce(c.cwc, 0) AS cwc, tc.tokc, vs.vsize
+        FROM langs l CROSS JOIN vocab v
+        LEFT JOIN cwc c ON c.lang = l.lang AND c.tok = v.tok
+        JOIN tokc tc ON tc.lang = l.lang
+        CROSS JOIN vs) g),
+    test_tok AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base WHERE NOT is_train) t
+      GROUP BY doc_id, tok),
+    tokscore AS (
+      SELECT tt.doc_id, g.lang,
+             SUM(CAST(tt.cnt * g.lp_q AS DECIMAL(38,0))) AS ts_q
+      FROM test_tok tt JOIN grid g ON g.tok = tt.tok
+      GROUP BY tt.doc_id, g.lang),
+    scored AS (
+      SELECT d.doc_id, d.lang AS actual, p.lang AS cand,
+             coalesce(s.ts_q, 0) + p.prior_q AS score
+      FROM (SELECT doc_id, lang FROM base WHERE NOT is_train) d
+      CROSS JOIN prior p
+      LEFT JOIN tokscore s ON s.doc_id = d.doc_id AND s.lang = p.lang),
+    pred AS (
+      SELECT doc_id, actual, cand AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rn
+      FROM scored)
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY actual, predicted ORDER BY actual, predicted
+    """,
+)
+def q_zy_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and evaluated
+    entirely with counting aggregates (McCallum & Nigam 1998, public):
+    Laplace-smoothed per-class token log-likelihoods from the md5-nibble
+    TRAIN split, argmax scoring of the TEST split, confusion matrix out.
+    Every log-probability is quantized to integer nano-units, so each
+    document's class score is an EXACT integer sum — the argmax (with
+    the class-name tie-break) cannot flip with partition order, which is
+    what makes a trained classifier's confusion matrix hash-checkable
+    across engines at all.
+
+    Scale shape: training is two combinable aggregates over exploded
+    train tokens ((class, token) counts + class totals). The scoring
+    grid is |V| x |C| — vocabulary-sized, not corpus-sized (Heaps'
+    law) — and joins test (doc, token) counts on the token key; docs
+    with no vocab overlap fall back to priors via the outer join on the
+    doc x class frame. No MLlib, no Python UDF, no driver collect.
+    """
+    base = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "regexp_extract_all(lower(text), '[a-z]+', 0) AS toks",
+            f"{_SPLIT_TRAIN} AS is_train",
+        )
+    )
+    train = base.filter("is_train")
+    train_tok = train.select("lang", F.explode("toks").alias("tok"))
+    cwc = train_tok.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("cwc")
+    )
+    tokc = train_tok.groupBy("lang").agg(F.count("*").cast("bigint").alias("tokc"))
+    vocab = train_tok.select("tok").distinct()
+    vs = vocab.agg(F.count("*").cast("bigint").alias("vsize"))
+    langs = train.select("lang").distinct()
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count("*").alias("nc"))
+        .crossJoin(F.broadcast(train.agg(F.count("*").alias("ntot"))))
+        .selectExpr("lang", f"{_NB_PRIOR_Q} AS prior_q")
+    )
+    grid = (
+        langs.crossJoin(vocab)
+        .join(cwc, ["lang", "tok"], "left")
+        .withColumn("cwc", F.coalesce("cwc", F.lit(0)))
+        .join(F.broadcast(tokc), "lang")
+        .crossJoin(F.broadcast(vs))
+        .selectExpr("lang", "tok", f"{_NB_LP_Q} AS lp_q")
+    )
+    test = base.filter("NOT is_train")
+    test_tok = (
+        test.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tokscore = (
+        test_tok.join(grid.withColumnRenamed("lang", "cand"), "tok")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum((F.col("cnt") * F.col("lp_q")).cast("decimal(38,0)")).alias("ts_q"))
+    )
+    scored = (
+        test.select("doc_id", F.col("lang").alias("actual"))
+        .crossJoin(F.broadcast(prior.withColumnRenamed("lang", "cand")))
+        .join(tokscore, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            (F.coalesce("ts_q", F.lit(0)) + F.col("prior_q")).alias("score"),
+        )
+    )
+    pred = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy(F.col("actual"), F.col("cand").alias("predicted"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-class precision / recall / F1 of a majority-class baseline
+# ---------------------------------------------------------------------------
+
+_PRF_P = "(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)"
+_PRF_R = "(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)"
+_PRF_F1 = (
+    f"(CASE WHEN {_PRF_P} + {_PRF_R} > 0.0"
+    f" THEN 2.0 * {_PRF_P} * {_PRF_R} / ({_PRF_P} + {_PRF_R}) ELSE 0.0 END)"
+)
+
+
+@query(
+    "q_zz_eval_prf",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, {_SPLIT_TRAIN_DUCK} AS is_train
+      FROM documents),
+    maj AS (
+      SELECT source, lang AS predicted
+      FROM (
+        SELECT source, lang, count(*) AS n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM base WHERE is_train GROUP BY source, lang) t
+      WHERE rn = 1),
+    conf AS (
+      SELECT b.lang AS actual, m.predicted
+      FROM base b JOIN maj m USING (source) WHERE NOT b.is_train),
+    byactual AS (
+      SELECT actual AS cls, CAST(count(*) AS BIGINT) AS n_actual,
+             CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM conf GROUP BY actual),
+    bypred AS (
+      SELECT predicted AS cls, CAST(count(*) AS BIGINT) AS n_pred
+      FROM conf GROUP BY predicted),
+    m AS (
+      SELECT coalesce(a.cls, p.cls) AS cls,
+             coalesce(a.tp, 0) AS tp,
+             coalesce(p.n_pred, 0) - coalesce(a.tp, 0) AS fp,
+             coalesce(a.n_actual, 0) - coalesce(a.tp, 0) AS fn
+      FROM byactual a FULL OUTER JOIN bypred p ON a.cls = p.cls)
+    SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round({_PRF_P}, 6) AS precision_,
+           round({_PRF_R}, 6) AS recall_,
+           round({_PRF_F1}, 6) AS f1
+    FROM m ORDER BY cls
+    """,
+)
+def q_zz_eval_prf(spark, sf_dir):
+    """Per-class precision / recall / F1 of the majority-class baseline
+    (predict every held-out document's language as its source's most
+    common TRAIN-split language) — the evaluation harness every
+    classifier in the engine (NB, kNN-LOO, the MLlib quality clf) is
+    judged against, and the baseline any reported score must beat (the
+    standard sanity bar in IR evaluation; van Rijsbergen 1979, public).
+    tp/fp/fn are derived from two marginal aggregates of the confusion
+    frame joined FULL OUTER so classes that are never predicted still
+    report recall — precision/recall/F1 are shared-text CASE-guarded
+    doubles over exact integers.
+
+    Scale shape: the majority model is one grouped count + per-source
+    rank (broadcastable — one row per source); applying it is a
+    broadcast join; the metrics are two combinable aggregates over the
+    prediction frame and a class-count-sized outer join.
+    """
+    base = read_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", "source", f"{_SPLIT_TRAIN} AS is_train"
+    )
+    maj = (
+        base.filter("is_train")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("predicted"))
+    )
+    conf = (
+        base.filter("NOT is_train")
+        .join(F.broadcast(maj), "source")
+        .select(F.col("lang").alias("actual"), "predicted")
+    )
+    byactual = conf.groupBy(F.col("actual").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_actual"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    bypred = conf.groupBy(F.col("predicted").alias("cls")).agg(
+        F.count("*").cast("bigint").alias("n_pred")
+    )
+    m = (
+        byactual.join(bypred, "cls", "full_outer")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("n_actual", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+        )
+    )
+    return m.selectExpr(
+        "cls",
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn",
+        f"round({_PRF_P}, 6) AS precision_",
+        f"round({_PRF_R}, 6) AS recall_",
+        f"round({_PRF_F1}, 6) AS f1",
+    ).orderBy("cls")
