@@ -1708,3 +1708,119 @@ def q_j_hints(spark, sf_dir):
         .select("o_orderkey", "c_name", F.col("o_totalprice").cast("double").alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_sa_docstore_cdf",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderpriority AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT 'delete' AS change, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS sum_cents_before,
+           CAST(0 AS BIGINT) AS sum_cents_after
+    FROM s WHERE p = '1-URGENT'
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)
+    FROM s WHERE p = '3-MEDIUM'
+    UNION ALL
+    SELECT 'update', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT),
+           CAST(SUM(CAST(cents + 7 AS DECIMAL(38,0))) AS BIGINT)
+    FROM s WHERE p = '2-HIGH'
+    ORDER BY change
+    """,
+)
+def q_sa_docstore_cdf(spark, sf_dir):
+    """CHANGE DATA FEED between two docstore versions (Delta's CDF /
+    Iceberg's changelog scan — public designs): commit v1 (urgent + high
+    orders), overwrite with v2 (high orders re-priced +7 cents, medium
+    orders added), then derive the row-level change feed by reading BOTH
+    versions via time travel and full-outer-joining on the primary key —
+    v1-only rows are deletes, v2-only rows are inserts, key-matched rows
+    with different payloads are updates, and unchanged rows are dropped.
+    The oracle recomputes all three change classes from the source
+    table, so the feed's CONTENT (not just its counts) is value-checked:
+    the update class must show exactly the +7-cent delta on every
+    2-HIGH order.
+
+    Scale shape: each version read plans from one immutable manifest and
+    scans only that snapshot's files; the diff is one key-partitioned
+    full outer join (digest-narrow rows: key + cents), and the summary
+    is a combinable aggregate. A log-structured CDF (reading only commit
+    deltas) would avoid the two scans; with snapshot manifests, the
+    full-outer diff IS the general change feed and is how engines
+    backfill CDF for pre-existing versions.
+    """
+    import hashlib as _hl
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    store = _os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_cdf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v1 = src.filter(F.col("p").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "cents"
+    )
+    v2 = (
+        src.filter(F.col("p") == "2-HIGH")
+        .select("o_orderkey", (F.col("cents") + 7).alias("cents"))
+        .unionByName(
+            src.filter(F.col("p") == "3-MEDIUM").select("o_orderkey", "cents")
+        )
+    )
+    for df in (v1, v2):
+        (
+            df.write.format("docstore")
+            .mode("overwrite")
+            .option("retain_history", "true")
+            .save(store)
+        )
+    r1 = (
+        spark.read.format("docstore")
+        .option("version", 1)
+        .load(store)
+        .select("o_orderkey", F.col("cents").alias("c1"))
+    )
+    r2 = (
+        spark.read.format("docstore")
+        .option("version", 2)
+        .load(store)
+        .select("o_orderkey", F.col("cents").alias("c2"))
+    )
+    j = r1.join(r2, "o_orderkey", "full_outer")
+    chg = (
+        F.when(F.col("c2").isNull(), F.lit("delete"))
+        .when(F.col("c1").isNull(), F.lit("insert"))
+        .when(F.col("c1") != F.col("c2"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(chg.alias("change"), "c1", "c2")
+        .filter(F.col("change") != "unchanged")
+        .groupBy("change")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.coalesce(F.col("c1"), F.lit(0)).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_cents_before"),
+            F.sum(F.coalesce(F.col("c2"), F.lit(0)).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_cents_after"),
+        )
+        .orderBy("change")
+    )

@@ -1019,3 +1019,317 @@ def q_zz_eval_prf(spark, sf_dir):
         f"round({_PRF_R}, 6) AS recall_",
         f"round({_PRF_F1}, 6) AS f1",
     ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands (rolling mean +/- 2 sigma, exact rolling moments)
+# ---------------------------------------------------------------------------
+
+_BB_WIN = 7  # trailing days, current day inclusive
+_BB_K = 2    # band half-width in standard deviations
+
+#: Rolling sample standard deviation from exact integer moment sums,
+#: shared text; NULL until the window holds >= 2 points.
+_BB_SD = (
+    "(CASE WHEN nw >= 2 THEN sqrt((CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(nw AS DOUBLE) * (CAST(nw AS DOUBLE) - 1.0))) ELSE NULL END)"
+)
+_BB_MEAN = "(CAST(sx AS DOUBLE) / CAST(nw AS DOUBLE) / 100.0)"
+_BB_UP = f"({_BB_MEAN} + {_BB_K}.0 * {_BB_SD} / 100.0)"
+_BB_LO = f"({_BB_MEAN} - {_BB_K}.0 * {_BB_SD} / 100.0)"
+_BB_SIG = (
+    f"(CASE WHEN {_BB_SD} IS NULL THEN 'warmup'"
+    f" WHEN CAST(x AS DOUBLE) / 100.0 > {_BB_UP} THEN 'above'"
+    f" WHEN CAST(x AS DOUBLE) / 100.0 < {_BB_LO} THEN 'below'"
+    " ELSE 'inside' END)"
+)
+
+
+@query(
+    "q_aa_bollinger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, x,
+             CAST(count(*) OVER win AS BIGINT) AS nw,
+             SUM(CAST(x AS DECIMAL(38,0))) OVER win AS sx,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) OVER win AS sxx
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN {_BB_WIN - 1} PRECEDING
+                                           AND CURRENT ROW))
+    SELECT CAST(day AS BIGINT) AS day,
+           round(CAST(x AS DOUBLE) / 100.0, 6) AS value,
+           nw AS n_window,
+           round({_BB_MEAN}, 6) AS sma,
+           round({_BB_UP}, 6) AS upper_band,
+           round({_BB_LO}, 6) AS lower_band,
+           {_BB_SIG} AS signal
+    FROM w ORDER BY day
+    """,
+)
+def q_aa_bollinger(spark, sf_dir):
+    """Bollinger bands over the daily total event value: trailing
+    7-day simple moving average with +/-2 sample-sigma bands and a
+    per-day breakout signal (Bollinger, classical technical analysis —
+    public). The daily series is exact integer cents; the rolling count,
+    sum, and sum-of-squares come from ONE constant-width ROWS frame, so
+    mean, sigma, and both bands are shared-text DOUBLE expressions over
+    exact integers — no double is ever summed across rows. Warm-up rows
+    (window < 2 points) signal 'warmup' instead of emitting NULL-driven
+    band math.
+
+    Scale shape: the corpus-sized work is one combinable daily rollup;
+    the window pass runs over the day-count table (one row per day) with
+    bounded frame state. For per-entity bands at scale the same frame
+    is partitioned by entity — identical shape, no global sort.
+    """
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    win = Window.orderBy("day").rowsBetween(-(_BB_WIN - 1), 0)
+    w = daily.select(
+        "day",
+        "x",
+        F.count("*").over(win).cast("bigint").alias("nw"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(win).alias("sx"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x"))).over(win).alias("sxx"),
+    )
+    return w.selectExpr(
+        "CAST(day AS BIGINT) AS day",
+        "round(CAST(x AS DOUBLE) / 100.0, 6) AS value",
+        "nw AS n_window",
+        f"round({_BB_MEAN}, 6) AS sma",
+        f"round({_BB_UP}, 6) AS upper_band",
+        f"round({_BB_LO}, 6) AS lower_band",
+        f"{_BB_SIG} AS signal",
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Brown double exponential smoothing (level + trend + 1-step forecast)
+# ---------------------------------------------------------------------------
+
+_DES_ALPHA = 0.3
+_DES_K = 16  # truncation lags, same bounded-frame design as q_yu
+
+
+def _des_smooth(val_list: str) -> str:
+    """Shared-shape truncated EWMA over a most-recent-first list of
+    doubles: sum_j w^j x_j / sum_j w^j with w = 1 - alpha. The list is
+    bounded (<= K elements) and identically ordered on both engines, so
+    the in-row fold is deterministic."""
+    w = 1.0 - _DES_ALPHA
+    return (
+        f"(list_sum(list_transform({val_list}, (x, i) -> x * pow({w}, i - 1)))"
+        f" / list_sum(list_transform({val_list}, (x, i) -> pow({w}, i - 1))))"
+    )
+
+
+_DES_LEVEL = "(2.0 * s1 - s2)"
+#: alpha/(1-alpha) pre-folded to ONE full-precision double literal: left
+#: as an in-query division, Spark parses `0.3 / (1.0 - 0.3)` as DECIMAL
+#: division and truncates the ratio to 6 fractional digits (0.428571),
+#: silently shifting the trend by ~1e-6 relative to the oracle's double
+#: arithmetic. A repr()-round-trip literal parses to the identical
+#: double on both engines.
+_DES_RATIO = repr(_DES_ALPHA / (1.0 - _DES_ALPHA))
+_DES_TREND = f"(CAST({_DES_RATIO} AS DOUBLE) * (s1 - s2))"
+_DES_FC = f"({_DES_LEVEL} + {_DES_TREND})"
+
+
+@query(
+    "q_ab_double_smoothing",
+    oracle=f"""
+    WITH s1t AS (
+      SELECT user_id, ts, event_id,
+             {_des_smooth(f'''list_reverse(list(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_DES_K - 1} PRECEDING AND CURRENT ROW))''')} AS s1
+      FROM events WHERE user_id IS NOT NULL),
+    s2t AS (
+      SELECT user_id, ts, event_id, s1,
+             {_des_smooth(f'''list_reverse(list(s1) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_DES_K - 1} PRECEDING AND CURRENT ROW))''')} AS s2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM s1t)
+    SELECT user_id,
+           round({_DES_LEVEL}, 6) AS level,
+           round({_DES_TREND}, 6) AS trend,
+           round({_DES_FC}, 6) AS forecast_1
+    FROM s2t WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q_ab_double_smoothing(spark, sf_dir):
+    """Brown's double exponential smoothing per user — the
+    level-plus-trend forecaster built from two stacked EWMA passes
+    (Brown 1963, public): s1 smooths the series, s2 smooths s1, then
+    level = 2*s1 - s2, trend = alpha/(1-alpha)*(s1 - s2), and the
+    one-step forecast is level + trend. Reported at each user's LAST
+    observation (the forecasting frontier). Both passes use q_yu's
+    bounded-trail truncation (K=16 lags), so the infinite recursion is
+    a constant-width ROWS frame and the in-row folds are deterministic
+    on both engines.
+
+    Scale shape: two window passes with bounded frame state (never a
+    user's whole series in memory), both over the SAME (user_id; ts,
+    event_id) ordering — one sort, reused; the second pass adds no
+    exchange. The last-row pick is a frame-free rank, and the output is
+    one row per user.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_DES_K - 1), 0)
+    )
+    decay = 1.0 - _DES_ALPHA
+
+    def smooth(col):
+        trail = F.reverse(F.collect_list(col).over(w))
+        wts = F.transform(trail, lambda x, i: F.pow(F.lit(decay), i.cast("double")))
+        wx = F.zip_with(trail, wts, lambda x, wt: x * wt)
+        ssum = F.aggregate(wx, F.lit(0.0), lambda acc, x: acc + x)
+        wsum = F.aggregate(wts, F.lit(0.0), lambda acc, x: acc + x)
+        return ssum / wsum
+
+    s1t = ev.select("user_id", "ts", "event_id", smooth("value").alias("s1"))
+    s2t = s1t.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "s1",
+        smooth("s1").alias("s2"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        ),
+    )
+    return (
+        s2t.filter(F.col("rn") == 1)
+        .selectExpr(
+            "user_id",
+            f"round({_DES_LEVEL}, 6) AS level",
+            f"round({_DES_TREND}, 6) AS trend",
+            f"round({_DES_FC}, 6) AS forecast_1",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation matrix (long form, exact quantized moments)
+# ---------------------------------------------------------------------------
+
+#: (name, quantized integer expression) — quantization factors cancel in
+#: the correlation, so mixed scales are safe.
+_CM_COLS = (
+    ("quantity", "CAST(round(l_quantity * 100) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("discount", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax", "CAST(round(l_tax * 100) AS BIGINT)"),
+)
+
+
+def _cm_corr(i: int, j: int) -> str:
+    return _pearson_sql(
+        "n", f"s{i}", f"s{j}", f"s{i}{j}", f"s{i}{i}", f"s{j}{j}"
+    )
+
+
+def _cm_moment_sql() -> str:
+    """The single-aggregate moment list shared by both engines."""
+    parts = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, (_, q) in enumerate(_CM_COLS):
+        parts.append(f"SUM(CAST({q} AS DECIMAL(38,0))) AS s{i}")
+    for i in range(len(_CM_COLS)):
+        for j in range(i, len(_CM_COLS)):
+            qi = _CM_COLS[i][1]
+            qj = _CM_COLS[j][1]
+            parts.append(
+                f"SUM(CAST({qi} AS DECIMAL(38,0)) * ({qj})) AS s{i}{j}"
+            )
+    return ", ".join(parts)
+
+
+def _cm_pairs_sql() -> str:
+    """UNION ALL long-form readout of the upper triangle (i < j)."""
+    selects = []
+    for i in range(len(_CM_COLS)):
+        for j in range(i + 1, len(_CM_COLS)):
+            selects.append(
+                f"SELECT '{_CM_COLS[i][0]}' AS col_x, '{_CM_COLS[j][0]}' AS col_y,"
+                f" n, round({_cm_corr(i, j)}, 6) AS corr FROM m"
+            )
+    return " UNION ALL ".join(selects)
+
+
+@query(
+    "q_ac_corr_matrix",
+    oracle=f"""
+    WITH m AS (SELECT {_cm_moment_sql()} FROM lineitem)
+    SELECT * FROM ({_cm_pairs_sql()}) pairs
+    ORDER BY col_x, col_y
+    """,
+)
+def q_ac_corr_matrix(spark, sf_dir):
+    """One-pass Pearson correlation matrix over the lineitem measures
+    (quantity, price, discount, tax), long-form upper triangle — the
+    feature-screening primitive ahead of any modeling step (and the
+    moment layout every distributed ML system computes the same way).
+    ALL C(4,2) correlations come from a SINGLE aggregate over one scan:
+    4 sums, 10 cross/square sums, one count — every moment an exact
+    DECIMAL over quantized integers (the per-column quantization factors
+    cancel in r, so mixed units are safe), then each correlation is one
+    shared-text expression over the one-row moment frame.
+
+    Scale shape: one map-side-combinable aggregate over one scan — the
+    minimum possible data movement for a correlation matrix (the naive
+    per-pair approach scans the table 6 times). Adding a column grows
+    the moment list quadratically but the shuffle stays ONE row.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    m = li.selectExpr(
+        *[f"{q} AS q{i}" for i, (_, q) in enumerate(_CM_COLS)]
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for i in range(len(_CM_COLS)):
+        aggs.append(F.sum(F.col(f"q{i}").cast("decimal(38,0)")).alias(f"s{i}"))
+    for i in range(len(_CM_COLS)):
+        for j in range(i, len(_CM_COLS)):
+            aggs.append(
+                F.sum(F.col(f"q{i}").cast("decimal(38,0)") * F.col(f"q{j}")).alias(
+                    f"s{i}{j}"
+                )
+            )
+    mom = m.agg(*aggs)
+    # Long-form readout via ONE stack() over the one-row moment frame —
+    # a UNION ALL of per-pair SELECTs would re-plan (and re-scan) the
+    # aggregate subtree once per pair; stack keeps the executed plan at
+    # exactly one parquet scan (asserted in tests/test_science_ops.py).
+    tuples = []
+    for i in range(len(_CM_COLS)):
+        for j in range(i + 1, len(_CM_COLS)):
+            tuples.append(
+                f"'{_CM_COLS[i][0]}', '{_CM_COLS[j][0]}', n,"
+                f" round({_cm_corr(i, j)}, 6)"
+            )
+    n_pairs = len(tuples)
+    return mom.selectExpr(
+        f"stack({n_pairs}, {', '.join(tuples)}) AS (col_x, col_y, n, corr)"
+    ).orderBy("col_x", "col_y")

