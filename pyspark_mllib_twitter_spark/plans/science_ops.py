@@ -62,6 +62,64 @@ def _pearson_sql(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
 _SPEAR_RHO = _pearson_sql("n", "su", "sv", "suv", "suu", "svv")
 
 
+def _doubled_tie_ranks(spark, rows: DataFrame, grp: str, val: str) -> DataFrame:
+    """Distributed tie-averaged doubled ranks per (group, value):
+    ``u2 = 2*avg_rank = 2*(#smaller) + tie_count + 1``, exact integers.
+
+    Shape — the q_yj_gini distributed-rank recipe generalized to
+    per-group TIE ranks: (1) collapse rows to per-(grp, val) tie counts
+    (map-side combinable — the frame shrinks to the distinct-value
+    cardinality); (2) range-repartition that frame by (grp, val) and pin
+    the layout with localCheckpoint (RangePartitioner re-samples per
+    execution; the offsets job and the rank job must see the SAME
+    assignment); (3) per-partition running sums + broadcast prefix
+    offsets per (partition, grp) give every value its global
+    smaller-count WITHOUT any per-group global sort — a plain
+    ``Window.partitionBy(grp)`` would funnel each group through ONE
+    task, collapsing parallelism to the group count (measured: 3 tasks
+    sorting 2M rows each at sf0.1). Tie runs cannot straddle partitions
+    because each (grp, val) appears exactly once in the collapsed frame.
+    The offsets collect is numPartitions x numGroups rows — bounded
+    control state, not data."""
+    cnt = rows.groupBy(grp, val).agg(F.count("*").alias("c"))
+    parts = (
+        cnt.repartitionByRange(grp, val)
+        .sortWithinPartitions(grp, val)
+        .localCheckpoint(eager=True)
+    )
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+    pg = sorted(
+        (r["_pid"], r[grp], r["s"])
+        for r in with_pid.groupBy("_pid", grp).agg(F.sum("c").alias("s")).collect()
+    )
+    acc: dict = {}
+    offsets = []
+    for pid, g, s in pg:
+        offsets.append((pid, g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + s
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, "", 0)], f"_pid int, {grp} string, _offset long"
+    )
+    running = F.sum("c").over(
+        Window.partitionBy("_pid", grp)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("_run", running)
+        .join(F.broadcast(offsets_df), ["_pid", grp])
+        .select(
+            grp,
+            val,
+            (
+                2 * (F.col("_offset") + F.col("_run") - F.col("c"))
+                + F.col("c")
+                + 1
+            ).alias("u2"),
+        )
+    )
+
+
 @query(
     "q_zr_spearman",
     oracle=f"""
@@ -95,24 +153,26 @@ def q_zr_spearman(spark, sf_dir):
     integer), so all five moment sums are exact DECIMAL(38,0) and the
     only floating-point work is the single shared-text rho expression.
 
-    Scale shape: the ranks are per-group window functions — each group
-    sorts independently after a hash partition on ``l_returnflag``
-    (3 groups here; at 100 TB the grouping key is whatever strata the
-    analysis runs over, and no GLOBAL sort ever happens). The moment
-    reduction is one map-side-combinable aggregate. Skewed strata
-    fall back to the same salting recipe as q_a8.
+    Scale shape: ranks come from ``_doubled_tie_ranks`` — the
+    q_yj_gini distributed-rank recipe per group and variable, so rank
+    parallelism is the PARTITION count, not the group count (a
+    ``Window.partitionBy(l_returnflag)`` rank funnels each of the 3
+    groups through one task — measured 3 tasks sorting 2M rows each at
+    sf0.1). The quantity rank map is tiny (|groups| x ~50 distinct
+    values — broadcast); the price rank map joins back shuffled on its
+    own key. The moment reduction is one map-side-combinable aggregate.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"), "l_quantity", "l_extendedprice"
     )
-    wq = Window.partitionBy("grp").orderBy("l_quantity")
-    wqt = Window.partitionBy("grp", "l_quantity")
-    wp = Window.partitionBy("grp").orderBy("l_extendedprice")
-    wpt = Window.partitionBy("grp", "l_extendedprice")
-    r = li.select(
-        "grp",
-        (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1).alias("u"),
-        (2 * F.rank().over(wp) + F.count("*").over(wpt) - 1).alias("v"),
+    ux = _doubled_tie_ranks(spark, li, "grp", "l_quantity").withColumnRenamed(
+        "u2", "u"
+    )
+    vy = _doubled_tie_ranks(spark, li, "grp", "l_extendedprice").withColumnRenamed(
+        "u2", "v"
+    )
+    r = li.join(F.broadcast(ux), ["grp", "l_quantity"]).join(
+        vy, ["grp", "l_extendedprice"]
     )
     m = r.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -560,16 +620,14 @@ def q_zv_js_divergence(spark, sf_dir):
 # Train/test n-gram novelty (memorization / leakage audit)
 # ---------------------------------------------------------------------------
 
-#: Word-trigram generator per engine (identical token stream, identical
-#: 1-based indexing; Spark needs the size guard because sequence(1, 0)
-#: DESCENDS instead of returning empty).
-_TRI_SPARK = (
-    "CASE WHEN size(toks) >= 3 THEN"
-    " transform(sequence(1, size(toks) - 2),"
-    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ',"
-    " element_at(toks, i + 2)))"
-    " ELSE CAST(array() AS ARRAY<STRING>) END"
-)
+#: DuckDB word-trigram generator (1-based list indexing; range(1, m)
+#: is empty when m <= 1, so short docs yield no grams). The Spark side
+#: deliberately does NOT mirror this as an array transform: a lambda
+#: that references the token array k times gets the upstream
+#: regexp_extract_all INLINED k times by projection collapse, so the
+#: tokenizer re-runs per element_at — measured 19s for 260k trigrams at
+#: sf0.1. posexplode + two lead() windows build the identical gram
+#: multiset with the regex evaluated exactly once per document.
 _TRI_DUCK = (
     "list_transform(range(1, len(toks) - 1),"
     " i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
@@ -613,38 +671,52 @@ def q_zw_ngram_novelty(spark, sf_dir):
     Uses q_xa's engine-portable md5-nibble split, so the assignment
     itself is oracle-checkable.
 
-    Scale shape: trigrams never shuffle as text — both sides join on
-    md5(gram) digests (16-byte keys; same discipline as the dedup
-    family). The train side is a distinct over digests (partial-agg
-    combinable); the novelty probe is a digest equi-join; per-language
-    rates are one small aggregate. At 100 TB you'd bucket the train
-    digest index once and reuse it across eval sets (q_xg's recipe).
+    Scale shape: trigrams never shuffle as text — everything downstream
+    of the tokenizer is keyed on md5(gram) digests (16-byte keys; same
+    discipline as the dedup family). The expensive subtree (regex
+    tokenize + trigram explode + md5) is traversed ONCE: a single
+    (digest, lang) aggregate carries train/test counts side by side, the
+    train-visibility probe is one window over the already-aggregated
+    digest frame (a train/test-split join of two branches would
+    re-execute the tokenizer subtree per branch — measured 87s vs ~11s
+    at sf0.1), and per-language rates are one small aggregate. At 100 TB
+    you'd bucket the train digest index once and reuse it across eval
+    sets (q_xg's recipe).
     """
-    base = (
-        read_table(spark, sf_dir, "documents")
-        .selectExpr(
-            "doc_id",
+    tokpos = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(_SPLIT_TRAIN).alias("is_train"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("pos", "tok"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", "tok", F.lead("tok", 1).over(wdoc), F.lead("tok", 2).over(wdoc)
+    )
+    exploded = (
+        tokpos.select(
             "lang",
-            "regexp_extract_all(lower(text), '[a-z]+', 0) AS toks",
-            f"{_SPLIT_TRAIN} AS is_train",
+            "is_train",
+            F.lead("tok", 2).over(wdoc).isNotNull().alias("full"),
+            gram.alias("g"),
         )
-        .selectExpr("doc_id", "lang", "is_train", f"{_TRI_SPARK} AS grams")
+        .filter("full")
+        .select("lang", "is_train", F.md5("g").alias("gh"))
     )
-    train_g = (
-        base.filter("is_train")
-        .select(F.explode("grams").alias("g"))
-        .select(F.md5("g").alias("gh"))
-        .distinct()
+    stats = exploded.groupBy("gh", "lang").agg(
+        F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("is_train"), 0).otherwise(1)).alias("n_te"),
     )
-    test_g = base.filter("NOT is_train").select(
-        "lang", F.explode("grams").alias("g")
-    ).select("lang", F.md5("g").alias("gh"))
+    tot_tr = F.sum("n_tr").over(Window.partitionBy("gh"))
     return (
-        test_g.join(train_g.withColumn("seen", F.lit(1)), "gh", "left")
+        stats.withColumn("gram_in_train", tot_tr > 0)
+        .filter(F.col("n_te") > 0)
         .groupBy("lang")
         .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            F.sum("n_te").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("gram_in_train"), 0).otherwise(F.col("n_te")))
             .cast("bigint")
             .alias("n_unseen"),
         )
