@@ -1029,3 +1029,247 @@ def q_zq_ks_twosample(spark, sf_dir):
             "ks_d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-score lower-bound ranking (round 7, batch 7)
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = "CAST(1.959963984540054 AS DOUBLE)"  # 97.5th normal quantile
+_WILSON_COHORTS = 20
+
+#: Wilson score interval lower bound from integer (s, n), shared text
+#: (Wilson 1927; the ranking fix for small-sample proportions popularized
+#: by Miller's "How Not To Sort By Average Rating" — public). Every
+#: fractional literal is CAST to DOUBLE: Spark parses bare decimal
+#: literals as DECIMAL and silently truncates ratios (the q_ab lesson).
+_WILSON_P = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+_WILSON_LB = (
+    f"((({_WILSON_P}) + {_WILSON_Z} * {_WILSON_Z} / (2.0 * CAST(n AS DOUBLE))"
+    f" - {_WILSON_Z} * sqrt((({_WILSON_P}) * (1.0 - ({_WILSON_P}))"
+    f" + {_WILSON_Z} * {_WILSON_Z} / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))"
+    f" / (1.0 + {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE)))"
+)
+
+
+@query(
+    "q_ad_wilson_ranking",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id % {_WILSON_COHORTS} AS cohort,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1)
+    SELECT CAST(cohort AS BIGINT) AS cohort, n, s,
+           round({_WILSON_P}, 6) AS p_hat,
+           round({_WILSON_LB}, 6) AS wilson_lb
+    FROM c ORDER BY wilson_lb DESC, cohort
+    """,
+)
+def q_ad_wilson_ranking(spark, sf_dir):
+    """Rank user cohorts by the Wilson score LOWER BOUND of their
+    purchase rate instead of the raw proportion — the
+    small-sample-honest ranking (Wilson 1927, public): a cohort with
+    3/3 purchases must NOT outrank one with 90/100, which naive p-hat
+    ordering does. s and n are exact integers from one combinable
+    aggregate; p-hat and the bound are one shared-text DOUBLE expression
+    each, so the ordering itself (not just the values) is
+    engine-portable.
+
+    Scale shape: one grouped count over the scan; the ranking runs on
+    the cohort table (bounded by the cohort count). This is the exact
+    shape of production leaderboards (items, sellers, experiments)
+    where n varies by orders of magnitude across rows.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy((F.col("user_id") % _WILSON_COHORTS).alias("cohort")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s"),
+    )
+    return c.selectExpr(
+        "CAST(cohort AS BIGINT) AS cohort",
+        "n",
+        "s",
+        f"round({_WILSON_P}, 6) AS p_hat",
+        f"round({_WILSON_LB}, 6) AS wilson_lb",
+    ).orderBy(F.desc("wilson_lb"), F.asc("cohort"))
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain entropy rate of the event-type process
+# ---------------------------------------------------------------------------
+
+#: Per-transition contribution -(n_ij/N) * ln(n_ij/n_i), quantized to
+#: integer femto-units from exact integer counts (the q_zv discipline —
+#: never sum raw doubles across rows).
+_MER_TERM = (
+    "CAST(round((CAST(n_ij AS DOUBLE) / CAST(ntot AS DOUBLE))"
+    " * ln(CAST(n_ij AS DOUBLE) / CAST(n_i AS DOUBLE))"
+    " * -1000000000000000.0, 0) AS BIGINT)"
+)
+
+
+@query(
+    "q_ae_markov_entropy",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id IS NOT NULL),
+    t AS (
+      SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_ij
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    marg AS (
+      SELECT prev_type, CAST(sum(n_ij) AS BIGINT) AS n_i FROM t GROUP BY prev_type),
+    tot AS (SELECT CAST(sum(n_ij) AS BIGINT) AS ntot FROM t),
+    terms AS (
+      SELECT {_MER_TERM} AS q
+      FROM t JOIN marg USING (prev_type) CROSS JOIN tot),
+    states AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM marg)
+    SELECT s.n_states, tt.ntot AS n_transitions,
+           round(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000000000000.0, 6) AS entropy_rate,
+           round(ln(CAST(s.n_states AS DOUBLE)), 6) AS max_entropy,
+           round(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000000000000.0
+                 / ln(CAST(s.n_states AS DOUBLE)), 6) AS efficiency
+    FROM terms CROSS JOIN states s CROSS JOIN tot tt
+    GROUP BY s.n_states, tt.ntot
+    """,
+)
+def q_ae_markov_entropy(spark, sf_dir):
+    """Entropy RATE of the per-user event-type Markov chain —
+    H = -sum_ij pi_i p_ij ln p_ij with the stationary distribution
+    estimated by the empirical transition marginals (Shannon 1948;
+    Cover & Thomas ch.4 — public): how predictable the NEXT event is
+    given the current one, reported against the ln(k) ceiling as an
+    efficiency ratio. Builds on q_yb's lag-transition construction; the
+    per-transition terms are quantized to femto-units and summed
+    exactly, so the statistic is hash-stable across engines.
+
+    Scale shape: one per-user lag window (sessions sort independently
+    per user hash partition — millions of small sorts, never a global
+    one), one (i, j) count aggregate, then all ratio/log math on the
+    k x k transition table (k = event-type cardinality, tiny).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    from pyspark.sql import Window as W
+
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_ij")
+    )
+    marg = t.groupBy("prev_type").agg(F.sum("n_ij").cast("bigint").alias("n_i"))
+    tot = t.agg(F.sum("n_ij").cast("bigint").alias("ntot"))
+    states = marg.agg(F.count("*").cast("bigint").alias("n_states"))
+    terms = (
+        t.join(F.broadcast(marg), "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(f"{_MER_TERM} AS q", "ntot")
+    )
+    return (
+        terms.crossJoin(F.broadcast(states))
+        .groupBy("n_states", F.col("ntot").alias("n_transitions"))
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("sq"))
+        .selectExpr(
+            "n_states",
+            "n_transitions",
+            "round(CAST(sq AS DOUBLE) / 1000000000000000.0, 6) AS entropy_rate",
+            "round(ln(CAST(n_states AS DOUBLE)), 6) AS max_entropy",
+            "round(CAST(sq AS DOUBLE) / 1000000000000000.0"
+            " / ln(CAST(n_states AS DOUBLE)), 6) AS efficiency",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-propensity-weighted treatment effect (stratified propensities)
+# ---------------------------------------------------------------------------
+
+#: Per-row IPW contribution in integer micro-cents: T*y/e - (1-T)*y/(1-e)
+#: with e the stratum propensity (a ratio of integers, identical on both
+#: engines), quantized then summed exactly.
+_IPW_TERM = (
+    "CAST(round((CASE WHEN treated = 1"
+    " THEN CAST(cents AS DOUBLE) / (CAST(n_t AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    " ELSE -CAST(cents AS DOUBLE) / (1.0 - CAST(n_t AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    " END) * 10000.0, 0) AS BIGINT)"
+)
+
+
+@query(
+    "q_af_ipw_ate",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type AS stratum,
+             CAST(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                  THEN 1 ELSE 0 END AS BIGINT) AS treated,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE props IS NOT NULL),
+    prop AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(treated) AS BIGINT) AS n_t
+      FROM base GROUP BY stratum),
+    terms AS (
+      SELECT b.treated, {_IPW_TERM} AS q
+      FROM base b JOIN prop USING (stratum)
+      WHERE prop.n_t > 0 AND prop.n_t < prop.n_s)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(treated) AS BIGINT) AS n_treated,
+           round(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 10000.0 / 100.0, 6) AS ipw_ate
+    FROM terms
+    """,
+)
+def q_af_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted average treatment effect (Horvitz &
+    Thompson 1952; Rosenbaum & Rubin 1983 — public) of the high-k
+    property cohort on event value, with propensities estimated per
+    event-type stratum as exact count ratios. The causal-inference
+    companion to CUPED (q_z1): CUPED reduces variance of a randomized
+    diff, IPW corrects for measured confounding when assignment rates
+    differ by stratum. Per-row weighted outcomes are quantized to
+    micro-cents and summed exactly; strata with degenerate propensity
+    (0 or 1) are excluded, as the estimator requires overlap.
+
+    Scale shape: one grouped count for the propensity table (broadcast —
+    bounded by stratum cardinality), one map-side join + combinable
+    quantized sum over the scan. No model fit needed: stratified
+    propensity IS the nonparametric estimator; swapping in a learned
+    e(x) only changes the broadcast side.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    base = ev.selectExpr(
+        "event_type AS stratum",
+        "CAST(CASE WHEN CAST(get_json_object(props, '$.k') AS BIGINT) >= 50"
+        " THEN 1 ELSE 0 END AS BIGINT) AS treated",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    prop = base.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("treated").cast("bigint").alias("n_t"),
+    )
+    terms = (
+        base.join(F.broadcast(prop), "stratum")
+        .filter((F.col("n_t") > 0) & (F.col("n_t") < F.col("n_s")))
+        .selectExpr("treated", f"{_IPW_TERM} AS q")
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.expr(
+            "round(CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(*) / 10000.0 / 100.0, 6)"
+        ).alias("ipw_ate"),
+    )

@@ -758,3 +758,34 @@ def q_stream_attribution(spark, sf_dir):
     )
     out = run_to_memory(stream, output_mode="update")
     return out.filter(F.col("user_id") >= 0).orderBy("event_id")
+
+
+@query("q_stream_topk", oracle=None)  # sketch content is arrival-order-defined
+def q_stream_topk(spark, sf_dir):
+    """Streaming heavy hitters: per-event-type top-5 users from a
+    BOUNDED Space-Saving counter table (capacity 24) maintained by a
+    custom stateful operator — the streaming analogue of the batch CMS
+    heavy-hitters entry (q_xx), with state that cannot grow with the
+    user universe. Rows-only by design: a sketch's content is defined by
+    arrival order, which no batch SQL oracle reproduces; instead the
+    Space-Saving error bounds (true <= est, est - err <= true) and
+    replay determinism are asserted against exact batch counts in
+    tests/test_streaming.py."""
+    from ..streaming import space_saving_topk
+
+    stream = space_saving_topk(
+        _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+    )
+    out = run_to_memory(stream, output_mode="update")
+    final_v = out.groupBy(F.col("event_type").alias("et")).agg(
+        F.max("version").alias("vmax")
+    )
+    return (
+        out.filter(F.col("event_type") != FLUSH_EVENT_TYPE)
+        .join(
+            F.broadcast(final_v),
+            (F.col("event_type") == F.col("et")) & (F.col("version") == F.col("vmax")),
+        )
+        .select("event_type", "rank", "user_id", "ss_count", "ss_err")
+        .orderBy("event_type", "rank")
+    )

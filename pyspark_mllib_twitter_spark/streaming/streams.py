@@ -682,3 +682,122 @@ def stateful_attribution(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: Space-Saving top-k sketch: capacity and emitted head size.
+SS_CAPACITY = 24
+SS_TOPK = 5
+
+_SS_OUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ss_count", T.LongType()),
+        T.StructField("ss_err", T.LongType()),
+    ]
+)
+_SS_STATE = T.StructType(
+    [
+        T.StructField("users", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def space_saving_topk(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    capacity: int = SS_CAPACITY,
+    topk: int = SS_TOPK,
+) -> DataFrame:
+    """Streaming heavy hitters per event type via the Space-Saving sketch
+    (Metwally, Agrawal & El Abbadi, "Efficient computation of frequent and
+    top-k elements in data streams", ICDT 2005 — public), as a custom
+    stateful operator: state per key is a BOUNDED counter table of
+    ``capacity`` (user, count, err) triples regardless of how many
+    distinct users flow past — the property that makes per-key top-k
+    viable on an unbounded stream where exact per-user counts would grow
+    state linearly in the user universe.
+
+    Guarantees (tested): for every tracked user,
+    ``true_count <= ss_count`` and ``ss_count - ss_err <= true_count``;
+    any user with true frequency above N/capacity is guaranteed tracked.
+
+    Determinism: rows are applied in (ts, event_id) order within each
+    micro-batch (the Arrow chunks arrive in partition order, which is not
+    a data contract), and evictions tie-break on (count, err, user), so a
+    deterministic replay yields a bit-identical sketch — what makes the
+    operator golden-testable at all.
+
+    Each batch emits the current top-``topk`` with a monotone state
+    version; the final answer is the row set at each key's max version
+    (update-mode analogue of q_stream_stateful's monotone max).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            users, counts, errs, version = state.get
+            table = {
+                u: [c, e] for u, c, e in zip(users, counts, errs)
+            }
+        else:
+            table, version = {}, 0
+        rows = []
+        for pdf in pdfs:
+            rows.append(pdf[["ts", "event_id", "user_id"]])
+        if rows:
+            batch = pd.concat(rows).sort_values(["ts", "event_id"])
+            for u in batch["user_id"]:
+                u = int(u)
+                if u in table:
+                    table[u][0] += 1
+                elif len(table) < capacity:
+                    table[u] = [1, 0]
+                else:
+                    # evict the minimum (count, err, user) entry
+                    evict = min(table.items(), key=lambda kv: (kv[1][0], kv[1][1], kv[0]))
+                    m = evict[1][0]
+                    del table[evict[0]]
+                    table[u] = [m + 1, m]
+        version += 1
+        state.update(
+            (
+                [int(u) for u in table],
+                [int(v[0]) for v in table.values()],
+                [int(v[1]) for v in table.values()],
+                version,
+            )
+        )
+        head = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))[
+            :topk
+        ]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(head),
+                "version": [version] * len(head),
+                "rank": list(range(1, len(head) + 1)),
+                "user_id": [u for u, _ in head],
+                "ss_count": [c for _, (c, _e) in head],
+                "ss_err": [e for _, (_c, e) in head],
+            }
+        )
+
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SS_OUT,
+            stateStructType=_SS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -375,3 +375,29 @@ def test_stream_restart_resumes_from_checkpoint_exactly_once(spark, sf_smoke, tm
         .filter(F.col("event_type") != FLUSH_EVENT_TYPE)
     )
     assert total == batch.count()
+
+
+def test_space_saving_topk_bounds_and_determinism(spark, sf_smoke):
+    """Space-Saving guarantees (Metwally 2005): for every tracked user
+    true_count <= ss_count and ss_count - ss_err <= true_count; and a
+    deterministic replay must reproduce the sketch bit-identically."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    spec = REGISTRY["q_stream_topk"]
+    first = spec.spark(spark, sf_smoke).collect()
+    assert first, "streaming top-k emitted nothing"
+    truth = {
+        (r.event_type, r.user_id): r.n
+        for r in read_table(spark, sf_smoke, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in first:
+        true_n = truth.get((r.event_type, r.user_id), 0)
+        assert true_n <= r.ss_count, (r, true_n)
+        assert r.ss_count - r.ss_err <= true_n, (r, true_n)
+        assert 1 <= r.rank <= 5
+    second = spec.spark(spark, sf_smoke).collect()
+    assert first == second
