@@ -1405,3 +1405,346 @@ def q_ac_corr_matrix(spark, sf_dir):
     return mom.selectExpr(
         f"stack({n_pairs}, {', '.join(tuples)}) AS (col_x, col_y, n, corr)"
     ).orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (islands over the token stream)
+# ---------------------------------------------------------------------------
+
+#: RAKE's phrase delimiters: the engine's deterministic English stopword
+#: fixture (functions/text.py) — deliberately small; production swaps in
+#: a full list without changing the plan shape.
+_RAKE_STOPS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+)
+_RAKE_TOPK = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+#: Per-word RAKE score deg(w)/freq(w) quantized to nano-units so the
+#: per-phrase sum is exact.
+_RAKE_WSCORE_Q = (
+    "CAST(round((CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE))"
+    " * 1000000000.0, 0) AS BIGINT)"
+)
+
+
+@query(
+    "q_ag_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.pos, u.tok
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents WHERE lang = 'en') d,
+      LATERAL (
+        SELECT UNNEST(generate_series(1, len(d.toks))) AS pos,
+               UNNEST(d.toks) AS tok) u),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END AS stop,
+             sum(CASE WHEN tok IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS isle
+      FROM tok),
+    phrase_tokens AS (
+      SELECT doc_id, isle, pos, tok FROM marked WHERE stop = 0),
+    phrases AS (
+      SELECT doc_id, isle,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM phrase_tokens GROUP BY doc_id, isle),
+    wstats AS (
+      SELECT pt.tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM phrase_tokens pt JOIN phrases p USING (doc_id, isle)
+      GROUP BY pt.tok),
+    pscore AS (
+      SELECT p.phrase,
+             SUM(CAST({_RAKE_WSCORE_Q} AS DECIMAL(38,0))) AS sq
+      FROM phrase_tokens pt
+      JOIN phrases p USING (doc_id, isle)
+      JOIN wstats w ON w.tok = pt.tok
+      GROUP BY p.doc_id, p.isle, p.phrase),
+    agg AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             max(sq) AS sq
+      FROM pscore GROUP BY phrase)
+    SELECT phrase, n_occurrences,
+           round(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS rake_score
+    FROM agg
+    ORDER BY sq DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def q_ag_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley, "Automatic
+    keyword extraction from individual documents", 2010 — public) over
+    the English sub-corpus: candidate phrases are maximal stopword-free
+    token runs (the gaps-and-islands construction, q_zb's pattern, keyed
+    by a running stopword count), each word scores degree/frequency
+    (degree = summed length of phrases containing it), and a phrase
+    scores the sum of its word scores. Word scores are quantized to
+    nano-units so phrase sums are exact integers — the ranking cannot
+    flip with partition order.
+
+    Scale shape: one posexplode + per-doc running-sum window builds the
+    islands (per-doc sorts over doc-hash partitions); word stats are one
+    combinable aggregate over phrase tokens; the phrase-score join fans
+    tokens to their word stats (broadcast — vocabulary-bounded) and
+    re-aggregates per phrase. Top-k is a rank-limit on exact integer
+    keys.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("pos", "tok"),
+    )
+    stop = F.col("tok").isin(*_RAKE_STOPS).cast("int")
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        stop.alias("stop"),
+        F.sum(stop)
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("isle"),
+    )
+    phrase_tokens = marked.filter(F.col("stop") == 0).select(
+        "doc_id", "isle", "pos", "tok"
+    )
+    phrases = phrase_tokens.groupBy("doc_id", "isle").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    wstats = (
+        phrase_tokens.join(phrases, ["doc_id", "isle"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    pscore = (
+        phrase_tokens.join(phrases, ["doc_id", "isle"])
+        .join(F.broadcast(wstats), "tok")
+        .groupBy("doc_id", "isle", "phrase")
+        .agg(F.sum(F.expr(_RAKE_WSCORE_Q).cast("decimal(38,0)")).alias("sq"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("sq").alias("sq"),
+    )
+    return (
+        agg.orderBy(F.col("sq").desc(), F.col("phrase"))
+        .limit(_RAKE_TOPK)
+        .selectExpr(
+            "phrase",
+            "n_occurrences",
+            "round(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS rake_score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space cosine histogram (drift/geometry audit)
+# ---------------------------------------------------------------------------
+
+_CH_BINS = 10  # over [-1, 1], width 0.2
+
+
+@query(
+    "q_ah_cosine_hist",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+    binned AS (
+      SELECT least(CAST(floor((sim + 1.0) / 0.2) AS BIGINT),
+                   {_CH_BINS - 1}) AS bin,
+             CAST(round(sim * 1000000.0) AS BIGINT) AS simq
+      FROM pairs)
+    SELECT bin,
+           round(CAST(-1.0 + 0.2 * bin AS DOUBLE), 1) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(simq AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS mean_sim
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_ah_cosine_hist(spark, sf_dir):
+    """Histogram of cosine similarity between consecutive embedding
+    pairs — the embedding-space geometry audit (a healthy space
+    concentrates mass in a narrow band; collapsed or anisotropic spaces
+    shift it toward 1.0 — cf. Ethayarajh 2019 on anisotropy, public)
+    and the drift check run between embedding model versions. Cosines
+    are rounded to 6dp BEFORE binning (identical rounded values on both
+    engines -> identical bins), and per-bin means are exact quantized
+    sums.
+
+    Scale shape: consecutive-id pairing is a self-join on vec_id+1 —
+    co-partitioned, no fan-out, and at 100 TB it pairs each vector with
+    its file-order neighbor in one zipped scan; the histogram is one
+    combinable aggregate over 10 groups. The JVM-side zip_with dot
+    product never leaves codegen.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pairs = a.join(b, "vec_id").select(
+        F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias("sim")
+    )
+    binned = pairs.selectExpr(
+        f"least(CAST(floor((sim + 1.0) / 0.2) AS BIGINT), {_CH_BINS - 1}) AS bin",
+        "CAST(round(sim * 1000000.0) AS BIGINT) AS simq",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("simq").cast("decimal(38,0)")).alias("sq"),
+        )
+        .selectExpr(
+            "bin",
+            "round(CAST(-1.0 + 0.2 * bin AS DOUBLE), 1) AS bin_lo",
+            "n_pairs",
+            "round(CAST(sq AS DOUBLE) / n_pairs / 1000000.0, 6) AS mean_sim",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (distributed minimax closed form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ai_isotonic",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS TIMESTAMP)::DATE) AS day,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type, day, w, sy,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily),
+    ranges AS (
+      SELECT j.event_type, j.i AS j, k.i AS k,
+             CAST(SUM(p.sy) AS DOUBLE) / CAST(SUM(p.w) AS DOUBLE) AS mean_jk
+      FROM pts j
+      JOIN pts k ON k.event_type = j.event_type AND k.i >= j.i
+      JOIN pts p ON p.event_type = j.event_type AND p.i BETWEEN j.i AND k.i
+      GROUP BY j.event_type, j.i, k.i),
+    inner_min AS (
+      SELECT r.event_type, i.i, r.j, min(r.mean_jk) AS m
+      FROM ranges r
+      JOIN pts i ON i.event_type = r.event_type
+                AND r.j <= i.i AND i.i <= r.k
+      GROUP BY r.event_type, i.i, r.j),
+    fit AS (
+      SELECT event_type, i, max(m) AS fitted_cents
+      FROM inner_min GROUP BY event_type, i)
+    SELECT p.event_type, CAST(p.day AS BIGINT) AS day,
+           round(CAST(p.sy AS DOUBLE) / p.w / 100.0, 6) AS raw_mean,
+           round(f.fitted_cents / 100.0, 6) AS fitted
+    FROM fit f JOIN pts p ON p.event_type = f.event_type AND p.i = f.i
+    ORDER BY p.event_type, p.day
+    """,
+)
+def q_ai_isotonic(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) regression of daily mean event
+    value per event type, via the MINIMAX closed form
+    ``fit_i = max_{j<=i} min_{k>=i} weightedMean(y[j..k])`` (Barlow,
+    Bartholomew, Bremner & Brunk 1972 — public; identical to PAVA's
+    output). PAVA itself is a sequential pooling pass — hostile to a
+    shared-nothing engine — while the minimax identity is pure joins and
+    aggregates over the BUCKETIZED frame, so the fit distributes. Means
+    are doubles from identical integer (sum, weight) pairs on both
+    engines, so every min/max comparison resolves identically.
+
+    Scale shape: the corpus-sized work is one combinable daily rollup
+    (the same two-level shape as q_aa); the O(B^3) minimax join runs on
+    the bucket frame (B = days per type, bounded by the calendar —
+    B=30 here, B^3 = 27k rows per type). At finer granularity you bound
+    B by re-bucketing, not by pushing PAVA into the corpus scan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sy"),
+    )
+    pts = daily.withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")),
+    )
+    j = pts.select("event_type", F.col("i").alias("j"))
+    k = pts.select("event_type", F.col("i").alias("k"))
+    p = pts.select("event_type", F.col("i").alias("pi"), "sy", "w")
+    ranges = (
+        j.join(k, "event_type")
+        .filter(F.col("k") >= F.col("j"))
+        .join(
+            p,
+            ["event_type"],
+        )
+        .filter((F.col("pi") >= F.col("j")) & (F.col("pi") <= F.col("k")))
+        .groupBy("event_type", "j", "k")
+        .agg(
+            (
+                F.sum("sy").cast("double") / F.sum("w").cast("double")
+            ).alias("mean_jk")
+        )
+    )
+    i_grid = pts.select("event_type", F.col("i").alias("i"))
+    inner_min = (
+        ranges.join(i_grid, "event_type")
+        .filter((F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")))
+        .groupBy("event_type", "i", "j")
+        .agg(F.min("mean_jk").alias("m"))
+    )
+    fit = inner_min.groupBy("event_type", "i").agg(F.max("m").alias("fitted_cents"))
+    return (
+        fit.join(pts, ["event_type", "i"])
+        .selectExpr(
+            "event_type",
+            "CAST(day AS BIGINT) AS day",
+            "round(CAST(sy AS DOUBLE) / w / 100.0, 6) AS raw_mean",
+            "round(fitted_cents / 100.0, 6) AS fitted",
+        )
+        .orderBy("event_type", "day")
+    )

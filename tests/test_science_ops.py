@@ -410,3 +410,97 @@ def test_docstore_cdf_classes(spark, sf_smoke):
     assert up.sum_cents_after - up.sum_cents_before == 7 * up.n_rows
     assert rows["insert"].sum_cents_before == 0
     assert rows["delete"].sum_cents_after == 0
+
+
+# ---------------------------------------------------------------------------
+# RAKE keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_phrases_are_stopword_free(spark, sf_smoke):
+    """No extracted phrase may contain a delimiter stopword, scores are
+    positive, and the list is sorted by (score desc, phrase)."""
+    from pyspark_mllib_twitter_spark.plans.science_ops import _RAKE_STOPS
+
+    rows = _rows(spark, sf_smoke, "q_ag_rake_keywords")
+    assert rows
+    for r in rows:
+        assert r.rake_score > 0
+        assert not (set(r.phrase.split()) & set(_RAKE_STOPS)), r.phrase
+    keys = [(-r.rake_score, r.phrase) for r in rows]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Cosine histogram
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_hist_accounts_for_every_pair(spark, sf_smoke):
+    """Bin means must lie inside their bins and the pair count must be
+    exactly n_vectors - 1 (consecutive pairing)."""
+    rows = _rows(spark, sf_smoke, "q_ah_cosine_hist")
+    n_vec = read_table(spark, sf_smoke, "embeddings").count()
+    assert sum(r.n_pairs for r in rows) == n_vec - 1
+    for r in rows:
+        lo = r.bin_lo
+        assert lo - 1e-9 <= r.mean_sim <= lo + 0.2 + 1e-9
+        assert 0 <= r.bin <= 9
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_fit_is_monotone_and_matches_pava(spark, sf_smoke):
+    """The fitted sequence must be non-decreasing per event type and
+    equal (to rounding) an independent pure-Python PAVA on the same
+    daily aggregates — the minimax identity check."""
+    rows = _rows(spark, sf_smoke, "q_ai_isotonic")
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type
+    daily = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.count("*").alias("w"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sy"),
+        )
+        .collect()
+    )
+    agg: dict = {}
+    for r in daily:
+        agg.setdefault(r.event_type, []).append((r.day, r.w, r.sy))
+
+    def pava(points):
+        blocks = [[w, sy, [day]] for day, w, sy in sorted(points)]
+        i = 0
+        while i < len(blocks) - 1:
+            a, b = blocks[i], blocks[i + 1]
+            if a[1] * b[0] > b[1] * a[0]:  # mean(a) > mean(b): pool
+                blocks[i] = [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+                del blocks[i + 1]
+                i = max(i - 1, 0)
+            else:
+                i += 1
+        out = {}
+        for w, sy, days in blocks:
+            for d in days:
+                out[d] = sy / w / 100.0
+        return out
+
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        fits = [r.fitted for r in rs]
+        assert fits == sorted(fits), f"{et}: fit not monotone"
+        want = pava(agg[et])
+        for r in rs:
+            assert abs(r.fitted - want[r.day]) < 1e-5, (et, r.day)
