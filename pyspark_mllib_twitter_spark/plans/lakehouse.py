@@ -683,3 +683,80 @@ def q_xs_snapshot_diff(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (bipartite power iteration)
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 10
+HITS_TOPK = 20
+
+
+def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> tuple:
+    """HITS hubs/authorities on a bipartite edge list ``(hub, auth)``
+    (Kleinberg, "Authoritative sources in a hyperlinked environment",
+    JACM 1999 — public): alternate h = E a and a = E^T h with L2
+    normalization each half-step. Returns ``(hubs_df, auths_df)`` with
+    columns (node, score).
+
+    Scale shape: each half-step is one equi-join of the 2-int edge list
+    with the current score vector plus one combinable sum — the same
+    join-per-iteration discipline as pagerank_converged; scores are
+    localCheckpoint-pinned per round so the lineage stays constant-depth
+    and each round's shuffles are not replayed by the next."""
+    a = edges.select(F.col("auth").alias("node")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
+    h = None
+    for _ in range(iters):
+        h = (
+            edges.join(a.withColumnRenamed("node", "auth"), "auth")
+            .groupBy("hub")
+            .agg(F.sum("score").alias("raw"))
+        )
+        nrm = h.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n"))
+        h = (
+            h.crossJoin(F.broadcast(nrm))
+            .select(F.col("hub").alias("node"), (F.col("raw") / F.col("n")).alias("score"))
+            .localCheckpoint(eager=False)
+        )
+        a = (
+            edges.join(h.withColumnRenamed("node", "hub"), "hub")
+            .groupBy("auth")
+            .agg(F.sum("score").alias("raw"))
+        )
+        nrm = a.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n"))
+        a = (
+            a.crossJoin(F.broadcast(nrm))
+            .select(F.col("auth").alias("node"), (F.col("raw") / F.col("n")).alias("score"))
+            .localCheckpoint(eager=False)
+        )
+    return h, a
+
+
+@query("q_xl3_hits", oracle=None)  # iterative float normalization: golden-tested
+def q_xl3_hits(spark, sf_dir):
+    """HITS on the supplier->part bipartite purchase graph: suppliers are
+    hubs, parts authorities; top-20 of each after 10 alternating
+    normalized power steps. Rows-only by design (per-round L2 norms are
+    iterative float — no SQL oracle reproduces the trajectory);
+    tests/test_lakehouse.py checks the scores against a NumPy power
+    iteration on the collected edge list to 1e-6 and pins the
+    eigenvector properties (unit norm, non-negativity)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    edges = li.select(
+        F.col("l_suppkey").alias("hub"), F.col("l_partkey").alias("auth")
+    ).distinct()
+    h, a = hits_scores(edges)
+    top_h = h.orderBy(F.col("score").desc(), F.col("node")).limit(HITS_TOPK)
+    top_a = a.orderBy(F.col("score").desc(), F.col("node")).limit(HITS_TOPK)
+    return (
+        top_h.select(F.lit("hub").alias("side"), "node", F.round("score", 6).alias("score"))
+        .unionByName(
+            top_a.select(
+                F.lit("authority").alias("side"), "node", F.round("score", 6).alias("score")
+            )
+        )
+        .orderBy("side", F.col("score").desc(), "node")
+    )

@@ -1748,3 +1748,226 @@ def q_ai_isotonic(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN (density clustering over the embedding projection)
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 0.04
+_DB_MINPTS = 3
+#: (cx, cy) -> single int key; the +512 shift keeps negatives positive
+#: and 1024 exceeds any reachable cell index at |coord| <= 51.2.
+_DB_KEY = "((cx + 512) * 1024 + (cy + 512))"
+
+
+@query(
+    "q_ak_grid_dbscan",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cy
+      FROM embeddings),
+    cells AS (
+      SELECT cx, cy, {_DB_KEY} AS cell, CAST(count(*) AS BIGINT) AS n_pts
+      FROM pts GROUP BY cx, cy),
+    core AS (SELECT * FROM cells WHERE n_pts >= {_DB_MINPTS}),
+    adj AS (
+      SELECT c1.cell AS u, c2.cell AS v
+      FROM core c1 JOIN core c2
+        ON c2.cx BETWEEN c1.cx - 1 AND c1.cx + 1
+       AND c2.cy BETWEEN c1.cy - 1 AND c1.cy + 1),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT u, v FROM adj
+        UNION
+        SELECT r.a, e.v FROM r JOIN adj e ON e.u = r.b)
+      SELECT a, b FROM r),
+    labeled AS (
+      SELECT a AS cell, min(b) AS cluster FROM reach GROUP BY a)
+    SELECT l.cluster,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c.n_pts) AS BIGINT) AS n_core_points
+    FROM labeled l JOIN core c ON c.cell = l.cell
+    GROUP BY l.cluster ORDER BY l.cluster
+    """,
+)
+def q_ak_grid_dbscan(spark, sf_dir):
+    """Grid-based density clustering (the GriDBSCAN / cell-DBSCAN family
+    — Ester et al. 1996 for DBSCAN; grid variant per Gunawan 2013, both
+    public) over the first two embedding dimensions: bucket points into
+    eps-cells, mark cells with >= minPts as CORE, union adjacent
+    (8-neighborhood) core cells into clusters via the engine's
+    pointer-jumping connected-components operator, and report per-cluster
+    cell/point totals. The cluster label is the component's minimum cell
+    key — identical on both engines by construction (the oracle computes
+    the same min over a recursive transitive closure).
+
+    Scale shape: points shuffle ONCE into cell counts (combinable); all
+    clustering runs on the CELL table (bounded by (range/eps)^2, not by
+    point count); adjacency is a 9-offset equi-join on int cell keys
+    (the geo-join discipline — no distance cross join anywhere); CC is
+    O(log diameter) pointer-jumping rounds over cell-pair edges. This is
+    how density clustering survives 100 TB: the corpus only ever feeds a
+    grid histogram.
+    """
+    from ..operators.dedup import keep_one_representatives
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # element_at is 1-based like DuckDB's list indexing; Spark's SQL
+    # bracket `embedding[1]` would be the SECOND element (0-based).
+    pts = emb.selectExpr(
+        "vec_id",
+        f"CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cx",
+        f"CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cy",
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count("*").cast("bigint").alias("n_pts"))
+    core = cells.filter(F.col("n_pts") >= _DB_MINPTS).selectExpr(
+        "cx", "cy", f"{_DB_KEY} AS cell", "n_pts"
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off_df = spark.createDataFrame(offsets, "dx int, dy int")
+    probe = (
+        core.crossJoin(F.broadcast(off_df))
+        .selectExpr("cell AS u", "cx + dx AS cx", "cy + dy AS cy")
+    )
+    adj = probe.join(
+        core.selectExpr("cx", "cy", "cell AS v"), ["cx", "cy"]
+    ).select("u", "v")
+    labeled = keep_one_representatives(
+        adj.selectExpr("u AS id_a", "v AS id_b"),
+        core.select("cell"),
+        id_col="cell",
+    ).selectExpr("cell", "rep_id AS cluster")
+    return (
+        labeled.join(core, "cell")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("n_pts").cast("bigint").alias("n_core_points"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX time-series symbolization (PAA + Gaussian breakpoints)
+# ---------------------------------------------------------------------------
+
+_SAX_SEG_DAYS = 5
+#: 4-symbol alphabet breakpoints (standard normal quartiles), embedded
+#: as full-precision double literals (the q_ab lesson: bare decimal
+#: literals parse as DECIMAL on Spark).
+_SAX_BP = "CAST(0.6744897501960817 AS DOUBLE)"
+_SAX_SYM = (
+    f"(CASE WHEN z < -{_SAX_BP} THEN 'a'"
+    f" WHEN z < CAST(0.0 AS DOUBLE) THEN 'b'"
+    f" WHEN z < {_SAX_BP} THEN 'c'"
+    " ELSE 'd' END)"
+)
+#: z-score of a segment PAA mean against the full-series moments, all
+#: from exact integer sums; rounded to 6dp BEFORE symbol binning so the
+#: breakpoint comparison sees identical values on both engines.
+_SAX_Z = (
+    "round(((CAST(seg_sum AS DOUBLE) / CAST(seg_n AS DOUBLE))"
+    " - (CAST(tot_sum AS DOUBLE) / CAST(tot_n AS DOUBLE)))"
+    " / sqrt((CAST(tot_n AS DOUBLE) * CAST(tot_ss AS DOUBLE)"
+    " - CAST(tot_sum AS DOUBLE) * CAST(tot_sum AS DOUBLE))"
+    " / (CAST(tot_n AS DOUBLE) * (CAST(tot_n AS DOUBLE) - 1.0))), 6)"
+)
+
+
+@query(
+    "q_al_sax",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day, x,
+             -- // is floor division: DuckDB's / is float division and a
+             -- BIGINT cast rounds-to-nearest (Spark's cast truncates)
+             CAST((row_number() OVER (PARTITION BY event_type ORDER BY day) - 1)
+                  // {_SAX_SEG_DAYS} AS BIGINT) AS seg
+      FROM daily),
+    segs AS (
+      SELECT event_type, seg,
+             CAST(count(*) AS BIGINT) AS seg_n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS seg_sum
+      FROM idx GROUP BY event_type, seg),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS tot_n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS tot_sum,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS tot_ss
+      FROM idx GROUP BY event_type),
+    z AS (
+      SELECT s.event_type, s.seg, s.seg_n, {_SAX_Z} AS z
+      FROM segs s JOIN tot USING (event_type))
+    SELECT event_type, CAST(seg AS BIGINT) AS segment, seg_n AS n_days,
+           z, {_SAX_SYM} AS symbol
+    FROM z ORDER BY event_type, segment
+    """,
+)
+def q_al_sax(spark, sf_dir):
+    """SAX symbolization (Lin, Keogh, Lonardi & Chiu, "A symbolic
+    representation of time series", DMKD 2003 — public) of each event
+    type's daily-value series: Piecewise Aggregate Approximation over
+    5-day segments, z-normalized against the full series, then mapped to
+    a 4-symbol alphabet at the standard-normal quartile breakpoints —
+    the dimensionality reduction that turns numeric series into strings
+    amenable to the engine's text machinery (shingles, MinHash, grep).
+    All moments are exact integers; z is one shared-text expression
+    rounded to 6dp BEFORE the breakpoint CASE so symbol assignment
+    cannot differ between engines.
+
+    Scale shape: one combinable daily rollup; segment indexing is a
+    per-type window over the day table (bounded by the calendar); the
+    z/symbol math runs on the segment table. Per-entity SAX at scale
+    partitions the same windows by entity.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    idx = daily.withColumn(
+        "seg",
+        F.floor(
+            (
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("day")
+                )
+                - 1
+            )
+            / _SAX_SEG_DAYS
+        ).cast("bigint"),
+    )
+    segs = idx.groupBy("event_type", "seg").agg(
+        F.count("*").cast("bigint").alias("seg_n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("decimal(38,0)").alias("seg_sum"),
+    )
+    tot = idx.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("tot_n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("tot_sum"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("tot_ss"),
+    )
+    z = segs.join(F.broadcast(tot), "event_type").selectExpr(
+        "event_type", "seg", "seg_n", f"{_SAX_Z} AS z"
+    )
+    return z.selectExpr(
+        "event_type",
+        "CAST(seg AS BIGINT) AS segment",
+        "seg_n AS n_days",
+        "z",
+        f"{_SAX_SYM} AS symbol",
+    ).orderBy("event_type", "segment")

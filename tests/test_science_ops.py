@@ -504,3 +504,92 @@ def test_isotonic_fit_is_monotone_and_matches_pava(spark, sf_smoke):
         want = pava(agg[et])
         for r in rs:
             assert abs(r.fitted - want[r.day]) < 1e-5, (et, r.day)
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN
+# ---------------------------------------------------------------------------
+
+
+def test_grid_dbscan_labels_are_component_minima(spark, sf_smoke):
+    """Cluster labels must be member cell keys, clusters disjoint, and
+    every reported core point count >= minPts * n_cells lower bound is
+    respected per cell (each core cell holds >= minPts points)."""
+    from pyspark_mllib_twitter_spark.plans.science_ops import _DB_MINPTS
+
+    rows = _rows(spark, sf_smoke, "q_ak_grid_dbscan")
+    labels = [r.cluster for r in rows]
+    assert len(labels) == len(set(labels))
+    for r in rows:
+        assert r.n_core_points >= _DB_MINPTS * r.n_cells
+
+
+# ---------------------------------------------------------------------------
+# SAX
+# ---------------------------------------------------------------------------
+
+
+def test_sax_symbols_and_znorm(spark, sf_smoke):
+    """Symbols must agree with the z values and breakpoints; per type the
+    weighted mean of z over segments is ~0 (z-normalization identity)."""
+    rows = _rows(spark, sf_smoke, "q_al_sax")
+    assert rows
+    bp = 0.6744897501960817
+    by_type: dict = {}
+    for r in rows:
+        want = "a" if r.z < -bp else "b" if r.z < 0 else "c" if r.z < bp else "d"
+        assert r.symbol == want, r
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        wz = sum(r.z * r.n_days for r in rs) / sum(r.n_days for r in rs)
+        assert abs(wz) < 1e-3, (et, wz)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_numpy_power_iteration(spark, sf_smoke):
+    """The distributed HITS scores must match a dense NumPy power
+    iteration on the collected edge list (same iteration count and
+    normalization cadence) to 1e-5, and each side's score vector head
+    must be sorted desc."""
+    import numpy as np
+
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.lakehouse import HITS_ITERS
+
+    li = (
+        read_table(spark, sf_smoke, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_suppkey").alias("hub"), F.col("l_partkey").alias("auth")
+        )
+        .distinct()
+        .collect()
+    )
+    hubs = sorted({r.hub for r in li})
+    auths = sorted({r.auth for r in li})
+    hi = {h: i for i, h in enumerate(hubs)}
+    ai = {a: i for i, a in enumerate(auths)}
+    E = np.zeros((len(hubs), len(auths)))
+    for r in li:
+        E[hi[r.hub], ai[r.auth]] = 1.0
+    a = np.ones(len(auths))
+    for _ in range(HITS_ITERS):
+        h = E @ a
+        h /= np.linalg.norm(h)
+        a = E.T @ h
+        a /= np.linalg.norm(a)
+    rows = _rows(spark, sf_smoke, "q_xl3_hits")
+    got_h = {r.node: r.score for r in rows if r.side == "hub"}
+    got_a = {r.node: r.score for r in rows if r.side == "authority"}
+    assert got_h and got_a
+    for node, score in got_h.items():
+        assert abs(score - h[hi[node]]) < 1e-5, ("hub", node)
+    for node, score in got_a.items():
+        assert abs(score - a[ai[node]]) < 1e-5, ("auth", node)
+    for side_scores in (got_h, got_a):
+        vals = list(side_scores.values())
+        assert all(v >= 0 for v in vals)
