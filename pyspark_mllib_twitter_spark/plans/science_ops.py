@@ -1971,3 +1971,210 @@ def q_al_sax(spark, sf_dir):
         "z",
         f"{_SAX_SYM} AS symbol",
     ).orderBy("event_type", "segment")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (SES vs naive baseline)
+# ---------------------------------------------------------------------------
+
+_BT_K = 8       # EWMA trail length (preceding days only)
+_BT_ALPHA = 0.3
+
+#: Truncated SES forecast from the K PRECEDING days (never the current
+#: one — that would leak the answer into the forecast), most-recent
+#: first, q_yu's self-normalizing trail form.
+_BT_W = repr(1.0 - _BT_ALPHA)
+
+
+@query(
+    "q_am_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, x,
+             list_reverse(list(x) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN {_BT_K} PRECEDING AND 1 PRECEDING)) AS trail,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day) AS prev_x
+      FROM daily),
+    scored AS (
+      SELECT event_type,
+             CAST(abs(CAST(x AS DOUBLE)
+               - (list_sum(list_transform(trail, (v, i) -> v * pow({_BT_W}, i - 1)))
+                  / list_sum(list_transform(trail, (v, i) -> pow({_BT_W}, i - 1)))))
+               AS DOUBLE) AS err_ses,
+             CAST(abs(x - prev_x) AS BIGINT) AS err_naive
+      FROM w WHERE len(trail) >= 1 AND prev_x IS NOT NULL),
+    q AS (
+      SELECT event_type,
+             CAST(round(err_ses * 1000000.0, 0) AS BIGINT) AS eq,
+             err_naive
+      FROM scored)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(CAST(SUM(CAST(eq AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 1000000.0 / 100.0, 6) AS mae_ses,
+           round(CAST(SUM(CAST(err_naive AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 100.0, 6) AS mae_naive,
+           round(1.0 - (CAST(SUM(CAST(eq AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)
+                 / CAST(SUM(CAST(err_naive AS DECIMAL(38,0))) AS DOUBLE), 6)
+             AS skill
+    FROM q GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_am_backtest(spark, sf_dir):
+    """Rolling-origin forecast backtest: one-step-ahead SES forecasts
+    (q_yu's truncated-trail form over the PRECEDING days only — the
+    frame ends at 1 PRECEDING, so the forecast never sees its own
+    target) scored against realized daily values, with the naive
+    persistence forecast (yesterday's value) as baseline and the skill
+    score 1 - MAE_model/MAE_naive (Hyndman & Athanasopoulos, "Forecasting:
+    Principles and Practice" — public methodology). Absolute errors are
+    quantized to micro-cents and summed exactly; naive errors are
+    born-integer.
+
+    Scale shape: one combinable daily rollup, one bounded-frame window
+    pass per series (per-type partitions), one grouped reduction.
+    Backtesting at scale is embarrassingly parallel across series — the
+    frame never holds more than K+1 values.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    win = Window.partitionBy("event_type").orderBy("day").rowsBetween(-_BT_K, -1)
+    trail = F.reverse(F.collect_list("x").over(win))
+    prev_x = F.lag("x").over(Window.partitionBy("event_type").orderBy("day"))
+    decay = 1.0 - _BT_ALPHA
+    wts = F.transform(trail, lambda v, i: F.pow(F.lit(decay), i.cast("double")))
+    fc = F.aggregate(
+        F.zip_with(trail, wts, lambda v, wt: v * wt), F.lit(0.0), lambda a, x: a + x
+    ) / F.aggregate(wts, F.lit(0.0), lambda a, x: a + x)
+    w = daily.select(
+        "event_type",
+        "x",
+        F.size(trail).alias("tlen"),
+        fc.alias("fc"),
+        prev_x.alias("prev_x"),
+    )
+    scored = w.filter((F.col("tlen") >= 1) & F.col("prev_x").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(round(abs(CAST(x AS DOUBLE) - fc) * 1000000.0, 0) AS BIGINT)").alias(
+            "eq"
+        ),
+        F.abs(F.col("x") - F.col("prev_x")).cast("bigint").alias("err_naive"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_scored"),
+            F.sum(F.col("eq").cast("decimal(38,0)")).alias("se"),
+            F.sum(F.col("err_naive").cast("decimal(38,0)")).alias("sn"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_days_scored",
+            "round(CAST(se AS DOUBLE) / n_days_scored / 1000000.0 / 100.0, 6) AS mae_ses",
+            "round(CAST(sn AS DOUBLE) / n_days_scored / 100.0, 6) AS mae_naive",
+            "round(1.0 - (CAST(se AS DOUBLE) / 1000000.0) / CAST(sn AS DOUBLE), 6)"
+            " AS skill",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading ease per language corpus)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_an_readability",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '[.!?]+'),
+                             s -> trim(s) <> '')) AS n_sent,
+             regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents),
+    c AS (
+      SELECT lang,
+             CAST(greatest(n_sent, 1) AS BIGINT) AS n_sent,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks,
+                 t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+               AS BIGINT) AS n_syll
+      FROM d),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_sent) AS BIGINT) AS sent,
+             CAST(sum(n_words) AS BIGINT) AS words,
+             CAST(sum(n_syll) AS BIGINT) AS syll
+      FROM c WHERE n_words > 0 GROUP BY lang)
+    SELECT lang, n_docs, words AS n_words,
+           round(CAST(words AS DOUBLE) / CAST(sent AS DOUBLE), 6) AS words_per_sentence,
+           round(CAST(syll AS DOUBLE) / CAST(words AS DOUBLE), 6) AS syllables_per_word,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sent AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE) * (CAST(syll AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+             AS flesch
+    FROM agg ORDER BY lang
+    """,
+)
+def q_an_readability(spark, sf_dir):
+    """Flesch reading-ease per language corpus (Flesch 1948; Kincaid
+    1975 — public): 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/word), with sentences as [.!?]+-delimited non-blank
+    segments and syllables approximated by [aeiouy]+ vowel groups
+    (floor 1 per word) — the classical quality-scoring heuristic that
+    complements the stopword/length-based quality score (q_ns_quality)
+    in a training-data filter stack. All counts are exact integers; the
+    two ratios and the Flesch formula are shared-text doubles over the
+    LANGUAGE-AGGREGATED counts (never per-doc floats summed).
+
+    Scale shape: map-only per-document counting (each regex referenced
+    once — no projection-collapse re-evaluation, the q_zw lesson), one
+    combinable per-language aggregate, formula on the language table.
+    """
+    d = read_table(spark, sf_dir, "documents").selectExpr(
+        "lang",
+        "size(filter(split(text, '[.!?]+'), s -> trim(s) <> '')) AS n_sent_raw",
+        "regexp_extract_all(lower(text), '[a-z]+', 0) AS toks",
+    )
+    c = d.selectExpr(
+        "lang",
+        "CAST(greatest(n_sent_raw, 1) AS BIGINT) AS n_sent",
+        "CAST(size(toks) AS BIGINT) AS n_words",
+        "CAST(aggregate(transform(toks,"
+        " t -> greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1)),"
+        " 0L, (acc, v) -> acc + v) AS BIGINT) AS n_syll",
+    )
+    agg = (
+        c.filter(F.col("n_words") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_sent").cast("bigint").alias("sent"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            F.sum("n_syll").cast("bigint").alias("syll"),
+        )
+    )
+    return agg.selectExpr(
+        "lang",
+        "n_docs",
+        "words AS n_words",
+        "round(CAST(words AS DOUBLE) / CAST(sent AS DOUBLE), 6) AS words_per_sentence",
+        "round(CAST(syll AS DOUBLE) / CAST(words AS DOUBLE), 6) AS syllables_per_word",
+        "round(CAST(206.835 AS DOUBLE)"
+        " - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sent AS DOUBLE))"
+        " - CAST(84.6 AS DOUBLE) * (CAST(syll AS DOUBLE) / CAST(words AS DOUBLE)), 6)"
+        " AS flesch",
+    ).orderBy("lang")

@@ -593,3 +593,38 @@ def test_hits_matches_numpy_power_iteration(spark, sf_smoke):
     for side_scores in (got_h, got_a):
         vals = list(side_scores.values())
         assert all(v >= 0 for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest
+# ---------------------------------------------------------------------------
+
+
+def test_backtest_errors_nonnegative_and_skill_bounded(spark, sf_smoke):
+    """MAEs are non-negative; skill = 1 - mae_ses_cents/mae_naive_cents
+    holds as an identity of the reported columns."""
+    rows = _rows(spark, sf_smoke, "q_am_backtest")
+    assert rows
+    for r in rows:
+        assert r.mae_ses >= 0 and r.mae_naive >= 0
+        assert r.n_days_scored > 0
+        if r.mae_naive > 0:
+            assert abs(r.skill - (1.0 - r.mae_ses / r.mae_naive)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Readability
+# ---------------------------------------------------------------------------
+
+
+def test_readability_identities(spark, sf_smoke):
+    """Syllables/word >= 1 by the floor rule; Flesch equals its formula
+    from the reported ratios; every language appears once."""
+    rows = _rows(spark, sf_smoke, "q_an_readability")
+    langs = [r.lang for r in rows]
+    assert len(langs) == len(set(langs)) and langs == sorted(langs)
+    for r in rows:
+        assert r.syllables_per_word >= 1.0
+        assert r.words_per_sentence > 0
+        want = 206.835 - 1.015 * r.words_per_sentence - 84.6 * r.syllables_per_word
+        assert abs(r.flesch - want) < 1e-3
