@@ -2178,3 +2178,336 @@ def q_an_readability(spark, sf_dir):
         " - CAST(84.6 AS DOUBLE) * (CAST(syll AS DOUBLE) / CAST(words AS DOUBLE)), 6)"
         " AS flesch",
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Missing-value imputation audit (deterministic mask, exact accounting)
+# ---------------------------------------------------------------------------
+
+#: Deterministic "missingness" mask so the audit is reproducible and the
+#: ground truth stays known: every 7th event id is treated as missing.
+_IMP_MASK = "(event_id % 7 = 0)"
+
+
+@query(
+    "q_ao_impute",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN {_IMP_MASK} THEN 1 ELSE 0 END AS miss
+      FROM events),
+    obs AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s_obs,
+             CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_obs
+      FROM base WHERE miss = 0 GROUP BY event_type),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(miss) AS BIGINT) AS n_missing,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS s_true
+      FROM base GROUP BY event_type)
+    SELECT t.event_type, t.n, t.n_missing,
+           round(CAST(o.s_obs AS DOUBLE) / o.n_obs / 100.0, 6) AS mean_observed,
+           round(CAST(o.med_obs AS DOUBLE) / 100.0, 6) AS median_observed,
+           round((CAST(o.s_obs AS DOUBLE) + CAST(t.n_missing AS DOUBLE)
+                  * (CAST(o.s_obs AS DOUBLE) / o.n_obs)) / t.n / 100.0, 6)
+             AS mean_after_mean_impute,
+           round((CAST(o.s_obs AS DOUBLE) + CAST(t.n_missing AS DOUBLE) * o.med_obs)
+                 / t.n / 100.0, 6) AS mean_after_median_impute,
+           round(CAST(t.s_true AS DOUBLE) / t.n / 100.0, 6) AS mean_true
+    FROM tot t JOIN obs o USING (event_type)
+    ORDER BY t.event_type
+    """,
+)
+def q_ao_impute(spark, sf_dir):
+    """Imputation audit — the data-repair step every training pipeline
+    runs before features reach a model: with a DETERMINISTIC missingness
+    mask (every 7th event id), compare mean- vs median-imputation
+    against the known ground-truth mean per event type (the mask is
+    synthetic precisely so the truth column exists; in production the
+    same query runs without it). Observed sums are exact DECIMAL cents,
+    the median is the exact discrete quantile, and every reported mean
+    is a shared-text ratio over those exact aggregates — imputation math
+    never sums floats.
+
+    Scale shape: two combinable aggregates over one scan (observed and
+    total branches share it via column pruning), a type-cardinality
+    join, and per-type arithmetic. The exact median keeps the oracle
+    fixture honest; at 100 TB the mergeable approx_percentile swaps in
+    exactly as in q_yn/q_yo.
+    """
+    base = read_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"CASE WHEN {_IMP_MASK} THEN 1 ELSE 0 END AS miss",
+    )
+    obs = (
+        base.filter(F.col("miss") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_obs"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+            ).alias("med_obs"),
+        )
+    )
+    tot = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("miss").cast("bigint").alias("n_missing"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_true"),
+    )
+    return (
+        tot.join(obs, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            "n_missing",
+            "round(CAST(s_obs AS DOUBLE) / n_obs / 100.0, 6) AS mean_observed",
+            "round(CAST(med_obs AS DOUBLE) / 100.0, 6) AS median_observed",
+            "round((CAST(s_obs AS DOUBLE) + CAST(n_missing AS DOUBLE)"
+            " * (CAST(s_obs AS DOUBLE) / n_obs)) / n / 100.0, 6)"
+            " AS mean_after_mean_impute",
+            "round((CAST(s_obs AS DOUBLE) + CAST(n_missing AS DOUBLE) * med_obs)"
+            " / n / 100.0, 6) AS mean_after_median_impute",
+            "round(CAST(s_true AS DOUBLE) / n / 100.0, 6) AS mean_true",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private-style noisy count release (deterministic Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPS = "CAST(1.0 AS DOUBLE)"
+
+#: md5-seeded uniform in (0,1) per released key — exact dyadic rational,
+#: identical on both engines (the Poisson-bootstrap idiom).
+_DP_U_SPARK = (
+    "((CAST(conv(substring(md5(concat('dp:', event_type)), 1, 8), 16, 10)"
+    " AS BIGINT) + 1) / 4294967297.0)"
+)
+_DP_U_DUCK = (
+    "((('0x' || substr(md5('dp:' || event_type), 1, 8))::BIGINT + 1)"
+    " / 4294967297.0)"
+)
+
+
+def _dp_laplace(u: str) -> str:
+    """Inverse-CDF Laplace(sensitivity/eps) draw from a uniform, shared
+    text: -b * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5))."""
+    return (
+        f"(-(1.0 / {_DP_EPS}) * sign({u} - 0.5)"
+        f" * ln(1.0 - 2.0 * abs({u} - 0.5)))"
+    )
+
+
+@query(
+    "q_ap_dp_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY event_type)
+    SELECT event_type,
+           round(CAST(n AS DOUBLE) + {_dp_laplace(_DP_U_DUCK)}, 6) AS noisy_count,
+           {_DP_EPS} AS epsilon
+    FROM c ORDER BY event_type
+    """,
+)
+def q_ap_dp_counts(spark, sf_dir):
+    """Differentially-private-STYLE noisy count release: per-key counts
+    plus Laplace(1/epsilon) noise via the inverse CDF (Dwork, McSherry,
+    Nissim & Smith 2006 — public; sensitivity 1 for a count). The noise
+    here is PSEUDO-random — seeded from md5 of the released key, the
+    engine's portable-hash idiom — which makes the mechanism itself
+    oracle-checkable and replay-deterministic; a production release
+    swaps the md5 uniform for a CSPRNG draw without touching the plan
+    (and must, for the privacy guarantee to hold — a key-seeded draw is
+    NOT private, it is a testable mechanism demo).
+
+    Scale shape: one combinable count; the noise is a map expression on
+    the released (small) frame. True counts never leave the query.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    return c.selectExpr(
+        "event_type",
+        f"round(CAST(n AS DOUBLE) + {_dp_laplace(_DP_U_SPARK)}, 6) AS noisy_count",
+        f"{_DP_EPS} AS epsilon",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Session path prefixes (top user journeys)
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOPK = 15
+
+
+@query(
+    "q_aq_path_prefixes",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             event_type,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id IS NOT NULL),
+    paths AS (
+      SELECT user_id, day,
+             string_agg(event_type, '>' ORDER BY rn) AS path,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM seq WHERE rn <= {_PATH_LEN}
+      GROUP BY user_id, day)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths WHERE plen = {_PATH_LEN}
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOPK}
+    """,
+)
+def q_aq_path_prefixes(spark, sf_dir):
+    """Top user-journey prefixes: the first 3 event types of each
+    (user, day) session concatenated into a path string, ranked by
+    session count — the Sankey/flow readout product analytics builds on
+    top of the funnel (q_xn) and sequential-pattern (q_zl) entries.
+    Paths are assembled in exact (ts, event_id) order on both engines,
+    so the string keys — and therefore the ranking — are engine-portable.
+
+    Scale shape: one per-session window rank (user-day hash partitions),
+    one ordered-collect per session bounded at 3 elements, one
+    combinable path count, rank-limit top-k. The path alphabet keeps
+    keys narrow; at 100 TB the session key is whatever sessionization
+    (q_w5) emits.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    seq = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = seq.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    return (
+        paths.filter(F.col("plen") == _PATH_LEN)
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(_PATH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (retrieval post-processing)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.5
+_MMR_CANDS = 20
+_MMR_PICKS = 5
+
+
+@query("q_ar_mmr_rerank", oracle=None)  # greedy argmax over floats: golden-tested
+def q_ar_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998 — public) of each query's top-20 cosine candidates:
+    greedily pick 5 results maximizing
+    ``lambda * rel(c) - (1 - lambda) * max_{s in picked} sim(c, s)`` —
+    the diversity-aware post-processing step RAG retrieval stacks run
+    after ANN. Rows-only by design (a greedy argmax over float scores
+    has no SQL twin); tests/test_science_ops.py re-runs the exact greedy
+    loop in pure Python over the same candidates and requires identical
+    picks (ties break on neighbor id, making the trajectory total).
+
+    Scale shape: candidate generation reuses the engine's top-k
+    machinery (per-query candidate sets are SMALL by construction —
+    that is the point of re-ranking after retrieval); the greedy loop
+    runs per query group inside one Arrow-batched applyInPandas over
+    (candidate_count x dim) matrices — never across groups, never on
+    the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    cands = similarity.brute_force_top_k(
+        corpus=read_table(spark, sf_dir, "embeddings"),
+        queries=read_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 10
+        ),
+        k=_MMR_CANDS,
+    ).select("query_id", "neighbor_id", "sim")
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    )
+
+    out_schema = (
+        "query_id long, mmr_rank int, neighbor_id long, relevance double,"
+        " mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        V = np.stack(pdf["v"].to_numpy())
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = pdf["sim"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        picked: list[int] = []
+        rows = []
+        for rank in range(1, min(_MMR_PICKS, len(pdf)) + 1):
+            best_i, best_score = None, None
+            for i in range(len(pdf)):
+                if i in picked:
+                    continue
+                div = max((float(V[i] @ V[j]) for j in picked), default=0.0)
+                score = _MMR_LAMBDA * float(rel[i]) - (1 - _MMR_LAMBDA) * div
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])
+                ):
+                    best_i, best_score = i, score
+            picked.append(best_i)
+            rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank,
+                    int(ids[best_i]),
+                    round(float(rel[best_i]), 6),
+                    round(float(best_score), 6),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "mmr_rank", "neighbor_id", "relevance", "mmr_score"],
+        )
+
+    return (
+        with_vecs.groupBy("query_id")
+        .applyInPandas(rerank, schema=out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

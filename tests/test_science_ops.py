@@ -628,3 +628,136 @@ def test_readability_identities(spark, sf_smoke):
         assert r.words_per_sentence > 0
         want = 206.835 - 1.015 * r.words_per_sentence - 84.6 * r.syllables_per_word
         assert abs(r.flesch - want) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Imputation audit
+# ---------------------------------------------------------------------------
+
+
+def test_impute_accounting_identities(spark, sf_smoke):
+    """Mean-imputation preserves the observed mean exactly
+    (mean_after_mean_impute is a weighted average of s_obs with itself),
+    and missing counts respect the 1-in-7 mask rate."""
+    rows = _rows(spark, sf_smoke, "q_ao_impute")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_missing <= r.n
+        # mean imputation with the observed mean cannot move the mean
+        assert abs(r.mean_after_mean_impute - r.mean_observed) < 1e-4
+        lo = min(r.mean_observed, r.median_observed) - 1e-6
+        hi = max(r.mean_observed, r.median_observed) + 1e-6
+        assert lo <= r.mean_after_median_impute <= hi or r.n_missing == 0
+
+
+# ---------------------------------------------------------------------------
+# DP-style noisy counts
+# ---------------------------------------------------------------------------
+
+
+def test_dp_counts_noise_is_bounded_and_reproducible(spark, sf_smoke):
+    """The Laplace(1/eps) draw must be reproducible (same seed -> same
+    release) and within a plausible magnitude (|noise| < 20/eps covers
+    1 - e^-20 of the mass); the release must cover every event type."""
+    a = _rows(spark, sf_smoke, "q_ap_dp_counts")
+    b = _rows(spark, sf_smoke, "q_ap_dp_counts")
+    assert a == b
+    truth = {
+        r.event_type: r.n
+        for r in read_table(spark, sf_smoke, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.event_type for r in a} == set(truth)
+    for r in a:
+        assert abs(r.noisy_count - truth[r.event_type]) < 20.0 / r.epsilon
+
+
+# ---------------------------------------------------------------------------
+# Path prefixes
+# ---------------------------------------------------------------------------
+
+
+def test_path_prefixes_shape(spark, sf_smoke):
+    """Every path has exactly 3 steps from the event-type alphabet and
+    the list is ranked by (count desc, path)."""
+    rows = _rows(spark, sf_smoke, "q_aq_path_prefixes")
+    assert rows
+    types = {
+        r.event_type
+        for r in read_table(spark, sf_smoke, "events")
+        .select("event_type")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        steps = r.path.split(">")
+        assert len(steps) == 3
+        assert set(steps) <= types
+    keys = [(-r.n_sessions, r.path) for r in rows]
+    assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_matches_pure_python_greedy(spark, sf_smoke):
+    """The distributed MMR picks must equal an independent pure-Python
+    greedy over the same candidate lists (ties on neighbor id)."""
+    import numpy as np
+
+    from pyspark_mllib_twitter_spark.operators import similarity
+    from pyspark_mllib_twitter_spark.plans.science_ops import (
+        _MMR_CANDS,
+        _MMR_LAMBDA,
+        _MMR_PICKS,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    cands = (
+        similarity.brute_force_top_k(
+            corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=_MMR_CANDS
+        )
+        .join(
+            emb.selectExpr(
+                "vec_id AS neighbor_id",
+                "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+            ),
+            "neighbor_id",
+        )
+        .collect()
+    )
+    by_q: dict = {}
+    for r in cands:
+        by_q.setdefault(r.query_id, []).append(r)
+    expected = {}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.neighbor_id)
+        V = np.stack([np.array(r.v) for r in rs])
+        V = V / np.linalg.norm(V, axis=1, keepdims=True)
+        rel = [r.sim for r in rs]
+        ids = [r.neighbor_id for r in rs]
+        picked = []
+        order = []
+        for _ in range(min(_MMR_PICKS, len(rs))):
+            best_i, best = None, None
+            for i in range(len(rs)):
+                if i in picked:
+                    continue
+                div = max((float(V[i] @ V[j]) for j in picked), default=0.0)
+                s = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * div
+                if best is None or s > best or (s == best and ids[i] < ids[best_i]):
+                    best_i, best = i, s
+            picked.append(best_i)
+            order.append(ids[best_i])
+        expected[qid] = order
+    rows = _rows(spark, sf_smoke, "q_ar_mmr_rerank")
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.mmr_rank, r.neighbor_id))
+    assert set(got) == set(expected)
+    for qid in got:
+        assert [nid for _, nid in sorted(got[qid])] == expected[qid], qid
