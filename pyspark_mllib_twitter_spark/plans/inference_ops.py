@@ -381,15 +381,23 @@ def q_zj_rfm(spark, sf_dir):
 
 #: Node-fold modulus — same constant family as the other graph entries
 #: (kcore/pagerank/triangles) so all graph operators run on one graph.
-ASSORT_MOD = 211
+#: 2003 (prime) is wide enough that the sf0.1 folded graph stays sparse:
+#: at 211 the ~600k sf0.1 lineitem pairs saturated all 211*210/2 edges,
+#: the graph became complete, the degree variance hit exactly 0 and the
+#: ANSI-mode division raised DIVIDE_BY_ZERO (round-7 bench failure).
+ASSORT_MOD = 2003
 
 #: Shared-text Pearson correlation over directed edge endpoint degrees
 #: (each undirected edge contributes both orientations — the standard
-#: Newman 2002 formulation). Moments are exact DECIMAL sums.
+#: Newman 2002 formulation). Moments are exact DECIMAL sums. The degree
+#: variances are nullif-guarded: a regular (e.g. complete) folded graph
+#: has zero variance and no defined correlation, so BOTH engines return
+#: NULL instead of raising — the same degenerate-arm contract as
+#: ``q_yi_abtest_ztest``.
 _ASSORT_EXPR = (
     "round((m2 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-    " / (sqrt(m2 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
-    " * sqrt(m2 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+    " / (sqrt(nullif(m2 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))"
+    " * sqrt(nullif(m2 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0))), 6)"
 )
 
 

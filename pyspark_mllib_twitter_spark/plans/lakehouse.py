@@ -705,6 +705,8 @@ def hits_scores(edges: DataFrame, iters: int = HITS_ITERS) -> tuple:
     join-per-iteration discipline as pagerank_converged; scores are
     localCheckpoint-pinned per round so the lineage stays constant-depth
     and each round's shuffles are not replayed by the next."""
+    if iters < 1:
+        raise ValueError(f"hits_scores needs iters >= 1, got {iters}")
     edges = edges.localCheckpoint(eager=True)  # reused 2x per iteration
     a = edges.select(F.col("auth").alias("node")).distinct().withColumn(
         "score", F.lit(1.0)

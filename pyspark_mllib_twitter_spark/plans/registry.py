@@ -17,22 +17,24 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-7 window — the LEDGER-CONVERGENCE round (round-6 verdict task #1):
-(1) all 45 oracle-backed entries whose last driver row is round 3 — four
-rounds stale, the oldest hash evidence in the ledger; (2) the only two
-entries that have NEVER had a driver row (``q_ml_kmeans`` /
-``q_ml_tuning``, rows-only, property-tested locally every session);
-(3) three of the round-2-stale rows-only ANN/sketch singles
-(``q_a11_sketch_merge``, ``q_ns_ann_lsh``, ``q_ns_ann_ivf``). This
-round deliberately INVERTS the usual "first row for new entries beats a
-stale refresh" rule: the round-6 verdict's top task is converging the
-verification ledger, every round-7 addition is hash-checked against the
-same DuckDB oracle locally by ``tests/test_oracle.py`` before it ships,
-and new entries queue for their first driver row in round 8 alongside
-the remaining rows-only stragglers (``q_ns_ann_pq``, ``q_stream_dedup``,
+Round-8 window — FIRST ROWS for the round-7 additions (round-7 verdict
+task #2): 50 of the 58 oracle-backed entries that have never had a
+driver row — every TPC-H shape added in round 7 (``q_sql_q1/q2/q4/q6/
+q7/q8/q9/q11/q13/q15/q20``), the docstore maintenance trio
+(``q_s8/s9/sa``), the stateful streaming attribution, the full
+``q_z9``-``q_zq`` and ``q_zr``-``q_zz`` blocks (including the round-8
+FIXED ``q_zk_assortativity``), and the ``q_aa``-``q_ah`` + ``q_ak``
+science entries (``q_ah``/``q_ak`` carry round-8 oracle edits, so their
+first row verifies the fixed text). Queued for round 9 (the window only
+holds 50): the remaining 8 oracle-backed round-7 entries (``q_ag_rake_
+keywords``, ``q_ai_isotonic``, ``q_al_sax``, ``q_am_backtest``,
+``q_an_readability``, ``q_ao_impute``, ``q_ap_dp_counts``,
+``q_aq_path_prefixes``) plus the three rows-only round-7 additions
+(``q_ar_mmr_rerank``, ``q_stream_topk``, ``q_xl3_hits``) and the older
+rows-only stragglers (``q_ns_ann_pq``, ``q_stream_dedup``,
 ``q_stream_session``, ``q_stream_stateful``, ``q_w1_user_similarity``,
-``q_w2_als_recommend``). After this window lands green, no entry's
-driver evidence predates round 4.
+``q_w2_als_recommend``). After rounds 8+9 land green, every entry in
+the ledger has a driver row.
 """
 
 from __future__ import annotations
@@ -48,65 +50,64 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- (1) oracle-backed, last driver row round 3 (45 entries) -----------
-    "q_a5_id_dictionary",
-    "q_a8_salted_agg",
-    "q_e2e_w1doc",
-    "q_f_cond",
-    "q_f_json",
-    "q_f_map",
-    "q_g4_grouping_sets",
-    "q_j_asof",
-    "q_j_asof_generic",
-    "q_j_nullsafe",
-    "q_ns_langid",
-    "q_ns_pipeline",
-    "q_ns_quality",
-    "q_ns_scrub",
-    "q_ns_token_bpe",
-    "q_ns_token_stats",
-    "q_p1_filter",
-    "q_p3_project",
-    "q_s1_scan",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_sql_lateral",
-    "q_sql_q3",
-    "q_sql_q5",
-    "q_stat_crosstab",
-    "q_stream_join",
-    "q_stream_sliding",
-    "q_stream_window_counts",
-    "q_sub_q17",
-    "q_sub_scalar",
-    "q_t1_sort_limit",
-    "q_u1_setops",
-    "q_u2_unpivot",
-    "q_u3_union_by_name",
-    "q_u4_bag_setops",
-    "q_udf_arrow_map",
-    "q_udf_grouped_mad",
-    "q_udf_pandas_cosine",
-    "q_udtf_tokens",
-    "q_w1_topk",
-    "q_w2_ranking",
-    "q_w3_frames",
-    "q_w4_time_rollup",
-    "q_w5_sessionize",
-    "q_w6_analytic",
-    # -- (2) never driver-checked (rows-only, property-tested) -------------
-    "q_ml_kmeans",
-    "q_ml_tuning",
-    # -- (3) oldest rows-only singles (last driver row round 2) ------------
-    "q_a11_sketch_merge",
-    "q_ns_ann_lsh",
-    "q_ns_ann_ivf",
-    # Sitting out (queue for round 8, with first rows for every round-7
-    # addition): q_ns_ann_pq (r2, recall-property-tested), the round-3
-    # rows-only streaming trio q_stream_dedup / q_stream_session /
-    # q_stream_stateful (batch-equivalence-tested), and the golden-tested
-    # workload pair q_w1_user_similarity / q_w2_als_recommend. Everything
-    # else in the ledger has a driver row from round 4 or later.
+    # -- TPC-H shapes (round-7, never driver-checked) -----------------------
+    "q_sql_q1",
+    "q_sql_q2",
+    "q_sql_q4",
+    "q_sql_q6",
+    "q_sql_q7",
+    "q_sql_q8",
+    "q_sql_q9",
+    "q_sql_q11",
+    "q_sql_q13",
+    "q_sql_q15",
+    "q_sql_q20",
+    # -- docstore maintenance + stateful streaming (round-7) ----------------
+    "q_s8_docstore_delete",
+    "q_s9_time_travel",
+    "q_sa_docstore_cdf",
+    "q_stream_attribution",
+    # -- mining/inference block q_z9..q_zq (round-7) ------------------------
+    "q_z9_ols_normal_eq",
+    "q_za_bm25",
+    "q_zb_gaps_islands",
+    "q_zc_cusum",
+    "q_zd_attribution",
+    "q_ze_geo_blocked_join",
+    "q_zf_int8_quant",
+    "q_zg_kmv_setops",
+    "q_zh_poisson_bootstrap",
+    "q_zi_acf",
+    "q_zj_rfm",
+    "q_zk_assortativity",
+    "q_zl_seqpat",
+    "q_zm_m4_downsample",
+    "q_zn_mann_kendall",
+    "q_zo_theil_sen",
+    "q_zp_concentration",
+    "q_zq_ks_twosample",
+    # -- science block q_zr..q_zz (round-7) ---------------------------------
+    "q_zr_spearman",
+    "q_zs_clustering_coef",
+    "q_zt_link_predict",
+    "q_zu_zipf",
+    "q_zv_js_divergence",
+    "q_zw_ngram_novelty",
+    "q_zx_crosscorr",
+    "q_zy_naive_bayes",
+    "q_zz_eval_prf",
+    # -- science block q_aa..q_ah + q_ak (round-7; ah/ak oracle-edited r8) --
+    "q_aa_bollinger",
+    "q_ab_double_smoothing",
+    "q_ac_corr_matrix",
+    "q_ad_wilson_ranking",
+    "q_ae_markov_entropy",
+    "q_af_ipw_ate",
+    "q_ah_cosine_hist",
+    "q_ak_grid_dbscan",
+    # Sitting out (queued for round 9 — see module docstring): q_ag, q_ai,
+    # q_al, q_am, q_an, q_ao, q_ap, q_aq, q_ar_mmr_rerank, q_stream_topk,
+    # q_xl3_hits, and the older rows-only stragglers.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -1763,9 +1763,11 @@ def q_sa_docstore_cdf(spark, sf_dir):
     from ..sources.pydatasource import register
 
     register(spark)
-    store = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_cdf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    # Per-invocation unique directory: a fixed md5(sf_dir) path raced
+    # under concurrent runs (pytest-xdist / parallel harness) — one run
+    # could rmtree the store another was still reading.
+    store = tempfile.mkdtemp(
+        prefix=f"spark_graft_cdf_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
     )
     shutil.rmtree(store, ignore_errors=True)
     src = _t(spark, sf_dir, "orders").select(

@@ -1566,11 +1566,25 @@ _CH_BINS = 10  # over [-1, 1], width 0.2
 @query(
     "q_ah_cosine_hist",
     oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id,
-             round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                          b.embedding::DOUBLE[]), 6) AS sim
-      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+    WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    raw AS (
+      SELECT a.vec_id, a.v AS va, b.v AS vb
+      FROM ev a JOIN ev b ON b.vec_id = a.vec_id + 1),
+    -- Mirror Spark's sequential left fold element-for-element (NOT the
+    -- built-in list_cosine_similarity, whose summation order differs and
+    -- can flip a bin at a 6dp rounding boundary by 1 ULP): list_reduce
+    -- is a left fold, and IEEE (0.0 + x1) == x1, so the two engines add
+    -- the identical doubles in the identical order.
+    pairs AS (
+      SELECT round(
+               list_reduce(list_transform(generate_series(1, len(va)),
+                                          i -> va[i] * vb[i]),
+                           (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(va, x -> x * x),
+                                   (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(vb, x -> x * x),
+                                     (acc, x) -> acc + x))), 6) AS sim
+      FROM raw),
     binned AS (
       SELECT least(CAST(floor((sim + 1.0) / 0.2) AS BIGINT),
                    {_CH_BINS - 1}) AS bin,
@@ -1756,19 +1770,25 @@ def q_ai_isotonic(spark, sf_dir):
 
 _DB_EPS = 0.04
 _DB_MINPTS = 3
-#: (cx, cy) -> single int key; the +512 shift keeps negatives positive
-#: and 1024 exceeds any reachable cell index at |coord| <= 51.2.
-_DB_KEY = "((cx + 512) * 1024 + (cy + 512))"
+#: (cx, cy) -> single int key. Collision-free iff both cell indices lie
+#: in [-2048, 2047], i.e. |coord| < 2048 * eps = 81.92 at eps = 0.04 —
+#: far beyond any unit-normalized embedding. Out-of-range coordinates
+#: would silently alias cells, so the extraction filters to the safe
+#: range on BOTH engines (shared text) rather than trusting the input.
+_DB_KEY = "((cx + 2048) * 4096 + (cy + 2048))"
+_DB_RANGE = "cx BETWEEN -2048 AND 2047 AND cy BETWEEN -2048 AND 2047"
 
 
 @query(
     "q_ak_grid_dbscan",
     oracle=f"""
     WITH pts AS (
-      SELECT vec_id,
-             CAST(floor(CAST(embedding[1] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cx,
-             CAST(floor(CAST(embedding[2] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cy
-      FROM embeddings),
+      SELECT * FROM (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cy
+        FROM embeddings)
+      WHERE {_DB_RANGE}),
     cells AS (
       SELECT cx, cy, {_DB_KEY} AS cell, CAST(count(*) AS BIGINT) AS n_pts
       FROM pts GROUP BY cx, cy),
@@ -1821,7 +1841,7 @@ def q_ak_grid_dbscan(spark, sf_dir):
         "vec_id",
         f"CAST(floor(CAST(element_at(embedding, 1) AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cx",
         f"CAST(floor(CAST(element_at(embedding, 2) AS DOUBLE) / {_DB_EPS}) AS BIGINT) AS cy",
-    )
+    ).filter(F.expr(_DB_RANGE))
     cells = pts.groupBy("cx", "cy").agg(F.count("*").cast("bigint").alias("n_pts"))
     core = cells.filter(F.col("n_pts") >= _DB_MINPTS).selectExpr(
         "cx", "cy", f"{_DB_KEY} AS cell", "n_pts"
@@ -2453,7 +2473,6 @@ def q_ar_mmr_rerank(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    queries = emb.filter(F.col("vec_id") < 10)
     cands = similarity.brute_force_top_k(
         corpus=read_table(spark, sf_dir, "embeddings"),
         queries=read_table(spark, sf_dir, "embeddings").filter(
@@ -2485,11 +2504,9 @@ def q_ar_mmr_rerank(spark, sf_dir):
                     continue
                 div = max((float(V[i] @ V[j]) for j in picked), default=0.0)
                 score = _MMR_LAMBDA * float(rel[i]) - (1 - _MMR_LAMBDA) * div
-                if (
-                    best_score is None
-                    or score > best_score
-                    or (score == best_score and ids[i] < ids[best_i])
-                ):
+                # Strict > with ascending-neighbor_id iteration means
+                # ties resolve first-wins = lowest neighbor_id.
+                if best_score is None or score > best_score:
                     best_i, best_score = i, score
             picked.append(best_i)
             rows.append(

@@ -150,6 +150,34 @@ def test_assortativity_is_a_correlation(spark, sf_smoke):
     assert r.m2 == 2 * n_edges
 
 
+def test_assortativity_complete_graph_yields_null(spark):
+    """Zero-variance contract (the round-7 sf0.1 crash class): on a
+    regular graph every endpoint degree is identical, the Pearson
+    denominator is exactly 0, and the shared-text expression must yield
+    NULL on ANSI Spark instead of raising DIVIDE_BY_ZERO — mirroring
+    ``q_yi_abtest_ztest``'s degenerate-arm behaviour."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.plans.inference_ops import _ASSORT_EXPR
+
+    n = 5  # complete graph K5: every directed edge has du = dv = n-1
+    edges = [(i, j) for i in range(n) for j in range(n) if i != j]
+    pairs = spark.createDataFrame(
+        [(n - 1, n - 1) for _ in edges], "du INT, dv INT"
+    )
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum(F.col("du").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dv").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv").cast("decimal(38,0)") * F.col("dv")).alias("syy"),
+        F.sum(F.col("du").cast("decimal(38,0)") * F.col("dv")).alias("sxy"),
+    )
+    row = m.select("m2", F.expr(_ASSORT_EXPR).alias("assortativity")).collect()[0]
+    assert row.m2 == len(edges)
+    assert row.assortativity is None
+
+
 # ---------------------------------------------------------------------------
 # Sequential patterns
 # ---------------------------------------------------------------------------
