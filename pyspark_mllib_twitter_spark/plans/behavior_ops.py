@@ -1,0 +1,433 @@
+"""Behavioral / product analytics (round 8): ordered funnel conversion,
+weekly cohort retention, difference-in-differences, and ROC curve points.
+
+Design rules carried from the rest of the engine (mining_ops.py /
+inference_ops.py):
+
+- **Cross-engine float discipline.** Counts, epoch microseconds, and
+  cents stay exact integers until ONE final shared-text DOUBLE
+  expression both engines evaluate on identical operands (IEEE
+  multiply/divide on identical inputs with identical expression text is
+  bit-deterministic).
+- **One-pass mergeable aggregation.** Every query is groupBy/window
+  over pre-aggregated per-user or per-bin tables; nothing sorts the
+  event log globally more than the per-user window requires, and no
+  driver-side collection anywhere.
+- **Deterministic cohorts.** Treatment assignment and thresholds are
+  pure functions of keys/data (user_id parity, fixed cutoff date,
+  equal-width integer bins) — hash-checkable, unlike sampled splits.
+
+Reference scope: the reference (COMP5349_2.py:1-211) has none of this
+surface; these extend the engine per the north-star mandate (warehouse
+analytics over event streams at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources import read_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+#: Funnel steps in order. A user reaches step k+1 only with an event of
+#: that type STRICTLY AFTER their step-k completion time (the standard
+#: ordered-funnel semantics — unordered "did all three" funnels
+#: overcount).
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q_as_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events WHERE user_id IS NOT NULL),
+    s1 AS (
+      SELECT user_id, min(us) AS t1 FROM ev
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.us) AS t2, min(s1.t1) AS t1
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.us > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.us) AS t3, min(s2.t2) AS t2
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.us > s2.t2
+      GROUP BY e.user_id)
+    SELECT step, n_users, avg_gap_us FROM (
+      SELECT 1 AS step, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(NULL AS DOUBLE) AS avg_gap_us FROM s1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT),
+             round(CAST(SUM(CAST(t2 - t1 AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(*), 6) FROM s2
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT),
+             round(CAST(SUM(CAST(t3 - t2 AS DECIMAL(38,0))) AS DOUBLE)
+                   / count(*), 6) FROM s3)
+    ORDER BY step
+    """,
+)
+def q_as_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (view -> click -> purchase): a user counts
+    at step k+1 only with a step-k+1 event STRICTLY AFTER their earliest
+    step-k completion — the sequence-respecting funnel every product
+    analytics store ships (cf. window-funnel operators in ClickHouse /
+    Snowplow, public semantics). Reports per-step reach and the mean
+    step-to-step conversion delay in exact epoch-microsecond sums.
+
+    Scale shape: step k+1 is ONE combinable filter-aggregate joined to
+    the step-k user table on user_id (user-count sized, co-partitioned
+    after the first shuffle — each level reuses the same hash
+    partitioning, so levels 2..k are one local join + agg each); no
+    window over the raw event log, no per-user event arrays. Delay
+    sums are DECIMAL(38,0); the only float is the shared-text closing
+    division.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def _level(df, step, gap):
+        agg = [F.count("*").cast("bigint").alias("n_users")]
+        if gap is None:
+            agg.append(F.lit(None).cast("double").alias("avg_gap_us"))
+        else:
+            agg.append(
+                F.round(
+                    F.sum(gap.cast("decimal(38,0)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("avg_gap_us")
+            )
+        return df.agg(*agg).select(F.lit(step).alias("step"), "n_users", "avg_gap_us")
+
+    out = (
+        _level(s1, 1, None)
+        .unionByName(_level(s2, 2, F.col("t2") - F.col("t1")))
+        .unionByName(_level(s3, 3, F.col("t3") - F.col("t2")))
+    )
+    return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_at_retention",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events WHERE user_id IS NOT NULL),
+    cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+    sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+              FROM cohort GROUP BY cw),
+    cells AS (
+      SELECT c.cw, u.wk - c.cw AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM uw u JOIN cohort c ON c.user_id = u.user_id
+      GROUP BY c.cw, u.wk - c.cw)
+    SELECT CAST(cells.cw AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_active, n_cohort,
+           round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+    FROM cells JOIN sizes ON sizes.cw = cells.cw
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_at_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users are cohorted by the epoch
+    week of their first event; cell (cohort, offset) counts cohort
+    members active in cohort-week + offset. The classic triangle every
+    growth dashboard draws; retention is the only float (one shared-text
+    division of exact counts).
+
+    Scale shape: the event log collapses to DISTINCT (user, week) in one
+    combinable pass (weeks-per-user sized, ~1e2 rows/user max); cohorts
+    are a user-level min; the matrix is a groupBy over (cohort, offset)
+    — weeks² cells, tiny. The cells-to-sizes join is on the cohort-week
+    key (calendar-bounded, broadcastable at any corpus size).
+    """
+    uw = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+                / 7
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count("*").cast("bigint").alias("n_cohort"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .groupBy("cw", (F.col("wk") - F.col("cw")).alias("week_offset"))
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").cast("bigint").alias("cohort_week"),
+            F.col("week_offset").cast("bigint"),
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (2x2 exact-cells estimator)
+# ---------------------------------------------------------------------------
+
+#: Fixed post-period cutoff (fixture events span 2024-01) and the
+#: deterministic treatment assignment (user parity — hash-checkable,
+#: unlike a sampled split).
+DID_CUTOFF = "2024-01-16"
+
+
+@query(
+    "q_au_did",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(user_id % 2 AS INT) AS treat,
+             CASE WHEN CAST(ts AS DATE) >= DATE '{DID_CUTOFF}'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    m AS (
+      SELECT
+        SUM(CASE WHEN treat = 1 AND post = 1
+                 THEN CAST(cents AS DECIMAL(38,0)) END) AS s_t1,
+        SUM(CASE WHEN treat = 1 AND post = 0
+                 THEN CAST(cents AS DECIMAL(38,0)) END) AS s_t0,
+        SUM(CASE WHEN treat = 0 AND post = 1
+                 THEN CAST(cents AS DECIMAL(38,0)) END) AS s_c1,
+        SUM(CASE WHEN treat = 0 AND post = 0
+                 THEN CAST(cents AS DECIMAL(38,0)) END) AS s_c0,
+        CAST(count(CASE WHEN treat = 1 AND post = 1 THEN 1 END) AS BIGINT) AS n_t1,
+        CAST(count(CASE WHEN treat = 1 AND post = 0 THEN 1 END) AS BIGINT) AS n_t0,
+        CAST(count(CASE WHEN treat = 0 AND post = 1 THEN 1 END) AS BIGINT) AS n_c1,
+        CAST(count(CASE WHEN treat = 0 AND post = 0 THEN 1 END) AS BIGINT) AS n_c0
+      FROM p)
+    SELECT n_t1, n_t0, n_c1, n_c0,
+           round(CAST(s_t1 AS DOUBLE) / n_t1 / 100.0, 6) AS mean_treat_post,
+           round(CAST(s_t0 AS DOUBLE) / n_t0 / 100.0, 6) AS mean_treat_pre,
+           round(CAST(s_c1 AS DOUBLE) / n_c1 / 100.0, 6) AS mean_ctrl_post,
+           round(CAST(s_c0 AS DOUBLE) / n_c0 / 100.0, 6) AS mean_ctrl_pre,
+           round((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0
+                  - (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0))
+                 / 100.0, 6) AS did_estimate
+    FROM m
+    """,
+)
+def q_au_did(spark, sf_dir):
+    """Difference-in-differences (Card & Krueger 1994 design, public):
+    the 2x2 exact-cells estimator over purchase values — treatment by
+    deterministic user parity, post-period by a fixed cutoff date. DiD =
+    (treat_post - treat_pre) - (ctrl_post - ctrl_pre), all four cell
+    means from exact cents DECIMAL sums with ONE shared-text close.
+
+    Scale shape: a single map-side-combinable aggregate producing an
+    8-number row — the same one-scan moment discipline as the OLS /
+    A-B z-test entries; no join, no window, no shuffle beyond the
+    1-row final combine.
+    """
+    p = (
+        read_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("treat"),
+            F.when(
+                F.col("ts").cast("date") >= F.lit(DID_CUTOFF).cast("date"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def _cell(t, q):
+        cond = (F.col("treat") == t) & (F.col("post") == q)
+        return (
+            F.sum(F.when(cond, F.col("cents").cast("decimal(38,0)"))),
+            F.count(F.when(cond, F.lit(1))).cast("bigint"),
+        )
+
+    s_t1, n_t1 = _cell(1, 1)
+    s_t0, n_t0 = _cell(1, 0)
+    s_c1, n_c1 = _cell(0, 1)
+    s_c0, n_c0 = _cell(0, 0)
+    m = p.agg(
+        s_t1.alias("s_t1"),
+        s_t0.alias("s_t0"),
+        s_c1.alias("s_c1"),
+        s_c0.alias("s_c0"),
+        n_t1.alias("n_t1"),
+        n_t0.alias("n_t0"),
+        n_c1.alias("n_c1"),
+        n_c0.alias("n_c0"),
+    )
+    close = (
+        "round((CAST(s_t1 AS DOUBLE) / n_t1 - CAST(s_t0 AS DOUBLE) / n_t0"
+        " - (CAST(s_c1 AS DOUBLE) / n_c1 - CAST(s_c0 AS DOUBLE) / n_c0))"
+        " / 100.0, 6)"
+    )
+    return m.selectExpr(
+        "n_t1",
+        "n_t0",
+        "n_c1",
+        "n_c0",
+        "round(CAST(s_t1 AS DOUBLE) / n_t1 / 100.0, 6) AS mean_treat_post",
+        "round(CAST(s_t0 AS DOUBLE) / n_t0 / 100.0, 6) AS mean_treat_pre",
+        "round(CAST(s_c1 AS DOUBLE) / n_c1 / 100.0, 6) AS mean_ctrl_post",
+        "round(CAST(s_c0 AS DOUBLE) / n_c0 / 100.0, 6) AS mean_ctrl_pre",
+        f"{close} AS did_estimate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC curve points (binned, exact counts)
+# ---------------------------------------------------------------------------
+
+#: Equal-width score bins for the curve. 20 points is a dense-enough
+#: curve for a monitoring dashboard; the plan shape is bin-count
+#: independent (the cumulative window runs over ROC_BINS rows).
+ROC_BINS = 20
+
+
+@query(
+    "q_ay_roc_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM scored),
+    binned AS (
+      SELECT least(CAST(((cents - lo) * {ROC_BINS})
+                        // (hi - lo + 1) AS BIGINT),
+                   {ROC_BINS - 1}) AS bin,
+             label
+      FROM scored, bounds),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(CASE WHEN label = 1 THEN 1 END) AS BIGINT) AS pos,
+             CAST(count(CASE WHEN label = 0 THEN 1 END) AS BIGINT) AS neg
+      FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, pos, neg,
+             SUM(pos) OVER (ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pos_ge,
+             SUM(neg) OVER (ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS neg_ge,
+             SUM(pos) OVER () AS pos_tot,
+             SUM(neg) OVER () AS neg_tot
+      FROM per_bin)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(pos_ge AS BIGINT) AS n_pos_ge,
+           CAST(neg_ge AS BIGINT) AS n_neg_ge,
+           round(CAST(pos_ge AS DOUBLE) / pos_tot, 6) AS tpr,
+           round(CAST(neg_ge AS DOUBLE) / neg_tot, 6) AS fpr
+    FROM cum ORDER BY bin
+    """,
+)
+def q_ay_roc_curve(spark, sf_dir):
+    """ROC curve points at {ROC_BINS} equal-width score thresholds
+    (Fawcett 2006, "An introduction to ROC analysis", public): score =
+    event value in cents, label = purchase. TPR/FPR at threshold b count
+    rows with bin >= b — exact integer cumulative counts; the two rates
+    are the only floats (shared-text divisions). Complements
+    ``q_yv_auc_ranksum``: that gives the scalar area, this the curve.
+
+    Scale shape: one combinable aggregate collapses the corpus to
+    {ROC_BINS} (bin, pos, neg) rows; the descending cumulative window
+    runs over those {ROC_BINS} rows (constant, NOT corpus-sized — the
+    single-partition window is bounded by the bin count). Bin bounds
+    come from a broadcast 1-row min/max aggregate, integer arithmetic
+    throughout.
+    """
+    scored = read_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    bounds = scored.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("cents") - F.col("lo"))
+                * ROC_BINS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+            F.lit(ROC_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("label") == 1, 1)).cast("bigint").alias("pos"),
+        F.count(F.when(F.col("label") == 0, 1)).cast("bigint").alias("neg"),
+    )
+    w = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    cum = per_bin.select(
+        "bin",
+        F.sum("pos").over(w).alias("pos_ge"),
+        F.sum("neg").over(w).alias("neg_ge"),
+        F.sum("pos").over(wall).alias("pos_tot"),
+        F.sum("neg").over(wall).alias("neg_tot"),
+    )
+    return cum.select(
+        F.col("bin").cast("bigint"),
+        F.col("pos_ge").cast("bigint").alias("n_pos_ge"),
+        F.col("neg_ge").cast("bigint").alias("n_neg_ge"),
+        F.round(F.col("pos_ge").cast("double") / F.col("pos_tot"), 6).alias("tpr"),
+        F.round(F.col("neg_ge").cast("double") / F.col("neg_tot"), 6).alias("fpr"),
+    ).orderBy("bin")

@@ -3991,3 +3991,220 @@ def q_zg_kmv_setops(spark, sf_dir):
         F.lit(n_union).cast("bigint").alias("n_union"),
         F.lit(n_inter).cast("bigint").alias("n_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (register-level oracle-checked)
+# ---------------------------------------------------------------------------
+
+#: Register count m = 256 (p = 8). Estimator constants are embedded as
+#: arithmetic in the shared close, not pre-rounded literals.
+HLL_M = 256
+
+#: Leading-zero rank of the 54-bit suffix w (after the 6-bit register
+#: index is stripped from the 60-bit md5 prefix): rho = 54 - bit_length
+#: + 1, computed as a shared-text integer CASE chain — both engines
+#: compare the identical BIGINT against the identical power-of-two
+#: literals, so register values are bit-identical.
+_HLL_RHO = (
+    "(CASE "
+    + " ".join(f"WHEN w >= {1 << k} THEN {54 - k}" for k in range(53, -1, -1))
+    + " ELSE 55 END)"
+)
+
+#: Shared-text estimate close. s_int = sum(2^(55 - M_j)) + V * 2^55 is
+#: an exact BIGINT (max ~2^63); the raw HLL estimate alpha_m * m^2 / S
+#: with S = s_int / 2^55 becomes one double division of a cast integer
+#: — the only float work. Small-range (V > 0, raw <= 2.5m) switches to
+#: linear counting m * ln(m / V) per Flajolet et al. 2007; the ln runs
+#: on a small rational and is integer-rounded, so a sub-ULP libm
+#: difference cannot flip the output.
+_HLL_EST = (
+    "CAST(round(CASE WHEN v_empty > 0 AND"
+    " (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 36028797018963968.0"
+    " / CAST(s_int AS DOUBLE) <= 640.0"
+    " THEN 256.0 * ln(256.0 / v_empty)"
+    " ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 36028797018963968.0"
+    " / CAST(s_int AS DOUBLE) END) AS BIGINT)"
+)
+
+
+@query(
+    "q_aw_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    split AS (
+      SELECT event_type, h % {HLL_M} AS reg, h // {HLL_M} AS w FROM hashed),
+    regs AS (
+      SELECT event_type, reg, max({_HLL_RHO}) AS m_reg
+      FROM split GROUP BY event_type, reg),
+    grouped AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_regs,
+             SUM(1::BIGINT << (55 - m_reg))
+               + ({HLL_M} - count(*)) * (1::BIGINT << 55) AS s_int,
+             {HLL_M} - CAST(count(*) AS BIGINT) AS v_empty
+      FROM regs GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+    SELECT g.event_type, n_regs, v_empty,
+           {_HLL_EST} AS hll_estimate,
+           n_exact,
+           round(CAST({_HLL_EST} - n_exact AS DOUBLE) / n_exact, 6) AS rel_error
+    FROM grouped g JOIN exact e ON e.event_type = g.event_type
+    ORDER BY g.event_type
+    """,
+)
+def q_aw_hll_distinct(spark, sf_dir):
+    """Per-group HyperLogLog distinct-count sketch (Flajolet, Fusy,
+    Gandouet & Meunier, AofA 2007 — public) built from PORTABLE md5
+    register arithmetic, so — unlike the JVM DataSketches twin
+    (``q_a11_sketch_merge``, rows-only by necessity) — the registers,
+    the empty-register count, AND the final estimate (linear-counting
+    small-range correction included) are all hash-checked against the
+    oracle. Complements the global KMV entry (``q_z3``): KMV keeps k
+    order statistics, HLL keeps m = {HLL_M} max-rank registers — the
+    sketch that wins when groups are many and memory is per-group.
+
+    Exactness: the 60-bit md5 prefix splits into a 6-bit register index
+    and 54-bit suffix with INTEGER ops (no float division of the hash);
+    rank-of-leftmost-one is a shared-text integer CASE; the register sum
+    is carried as the exact BIGINT sum(2^(55-M_j)) + V*2^55, making the
+    closing division the only float.
+
+    Scale shape: one distinct-hash pass (combinable), one (group,
+    register) max — both map-side partial aggregates; state per group is
+    {HLL_M} bytes-ish, the whole point of HLL at 100 TB (billions of
+    groups x tiny registers, all mergeable). The exact-distinct audit
+    join is per-group-count sized.
+
+    Reference scope: ∅ — the reference has no sketches; north-star
+    corpus-statistics surface.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    hashed = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    split = hashed.selectExpr(
+        "event_type", f"h % {HLL_M} AS reg", f"h DIV {HLL_M} AS w"
+    )
+    regs = (
+        split.select("event_type", "reg", F.expr(_HLL_RHO).alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    grouped = regs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_regs"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m_reg)"))
+            + (F.lit(HLL_M) - F.count("*"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 55)")
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("v_empty"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        grouped.join(F.broadcast(exact), "event_type")
+        .selectExpr(
+            "event_type",
+            "n_regs",
+            "v_empty",
+            f"{_HLL_EST} AS hll_estimate",
+            "n_exact",
+            f"round(CAST({_HLL_EST} - n_exact AS DOUBLE) / n_exact, 6)"
+            " AS rel_error",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join (deletion-neighborhood blocked, exact verify)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_av_edit_distance_join",
+    oracle="""
+    WITH n AS (SELECT c_custkey, lower(c_name) AS name FROM customer)
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON b.c_custkey > a.c_custkey
+     AND abs(length(a.name) - length(b.name)) <= 1
+     AND levenshtein(a.name, b.name) = 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q_av_edit_distance_join(spark, sf_dir):
+    """All-pairs edit-distance join at Levenshtein distance 1 — the
+    typo-duplicate detector — via DELETION-NEIGHBORHOOD blocking
+    (FastSS, Bocek et al. 2007; popularized as SymSpell — public):
+    lev(a, b) <= 1 implies a and b share a key in {s} ∪ del1(s) (equal
+    strings share s; an insertion/deletion means one IS a deletion of
+    the other; a substitution at position i means deleting i from both
+    yields the same string). Candidates come from an equi-join on those
+    keys; the exact levenshtein verify runs on candidates only. The
+    quadratic oracle value-checks the blocking's completeness
+    pair-for-pair — the same proof obligation as the grid-blocked geo
+    join (q_ze).
+
+    Scale shape: each name emits len+1 keys (one explode, map-only);
+    the candidate join is an equi-join on short string keys whose group
+    sizes are bounded by the alphabet (a deletion key matches at most
+    |alphabet| substitution variants), so no quadratic blowup and no
+    skewed key — the failure mode of naive first-k-chars blocking. At
+    100 TB the key stream shuffles once; the verify is in-row (no
+    second shuffle after the pair dedup).
+
+    Reference scope: ∅ — dedup-family north-star surface (fuzzy matching
+    complement to the token-level MinHash entries).
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.col("c_name")).alias("name")
+    )
+    keys = c.selectExpr(
+        "c_custkey",
+        "name",
+        "explode(array_append("
+        "  transform(sequence(1, length(name)),"
+        "            i -> concat(substring(name, 1, i - 1),"
+        "                        substring(name, i + 1))),"
+        "  name)) AS k",
+    )
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") == 1)
+        .orderBy("id_a", "id_b")
+    )

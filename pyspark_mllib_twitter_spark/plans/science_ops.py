@@ -2528,3 +2528,138 @@ def q_ar_mmr_rerank(spark, sf_dir):
         .applyInPandas(rerank, schema=out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet decomposition (unnormalized, exact integer coefficients)
+# ---------------------------------------------------------------------------
+
+#: Days consumed by the transform (a power of two; the fixture spans 30
+#: days, so the first 16 per series are decomposed — deterministic via
+#: row_number over the day order).
+HAAR_N = 16
+
+
+@query(
+    "q_ax_haar_wavelet",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily QUALIFY i <= {HAAR_N}),
+    l1 AS (
+      SELECT event_type, (i - 1) // 2 AS k,
+             CAST(sum(cents) AS BIGINT) AS a1,
+             CAST(sum(CASE WHEN (i - 1) % 2 = 0 THEN cents
+                           ELSE -cents END) AS BIGINT) AS d1
+      FROM idx GROUP BY event_type, (i - 1) // 2),
+    l2 AS (
+      SELECT event_type, k // 2 AS k,
+             CAST(sum(a1) AS BIGINT) AS a2,
+             CAST(sum(CASE WHEN k % 2 = 0 THEN a1 ELSE -a1 END) AS BIGINT) AS d2
+      FROM l1 GROUP BY event_type, k // 2)
+    SELECT event_type, level, kind, CAST(k AS BIGINT) AS k, coeff FROM (
+      SELECT event_type, 1 AS level, 'detail' AS kind, k, d1 AS coeff FROM l1
+      UNION ALL
+      SELECT event_type, 2, 'detail', k, d2 FROM l2
+      UNION ALL
+      SELECT event_type, 2, 'approx', k, a2 FROM l2)
+    ORDER BY event_type, level, kind, k
+    """,
+)
+def q_ax_haar_wavelet(spark, sf_dir):
+    """Two-level UNNORMALIZED Haar wavelet decomposition (Haar 1910;
+    Chan & Fu ICDE 1999 for the time-series use — public) of each
+    event-type's daily-cents series: level-1 pairs adjacent days into
+    sum (approx) and difference (detail) coefficients; level 2 repeats
+    on the level-1 approximations. Skipping the 1/2 normalization keeps
+    EVERY coefficient an exact BIGINT — zero float anywhere, the whole
+    output hash-checked. The energy-compaction view feeding wavelet
+    compression / multi-resolution anomaly detection.
+
+    Scale shape: the corpus collapses to a daily aggregate (one
+    combinable shuffle); each level is a groupBy on an integer pair
+    index over the calendar-bounded daily table — O(log n) levels of
+    O(days) work, never touching the raw corpus again. The per-series
+    row_number window runs on days-per-series partitions.
+
+    Reference scope: ∅ — north-star time-series surface (complements
+    SAX symbolization and M4 downsampling).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = (
+        daily.select("event_type", "cents", F.row_number().over(w).alias("i"))
+        .filter(F.col("i") <= HAAR_N)
+    )
+    l1 = (
+        idx.groupBy("event_type", F.floor((F.col("i") - 1) / 2).alias("k"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("a1"),
+            F.sum(
+                F.when((F.col("i") - 1) % 2 == 0, F.col("cents")).otherwise(
+                    -F.col("cents")
+                )
+            )
+            .cast("bigint")
+            .alias("d1"),
+        )
+    )
+    l2 = (
+        l1.groupBy("event_type", F.floor(F.col("k") / 2).alias("k2"))
+        .agg(
+            F.sum("a1").cast("bigint").alias("a2"),
+            F.sum(
+                F.when(F.col("k") % 2 == 0, F.col("a1")).otherwise(-F.col("a1"))
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+        .withColumnRenamed("k2", "k")
+    )
+    out = (
+        l1.select(
+            "event_type",
+            F.lit(1).alias("level"),
+            F.lit("detail").alias("kind"),
+            F.col("k").cast("bigint"),
+            F.col("d1").alias("coeff"),
+        )
+        .unionByName(
+            l2.select(
+                "event_type",
+                F.lit(2).alias("level"),
+                F.lit("detail").alias("kind"),
+                F.col("k").cast("bigint"),
+                F.col("d2").alias("coeff"),
+            )
+        )
+        .unionByName(
+            l2.select(
+                "event_type",
+                F.lit(2).alias("level"),
+                F.lit("approx").alias("kind"),
+                F.col("k").cast("bigint"),
+                F.col("a2").alias("coeff"),
+            )
+        )
+    )
+    return out.orderBy("event_type", "level", "kind", "k")
