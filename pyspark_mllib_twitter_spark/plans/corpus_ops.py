@@ -4208,3 +4208,132 @@ def q_av_edit_distance_join(spark, sf_dir):
         .filter(F.col("dist") == 1)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment join (asymmetric set inclusion, prefix-filtered)
+# ---------------------------------------------------------------------------
+
+#: Containment threshold: |A ∩ B| / |A| >= tau — "at least this fraction
+#: of A's shingles also appear in B", the near-INCLUSION detector
+#: (quotes, excerpts, doc versions) that symmetric Jaccard misses when
+#: |B| >> |A|.
+CONTAIN_TAU = 0.8
+
+
+@query(
+    "q_b3_containment_join",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gs
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS n_shared,
+           CAST(len(a.gs) AS BIGINT) AS sz_a,
+           round(len(list_intersect(a.gs, b.gs))::DOUBLE / len(a.gs), 6)
+             AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.gs, b.gs))::DOUBLE / len(a.gs)
+            >= {CONTAIN_TAU}
+    ORDER BY id_a, id_b
+    """,
+)
+def q_b3_containment_join(spark, sf_dir):
+    """All-pairs CONTAINMENT join at |A∩B|/|A| >= tau over 3-gram
+    shingles — the asymmetric cousin of the PPJoin entry (q_yr): it
+    finds documents mostly INCLUDED in another (excerpts, quoted
+    passages, version supersets), which Jaccard structurally misses when
+    the container is much larger. Prefix filtering adapts (Chaudhuri et
+    al. ICDE 2006 §4, public): A can reach containment tau only if one
+    of the first |A| - ceil(tau*|A|) + 1 elements of its rare-first
+    ordering appears in B; B, the container side, must be indexed on ALL
+    elements (any of them may cover A's prefix). Candidates therefore
+    come from an equi-join of A-prefix against B-full; the exact verify
+    (one intersect over the two re-attached arrays) runs on candidates
+    only, and the quadratic oracle value-checks the filter's
+    completeness pair-for-pair.
+
+    Scale shape: same digests-and-ints discipline as q_yr — the fan-out
+    carries (doc_id, size, element) only, arrays re-attach per surviving
+    candidate; rare-first ordering keeps near-universal shingles out of
+    every prefix, so no stopword key explodes the candidate join. The
+    B-side full index is the inherent extra cost of asymmetry (elements
+    x docs rows, one shuffle), which is why the symmetric join stays the
+    default when inclusion semantics aren't needed.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    toks = d.select("doc_id", TXT.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.slice("toks", 1, F.size("toks") - 2),
+                lambda t, i: F.concat_ws(
+                    " ", t, F.element_at("toks", i + 2), F.element_at("toks", i + 3)
+                ),
+            )
+        ).alias("gs"),
+    )
+    g_df = (
+        grams.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+    )
+    ordered = (
+        grams.select("doc_id", F.explode("gs").alias("g"))
+        .join(g_df, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("ord"))
+        .select("doc_id", F.transform("ord", lambda s: s["g"]).alias("gs_ord"))
+    )
+    prefix_len = (
+        F.size("gs_ord")
+        - F.ceil(F.lit(CONTAIN_TAU) * F.size("gs_ord")).cast("int")
+        + 1
+    )
+    pfx_a = ordered.select(
+        F.col("doc_id").alias("id_a"),
+        F.size("gs_ord").alias("sz_a"),
+        F.explode(F.slice("gs_ord", 1, prefix_len)).alias("pg"),
+    )
+    full_b = ordered.select(
+        F.col("doc_id").alias("id_b"),
+        F.explode("gs_ord").alias("pg"),
+    )
+    cands = (
+        pfx_a.join(full_b, "pg")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_arrays = cands.join(
+        ordered.select(F.col("doc_id").alias("id_a"), F.col("gs_ord").alias("ta")),
+        "id_a",
+    ).join(
+        ordered.select(F.col("doc_id").alias("id_b"), F.col("gs_ord").alias("tb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    cont = inter.cast("double") / F.size("ta")
+    return (
+        with_arrays.select(
+            "id_a",
+            "id_b",
+            inter.cast("bigint").alias("n_shared"),
+            F.size("ta").cast("bigint").alias("sz_a"),
+            F.round(cont, 6).alias("containment"),
+            cont.alias("_c"),
+        )
+        .filter(F.col("_c") >= CONTAIN_TAU)
+        .drop("_c")
+        .orderBy("id_a", "id_b")
+    )

@@ -1281,3 +1281,97 @@ def q_af_ipw_ate(spark, sf_dir):
             " / count(*) / 10000.0 / 100.0, 6)"
         ).alias("ipw_ate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error of a ratio estimator
+# ---------------------------------------------------------------------------
+
+#: Quantization scale for leave-one-out ratios: ratios are O(100)
+#: (cents-per-unit), so 1e9 keeps ~7 significant digits past the point
+#: while the quantized DECIMAL sums stay far inside 38 digits.
+_JK_Q = "1000000000.0"
+
+#: Leave-one-out ratio in the quantized-integer domain: each row's
+#: R_i = (Sy - y_i) / (Sx - x_i) over the broadcast global sums, rounded
+#: to an exact BIGINT before ANY summation so both engines add identical
+#: integers (the repo's float-fold discipline).
+_JK_RI = (
+    f"CAST(round((CAST(sy AS DOUBLE) - CAST(cents AS DOUBLE))"
+    f" / (CAST(sx AS DOUBLE) - CAST(qty AS DOUBLE)) * {_JK_Q}) AS BIGINT)"
+)
+
+
+@query(
+    "q_b1_jackknife_ratio",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(cents AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(qty AS DECIMAL(38,0))) AS sx
+      FROM rows_),
+    loo AS (
+      SELECT n, sy, sx, {_JK_RI} AS ri
+      FROM rows_ CROSS JOIN tot),
+    m AS (
+      SELECT n,
+             min(sy) AS sy, min(sx) AS sx,
+             SUM(CAST(ri AS DECIMAL(38,0))) AS sri,
+             SUM(CAST(ri AS DECIMAL(38,0)) * ri) AS srr
+      FROM loo GROUP BY n)
+    SELECT n,
+           round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) / 100.0, 6) AS ratio,
+           round(sqrt((CAST(n AS DOUBLE) - 1.0) / n
+                      * (CAST(srr AS DOUBLE)
+                         - CAST(sri AS DOUBLE) * CAST(sri AS DOUBLE) / n))
+                 / {_JK_Q} / 100.0, 6) AS jackknife_se
+    FROM m
+    """,
+)
+def q_b1_jackknife_ratio(spark, sf_dir):
+    """Delete-one JACKKNIFE standard error (Quenouille 1956 / Tukey 1958
+    — public) of the ratio-of-sums estimator R = Σprice/Σqty — the
+    survey-sampling statistic whose SE has no closed form, which is why
+    the jackknife exists. The naive algorithm refits n times; here each
+    leave-one-out ratio R_i = (Sy-y_i)/(Sx-x_i) is a per-row expression
+    of the two broadcast GLOBAL sums, so the whole resample collapses to
+    one extra scan: SE² = (n-1)/n * Σ(R_i - R̄)², expanded to the
+    (ΣR_i², ΣR_i) moment form with R_i quantized to exact BIGINTs before
+    summation (order-independent — no float fold anywhere).
+
+    Scale shape: aggregate #1 produces a 3-number global row (broadcast);
+    aggregate #2 is one map-side-combinable pass over the quantized LOO
+    ratios. The explode×n a textbook jackknife implies never happens —
+    the same collapse trick as the Poisson bootstrap's weight explode
+    (q_zh) but with zero fan-out.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    tot = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("qty").cast("decimal(38,0)")).alias("sx"),
+    )
+    loo = li.crossJoin(F.broadcast(tot)).selectExpr(
+        "n", "sy", "sx", f"{_JK_RI} AS ri"
+    )
+    m = loo.groupBy("n").agg(
+        F.min("sy").alias("sy"),
+        F.min("sx").alias("sx"),
+        F.sum(F.col("ri").cast("decimal(38,0)")).alias("sri"),
+        F.sum(F.col("ri").cast("decimal(38,0)") * F.col("ri")).alias("srr"),
+    )
+    return m.selectExpr(
+        "n",
+        "round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) / 100.0, 6) AS ratio",
+        "round(sqrt((CAST(n AS DOUBLE) - 1.0) / n"
+        " * (CAST(srr AS DOUBLE)"
+        " - CAST(sri AS DOUBLE) * CAST(sri AS DOUBLE) / n))"
+        f" / {_JK_Q} / 100.0, 6) AS jackknife_se",
+    )

@@ -106,9 +106,8 @@ def q_s4_pysink_roundtrip(spark, sf_dir):
     from ..sources.pydatasource import register
 
     register(spark)
-    store = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_docstore_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    store = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_docstore_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
     )
     src = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     src.write.format("docstore").mode("overwrite").save(store)
@@ -1465,9 +1464,8 @@ def q_s6_docstore_compact(spark, sf_dir):
     from ..sources.pydatasource import register
 
     register(spark)
-    store = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_compact_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    store = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_compact_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
     )
     shutil.rmtree(store, ignore_errors=True)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1505,9 +1503,8 @@ def q_s7_schema_evolution(spark, sf_dir):
     import os as _os
     import tempfile
 
-    base = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_evolve_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    base = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_evolve_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
     )
     o = _t(spark, sf_dir, "orders")
     old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
@@ -1561,9 +1558,8 @@ def q_s8_docstore_delete(spark, sf_dir):
     from ..sources.pydatasource import docstore_delete, register
 
     register(spark)
-    store = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_delete_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    store = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_delete_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
     )
     shutil.rmtree(store, ignore_errors=True)
     src = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -1632,9 +1628,8 @@ def q_s9_time_travel(spark, sf_dir):
     from ..sources.pydatasource import register
 
     register(spark)
-    store = _os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_ttravel_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}",
+    store = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_ttravel_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
     )
     shutil.rmtree(store, ignore_errors=True)
     src = _t(spark, sf_dir, "orders").select(
@@ -1825,4 +1820,86 @@ def q_sa_docstore_cdf(spark, sf_dir):
             .alias("sum_cents_after"),
         )
         .orderBy("change")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S-surface: docstore MERGE (upsert)
+# ---------------------------------------------------------------------------
+
+#: MERGE demo ranges: updates hit existing doc_ids, inserts backfill a
+#: range excluded from the initial store — both inside the low end of
+#: the key space so zone-map pruning leaves high-range files untouched.
+MERGE_UPD_LO, MERGE_UPD_HI = 10, 40
+MERGE_INS_LO, MERGE_INS_HI = 45, 55
+
+
+@query(
+    "q_sb_docstore_merge",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN doc_id BETWEEN {MERGE_INS_LO} AND {MERGE_INS_HI}
+                THEN 'backfill' ELSE source END AS source,
+           CAST(n_chars + CASE WHEN doc_id BETWEEN {MERGE_UPD_LO} AND {MERGE_UPD_HI}
+                               THEN 1000 ELSE 0 END AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_sb_docstore_merge(spark, sf_dir):
+    """MERGE INTO (upsert) through the docstore connector — the
+    Delta/Iceberg MERGE shape (public designs) that completes the
+    maintenance surface next to DELETE (q_s8), time travel + VACUUM
+    (q_s9) and CDF (q_sa): the store is written range-partitioned on
+    ``doc_id`` with per-file zone maps, MINUS a backfill range; one
+    ``docstore_merge`` call then UPDATEs an existing id range (WHEN
+    MATCHED: n_chars + 1000) and INSERTs the missing range (WHEN NOT
+    MATCHED: source = 'backfill') in a SINGLE atomic ``replace_files``
+    two-phase commit. Zone maps prune the rewrite to files whose key
+    range intersects the source's [min, max]; untouched files keep their
+    names and bytes (asserted in tests/test_io.py). The oracle
+    recomputes the expected post-merge state straight from the source
+    table, so stats capture, pruning, the anti-join survivor set, the
+    single-commit swap, and the read-back are all value-checked.
+
+    Scale shape: at 100 TB a MERGE against a range-clustered store
+    rewrites only the metadata-selected file subset; the match itself is
+    one anti-join of those files' rows against the (typically far
+    smaller, broadcastable) source batch.
+    """
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import docstore_merge, register
+
+    register(spark)
+    store = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_merge_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    initial = src.filter(
+        ~F.col("doc_id").between(MERGE_INS_LO, MERGE_INS_HI)
+    )
+    (
+        initial.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore")
+        .mode("overwrite")
+        .option("stats_field", "doc_id")
+        .save(store)
+    )
+    updates = src.filter(F.col("doc_id").between(MERGE_UPD_LO, MERGE_UPD_HI)).select(
+        "doc_id", "source", (F.col("n_chars") + 1000).alias("n_chars")
+    )
+    inserts = src.filter(F.col("doc_id").between(MERGE_INS_LO, MERGE_INS_HI)).select(
+        "doc_id", F.lit("backfill").alias("source"), "n_chars"
+    )
+    docstore_merge(spark, store, "doc_id", updates.unionByName(inserts))
+    return (
+        spark.read.format("docstore")
+        .load(store)
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+        .orderBy("doc_id")
     )

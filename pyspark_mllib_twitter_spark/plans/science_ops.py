@@ -2663,3 +2663,176 @@ def q_ax_haar_wavelet(spark, sf_dir):
         )
     )
     return out.orderBy("event_type", "level", "kind", "k")
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank on the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_D = 0.85
+TEXTRANK_ITERS = 10
+TEXTRANK_TOPK = 15
+
+
+@query("q_az_textrank", oracle=None)  # iterative float ranks — rows-only
+def q_az_textrank(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 —
+    public): PageRank over the UNDIRECTED word co-occurrence graph
+    (adjacent-token pairs, window 2), top-K words by rank. The
+    graph-centrality complement to RAKE (q_ag, degree/frequency scored):
+    TextRank rewards words that co-occur with other central words, not
+    just frequent neighbors.
+
+    Rows-only by design (iterative float ranks have no SQL oracle);
+    tests/test_behavior_ops.py golden-checks the ranks against a NumPy
+    power iteration on the same co-occurrence matrix.
+
+    Scale shape: token pairs collapse to a DISTINCT edge list
+    (vocabulary², not corpus-sized — one combinable shuffle ever touches
+    the corpus); the engine's shared ``pagerank`` helper then shuffles
+    only 16-byte (node, rank) pairs per iteration with the degree join
+    hoisted out of the loop (lakehouse.py:177). Keyword extraction at
+    100 TB is a vocabulary-sized problem after the first aggregate.
+    """
+    from ..functions import text as TXT
+    from .corpus_ops import _docs
+    from .lakehouse import pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = d.select(TXT.tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS a,"
+                "             element_at(toks, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter(F.col("a") != F.col("b"))
+    # undirected: one distinct edge per unordered co-occurring pair, then
+    # both orientations feed the directed pagerank helper
+    und = pairs.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    edges = und.selectExpr("u AS src", "v AS dst").unionByName(
+        und.selectExpr("v AS src", "u AS dst")
+    )
+    pr = pagerank(edges, d=TEXTRANK_D, iters=TEXTRANK_ITERS)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(TEXTRANK_TOPK)
+        .select(F.col("node").alias("word"), F.round("rank", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition (trend + weekday seasonal + residual, exact)
+# ---------------------------------------------------------------------------
+
+#: The decomposition works in the 7x-cents integer domain: detrended7 =
+#: 7*x - sum7 is EXACT (multiply by the window width instead of dividing
+#: by it); the weekday seasonal mean is quantized to milli-units before
+#: the residual subtraction, so residual_mq = 1000*det7 - seas_mq is
+#: again exact. Only the display columns divide back down (shared text).
+_STL_W = 7  # centered moving-average window (3 each side)
+
+
+@query(
+    "q_b2_stl_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, day, cents,
+             SUM(cents) OVER w AS sum7,
+             COUNT(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT event_type, day, cents, sum7,
+             day % 7 AS dow,
+             {_STL_W} * cents - sum7 AS det7
+      FROM win WHERE n7 = {_STL_W}),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(round(CAST(SUM(CAST(det7 AS DECIMAL(38,0))) AS DOUBLE)
+                        / count(*) * 1000.0) AS BIGINT) AS seas_mq
+      FROM det GROUP BY event_type, dow)
+    SELECT d.event_type, CAST(d.day AS BIGINT) AS day,
+           round(CAST(d.cents AS DOUBLE) / 100.0, 6) AS raw,
+           round(CAST(d.sum7 AS DOUBLE) / {_STL_W} / 100.0, 6) AS trend,
+           round(CAST(s.seas_mq AS DOUBLE) / 1000.0 / {_STL_W} / 100.0, 6)
+             AS seasonal,
+           round(CAST(1000 * d.det7 - s.seas_mq AS DOUBLE)
+                 / 1000.0 / {_STL_W} / 100.0, 6) AS residual
+    FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+    ORDER BY d.event_type, d.day
+    """,
+)
+def q_b2_stl_decompose(spark, sf_dir):
+    """STL-lite additive decomposition (Cleveland et al. 1990's STL,
+    reduced to one pass: centered 7-day moving-average trend + weekday
+    seasonal means + residual — the monitoring-pipeline variant, not the
+    loess iteration). Full-window days only (the 7-day MA is undefined
+    at series edges). Everything is exact integers until the display
+    division: detrended7 = 7x - sum7 (exact), weekday means quantized to
+    milli-units, residual as an exact integer difference — identical on
+    both engines, hash-checked including the residuals.
+
+    Scale shape: the corpus collapses to the daily aggregate first; the
+    moving window runs over days-per-series partitions
+    (calendar-bounded); the seasonal join is on (event_type, weekday) —
+    14 keys, broadcast. The residual column is what an anomaly monitor
+    thresholds; Hampel (q_yf) gives the robust twin.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("sum7"),
+        F.count("*").over(w).alias("n7"),
+    )
+    det = win.filter(F.col("n7") == _STL_W).select(
+        "event_type",
+        "day",
+        "cents",
+        "sum7",
+        (F.col("day") % 7).alias("dow"),
+        (F.lit(_STL_W) * F.col("cents") - F.col("sum7")).alias("det7"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr(
+            "CAST(round(CAST(SUM(CAST(det7 AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(*) * 1000.0) AS BIGINT)"
+        ).alias("seas_mq")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .selectExpr(
+            "event_type",
+            "CAST(day AS BIGINT) AS day",
+            "round(CAST(cents AS DOUBLE) / 100.0, 6) AS raw",
+            f"round(CAST(sum7 AS DOUBLE) / {_STL_W} / 100.0, 6) AS trend",
+            f"round(CAST(seas_mq AS DOUBLE) / 1000.0 / {_STL_W} / 100.0, 6)"
+            " AS seasonal",
+            "round(CAST(1000 * det7 - seas_mq AS DOUBLE)"
+            f" / 1000.0 / {_STL_W} / 100.0, 6) AS residual",
+        )
+        .orderBy("event_type", "day")
+    )

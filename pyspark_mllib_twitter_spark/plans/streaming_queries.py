@@ -30,6 +30,9 @@ from ..streaming import (
     tws_available,
 )
 from .registry import query
+from .corpus_ops import HLL_M as _HLL_M
+from .corpus_ops import _HLL_EST as _HLL_EST_SQL
+from .corpus_ops import _HLL_RHO as _HLL_RHO_SQL
 
 #: Capability flags for surfaces gated on optional runtime dependencies.
 #: ``transform_with_state``: the Spark 4 TWS operator family needs
@@ -789,3 +792,81 @@ def q_stream_topk(spark, sf_dir):
         .select("event_type", "rank", "user_id", "ss_count", "ss_err")
         .orderBy("event_type", "rank")
     )
+
+
+@query(
+    "q_stream_hll",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    split AS (
+      SELECT event_type, h % {_HLL_M} AS reg, h // {_HLL_M} AS w FROM hashed),
+    regs AS (
+      SELECT event_type, reg, max({_HLL_RHO_SQL}) AS m_reg
+      FROM split GROUP BY event_type, reg),
+    grouped AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_regs,
+             SUM(1::BIGINT << (55 - m_reg))
+               + ({_HLL_M} - count(*)) * (1::BIGINT << 55) AS s_int,
+             {_HLL_M} - CAST(count(*) AS BIGINT) AS v_empty
+      FROM regs GROUP BY event_type)
+    SELECT event_type, n_regs, v_empty,
+           {_HLL_EST_SQL} AS hll_estimate
+    FROM grouped ORDER BY event_type
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """STREAMING portable HyperLogLog: the md5-register sketch of
+    q_aw_hll_distinct maintained as a streaming ``groupBy(event_type,
+    register).max(rho)`` over the replayed micro-batches — the
+    mergeability demo that matters at 100 TB (per-batch partial registers
+    union by max; order and batching cannot change a max). Because the
+    registers are DETERMINISTIC functions of the key set, this streaming
+    sketch carries a FULL VALUE ORACLE (same register SQL as the batch
+    twin) — the strongest check class any streaming sketch entry can
+    have; arrival order is irrelevant by construction, so no zero-late
+    replay is needed (contrast q_stream_attribution).
+
+    Plan notes: an unwindowed streaming max in UPDATE mode emits each
+    register's running value whenever it changes; max over all emitted
+    updates equals the final state (monotonicity — the q_stream_stateful
+    recipe). State is m = {_HLL_M} registers per group: constant-size
+    streaming state regardless of user cardinality, which is the entire
+    reason HLL exists in a stream processor.
+    """
+    from ..plans.corpus_ops import _HLL_EST, _HLL_RHO, HLL_M
+
+    stream = _replayed_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") >= 0)
+        & (F.col("event_type") != FLUSH_EVENT_TYPE)
+    )
+    split = stream.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).selectExpr("event_type", f"h % {HLL_M} AS reg", f"h DIV {HLL_M} AS w")
+    regs_stream = (
+        split.select("event_type", "reg", F.expr(_HLL_RHO).alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    out = run_to_memory(regs_stream, output_mode="update")
+    final_regs = out.groupBy("event_type", "reg").agg(
+        F.max("m_reg").alias("m_reg")
+    )
+    grouped = final_regs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_regs"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - m_reg)"))
+            + (F.lit(HLL_M) - F.count("*"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 55)")
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.count("*")).cast("bigint").alias("v_empty"),
+    )
+    return grouped.selectExpr(
+        "event_type", "n_regs", "v_empty", f"{_HLL_EST} AS hll_estimate"
+    ).orderBy("event_type")

@@ -458,6 +458,80 @@ def docstore_delete(spark, store: str, field: str, lo, hi) -> dict:
     return {"touched": hit, "untouched": miss}
 
 
+def docstore_merge(spark, store: str, key_field: str, source_df) -> dict:
+    """MERGE INTO the docstore (upsert): rows of ``source_df`` whose
+    ``key_field`` matches an existing row REPLACE it (WHEN MATCHED THEN
+    UPDATE); unmatched source rows are inserted (WHEN NOT MATCHED THEN
+    INSERT). The Delta/Iceberg MERGE shape (public designs), file-pruned
+    by zone maps: only committed files whose ``[min, max]`` key range
+    intersects the source's key range can contain a match, so ONLY those
+    files are rewritten — untouched files keep their names and bytes.
+    The rewrite (surviving target rows + ALL source rows) publishes in a
+    SINGLE ``replace_files`` two-phase commit, so the merge is
+    atomic-or-nothing exactly like DELETE.
+
+    Correctness of the pruning: a match needs the key in both a target
+    file and the source; a file whose zone range is disjoint from the
+    source's [lo, hi] cannot hold any source key, hence no match and no
+    insert collision — inserts land in the rewritten file set.
+
+    Returns the decision (``touched``/``untouched`` files and the
+    update/insert split) so callers and tests can assert pruning and
+    action counts. Single-writer contract as elsewhere in the store.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    bounds = source_df.agg(
+        _F.min(key_field).alias("lo"), _F.max(key_field).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:  # empty source: MERGE is a no-op, nothing rewritten
+        return {"touched": [], "untouched": [], "n_updates": 0, "n_inserts": 0}
+
+    with open(_os.path.join(store, "_MANIFEST.json"), encoding="utf-8") as f:
+        entries = _json.load(f)["files"]
+
+    def _touched(e: dict) -> bool:
+        if "min" not in e or "max" not in e:
+            return True  # no stats — cannot prove it misses
+        return not (e["max"] < lo or e["min"] > hi)
+
+    hit = [e["file"] for e in entries if _touched(e)]
+    miss = [e["file"] for e in entries if not _touched(e)]
+    src_cols = [f.name for f in source_df.schema.fields]
+    if hit:
+        tgt = (
+            spark.read.format("docstore")
+            .option("files", ",".join(hit))
+            .load(store)
+            .select(*src_cols)
+        )
+        survivors = tgt.join(source_df.select(key_field), key_field, "left_anti")
+        n_updates = tgt.count() - survivors.count()
+        merged = survivors.unionByName(source_df)
+    else:
+        n_updates = 0
+        merged = source_df
+    n_inserts = source_df.count() - n_updates
+    writer = (
+        merged.write.format("docstore")
+        .mode("append")
+        .option("stats_field", key_field)
+    )
+    if hit:
+        writer = writer.option("replace_files", ",".join(hit))
+    writer.save(store)
+    return {
+        "touched": hit,
+        "untouched": miss,
+        "n_updates": n_updates,
+        "n_inserts": n_inserts,
+    }
+
+
 def docstore_vacuum(store: str, retain_last: int = 2) -> dict:
     """Reclaim unreachable history from a ``retain_history`` docstore: keep
     the newest ``retain_last`` manifest versions (the latest pointer always

@@ -525,7 +525,15 @@ def tws_available() -> bool:
     """True when ``transformWithStateInPandas`` can actually run here: its
     driver-side worker speaks protobuf to the JVM, so the ``google.protobuf``
     package must be importable (verified empirically — without it the worker
-    exits with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    exits with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+
+    Environment status (re-checked every round since 5, last round 8):
+    the module is absent, the container has no package index reachable
+    (pip resolves no distribution — DNS fails), and vendoring a
+    generated-code runtime is out of scope, so the capability stays
+    gated until the environment ships protobuf. The applyInPandasWithState
+    twin (``stateful_user_stats``) covers the same semantics and IS
+    executed."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         return True

@@ -224,3 +224,163 @@ def test_haar_reconstructs_daily_series(spark, sf_smoke):
             assert (a + d) % 2 == 0
             assert x[2 * k1] == (a + d) // 2
             assert x[2 * k1 + 1] == (a - d) // 2
+
+
+# ---------------------------------------------------------------------------
+# TextRank
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_matches_numpy_power_iteration(spark, sf_smoke):
+    """Golden check: the distributed TextRank ranks must match a NumPy
+    power iteration (same simplified PageRank: no dangling
+    redistribution, teleport (1-d)/N) on the identically-built
+    co-occurrence graph, to 6dp."""
+    import numpy as np
+
+    from pyspark_mllib_twitter_spark.functions import text as TXT
+    from pyspark_mllib_twitter_spark.plans.science_ops import (
+        TEXTRANK_D,
+        TEXTRANK_ITERS,
+        TEXTRANK_TOPK,
+    )
+
+    rows = _rows(spark, sf_smoke, "q_az_textrank")
+    assert 0 < len(rows) <= TEXTRANK_TOPK
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    toks = [
+        r.toks
+        for r in docs.select(TXT.tokens("text").alias("toks")).collect()
+        if len(r.toks) >= 2
+    ]
+    edges = set()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    nodes = sorted({w for e in edges for w in e})
+    idx = {w: i for i, w in enumerate(nodes)}
+    n = len(nodes)
+    # directed adjacency = both orientations of each undirected edge
+    out = [[] for _ in range(n)]
+    for u, v in edges:
+        out[idx[u]].append(idx[v])
+        out[idx[v]].append(idx[u])
+    r = np.full(n, 1.0 / n)
+    for _ in range(TEXTRANK_ITERS):
+        nxt = np.full(n, (1.0 - TEXTRANK_D) / n)
+        for i in range(n):
+            if out[i]:
+                share = TEXTRANK_D * r[i] / len(out[i])
+                for j in out[i]:
+                    nxt[j] += share
+        r = nxt
+    golden = sorted(zip(nodes, r), key=lambda t: (-t[1], t[0]))[:TEXTRANK_TOPK]
+    got = [(row.word, row.score) for row in rows]
+    assert [w for w, _ in got] == [w for w, _ in golden]
+    for (gw, gs), (w, s) in zip(golden, got):
+        assert abs(gs - s) < 2e-6, (w, gs, s)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_equals_batch_registers(spark, sf_smoke):
+    """Mergeability contract: the streaming register table (max over
+    micro-batch updates) must equal the batch twin's registers exactly —
+    same estimate, same empty-register count, per group."""
+    stream_rows = {r.event_type: r for r in _rows(spark, sf_smoke, "q_stream_hll")}
+    batch_rows = {r.event_type: r for r in _rows(spark, sf_smoke, "q_aw_hll_distinct")}
+    assert set(stream_rows) == set(batch_rows)
+    for et, b in batch_rows.items():
+        s = stream_rows[et]
+        assert s.n_regs == b.n_regs
+        assert s.v_empty == b.v_empty
+        assert s.hll_estimate == b.hll_estimate
+
+
+# ---------------------------------------------------------------------------
+# Jackknife ratio SE
+# ---------------------------------------------------------------------------
+
+
+def test_jackknife_matches_bruteforce_loo(spark, sf_smoke):
+    """The one-pass moment form must equal the textbook n-refit jackknife
+    (computed brute-force in Python on the exact integer columns)."""
+    r = _rows(spark, sf_smoke, "q_b1_jackknife_ratio")[0]
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    rows = li.collect()
+    n = len(rows)
+    sy = sum(x.cents for x in rows)
+    sx = sum(x.qty for x in rows)
+    ris = [round((sy - x.cents) / (sx - x.qty) * 1e9) for x in rows]
+    mean_ri = sum(ris) / n
+    se = ((n - 1) / n * sum((ri - mean_ri) ** 2 for ri in ris)) ** 0.5 / 1e9 / 100
+    assert r.n == n
+    assert abs(r.ratio - (sy / sx / 100)) < 1e-6
+    assert abs(r.jackknife_se - se) < 1e-6
+    assert r.jackknife_se > 0
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_stl_components_add_up_and_seasonal_centers(spark, sf_smoke):
+    """Additivity: raw == trend + seasonal + residual (to quantization
+    slack) on every row; only full-window days are emitted; the weekday
+    seasonal repeats exactly within a series."""
+    rows = _rows(spark, sf_smoke, "q_b2_stl_decompose")
+    assert rows
+    per_series = {}
+    for r in rows:
+        assert abs(r.raw - (r.trend + r.seasonal + r.residual)) < 2e-3
+        per_series.setdefault(r.event_type, []).append(r)
+    for et, rs in per_series.items():
+        days = [r.day for r in rs]
+        assert days == sorted(days)
+        # 30-day fixture minus 3 edge days each side
+        assert len(days) >= 7
+        seas_by_dow = {}
+        for r in rs:
+            seas_by_dow.setdefault(r.day % 7, set()).add(r.seasonal)
+        for dow, vals in seas_by_dow.items():
+            assert len(vals) == 1, f"{et} dow {dow} seasonal not constant"
+
+
+# ---------------------------------------------------------------------------
+# Containment join
+# ---------------------------------------------------------------------------
+
+
+def test_containment_is_asymmetric_and_bounded(spark, sf_smoke):
+    """Containment values lie in [tau, 1]; n_shared <= sz_a; pairs are
+    directional (id_a contained in id_b) — and every symmetric Jaccard
+    pair from q_yr must appear here in at least one direction (Jaccard
+    >= tau implies containment >= tau for the smaller set)."""
+    from pyspark_mllib_twitter_spark.plans.corpus_ops import (
+        CONTAIN_TAU,
+        SETSIM_TAU,
+    )
+
+    rows = _rows(spark, sf_smoke, "q_b3_containment_join")
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    for r in rows:
+        assert CONTAIN_TAU <= r.containment <= 1.0 + 1e-9
+        assert 0 < r.n_shared <= r.sz_a
+        assert r.id_a != r.id_b
+    # cross-check vs the symmetric join: J(A,B) >= c implies
+    # |A∩B|/min(|A|,|B|) >= c, so any q_yr pair with jaccard >= CONTAIN_TAU
+    # must be contained in at least one direction.
+    if CONTAIN_TAU >= SETSIM_TAU:
+        sym = _rows(spark, sf_smoke, "q_yr_setsim_prefix_join")
+        for s in sym:
+            if s.jaccard >= CONTAIN_TAU:
+                assert (s.id_a, s.id_b) in pairs or (s.id_b, s.id_a) in pairs

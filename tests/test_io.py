@@ -458,3 +458,69 @@ def test_docstore_time_travel_and_vacuum(spark, tmp_path):
     again = docstore_vacuum(store, retain_last=2)
     assert again["dropped_versions"] == []
     assert again["deleted_files"] == []
+
+
+def test_docstore_merge_upserts_with_zone_pruning(spark, tmp_path):
+    """MERGE contract: (a) only files whose zone range intersects the
+    source's [min, max] are rewritten — untouched files keep their exact
+    names; (b) matched keys are REPLACED, unmatched source keys are
+    INSERTED, everything else survives byte-for-byte; (c) the action
+    split (n_updates / n_inserts) is reported exactly; (d) the whole
+    merge is ONE commit (replaced files reclaimed, inserts land in the
+    rewritten set); (e) an empty source is a no-op."""
+    import json
+    import os
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        docstore_merge,
+        register,
+    )
+
+    register(spark)
+    store = str(tmp_path / "mrg")
+    df = spark.range(400).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    (
+        df.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore")
+        .mode("overwrite")
+        .option("stats_field", "doc_id")
+        .save(store)
+    )
+    m1 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    before = {e["file"]: (e["min"], e["max"]) for e in m1["files"]}
+
+    # source: update ids 100..119 (new text), insert ids 400..409
+    src = spark.range(100, 120).selectExpr(
+        "id AS doc_id", "concat('UPD', id) AS text"
+    ).unionByName(
+        spark.range(400, 410).selectExpr("id AS doc_id", "concat('NEW', id) AS text")
+    )
+    res = docstore_merge(spark, store, "doc_id", src)
+    assert res["n_updates"] == 20 and res["n_inserts"] == 10
+    expect_touch = {
+        f for f, (lo, hi) in before.items() if not (hi < 100 or lo > 409)
+    }
+    assert set(res["touched"]) == expect_touch
+    assert 0 < len(expect_touch) < len(before), "pruning must be non-trivial"
+
+    m2 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    after = {e["file"] for e in m2["files"]}
+    assert set(res["untouched"]) <= after
+    assert not (expect_touch & after)
+
+    back = {r.doc_id: r.text for r in
+            spark.read.format("docstore").load(store).collect()}
+    assert len(back) == 410
+    for i in range(400):
+        assert back[i] == (f"UPD{i}" if 100 <= i < 120 else f"t{i}")
+    for i in range(400, 410):
+        assert back[i] == f"NEW{i}"
+
+    # empty source: metadata-only no-op
+    empty = spark.range(0).selectExpr("id AS doc_id", "concat('x', id) AS text")
+    res2 = docstore_merge(spark, store, "doc_id", empty)
+    assert res2 == {"touched": [], "untouched": [], "n_updates": 0,
+                    "n_inserts": 0}
+    m3 = json.load(open(os.path.join(store, "_MANIFEST.json")))
+    assert {e["file"] for e in m3["files"]} == after
