@@ -4337,3 +4337,172 @@ def q_b3_containment_join(spark, sf_dir):
         .drop("_c")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed feature hashing (the hashing trick, portable twin)
+# ---------------------------------------------------------------------------
+
+FH_DIM = 64
+
+#: Shared-text md5 bucket / sign split: the first 8 hex chars drive the
+#: bucket, the 9th hex digit's parity drives the sign (independent bits
+#: of the same digest — Weinberger et al. 2009's paired hash functions).
+_FH_BUCKET_DUCK = f"('0x' || substring(md5(tok), 1, 8))::BIGINT % {FH_DIM}"
+_FH_SIGN_DUCK = (
+    "CASE WHEN ('0x' || substring(md5(tok), 9, 1))::BIGINT % 2 = 0"
+    " THEN 1 ELSE -1 END"
+)
+
+
+@query(
+    "q_b6_feature_hashing",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             {_FH_BUCKET_DUCK} AS bucket,
+             {_FH_SIGN_DUCK} AS sign
+      FROM toks)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(sign) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def q_b6_feature_hashing(spark, sf_dir):
+    """Signed FEATURE HASHING (the "hashing trick" — Weinberger et al.,
+    ICML 2009, public): every token maps to one of {FH_DIM} buckets by
+    md5, with a second independent md5 bit choosing ±1 so collisions
+    cancel in expectation (the unbiasedness trick). The PORTABLE twin of
+    MLlib's HashingTF (W1's pipeline stage, rows-only by necessity —
+    murmur3 inside the JVM): md5 arithmetic makes bucket, sign AND the
+    final sparse weights engine-identical, so the vectorizer itself is
+    hash-checked. Zero-weight cells are dropped (exact cancellation) —
+    the sparse representation a 1e9-dimension hashed space relies on.
+
+    Scale shape: map-only hash + one combinable (doc, bucket) aggregate;
+    output is bounded by nnz ≤ min(tokens, dim) per doc. No vocabulary
+    state anywhere — the entire reason feature hashing exists at 100 TB
+    (CountVectorizer's vocab broadcast does not scale; this needs none).
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("tok"))
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % FH_DIM
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("bigint") % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select("doc_id", F.col("bucket").cast("bigint"), "weight")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional-index phrase search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_b7_phrase_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      FROM toks WHERE len(ts) >= 2),
+    top AS (
+      SELECT bg AS phrase FROM bigrams
+      GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1)
+    SELECT b.doc_id, t.phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM bigrams b JOIN top t ON b.bg = t.phrase
+    GROUP BY b.doc_id, t.phrase
+    ORDER BY b.doc_id
+    """,
+)
+def q_b7_phrase_search(spark, sf_dir):
+    """PHRASE SEARCH over a POSITIONAL inverted index (the IR-engine
+    primitive — Manning, Raghavan & Schütze, IIR §2.4, public): the
+    corpus's most frequent bigram (deterministic tie-break: count desc,
+    phrase asc) is matched by joining the (term, doc, position) postings
+    of its two words on ``doc_id`` and ``pos2 = pos1 + 1`` — the
+    adjacency equi-join that generalizes to any phrase length, unlike
+    the bigram-equality shortcut the ORACLE uses (the two formulations
+    are value-equal, which the hash compare proves; the Spark side
+    deliberately exercises the index shape). Complements the
+    document-level inverted index (q_xw) and BM25 ranking (q_za).
+
+    Scale shape: postings build is one posexplode (map-only); the phrase
+    probe joins ONLY the two terms' postings (term-selective — the index
+    is partitioned by term at scale, so each phrase word is one posting
+    scan), co-grouped on doc_id. The top-phrase pick is a global
+    TakeOrderedAndProject of the bigram counts, broadcast as one row.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = d.select("doc_id", TXT.tokens("text").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("ts").alias("pos", "tok")
+    )  # 0-based position
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bg"))
+        .limit(1)
+        .select(
+            F.col("bg").alias("phrase"),
+            F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+            F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+        )
+    )
+    p1 = pos.crossJoin(F.broadcast(top)).filter(F.col("tok") == F.col("w1"))
+    p2 = pos.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("pos").alias("pos2"),
+        F.col("tok").alias("tok2"),
+    )
+    matches = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") == F.col("pos") + 1)
+        & (F.col("tok2") == F.col("w2")),
+    )
+    return (
+        matches.groupBy("doc_id", "phrase")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

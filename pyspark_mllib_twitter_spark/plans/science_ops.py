@@ -2836,3 +2836,221 @@ def q_b2_stl_decompose(spark, sf_dir):
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph modularity of the nation partition (Newman-Girvan Q)
+# ---------------------------------------------------------------------------
+
+#: Shared-text per-community modularity term: m_c/m - (d_c/(2m))^2 on
+#: exact BIGINT counts; the only floats are two divisions and one
+#: multiply on identical operands.
+_MOD_TERM = (
+    "round(CAST(m_c AS DOUBLE) / m"
+    " - (CAST(d_c AS DOUBLE) / (2.0 * m)) * (CAST(d_c AS DOUBLE) / (2.0 * m)), 6)"
+)
+
+
+@query(
+    "q_b4_modularity",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    en AS (
+      SELECT sp.s_nationkey AS ns, cu.c_nationkey AS nc
+      FROM e JOIN supplier sp ON sp.s_suppkey = e.s
+             JOIN customer cu ON cu.c_custkey = e.c),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM en),
+    intra AS (
+      SELECT ns AS community, CAST(count(*) AS BIGINT) AS m_c
+      FROM en WHERE ns = nc GROUP BY ns),
+    deg AS (
+      SELECT community, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+        SELECT ns AS community, count(*) AS d FROM en GROUP BY ns
+        UNION ALL
+        SELECT nc AS community, count(*) AS d FROM en GROUP BY nc)
+      GROUP BY community),
+    cells AS (
+      SELECT deg.community, COALESCE(intra.m_c, 0) AS m_c, deg.d_c, m.m
+      FROM deg CROSS JOIN m LEFT JOIN intra ON intra.community = deg.community)
+    SELECT community, m_c, d_c, m, {_MOD_TERM} AS q_term
+    FROM cells ORDER BY community
+    """,
+)
+def q_b4_modularity(spark, sf_dir):
+    """Newman-Girvan MODULARITY (Newman & Girvan 2004; Newman PNAS 2006
+    — public) of the nation partition over the bipartite supplier-
+    customer trade graph: Q = Σ_c [m_c/m − (d_c/2m)²] measures whether
+    trade concentrates within nations more than a degree-preserving
+    random graph predicts. The community-QUALITY metric that closes the
+    graph stack (CC finds components, k-core finds cores, this scores a
+    partition); per-community contributions are emitted so the sum is
+    the scalar Q.
+
+    Exactness: edge count m, intra-community edges m_c, and community
+    degree sums d_c are exact BIGINTs from combinable aggregates; the
+    per-community term is one shared-text close.
+
+    Scale shape: ONE distinct-edge shuffle of the fact table, two
+    broadcast dim joins for endpoint communities, then two combinable
+    aggregates over the (community)-keyed edge stream — no iteration, no
+    window; community count bounds the output.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cus = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    en = (
+        e.join(F.broadcast(sup), e.s == sup.s_suppkey)
+        .join(F.broadcast(cus), e.c == cus.c_custkey)
+        .select(F.col("s_nationkey").alias("ns"), F.col("c_nationkey").alias("nc"))
+    )
+    m = en.agg(F.count("*").cast("bigint").alias("m"))
+    intra = (
+        en.filter(F.col("ns") == F.col("nc"))
+        .groupBy(F.col("ns").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("m_c"))
+    )
+    deg = (
+        en.groupBy(F.col("ns").alias("community"))
+        .agg(F.count("*").alias("d"))
+        .unionByName(
+            en.groupBy(F.col("nc").alias("community")).agg(F.count("*").alias("d"))
+        )
+        .groupBy("community")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    out = (
+        deg.crossJoin(F.broadcast(m))
+        .join(F.broadcast(intra), "community", "left")
+        .select(
+            "community",
+            F.coalesce(F.col("m_c"), F.lit(0)).cast("bigint").alias("m_c"),
+            "d_c",
+            "m",
+        )
+    )
+    return out.selectExpr(
+        "community", "m_c", "d_c", "m", f"{_MOD_TERM} AS q_term"
+    ).orderBy("community")
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (distribution drift monitor)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+#: Laplace-style smoothing count added per bin on both sides: the PSI
+#: log blows up on empty bins; +1 per bin is the standard guard and is
+#: part of the shared definition, not a fudge (both engines, same text).
+_PSI_TERM = (
+    "CAST(round(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + "
+    f"{PSI_BINS}.0)"
+    " - (CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + "
+    f"{PSI_BINS}.0))"
+    " * ln(((CAST(na AS DOUBLE) + 1.0) / (CAST(ta AS DOUBLE) + "
+    f"{PSI_BINS}.0))"
+    " / ((CAST(nb AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + "
+    f"{PSI_BINS}.0))) * 1000000000.0) AS BIGINT)"
+)
+
+
+@query(
+    "q_b5_psi",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2
+                  = 0 THEN 0 ELSE 1 END AS half
+      FROM events),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM scored),
+    binned AS (
+      SELECT event_type, half,
+             least(CAST(((cents - lo) * {PSI_BINS}) // (hi - lo + 1) AS BIGINT),
+                   {PSI_BINS - 1}) AS bin
+      FROM scored, bounds),
+    per_bin AS (
+      SELECT event_type, bin,
+             CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
+             CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
+      FROM binned GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM per_bin GROUP BY event_type),
+    terms AS (
+      SELECT p.event_type, ta, tb, {_PSI_TERM} AS t_q
+      FROM per_bin p JOIN tot USING (event_type))
+    SELECT event_type, min(ta) AS n_a, min(tb) AS n_b,
+           round(CAST(SUM(CAST(t_q AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1000000000.0, 6) AS psi
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_b5_psi(spark, sf_dir):
+    """Population Stability Index (the credit-scoring / model-monitoring
+    drift statistic — PSI = Σ (p_i − q_i) ln(p_i/q_i), public) between
+    even-day and odd-day value distributions per event type, over
+    {PSI_BINS} equal-width cents bins with +1-per-bin smoothing.
+    Deterministic halves (day parity) make the whole statistic
+    hash-checkable — the same reason the bootstrap uses md5 draws. Each
+    bin's term is quantized to an exact BIGINT before summation (the JSD
+    discipline), so the only unguarded float is inside one shared-text
+    expression per bin.
+
+    Scale shape: one combinable aggregate collapses the corpus to
+    (type, bin) cells; totals and the term sum are per-type aggregates
+    over {PSI_BINS} rows. The monitoring query you run per feature per
+    day at any corpus size.
+    """
+    scored = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 2
+        ).alias("half"),
+    )
+    bounds = scored.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "half",
+        F.least(
+            F.floor(
+                (F.col("cents") - F.col("lo"))
+                * PSI_BINS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+            F.lit(PSI_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("na"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("nb"),
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+    )
+    terms = per_bin.join(F.broadcast(tot), "event_type").selectExpr(
+        "event_type", "ta", "tb", f"{_PSI_TERM} AS t_q"
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.min("ta").alias("n_a"),
+            F.min("tb").alias("n_b"),
+            F.expr(
+                "round(CAST(SUM(CAST(t_q AS DECIMAL(38,0))) AS DOUBLE)"
+                " / 1000000000.0, 6)"
+            ).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

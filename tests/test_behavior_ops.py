@@ -384,3 +384,113 @@ def test_containment_is_asymmetric_and_bounded(spark, sf_smoke):
         for s in sym:
             if s.jaccard >= CONTAIN_TAU:
                 assert (s.id_a, s.id_b) in pairs or (s.id_b, s.id_a) in pairs
+
+
+# ---------------------------------------------------------------------------
+# Modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_identities(spark, sf_smoke):
+    """Bookkeeping identities of Q = sum_c [m_c/m - (d_c/2m)^2]:
+    sum(m_c) <= m, sum(d_c) = 2m (every edge contributes one degree to
+    each endpoint's community), and each q_term matches its own closed
+    form; |Q| <= 1."""
+    rows = _rows(spark, sf_smoke, "q_b4_modularity")
+    assert rows
+    m = rows[0].m
+    assert all(r.m == m for r in rows)
+    assert sum(r.m_c for r in rows) <= m
+    assert sum(r.d_c for r in rows) == 2 * m
+    q = 0.0
+    for r in rows:
+        expect = r.m_c / m - (r.d_c / (2 * m)) ** 2
+        assert abs(r.q_term - expect) < 1e-6
+        q += r.q_term
+    assert -1.0 <= q <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# PSI
+# ---------------------------------------------------------------------------
+
+
+def test_psi_nonnegative_and_zero_on_identical(spark, sf_smoke):
+    """PSI is a symmetrized KL: nonnegative on every series; the halves
+    partition each series (n_a + n_b = series row count)."""
+    rows = _rows(spark, sf_smoke, "q_b5_psi")
+    assert rows
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    counts = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r.psi >= 0.0
+        assert r.n_a + r.n_b == counts[r.event_type]
+        assert r.psi < 0.5, "day-parity halves of one month should not drift"
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hashing_matches_python_md5(spark, sf_smoke):
+    """Golden: recompute the signed hashed vector for a sample of
+    documents with hashlib and compare cell-for-cell; buckets stay in
+    range; zero cells are absent."""
+    import hashlib
+
+    from pyspark_mllib_twitter_spark.plans.corpus_ops import FH_DIM
+
+    rows = _rows(spark, sf_smoke, "q_b6_feature_hashing")
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.bucket < FH_DIM and r.weight != 0
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .filter(F.col("doc_id") <= 20)
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        vec: dict[int, int] = {}
+        for tok in [t for t in text.strip().lower().split() if t]:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            b = int(h[:8], 16) % FH_DIM
+            s = 1 if int(h[8], 16) % 2 == 0 else -1
+            vec[b] = vec.get(b, 0) + s
+        vec = {b: w for b, w in vec.items() if w != 0}
+        assert by_doc.get(doc_id, {}) == vec, f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_counts_match_direct_scan(spark, sf_smoke):
+    """The positional-join counts must equal a direct Python scan for
+    the same top phrase, and the phrase must be the corpus argmax."""
+    rows = _rows(spark, sf_smoke, "q_b7_phrase_search")
+    assert rows
+    phrase = rows[0].phrase
+    assert all(r.phrase == phrase for r in rows)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").collect()
+    from collections import Counter
+
+    bg_counts: Counter = Counter()
+    per_doc: dict[int, int] = {}
+    w1, w2 = phrase.split(" ")
+    for d in docs:
+        ts = [t for t in d.text.strip().lower().split() if t]
+        for a, b in zip(ts, ts[1:]):
+            bg_counts[(a, b)] += 1
+            if (a, b) == (w1, w2):
+                per_doc[d.doc_id] = per_doc.get(d.doc_id, 0) + 1
+    best = min(
+        (-(n), " ".join(k)) for k, n in bg_counts.items()
+    )  # count desc, phrase asc
+    assert best[1] == phrase
+    assert {r.doc_id: r.n_occurrences for r in rows} == per_doc
