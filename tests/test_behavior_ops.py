@@ -494,3 +494,63 @@ def test_phrase_search_counts_match_direct_scan(spark, sf_smoke):
     )  # count desc, phrase asc
     assert best[1] == phrase
     assert {r.doc_id: r.n_occurrences for r in rows} == per_doc
+
+
+# ---------------------------------------------------------------------------
+# Warehouse ops (round-8 batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_percentiles_match_python_quantiles(spark, sf_smoke):
+    """Exact-percentile contract: value at rank ceil(q*n) of the sorted
+    cents list, recomputed in Python per group."""
+    import math
+
+    rows = _rows(spark, sf_smoke, "q_b8_percentiles")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    per_type = {}
+    for r in ev.collect():
+        per_type.setdefault(r.event_type, []).append(r.cents)
+    for r in rows:
+        vals = sorted(per_type[r.event_type])
+        n = len(vals)
+        assert r.n == n
+        for name, q in [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]:
+            expect = vals[math.ceil(q * n) - 1] / 100
+            assert abs(getattr(r, name) - expect) < 1e-6, (r.event_type, name)
+        assert r.p50 <= r.p95 <= r.p99
+
+
+def test_gapfill_produces_dense_grid_with_locf(spark, sf_smoke):
+    """After gap-fill every series is DENSE from its first observation to
+    the global max hour, some cells are flagged filled (non-vacuous),
+    and filled cells repeat the previous value."""
+    rows = _rows(spark, sf_smoke, "q_b9_gapfill")
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r)
+    assert sum(r.filled for r in rows) > 0, "fixture has no hourly gaps?"
+    hi = max(r.hr for r in rows)
+    for et, rs in per_type.items():
+        hrs = [r.hr for r in rs]
+        assert hrs == list(range(hrs[0], hi + 1)), f"{et} grid not dense"
+        for prev, cur in zip(rs, rs[1:]):
+            if cur.filled:
+                assert cur.value_locf == prev.value_locf
+
+
+def test_ratio_to_parent_shares_sum_to_one(spark, sf_smoke):
+    """Within each region the nation shares sum to 1; region shares of
+    global sum to 1; every share is in (0, 1]."""
+    rows = _rows(spark, sf_smoke, "q_ba_ratio_to_parent")
+    regions = {}
+    for r in rows:
+        assert 0 < r.share_of_region <= 1
+        assert 0 < r.region_share_of_global <= 1
+        regions.setdefault(r.region, []).append(r)
+    for reg, rs in regions.items():
+        assert abs(sum(x.share_of_region for x in rs) - 1.0) < 1e-4, reg
+    glob = {r.region: r.region_share_of_global for r in rows}
+    assert abs(sum(glob.values()) - 1.0) < 1e-4
