@@ -1903,3 +1903,77 @@ def q_sb_docstore_merge(spark, sf_dir):
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_bb_cdc_apply",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, o_orderpriority AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN p = '2-HIGH' THEN cents + 7 ELSE cents END AS cents
+    FROM s WHERE p IN ('2-HIGH', '3-MEDIUM')
+    ORDER BY o_orderkey
+    """,
+)
+def q_bb_cdc_apply(spark, sf_dir):
+    """CDC APPLY — replicate a source table's next version into a
+    docstore mirror by applying a change feed through the full
+    three-action MERGE (the Debezium/Delta "apply changes" pattern,
+    public): the mirror holds v1 (urgent + high orders); the change
+    batch carries UPDATEs (high orders repriced +7), INSERTs (medium
+    orders), and DELETE keys (urgent orders); one ``docstore_merge``
+    call applies all three atomically (single ``replace_files``
+    two-phase commit, zone-map-pruned). The read-back must equal v2
+    recomputed from the source table — so capture, key routing, the
+    delete anti-join, and the commit swap are all value-checked. This is
+    the CONSUMER side of the change-data-feed the q_sa entry produces.
+
+    Scale shape: one bounded rewrite of the zone-intersected file set;
+    the three action sets are one anti-join each against that subset.
+    At 100 TB a CDC batch is minutes of changes — the pruned-file
+    rewrite is the whole point.
+    """
+    import hashlib as _hl
+    import shutil
+    import tempfile
+
+    from ..sources.pydatasource import docstore_merge, register
+
+    register(spark)
+    store = tempfile.mkdtemp(  # unique per invocation: no cross-run race
+        prefix=f"spark_graft_cdcapply_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_"
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v1 = src.filter(F.col("p").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "cents"
+    )
+    (
+        v1.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.format("docstore")
+        .mode("overwrite")
+        .option("stats_field", "o_orderkey")
+        .save(store)
+    )
+    updates = src.filter(F.col("p") == "2-HIGH").select(
+        "o_orderkey", (F.col("cents") + 7).alias("cents")
+    )
+    inserts = src.filter(F.col("p") == "3-MEDIUM").select("o_orderkey", "cents")
+    deletes = src.filter(F.col("p") == "1-URGENT").select("o_orderkey")
+    docstore_merge(
+        spark, store, "o_orderkey", updates.unionByName(inserts), delete_df=deletes
+    )
+    return (
+        spark.read.format("docstore")
+        .load(store)
+        .select("o_orderkey", F.col("cents").cast("bigint").alias("cents"))
+        .orderBy("o_orderkey")
+    )

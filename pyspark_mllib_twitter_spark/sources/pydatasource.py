@@ -458,38 +458,49 @@ def docstore_delete(spark, store: str, field: str, lo, hi) -> dict:
     return {"touched": hit, "untouched": miss}
 
 
-def docstore_merge(spark, store: str, key_field: str, source_df) -> dict:
-    """MERGE INTO the docstore (upsert): rows of ``source_df`` whose
-    ``key_field`` matches an existing row REPLACE it (WHEN MATCHED THEN
-    UPDATE); unmatched source rows are inserted (WHEN NOT MATCHED THEN
-    INSERT). The Delta/Iceberg MERGE shape (public designs), file-pruned
-    by zone maps: only committed files whose ``[min, max]`` key range
-    intersects the source's key range can contain a match, so ONLY those
+def docstore_merge(
+    spark, store: str, key_field: str, source_df, delete_df=None
+) -> dict:
+    """MERGE INTO the docstore: rows of ``source_df`` whose ``key_field``
+    matches an existing row REPLACE it (WHEN MATCHED THEN UPDATE);
+    unmatched source rows are inserted (WHEN NOT MATCHED THEN INSERT);
+    keys in ``delete_df`` (a one-column keys frame, optional) are removed
+    (WHEN MATCHED THEN DELETE) — the full three-action Delta/Iceberg
+    MERGE surface (public designs), file-pruned by zone maps: only
+    committed files whose ``[min, max]`` key range intersects the
+    combined source+delete key range can contain a match, so ONLY those
     files are rewritten — untouched files keep their names and bytes.
     The rewrite (surviving target rows + ALL source rows) publishes in a
     SINGLE ``replace_files`` two-phase commit, so the merge is
     atomic-or-nothing exactly like DELETE.
 
-    Correctness of the pruning: a match needs the key in both a target
-    file and the source; a file whose zone range is disjoint from the
-    source's [lo, hi] cannot hold any source key, hence no match and no
-    insert collision — inserts land in the rewritten file set.
+    Correctness of the pruning: a matched (updated or deleted) key must
+    exist in both a target file and the source/delete set; a file whose
+    zone range is disjoint from their combined [lo, hi] cannot hold any
+    such key, hence no match and no insert collision — inserts land in
+    the rewritten file set.
 
     Returns the decision (``touched``/``untouched`` files and the
-    update/insert split) so callers and tests can assert pruning and
-    action counts. Single-writer contract as elsewhere in the store.
+    update/insert/delete split) so callers and tests can assert pruning
+    and action counts. Single-writer contract as elsewhere in the store.
     """
     import json as _json
     import os as _os
 
     from pyspark.sql import functions as _F
 
-    bounds = source_df.agg(
-        _F.min(key_field).alias("lo"), _F.max(key_field).alias("hi")
-    ).first()
+    keys = source_df.select(_F.col(key_field).alias("__k"))
+    if delete_df is not None:
+        keys = keys.unionByName(
+            delete_df.select(_F.col(delete_df.columns[0]).alias("__k"))
+        )
+    bounds = keys.agg(_F.min("__k").alias("lo"), _F.max("__k").alias("hi")).first()
     lo, hi = bounds["lo"], bounds["hi"]
-    if lo is None:  # empty source: MERGE is a no-op, nothing rewritten
-        return {"touched": [], "untouched": [], "n_updates": 0, "n_inserts": 0}
+    if lo is None:  # empty source + deletes: MERGE is a no-op
+        return {
+            "touched": [], "untouched": [],
+            "n_updates": 0, "n_inserts": 0, "n_deletes": 0,
+        }
 
     with open(_os.path.join(store, "_MANIFEST.json"), encoding="utf-8") as f:
         entries = _json.load(f)["files"]
@@ -502,6 +513,7 @@ def docstore_merge(spark, store: str, key_field: str, source_df) -> dict:
     hit = [e["file"] for e in entries if _touched(e)]
     miss = [e["file"] for e in entries if not _touched(e)]
     src_cols = [f.name for f in source_df.schema.fields]
+    n_deletes = 0
     if hit:
         tgt = (
             spark.read.format("docstore")
@@ -509,8 +521,20 @@ def docstore_merge(spark, store: str, key_field: str, source_df) -> dict:
             .load(store)
             .select(*src_cols)
         )
-        survivors = tgt.join(source_df.select(key_field), key_field, "left_anti")
-        n_updates = tgt.count() - survivors.count()
+        n_tgt = tgt.count()
+        if delete_df is not None:
+            keep = tgt.join(
+                delete_df.select(
+                    _F.col(delete_df.columns[0]).alias(key_field)
+                ),
+                key_field,
+                "left_anti",
+            )
+            n_deletes = n_tgt - keep.count()
+        else:
+            keep = tgt
+        survivors = keep.join(source_df.select(key_field), key_field, "left_anti")
+        n_updates = (n_tgt - n_deletes) - survivors.count()
         merged = survivors.unionByName(source_df)
     else:
         n_updates = 0
@@ -529,6 +553,7 @@ def docstore_merge(spark, store: str, key_field: str, source_df) -> dict:
         "untouched": miss,
         "n_updates": n_updates,
         "n_inserts": n_inserts,
+        "n_deletes": n_deletes,
     }
 
 

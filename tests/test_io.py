@@ -521,6 +521,49 @@ def test_docstore_merge_upserts_with_zone_pruning(spark, tmp_path):
     empty = spark.range(0).selectExpr("id AS doc_id", "concat('x', id) AS text")
     res2 = docstore_merge(spark, store, "doc_id", empty)
     assert res2 == {"touched": [], "untouched": [], "n_updates": 0,
-                    "n_inserts": 0}
+                    "n_inserts": 0, "n_deletes": 0}
     m3 = json.load(open(os.path.join(store, "_MANIFEST.json")))
     assert {e["file"] for e in m3["files"]} == after
+
+
+def test_docstore_merge_delete_action(spark, tmp_path):
+    """Three-action MERGE: deletes remove matched keys, updates replace,
+    inserts land — all in one commit; action counts exact; a key in both
+    delete_df and source_df ends up with the SOURCE row (delete applies
+    to the target before the upsert union)."""
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        docstore_merge,
+        register,
+    )
+
+    register(spark)
+    store = str(tmp_path / "mrg3")
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    (
+        df.repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.format("docstore")
+        .mode("overwrite")
+        .option("stats_field", "doc_id")
+        .save(store)
+    )
+    src = spark.range(10, 20).selectExpr(
+        "id AS doc_id", "concat('UPD', id) AS text"
+    )
+    dels = spark.range(50, 60).selectExpr("id AS doc_id").unionByName(
+        spark.range(10, 12).selectExpr("id AS doc_id")  # overlap with source
+    )
+    res = docstore_merge(spark, store, "doc_id", src, delete_df=dels)
+    assert res["n_deletes"] == 12
+    assert res["n_updates"] == 8  # 10..19 minus the 2 already deleted
+    assert res["n_inserts"] == 2  # the delete-then-upsert pair re-inserts
+    back = {r.doc_id: r.text for r in
+            spark.read.format("docstore").load(store).collect()}
+    assert len(back) == 100 - 10  # 10 pure deletes
+    for i in range(100):
+        if 50 <= i < 60:
+            assert i not in back
+        elif 10 <= i < 20:
+            assert back[i] == f"UPD{i}"
+        else:
+            assert back[i] == f"t{i}"
