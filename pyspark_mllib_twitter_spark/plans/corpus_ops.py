@@ -4506,3 +4506,97 @@ def q_b7_phrase_search(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest path (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4
+#: Deterministic integer edge weight derived from the raw keys (shared
+#: definition, exact on both engines).
+_SSSP_W_SQL = "(o_custkey * 7 + l_suppkey * 13) % 97 + 1"
+
+_SSSP_EDGES_SQL = f"""
+    SELECT DISTINCT 'c:' || o_custkey AS u, 's:' || l_suppkey AS v,
+           CAST({_SSSP_W_SQL} AS BIGINT) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT DISTINCT 's:' || l_suppkey AS u, 'c:' || o_custkey AS v,
+           CAST({_SSSP_W_SQL} AS BIGINT) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _sssp_oracle() -> str:
+    """Bounded Bellman-Ford unrolled as a CTE chain (the q_yc BFS oracle
+    style): round k's tentative distances = min over (round k-1 table
+    UNION all one-edge relaxations of it)."""
+    parts = [
+        f"WITH e AS ({_SSSP_EDGES_SQL}),",
+        f"d0 AS (SELECT '{BFS_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist),",
+    ]
+    for k in range(1, SSSP_ROUNDS + 1):
+        parts.append(
+            f"d{k} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k - 1} "
+            f"UNION ALL "
+            f"SELECT e.v AS node, d{k - 1}.dist + e.w AS dist "
+            f"FROM e JOIN d{k - 1} ON e.u = d{k - 1}.node) GROUP BY node),"
+        )
+    chain = "\n".join(parts)[:-1]
+    return (
+        chain
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{SSSP_ROUNDS}"
+        " ORDER BY dist, node"
+    )
+
+
+@query("q_bc_weighted_sssp", oracle=_sssp_oracle())
+def q_bc_weighted_sssp(spark, sf_dir):
+    """WEIGHTED single-source shortest path — bounded Bellman-Ford
+    (Bellman 1958, public): ``SSSP_ROUNDS`` relaxation rounds over the
+    customer-supplier graph with deterministic integer edge weights, the
+    weighted complement of the unweighted BFS entry (q_yc — hop counts
+    can't model cost). Unlike BFS, a node's distance can IMPROVE in a
+    later round, so each round is relax-then-min rather than
+    frontier-minus-visited; distances are exact BIGINTs, every (node,
+    dist) pair hash-checked against the unrolled CTE oracle.
+
+    Scale shape: per round, one hash join of the (node, dist) table
+    against the checkpointed edge list plus one combinable min — the
+    distance table carries two columns and is broadcast while it fits;
+    rounds are bounded (k-hop semantics — the documented contract, not
+    convergence detection, which q_xl2 demonstrates elsewhere). No
+    paths are materialized.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("cu"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("su"),
+            F.expr(f"CAST({_SSSP_W_SQL} AS BIGINT)").alias("w"),
+        )
+        .distinct()
+    )
+    edges = (
+        raw.select(F.col("cu").alias("u"), F.col("su").alias("v"), "w")
+        .unionByName(raw.select(F.col("su").alias("u"), F.col("cu").alias("v"), "w"))
+        .localCheckpoint(eager=True)  # probed every round (the q_yc lesson)
+    )
+    dist = spark.createDataFrame([(BFS_SOURCE, 0)], "node string, dist long")
+    for _ in range(SSSP_ROUNDS):
+        relaxed = edges.join(F.broadcast(dist), edges.u == dist.node).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)  # bound lineage across rounds
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist")).orderBy(
+        "dist", "node"
+    )

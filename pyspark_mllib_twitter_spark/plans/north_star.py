@@ -785,3 +785,52 @@ def q_xc_semantic_dedup(spark, sf_dir):
     return survivors.select(
         "vec_id", (F.col("vec_id") >= 1_000_000).cast("int").alias("planted")
     ).orderBy("vec_id")
+
+
+@query("q_ns_compression_quality", oracle=None)  # zlib — no SQL twin exists
+def q_ns_compression_quality(spark, sf_dir):
+    """Compression-ratio QUALITY SIGNAL: per-document
+    ``len(zlib(text)) / len(text)`` via one Arrow-batched ``mapInPandas``
+    pass — the classic corpus-hygiene heuristic (highly compressible ⇒
+    repetitive boilerplate; near-incompressible ⇒ binary junk or
+    high-entropy noise; cf. the repetition filters in Rae et al. 2021
+    (Gopher) §A.1.2 and Penedo et al. 2023 (RefinedWeb) — public). Flags
+    both tails with fixed thresholds. Rows-only by necessity (no SQL
+    engine exposes zlib); determinism is exact — zlib level 6 output is a
+    pure function of the bytes — and tests golden-check ratios against
+    direct ``zlib`` calls plus the flag logic.
+
+    Scale shape: map-only (no shuffle at all before the final order);
+    Python cost is one Arrow batch crossing per partition — this is one
+    of the engine's sanctioned escape hatches (U-surface), used because
+    the operator genuinely needs a byte-level codec, not because SQL was
+    inconvenient. The same pass at 100 TB is embarrassingly parallel.
+    """
+    import pandas as pd
+
+    docs = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len()
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            ratio = (n_comp / n_bytes.clip(lower=1)).round(6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "ratio": ratio,
+                    "too_repetitive": (ratio < 0.25).astype("int32"),
+                    "too_random": (ratio > 0.9).astype("int32"),
+                }
+            )
+
+    out_schema = (
+        "doc_id long, n_bytes long, n_compressed long, ratio double,"
+        " too_repetitive int, too_random int"
+    )
+    return docs.mapInPandas(batches, schema=out_schema).orderBy("doc_id")

@@ -31,6 +31,7 @@ from ..streaming import (
 )
 from .registry import query
 from .corpus_ops import HLL_M as _HLL_M
+from .corpus_ops import KMV_K as _SKMV_K
 from .corpus_ops import _HLL_EST as _HLL_EST_SQL
 from .corpus_ops import _HLL_RHO as _HLL_RHO_SQL
 
@@ -870,3 +871,85 @@ def q_stream_hll(spark, sf_dir):
     return grouped.selectExpr(
         "event_type", "n_regs", "v_empty", f"{_HLL_EST} AS hll_estimate"
     ).orderBy("event_type")
+
+
+@query(
+    "q_stream_kmv",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
+      FROM events WHERE user_id IS NOT NULL),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      FROM hashed GROUP BY event_type),
+    kmin AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM hashed),
+    kth AS (
+      SELECT k.event_type, h AS kth_hash, r AS k_actual
+      FROM kmin k JOIN exact e ON e.event_type = k.event_type
+      WHERE r = least({_SKMV_K}, n_exact))
+    SELECT kth.event_type,
+           CAST(k_actual AS BIGINT) AS k,
+           kth_hash,
+           CAST(round((k_actual - 1)
+                 / (CAST(('0x' || substring(kth_hash, 1, 15))::BIGINT AS DOUBLE)
+                    / CAST(1152921504606846976 AS DOUBLE))) AS BIGINT)
+             AS kmv_estimate,
+           n_exact
+    FROM kth JOIN exact ON exact.event_type = kth.event_type
+    ORDER BY kth.event_type
+    """,
+)
+def q_stream_kmv(spark, sf_dir):
+    """STREAMING KMV distinct sketch per event type — the order-
+    statistics counterpart of the streaming HLL (q_stream_hll): state is
+    the k smallest distinct md5 digests (``streaming/streams.py::
+    streaming_kmv``), merged per micro-batch by "union, keep k smallest"
+    — associative/commutative/idempotent, so the sketch is independent
+    of arrival order and batching and carries a FULL VALUE ORACLE (the
+    per-group twin of the batch q_z3 SQL, estimate included). The
+    numeric estimate closes batch-side from the final (k_actual,
+    kth_hash) state so no Python float rounding enters the protocol.
+
+    Together with q_stream_hll this covers both mergeable-sketch state
+    shapes a stream processor needs: register-max (HLL) and bounded
+    order statistics (KMV).
+    """
+    from ..streaming import streaming_kmv
+
+    stream = streaming_kmv(
+        _replayed_stream(spark, sf_dir).filter(
+            F.col("user_id").isNotNull()
+            & (F.col("user_id") >= 0)
+            & (F.col("event_type") != FLUSH_EVENT_TYPE)
+        ),
+        watermark=REPLAY_WATERMARK,
+        k=_SKMV_K,
+    )
+    out = run_to_memory(stream, output_mode="update")
+    final_v = out.groupBy(F.col("event_type").alias("et")).agg(
+        F.max("version").alias("vmax")
+    )
+    final = out.join(
+        F.broadcast(final_v),
+        (F.col("event_type") == F.col("et")) & (F.col("version") == F.col("vmax")),
+    ).select("event_type", F.col("k_actual").alias("k"), "kth_hash")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    space = float(1 << 60)
+    u = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("double") / F.lit(space)
+    return (
+        final.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("bigint"),
+            "kth_hash",
+            F.round((F.col("k") - 1) / u).cast("bigint").alias("kmv_estimate"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )

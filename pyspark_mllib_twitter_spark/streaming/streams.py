@@ -809,3 +809,61 @@ def space_saving_topk(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_kmv(events: DataFrame, watermark: str = "2 hours", k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-count sketch per event type (Bar-Yossef et
+    al., RANDOM 2002 — public) as a custom stateful operator: state per
+    key is the ``k`` smallest DISTINCT md5 hex digests of user ids — a
+    bounded ORDER-STATISTICS merge (contrast the register-max merge of
+    the streaming HLL): merging a batch is "union then keep k smallest",
+    which is associative, commutative and idempotent, so arrival order
+    and batching cannot change the final sketch. The sketch is therefore
+    fully deterministic and the query that wraps this operator carries a
+    FULL VALUE ORACLE (same per-group KMV SQL as the batch twin q_z3).
+
+    Each batch emits (k_actual, kth_hash) with a monotone version; the
+    numeric estimate is computed batch-side from the final state in the
+    engine's shared-text close (keeping Python float rounding out of the
+    protocol). State is ``k`` 32-char digests per group, constant in the
+    user universe.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        cur = set(state.get[0]) if state.exists else set()
+        version = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                cur.add(_hl.md5(str(int(u)).encode()).hexdigest())
+        keep = sorted(cur)[:k]
+        version += 1
+        state.update((keep, version))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "version": [version],
+                "k_actual": [len(keep)],
+                "kth_hash": [keep[-1]],
+            }
+        )
+
+    out_schema = (
+        "event_type string, version long, k_actual long, kth_hash string"
+    )
+    state_schema = "hashes array<string>, version long"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

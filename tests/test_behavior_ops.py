@@ -554,3 +554,79 @@ def test_ratio_to_parent_shares_sum_to_one(spark, sf_smoke):
         assert abs(sum(x.share_of_region for x in rs) - 1.0) < 1e-4, reg
     glob = {r.region: r.region_share_of_global for r in rows}
     assert abs(sum(glob.values()) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sssp_matches_python_bellman_ford(spark, sf_smoke):
+    """Golden: distances must equal a pure-Python bounded Bellman-Ford on
+    the identically-built weighted graph; source at 0; triangle property
+    (each round only improves)."""
+    from pyspark_mllib_twitter_spark.plans.corpus_ops import (
+        BFS_SOURCE,
+        SSSP_ROUNDS,
+    )
+
+    rows = _rows(spark, sf_smoke, "q_bc_weighted_sssp")
+    got = {r.node: r.dist for r in rows}
+    assert got[BFS_SOURCE] == 0
+
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    adj: dict[str, list] = {}
+    for p in pairs:
+        w = (p.o_custkey * 7 + p.l_suppkey * 13) % 97 + 1
+        cu, su = f"c:{p.o_custkey}", f"s:{p.l_suppkey}"
+        adj.setdefault(cu, []).append((su, w))
+        adj.setdefault(su, []).append((cu, w))
+    dist = {BFS_SOURCE: 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if v not in nxt or d + w < nxt[v]:
+                    nxt[v] = d + w
+        dist = nxt
+    assert got == dist
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality
+# ---------------------------------------------------------------------------
+
+
+def test_compression_quality_matches_zlib(spark, sf_smoke):
+    """Golden: ratios equal direct zlib level-6 calls; flags follow the
+    thresholds; map-only (no exchange before the final sort)."""
+    import zlib
+
+    rows = _rows(spark, sf_smoke, "q_ns_compression_quality")
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .filter(F.col("doc_id") <= 25)
+        .collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id, text in docs.items():
+        raw = (text or "").encode("utf-8")
+        r = by_id[doc_id]
+        assert r.n_bytes == len(raw)
+        assert r.n_compressed == len(zlib.compress(raw, 6))
+        expect = round(r.n_compressed / max(1, r.n_bytes), 6)
+        assert abs(r.ratio - expect) < 1e-9
+        assert r.too_repetitive == (1 if r.ratio < 0.25 else 0)
+        assert r.too_random == (1 if r.ratio > 0.9 else 0)
