@@ -1375,3 +1375,152 @@ def q_b1_jackknife_ratio(spark, sf_dir):
         " - CAST(sri AS DOUBLE) * CAST(sri AS DOUBLE) / n))"
         f" / {_JK_Q} / 100.0, 6) AS jackknife_se",
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (two-arm survival comparison)
+# ---------------------------------------------------------------------------
+
+#: Quantization scale for the per-day expectation/variance terms.
+_LR_Q = "1000000000.0"
+
+#: Shared-text per-event-day terms on exact integer counts (d = total
+#: events at t, d1 = arm-1 events, n = at risk, n1 = arm-1 at risk).
+_LR_E1 = f"CAST(round(CAST(d AS DOUBLE) * n1 / n * {_LR_Q}) AS BIGINT)"
+_LR_V = (
+    "CAST(round(CASE WHEN n <= 1 THEN 0.0 ELSE"
+    " CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)"
+    " * (1.0 - CAST(n1 AS DOUBLE) / n)"
+    " * (CAST(n - d AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) END"
+    f" * {_LR_Q}) AS BIGINT)"
+)
+
+
+@query(
+    "q_be_logrank",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE user_id IS NOT NULL),
+    grid AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+    per_user AS (
+      SELECT arm,
+             COALESCE(min(CASE WHEN is_p = 1 THEN day END) - min(g.d0),
+                      min(g.d1) - min(g.d0)) AS t,
+             CASE WHEN count(CASE WHEN is_p = 1 THEN 1 END) > 0
+                  THEN 1 ELSE 0 END AS observed
+      FROM ev CROSS JOIN grid g GROUP BY user_id, arm),
+    exits AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS x_all,
+             CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS x_1,
+             CAST(count(CASE WHEN observed = 1 THEN 1 END) AS BIGINT) AS d,
+             CAST(count(CASE WHEN observed = 1 AND arm = 1 THEN 1 END)
+                  AS BIGINT) AS d1
+      FROM per_user GROUP BY t),
+    risk AS (
+      SELECT t, d, d1,
+             SUM(x_all) OVER (ORDER BY t DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS n,
+             SUM(x_1) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS n1
+      FROM exits),
+    terms AS (
+      SELECT d1, {_LR_E1} AS e_q, {_LR_V} AS v_q
+      FROM risk WHERE d > 0)
+    SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+           round(CAST(SUM(CAST(e_q AS DECIMAL(38,0))) AS DOUBLE)
+                 / {_LR_Q}, 6) AS e1,
+           round(CAST(SUM(CAST(v_q AS DECIMAL(38,0))) AS DOUBLE)
+                 / {_LR_Q}, 6) AS v,
+           round((CAST(SUM(d1) AS DOUBLE)
+                  - CAST(SUM(CAST(e_q AS DECIMAL(38,0))) AS DOUBLE) / {_LR_Q})
+                 / sqrt(CAST(SUM(CAST(v_q AS DECIMAL(38,0))) AS DOUBLE)
+                        / {_LR_Q}), 6) AS z
+    FROM terms
+    """,
+)
+def q_be_logrank(spark, sf_dir):
+    """Two-arm LOG-RANK test (Mantel 1966; Peto & Peto 1972 — public) on
+    time-to-first-purchase, arms by deterministic user parity, censoring
+    at the observation-window end — the significance companion of the
+    Kaplan-Meier curve (q_yt): at each event day t the observed arm-1
+    events compare against the hypergeometric expectation d·n1/n with
+    variance d·(n1/n)(1−n1/n)(n−d)/(n−1); Z = (O1 − ΣE1)/√ΣV. Per-day
+    terms are quantized to exact BIGINTs before summation (the JSD/PSI
+    discipline), so both engines add identical integers and the closing
+    z is one shared-text expression.
+
+    Scale shape: the event log collapses to one row per user (first
+    purchase or censor time — a combinable min/any aggregate), then to
+    per-day exit counts; at-risk counts are a descending cumulative
+    window over the calendar-bounded day table. Nothing after the first
+    aggregate is corpus-sized.
+    """
+    from pyspark.sql import Window as W
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        )
+    )
+    grid = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    per_user = (
+        ev.crossJoin(F.broadcast(grid))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("is_p") == 1, F.col("day"))) - F.min("d0"),
+                F.min("d1") - F.min("d0"),
+            ).alias("t"),
+            F.when(
+                F.count(F.when(F.col("is_p") == 1, 1)) > 0, 1
+            )
+            .otherwise(0)
+            .alias("observed"),
+        )
+    )
+    exits = per_user.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("x_all"),
+        F.count(F.when(F.col("arm") == 1, 1)).cast("bigint").alias("x_1"),
+        F.count(F.when(F.col("observed") == 1, 1)).cast("bigint").alias("d"),
+        F.count(F.when((F.col("observed") == 1) & (F.col("arm") == 1), 1))
+        .cast("bigint")
+        .alias("d1"),
+    )
+    wdesc = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, 0)
+    risk = exits.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("x_all").over(wdesc).alias("n"),
+        F.sum("x_1").over(wdesc).alias("n1"),
+    )
+    terms = risk.filter(F.col("d") > 0).selectExpr(
+        "d1", f"{_LR_E1} AS e_q", f"{_LR_V} AS v_q"
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.expr(
+            f"round(CAST(SUM(CAST(e_q AS DECIMAL(38,0))) AS DOUBLE) / {_LR_Q}, 6)"
+        ).alias("e1"),
+        F.expr(
+            f"round(CAST(SUM(CAST(v_q AS DECIMAL(38,0))) AS DOUBLE) / {_LR_Q}, 6)"
+        ).alias("v"),
+        F.expr(
+            "round((CAST(SUM(d1) AS DOUBLE)"
+            f" - CAST(SUM(CAST(e_q AS DECIMAL(38,0))) AS DOUBLE) / {_LR_Q})"
+            f" / sqrt(CAST(SUM(CAST(v_q AS DECIMAL(38,0))) AS DOUBLE) / {_LR_Q})"
+            ", 6)"
+        ).alias("z"),
+    )

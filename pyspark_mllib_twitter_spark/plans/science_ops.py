@@ -3054,3 +3054,129 @@ def q_b5_psi(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finding (histogram-based, the GBDT kernel)
+# ---------------------------------------------------------------------------
+
+STUMP_BINS = 20
+
+#: Shared-text split gain on exact integer counts (n/p parent, nl/pl
+#: left, n-nl/p-pl right): information gain in nats, each side's entropy
+#: with CASE-guarded 0*ln(0) = 0 terms. One expression, both engines.
+_STUMP_H = (
+    "(CASE WHEN {p} = 0 OR {p} = {n} THEN 0.0 ELSE "
+    "-(CAST({p} AS DOUBLE) / {n}) * ln(CAST({p} AS DOUBLE) / {n})"
+    " - (CAST({n} - {p} AS DOUBLE) / {n}) * ln(CAST({n} - {p} AS DOUBLE) / {n})"
+    " END)"
+)
+_STUMP_GAIN = (
+    "round("
+    + _STUMP_H.format(p="p", n="n")
+    + " - (CAST(nl AS DOUBLE) / n) * "
+    + _STUMP_H.format(p="pl", n="nl")
+    + " - (CAST(n - nl AS DOUBLE) / n) * "
+    + _STUMP_H.format(p="(p - pl)", n="(n - nl)")
+    + ", 6)"
+)
+
+
+@query(
+    "q_bd_decision_stump",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events),
+    bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM scored),
+    binned AS (
+      SELECT least(CAST(((cents - lo) * {STUMP_BINS})
+                        // (hi - lo + 1) AS BIGINT),
+                   {STUMP_BINS - 1}) AS bin,
+             label
+      FROM scored, bounds),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             SUM(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS nl,
+             SUM(pos) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pl,
+             SUM(cnt) OVER () AS n,
+             SUM(pos) OVER () AS p
+      FROM per_bin),
+    gains AS (
+      SELECT bin AS split_bin,
+             CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+             CAST(n - nl AS BIGINT) AS n_right,
+             CAST(p - pl AS BIGINT) AS pos_right,
+             {_STUMP_GAIN} AS gain
+      FROM cum WHERE nl < n)
+    SELECT * FROM gains ORDER BY split_bin
+    """,
+)
+def q_bd_decision_stump(spark, sf_dir):
+    """Histogram-based DECISION-STUMP split finding — the inner kernel
+    of every distributed GBDT (XGBoost's approx/hist algorithms, Chen &
+    Guestrin KDD 2016; LightGBM, Ke et al. NeurIPS 2017 — public): bin
+    the feature into {STUMP_BINS} histogram buckets in ONE combinable
+    pass, then score every split boundary "bin <= b" by information
+    gain computed from cumulative (count, positives) — never rescanning
+    rows per candidate split. Emits ALL boundaries with exact left/right
+    counts and the gain (the argmax and its margin are then trivial);
+    0·ln0 edges are CASE-guarded identically on both engines.
+
+    Scale shape: the corpus collapses to {STUMP_BINS} histogram cells
+    (this is precisely why histogram GBDTs scale — split finding is
+    O(bins), not O(rows)); the cumulative window runs over those cells.
+    Per-feature parallelism at 100 TB is one such histogram per feature,
+    all from the same scan.
+    """
+    scored = read_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    bounds = scored.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("cents") - F.col("lo"))
+                * STUMP_BINS
+                / (F.col("hi") - F.col("lo") + 1)
+            ).cast("bigint"),
+            F.lit(STUMP_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_bin.select(
+        "bin",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("pl"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum("pos").over(wall).alias("p"),
+    )
+    return (
+        cum.filter(F.col("nl") < F.col("n"))
+        .selectExpr(
+            "bin AS split_bin",
+            "nl AS n_left",
+            "pl AS pos_left",
+            "n - nl AS n_right",
+            "p - pl AS pos_right",
+            f"{_STUMP_GAIN} AS gain",
+        )
+        .orderBy("split_bin")
+    )

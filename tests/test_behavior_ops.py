@@ -630,3 +630,87 @@ def test_compression_quality_matches_zlib(spark, sf_smoke):
         assert abs(r.ratio - expect) < 1e-9
         assert r.too_repetitive == (1 if r.ratio < 0.25 else 0)
         assert r.too_random == (1 if r.ratio > 0.9 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Decision stump
+# ---------------------------------------------------------------------------
+
+
+def test_stump_gains_match_python_entropy(spark, sf_smoke):
+    """Golden: each boundary's information gain equals a direct Python
+    entropy computation on the exact counts; gains are nonnegative."""
+    import math
+
+    rows = _rows(spark, sf_smoke, "q_bd_decision_stump")
+    assert rows
+
+    def h(p, n):
+        if p == 0 or p == n:
+            return 0.0
+        q = p / n
+        return -(q * math.log(q) + (1 - q) * math.log(1 - q))
+
+    for r in rows:
+        n = r.n_left + r.n_right
+        p = r.pos_left + r.pos_right
+        gain = (
+            h(p, n)
+            - (r.n_left / n) * h(r.pos_left, r.n_left)
+            - (r.n_right / n) * h(r.pos_right, r.n_right)
+        )
+        assert abs(r.gain - round(gain, 6)) < 2e-6
+        assert r.gain >= -1e-9
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test
+# ---------------------------------------------------------------------------
+
+
+def test_logrank_matches_python_recomputation(spark, sf_smoke):
+    """Golden: O1/E1/V/z recomputed with a pure-Python survival table
+    (first purchase or censor at window end, arms by parity)."""
+    import math
+
+    r = _rows(spark, sf_smoke, "q_be_logrank")[0]
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    rows = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    ).collect()
+    d0 = min(x.day for x in rows)
+    d1 = max(x.day for x in rows)
+    per_user: dict[int, tuple[int, int]] = {}
+    first_p: dict[int, int] = {}
+    for x in rows:
+        if x.is_p:
+            first_p[x.user_id] = min(first_p.get(x.user_id, 10**9), x.day)
+    users = {x.user_id for x in rows}
+    table = {}
+    for u in users:
+        if u in first_p:
+            table[u] = (first_p[u] - d0, 1)
+        else:
+            table[u] = (d1 - d0, 0)
+    event_days = sorted({t for t, obs in table.values() if obs})
+    o1 = e1 = v = 0.0
+    for t in event_days:
+        at_risk = [u for u, (tu, _) in table.items() if tu >= t]
+        n = len(at_risk)
+        n1 = sum(1 for u in at_risk if u % 2 == 1)
+        d = sum(1 for u in at_risk if table[u] == (t, 1))
+        dd1 = sum(1 for u in at_risk if table[u] == (t, 1) and u % 2 == 1)
+        o1 += dd1
+        e1 += round(d * n1 / n * 1e9) / 1e9
+        if n > 1:
+            v += round(d * (n1 / n) * (1 - n1 / n) * ((n - d) / (n - 1)) * 1e9) / 1e9
+    assert r.o1 == o1
+    assert abs(r.e1 - e1) < 2e-6
+    assert abs(r.v - v) < 2e-6
+    assert abs(r.z - (o1 - e1) / math.sqrt(v)) < 2e-5
