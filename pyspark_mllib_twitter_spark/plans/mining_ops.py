@@ -725,3 +725,118 @@ def q_zf_int8_quant(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering (neighborhood CF)
+# ---------------------------------------------------------------------------
+
+#: Basket cap: users with more interactions are dropped before the pair
+#: fan-out (power users contribute O(basket²) pairs and almost no
+#: signal — the standard neighborhood-CF guard; cf. the same cap in
+#: Amazon's item-item paper, Linden et al. 2003, public).
+ITEMCF_MAX_BASKET = 50
+ITEMCF_MIN_COOC = 2
+ITEMCF_TOPK = 5
+
+#: Shared-text cosine over exact integer co-occurrence / item counts.
+_ICF_COS = (
+    "round(CAST(cooc AS DOUBLE)"
+    " / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "q_bf_itemcf",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    ok_users AS (
+      SELECT u FROM ui GROUP BY u HAVING count(*) <= {ITEMCF_MAX_BASKET}),
+    uif AS (SELECT ui.u, ui.i FROM ui JOIN ok_users USING (u)),
+    item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM uif GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_i, b.i AS item_j, CAST(count(*) AS BIGINT) AS cooc
+      FROM uif a JOIN uif b ON b.u = a.u AND b.i <> a.i
+      GROUP BY a.i, b.i HAVING count(*) >= {ITEMCF_MIN_COOC}),
+    scored AS (
+      SELECT item_i, item_j, cooc, ni.n AS n_i, nj.n AS n_j,
+             {_ICF_COS} AS cosine
+      FROM pairs JOIN item_n ni ON ni.i = pairs.item_i
+                 JOIN item_n nj ON nj.i = pairs.item_j),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY item_i
+                                   ORDER BY cosine DESC, item_j) AS rnk
+      FROM scored)
+    SELECT item_i, CAST(rnk AS BIGINT) AS rnk, item_j, cooc, cosine
+    FROM ranked WHERE rnk <= {ITEMCF_TOPK}
+    ORDER BY item_i, rnk
+    """,
+)
+def q_bf_itemcf(spark, sf_dir):
+    """ITEM-ITEM neighborhood collaborative filtering (Sarwar et al. WWW
+    2001; Linden, Smith & York, IEEE IC 2003 — public): top-{ITEMCF_TOPK}
+    most-cosine-similar items per item from binary user-item
+    co-occurrence — the memory-based alternative to the ALS workload
+    (W2): no training, incrementally maintainable, explainable
+    ("bought together"). Co-occurrence and item counts are exact
+    BIGINTs; cosine cooc/√(n_i·n_j) is one shared-text close, rounded
+    BEFORE the rank so both engines rank identical values (ties break on
+    item id).
+
+    Scale shape: the pair fan-out is a PER-USER self-join whose cost is
+    Σ basket² — bounded by dropping baskets > {ITEMCF_MAX_BASKET}
+    (documented CF practice: power users are pure noise and quadratic
+    cost); the support floor prunes before the cosine join; top-k is
+    rank-over-partition (WindowGroupLimit shape). At 100 TB this is the
+    co-occurrence discipline every "customers also bought" pipeline
+    runs.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ok_users = ui.groupBy("u").agg(F.count("*").alias("b")).filter(
+        F.col("b") <= ITEMCF_MAX_BASKET
+    )
+    uif = ui.join(ok_users.select("u"), "u")
+    item_n = uif.groupBy("i").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = (
+        uif.alias("a")
+        .join(
+            uif.alias("b"),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("item_i"), F.col("b.i").alias("item_j"))
+        .agg(F.count("*").cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= ITEMCF_MIN_COOC)
+    )
+    scored = (
+        pairs.join(
+            item_n.select(F.col("i").alias("item_i"), F.col("n").alias("n_i")),
+            "item_i",
+        )
+        .join(
+            item_n.select(F.col("i").alias("item_j"), F.col("n").alias("n_j")),
+            "item_j",
+        )
+        .selectExpr("item_i", "item_j", "cooc", "n_i", "n_j", f"{_ICF_COS} AS cosine")
+    )
+    w = Window.partitionBy("item_i").orderBy(
+        F.col("cosine").desc(), F.col("item_j")
+    )
+    return (
+        scored.select(
+            "item_i",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "item_j",
+            "cooc",
+            "cosine",
+        )
+        .filter(F.col("rnk") <= ITEMCF_TOPK)
+        .orderBy("item_i", "rnk")
+    )

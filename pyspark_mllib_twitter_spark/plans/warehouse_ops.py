@@ -305,3 +305,178 @@ def q_ba_ratio_to_parent(spark, sf_dir):
         "round(CAST(region_cents AS DOUBLE) / CAST(global_cents AS DOUBLE), 6)"
         " AS region_share_of_global",
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (per-column stats in one scan)
+# ---------------------------------------------------------------------------
+
+#: Columns profiled (all integer/string-typed or quantized so min/max
+#: stringify identically on both engines — doubles are profiled via
+#: their exact cents form).
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q_bg_profile",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+      FROM orders)
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM src
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM src
+    UNION ALL
+    SELECT 'total_cents', CAST(count(*) - count(total_cents) AS BIGINT),
+           CAST(count(DISTINCT total_cents) AS BIGINT),
+           CAST(min(total_cents) AS VARCHAR), CAST(max(total_cents) AS VARCHAR)
+    FROM src
+    ORDER BY column_name
+    """,
+)
+def q_bg_profile(spark, sf_dir):
+    """DATA PROFILING: per-column null count, exact distinct count, and
+    min/max for the orders table — the data-quality summary every
+    ingestion pipeline materializes (the Deequ/Great-Expectations
+    profile shape, public tools). All five columns profile in ONE scan
+    (a single aggregate computes every stat; the long format is a
+    constant-size unpivot of that one row); the float column is profiled
+    through its exact cents form so min/max stringify identically on
+    both engines.
+
+    Scale shape: one map-side-combinable aggregate per scan — at 100 TB
+    you pay the scan once for the whole profile, not per column; exact
+    distinct is the one shuffle-expensive stat and is the documented
+    swap-in point for the portable HLL (q_aw) when approximation is
+    acceptable.
+    """
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    cols = list(_PROFILE_COLS) + ["total_cents"]
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    one = src.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', CAST(_n - {c}__nn AS BIGINT), CAST({c}__nd AS BIGINT),"
+        f" {c}__mn, {c}__mx"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack})"
+        " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance (algebraic rollup delta-merge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bh_incremental_agg",
+    oracle="""
+    WITH final_rows AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 4 = 0
+         OR (o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 1))
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS sum_cents
+    FROM final_rows GROUP BY priority ORDER BY priority
+    """,
+)
+def q_bh_incremental_agg(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE of an algebraic rollup (the
+    self-maintainable-aggregate theory — Gupta & Mumick, "Maintenance of
+    materialized views", 1995, public): a per-priority (count, sum)
+    materialized aggregate built from the base v1 is brought to v2 by
+    merging INSERT deltas (+) and DELETE deltas (−) — count and sum are
+    self-maintainable, so the base is NEVER rescanned (the materialized
+    row set is pinned with an eager checkpoint; only the two delta
+    batches are aggregated). Groups whose count reaches zero drop out.
+    The oracle recomputes v2 from scratch, so the delta algebra itself
+    is value-checked.
+
+    Scale shape: maintaining a 100 TB rollup costs O(delta) per batch —
+    aggregate each delta map-side, merge with the (group-count sized)
+    materialized state by one co-grouped outer join. This is the batch
+    algebra underneath every streaming update-mode aggregation.
+    """
+    src = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v1 = src.filter(F.col("o_orderkey") % 4 != 0)
+    inserts = src.filter(F.col("o_orderkey") % 4 == 0)
+    deletes = v1.filter(F.col("o_orderkey") % 8 == 1)
+    # the materialized aggregate: built once, pinned — never rescanned
+    mat = (
+        v1.groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _delta(df, sign):
+        return df.groupBy("priority").agg(
+            (F.lit(sign) * F.count("*")).cast("bigint").alias("d_n"),
+            (F.lit(sign) * F.sum(F.col("cents").cast("decimal(38,0)"))).alias(
+                "d_sum"
+            ),
+        )
+
+    deltas = (
+        _delta(inserts, 1)
+        .unionByName(_delta(deletes, -1))
+        .groupBy("priority")
+        .agg(F.sum("d_n").alias("d_n"), F.sum("d_sum").alias("d_sum"))
+    )
+    merged = mat.join(deltas, "priority", "full_outer").select(
+        "priority",
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows"),
+        (
+            F.coalesce(F.col("sum_cents"), F.lit(0).cast("decimal(38,0)"))
+            + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(38,0)"))
+        ).alias("sum_cents"),
+    )
+    return (
+        merged.filter(F.col("n_rows") > 0)
+        .select("priority", "n_rows", F.col("sum_cents").cast("bigint"))
+        .orderBy("priority")
+    )

@@ -714,3 +714,98 @@ def test_logrank_matches_python_recomputation(spark, sf_smoke):
     assert abs(r.e1 - e1) < 2e-6
     assert abs(r.v - v) < 2e-6
     assert abs(r.z - (o1 - e1) / math.sqrt(v)) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# Item-item CF
+# ---------------------------------------------------------------------------
+
+
+def test_itemcf_neighbors_are_valid_and_ranked(spark, sf_smoke):
+    """Structural contract: <= TOPK neighbors per item, rank contiguous
+    from 1, cosine nonincreasing within an item (ties broken by id),
+    cosine == cooc/sqrt(n_i*n_j) on the emitted exact counts."""
+    from pyspark_mllib_twitter_spark.plans.mining_ops import (
+        ITEMCF_MIN_COOC,
+        ITEMCF_TOPK,
+    )
+
+    from pyspark_mllib_twitter_spark.plans.mining_ops import ITEMCF_MAX_BASKET
+
+    rows = _rows(spark, sf_smoke, "q_bf_itemcf")
+    assert rows
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    ui = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ok = ui.groupBy("u").count().filter(F.col("count") <= ITEMCF_MAX_BASKET)
+    n_by_item = {
+        r.i: r.n
+        for r in ui.join(ok.select("u"), "u")
+        .groupBy("i")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    per_item = {}
+    for r in rows:
+        per_item.setdefault(r.item_i, []).append(r)
+        assert r.cooc >= ITEMCF_MIN_COOC
+        expect = round(r.cooc / (n_by_item[r.item_i] * n_by_item[r.item_j]) ** 0.5, 6)
+        assert abs(r.cosine - expect) < 1e-9
+    for i, rs in per_item.items():
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= ITEMCF_TOPK
+        for a, b in zip(rs, rs[1:]):
+            assert a.cosine > b.cosine or (
+                a.cosine == b.cosine and a.item_j < b.item_j
+            )
+
+
+# ---------------------------------------------------------------------------
+# Profiling + incremental maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_profile_matches_direct_aggregates(spark, sf_smoke):
+    """Each profiled column's stats equal direct DataFrame aggregates."""
+    rows = {r.column_name: r for r in _rows(spark, sf_smoke, "q_bg_profile")}
+    src = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    n = src.count()
+    ok = src.selectExpr("count(DISTINCT o_orderkey) AS nd",
+                        "min(o_orderkey) AS mn", "max(o_orderkey) AS mx").first()
+    r = rows["o_orderkey"]
+    assert (r.n_nulls, r.n_distinct) == (n - src.filter(F.col("o_orderkey").isNotNull()).count() + 0, ok.nd)
+    assert (r.min_value, r.max_value) == (str(ok.mn), str(ok.mx))
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "total_cents",
+    }
+
+
+def test_incremental_agg_equals_recompute(spark, sf_smoke):
+    """The delta-merged rollup must equal a from-scratch recompute of the
+    final row set (the oracle's definition, recomputed here in Spark)."""
+    rows = {r.priority: r for r in _rows(spark, sf_smoke, "q_bh_incremental_agg")}
+    src = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    final = src.filter(
+        (F.col("o_orderkey") % 4 == 0)
+        | ((F.col("o_orderkey") % 4 != 0) & (F.col("o_orderkey") % 8 != 1))
+    )
+    expect = {
+        r.priority: (r.n, r.s)
+        for r in final.groupBy("priority")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert {p: (r.n_rows, r.sum_cents) for p, r in rows.items()} == expect
