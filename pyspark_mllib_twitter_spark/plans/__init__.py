@@ -14,6 +14,7 @@ from . import inference_ops  # noqa: E402,F401
 from . import science_ops  # noqa: E402,F401
 from . import behavior_ops  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
+from . import stats_ops  # noqa: E402,F401
 
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides
@@ -31,4 +32,5 @@ __all__ = [
     "relational", "analytic", "north_star", "workloads", "streaming_queries",
     "pipeline_ops", "lakehouse", "corpus_ops", "mining_ops",
     "inference_ops", "science_ops", "behavior_ops", "warehouse_ops",
+    "stats_ops",
 ]
