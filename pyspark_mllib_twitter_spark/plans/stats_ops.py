@@ -28,6 +28,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources import read_table
+from .corpus_ops import KM_CUTOFF
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -418,4 +419,354 @@ def q_bk_weighted_median(spark, sf_dir):
             ).alias("wmean_price"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (tie-corrected rank correlation)
+# ---------------------------------------------------------------------------
+
+#: Shared-text tau-b close: (C - D) / sqrt((n0-n1)(n0-n2)) with every
+#: input an exact BIGINT; degenerate (all-tied) marginals -> NULL via
+#: nullif, never a divide-by-zero.
+_KT_EXPR = (
+    "round(CAST(cd AS DOUBLE)"
+    " / (sqrt(nullif(CAST(n0 - n1 AS DOUBLE), 0.0))"
+    " * sqrt(nullif(CAST(n0 - n2 AS DOUBLE), 0.0))), 6)"
+)
+
+
+@query(
+    "q_bl_kendall_tau",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CAST(SUM((CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+                            ELSE 0 END)
+                    * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+                            ELSE 0 END)) AS BIGINT) AS cd
+      FROM daily a JOIN daily b ON b.day > a.day),
+    tx AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+            GROUP BY x HAVING count(*) > 1)),
+    ty AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily
+            GROUP BY y HAVING count(*) > 1)),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    m AS (
+      SELECT nn.n, pairs.cd, nn.n * (nn.n - 1) // 2 AS n0, tx.n1, ty.n2
+      FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN nn)
+    SELECT n AS n_days, cd AS concordant_minus_discordant,
+           n1 AS ties_x, n2 AS ties_y, {_KT_EXPR} AS tau_b
+    FROM m
+    """,
+)
+def q_bl_kendall_tau(spark, sf_dir):
+    """KENDALL TAU-B between daily order count and daily revenue — the
+    tie-corrected concordance rank correlation tau_b = (C - D) /
+    sqrt((n0-n1)(n0-n2)) (Kendall 1945, public; the nonparametric
+    complement to q_zr's Spearman rho and the correlation underneath
+    q_zn's Mann-Kendall S, here between two observed series instead of
+    series-vs-time). C - D, the pair counts and both tie corrections are
+    exact integers; the only double is the one shared-text closing
+    division, so both engines agree bit-for-bit.
+
+    Scale shape: the corpus collapses to ONE calendar-bounded daily
+    aggregate (~2.4k rows at any sf — day count grows with the calendar,
+    not the data); the O(days^2) concordance pair join runs on that
+    bounded frame with the small side broadcast (the q_zn
+    documented-and-contained contract). At 100 TB the daily rollup is
+    still the only full-scan stage.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    sgn_x = (
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+    )
+    sgn_y = (
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        b.join(F.broadcast(a), F.col("b.day") > F.col("a.day"))
+        .agg(F.sum(sgn_x * sgn_y).cast("bigint").alias("cd"))
+    )
+    tie18 = lambda col: (  # noqa: E731 — tie-pair count Σ t(t-1)/2
+        daily.groupBy(col)
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(F.sum(F.expr("t * (t - 1) DIV 2")), F.lit(0))
+            .cast("bigint")
+            .alias("tie_pairs")
+        )
+    )
+    tx = tie18("x").withColumnRenamed("tie_pairs", "n1")
+    ty = tie18("y").withColumnRenamed("tie_pairs", "n2")
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    m = (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(nn))
+        .withColumn("n0", F.expr("n * (n - 1) DIV 2"))
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("cd").alias("concordant_minus_discordant"),
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        F.expr(_KT_EXPR).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (life-table twin of q_yt)
+# ---------------------------------------------------------------------------
+
+#: Shared-text per-duration hazard increment and its variance term
+#: (Nelson 1972 / Aalen 1978): d/n and d/n^2 on exact integer inputs.
+_NA_H_TERM = "CAST(n_deaths AS DOUBLE) / CAST(at_risk AS DOUBLE)"
+_NA_V_TERM = (
+    "CAST(n_deaths AS DOUBLE)"
+    " / (CAST(at_risk AS DOUBLE) * CAST(at_risk AS DOUBLE))"
+)
+
+
+@query(
+    "q_bm_nelson_aalen",
+    oracle=f"""
+    WITH life AS (
+      SELECT o_custkey,
+             date_diff('day', min(o_orderdate), max(o_orderdate)) AS dur,
+             CASE WHEN max(o_orderdate) < TIMESTAMP '{KM_CUTOFF}'
+                  THEN 1 ELSE 0 END AS observed
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT count(*) AS n FROM life),
+    per_d AS (
+      SELECT dur, count(*) AS n_all, sum(observed) AS n_deaths
+      FROM life GROUP BY dur),
+    risk AS (
+      SELECT dur, n_all, n_deaths,
+             (SELECT n FROM tot)
+               - coalesce(sum(n_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk
+      FROM per_d),
+    na AS (
+      SELECT dur, n_deaths, at_risk,
+             sum({_NA_H_TERM}) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h,
+             sum({_NA_V_TERM}) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM risk)
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_deaths AS BIGINT) AS n_churned,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           round(h, 6) AS cum_hazard,
+           round(v, 6) AS hazard_var,
+           round(exp(-h), 6) AS na_survival
+    FROM na WHERE n_deaths > 0 ORDER BY duration_days
+    """,
+)
+def q_bm_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN cumulative hazard of customer lifetime — H(t) =
+    sum_(t_i <= t) d_i/n_i with variance sum d_i/n_i^2 (Nelson 1972,
+    Aalen 1978 — public), on the SAME life table as q_yt's Kaplan-Meier
+    (first order -> last order, right-censored at {KM_CUTOFF}); also
+    emits the Fleming-Harrington survival exp(-H), the KM alternative
+    that is better-behaved at small risk sets. The hazard increments are
+    the same shared-text d/n expression on both engines, and the
+    cumulative window adds them in the identical dur order, so the
+    running doubles match bit-for-bit.
+
+    Scale shape: identical to q_yt — one corpus-sized per-customer
+    min/max aggregate, then calendar-bounded per-duration frames for the
+    cumulative windows. At 100 TB only the first aggregate scans data.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("dur"),
+        (F.max("o_orderdate") < F.lit(KM_CUTOFF).cast("timestamp"))
+        .cast("long")
+        .alias("observed"),
+    )
+    n_total = life.count()
+    per_d = life.groupBy("dur").agg(
+        F.count("*").alias("n_all"), F.sum("observed").alias("n_deaths")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_d.withColumn(
+        "at_risk",
+        F.lit(n_total) - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0)),
+    )
+    na = risk.withColumn("h", F.sum(F.expr(_NA_H_TERM)).over(w_cum)).withColumn(
+        "v", F.sum(F.expr(_NA_V_TERM)).over(w_cum)
+    )
+    return (
+        na.filter(F.col("n_deaths") > 0)
+        .select(
+            F.col("dur").cast("bigint").alias("duration_days"),
+            F.col("n_deaths").cast("bigint").alias("n_churned"),
+            F.col("at_risk").cast("bigint").alias("at_risk"),
+            F.round("h", 6).alias("cum_hazard"),
+            F.round("v", 6).alias("hazard_var"),
+            F.round(F.exp(-F.col("h")), 6).alias("na_survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (blocked pairwise comparison)
+# ---------------------------------------------------------------------------
+
+#: Agreement/disagreement log-likelihood weights ln(m/u) and
+#: ln((1-m)/(1-u)) in integer MICRO-NATS (exact integers, so the score
+#: algebra and the threshold classification are float-free on both
+#: engines). Field model — segment: m=0.95/u=0.20; balance-within-$50:
+#: m=0.90/u=0.05; id-checksum-digit: m=0.85/u=0.10.
+_FS_SEG_A, _FS_SEG_D = 1_558_145, -2_772_589
+_FS_BAL_A, _FS_BAL_D = 2_890_372, -2_251_292
+_FS_DIG_A, _FS_DIG_D = 2_140_066, -1_791_759
+
+#: Upper/lower Fellegi-Sunter decision thresholds in micro-nats.
+_FS_UPPER, _FS_LOWER = 3_000_000, 0
+
+#: Blocking key: $1000 account-balance bucket, offset so the bucket
+#: division never sees a negative operand (Spark's DIV truncates toward
+#: zero while DuckDB's // floors — they agree only on non-negatives;
+#: acctbal >= -999.99 so cents + 100000 >= 1).
+_FS_BUCKET_SPARK = "(cents + 100000) DIV 100000"
+_FS_BUCKET_DUCK = "(cents + 100000) // 100000"
+
+
+@query(
+    "q_bn_fellegi_sunter",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer),
+    blocked AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, cents,
+             {_FS_BUCKET_DUCK} AS bucket
+      FROM c),
+    pairs AS (
+      SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+               AS seg_eq,
+             CASE WHEN abs(a.cents - b.cents) <= 5000 THEN 1 ELSE 0 END
+               AS bal_eq,
+             CASE WHEN a.c_custkey % 10 = b.c_custkey % 10 THEN 1 ELSE 0 END
+               AS dig_eq
+      FROM blocked a JOIN blocked b
+        ON a.c_nationkey = b.c_nationkey AND a.bucket = b.bucket
+       AND a.c_custkey < b.c_custkey),
+    scored AS (
+      SELECT concat(CAST(seg_eq AS VARCHAR), CAST(bal_eq AS VARCHAR),
+                    CAST(dig_eq AS VARCHAR)) AS pattern,
+             CAST(CASE WHEN seg_eq = 1 THEN {_FS_SEG_A}
+                       ELSE {_FS_SEG_D} END
+                + CASE WHEN bal_eq = 1 THEN {_FS_BAL_A}
+                       ELSE {_FS_BAL_D} END
+                + CASE WHEN dig_eq = 1 THEN {_FS_DIG_A}
+                       ELSE {_FS_DIG_D} END AS BIGINT) AS score_micros
+      FROM pairs)
+    SELECT pattern, CAST(count(*) AS BIGINT) AS n_pairs,
+           min(score_micros) AS score_micros,
+           CASE WHEN min(score_micros) >= {_FS_UPPER} THEN 'match'
+                WHEN min(score_micros) >= {_FS_LOWER} THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+    FROM scored GROUP BY pattern ORDER BY pattern
+    """,
+)
+def q_bn_fellegi_sunter(spark, sf_dir):
+    """RECORD-LINKAGE scoring by the Fellegi-Sunter model (Fellegi &
+    Sunter, JASA 1969 — public; the probabilistic-linkage algebra under
+    Splink and every MDM dedup engine): candidate customer pairs from
+    BLOCKING on (nation, $1000 balance bucket), a 3-field agreement
+    vector (segment equality, balance within $50, id checksum digit),
+    and the summed log-likelihood weight ln(m/u) / ln((1-m)/(1-u)) per
+    field — carried as exact integer micro-nats so scoring and the
+    match / possible / nonmatch threshold decision are float-free and
+    engine-identical. Output is the agreement-pattern summary table (one
+    row per pattern: count, weight, decision), the linkage QA readout.
+
+    Scale shape: blocking turns the quadratic comparison space into ONE
+    equi-join shuffle on the block key, with pair fan-out bounded by
+    block size (the same containment argument as q_ze's grid-blocked
+    spatial join); the weight algebra is map-side arithmetic and the
+    final aggregate has <= 8 pattern rows. At 100 TB you tune block
+    granularity, never the plan shape. Blocking misses cross-block true
+    matches by design — the standard recall/cost trade, documented here.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    blocked = c.withColumn("bucket", F.expr(_FS_BUCKET_SPARK))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.when(F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), 1)
+        .otherwise(0)
+        .alias("seg_eq"),
+        F.when(F.abs(F.col("a.cents") - F.col("b.cents")) <= 5000, 1)
+        .otherwise(0)
+        .alias("bal_eq"),
+        F.when(F.col("a.c_custkey") % 10 == F.col("b.c_custkey") % 10, 1)
+        .otherwise(0)
+        .alias("dig_eq"),
+    )
+    scored = pairs.select(
+        F.concat(
+            F.col("seg_eq").cast("string"),
+            F.col("bal_eq").cast("string"),
+            F.col("dig_eq").cast("string"),
+        ).alias("pattern"),
+        (
+            F.when(F.col("seg_eq") == 1, _FS_SEG_A).otherwise(_FS_SEG_D)
+            + F.when(F.col("bal_eq") == 1, _FS_BAL_A).otherwise(_FS_BAL_D)
+            + F.when(F.col("dig_eq") == 1, _FS_DIG_A).otherwise(_FS_DIG_D)
+        )
+        .cast("bigint")
+        .alias("score_micros"),
+    )
+    return (
+        scored.groupBy("pattern")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("score_micros").alias("score_micros"),
+        )
+        .withColumn(
+            "decision",
+            F.when(F.col("score_micros") >= _FS_UPPER, "match")
+            .when(F.col("score_micros") >= _FS_LOWER, "possible")
+            .otherwise("nonmatch"),
+        )
+        .orderBy("pattern")
     )
