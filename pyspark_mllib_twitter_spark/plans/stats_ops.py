@@ -770,3 +770,358 @@ def q_bn_fellegi_sunter(spark, sf_dir):
         )
         .orderBy("pattern")
     )
+
+
+# ---------------------------------------------------------------------------
+# VWAP / TWAP price benchmarks (execution-quality readout)
+# ---------------------------------------------------------------------------
+
+#: Shared-text per-fill unit price in integer MICRO-dollars:
+#: extendedprice is qty * unit price, so unit micros = cents * 1e4 / qty,
+#: rounded once to an exact BIGINT both engines then sum exactly.
+_VW_UNIT_MICROS = (
+    "CAST(round(CAST(cents AS DOUBLE) * 10000.0 / CAST(qty AS DOUBLE))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_bo_vwap",
+    oracle=f"""
+    WITH fills AS (
+      SELECT date_trunc('week', l_shipdate) AS week,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    u AS (
+      SELECT week, cents, qty, {_VW_UNIT_MICROS} AS unit_micros
+      FROM fills)
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_fills,
+           CAST(sum(qty) AS BIGINT) AS volume,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / CAST(sum(qty) AS DOUBLE) / 100.0, 6) AS vwap,
+           round(CAST(sum(unit_micros) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS twap,
+           round(CAST(min(unit_micros) AS DOUBLE) / 1000000.0, 6) AS low,
+           round(CAST(max(unit_micros) AS DOUBLE) / 1000000.0, 6) AS high
+    FROM u GROUP BY week ORDER BY week
+    """,
+)
+def q_bo_vwap(spark, sf_dir):
+    """VWAP / TWAP execution benchmarks per ship week — volume-weighted
+    average price Σ(price*qty)/Σqty vs the time(-fill)-weighted simple
+    average, plus the week's low/high unit price (the standard
+    execution-quality pair from market microstructure; VWAP slippage =
+    fill price vs this benchmark). lineitem's extendedprice IS qty *
+    unit price, so VWAP needs no division until the close; per-fill unit
+    price is rounded ONCE into exact integer micro-dollars by a
+    shared-text expression, making every aggregate an exact integer sum
+    — the only doubles are the four closing divisions.
+
+    Scale shape: one map-side-combinable groupBy(week) over the scan —
+    the canonical combinable aggregate; min/max/sum/count all merge
+    associatively, so 100 TB costs one scan + a calendar-bounded
+    shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("week", "l_shipdate").alias("week"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    u = li.withColumn("unit_micros", F.expr(_VW_UNIT_MICROS))
+    return (
+        u.groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fills"),
+            F.sum("qty").cast("bigint").alias("volume"),
+            F.round(
+                F.sum("cents").cast("double") / F.sum("qty").cast("double") / 100.0,
+                6,
+            ).alias("vwap"),
+            F.round(
+                F.sum("unit_micros").cast("double")
+                / F.count("*").cast("double")
+                / 1_000_000.0,
+                6,
+            ).alias("twap"),
+            F.round(F.min("unit_micros").cast("double") / 1_000_000.0, 6).alias(
+                "low"
+            ),
+            F.round(F.max("unit_micros").cast("double") / 1_000_000.0, 6).alias(
+                "high"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (pooled vs stratum-adjusted effect)
+# ---------------------------------------------------------------------------
+
+#: The two customer segments compared and the "positive outcome"
+#: predicate (urgent-or-high order priority).
+_SP_SEG_A, _SP_SEG_B = "BUILDING", "MACHINERY"
+_SP_POS = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+#: Shared-text pooled and Cochran-Mantel-Haenszel-weighted rate
+#: differences from exact per-stratum integer counts (na/ka = segment-A
+#: trials/positives in the stratum, wa = na*nb/(na+nb) the MH weight).
+_SP_POOLED = (
+    "CAST(sum(ka) AS DOUBLE) / CAST(sum(na) AS DOUBLE)"
+    " - CAST(sum(kb) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)"
+)
+_SP_MH = (
+    "sum((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    " / CAST(na + nb AS DOUBLE))"
+    " * (CAST(ka AS DOUBLE) / CAST(na AS DOUBLE)"
+    " - CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+    " / sum(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+    " / CAST(na + nb AS DOUBLE))"
+)
+
+
+@query(
+    "q_bp_simpson",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_nationkey AS stratum, c_mktsegment AS seg,
+             CASE WHEN {_SP_POS} THEN 1 ELSE 0 END AS pos
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{_SP_SEG_A}', '{_SP_SEG_B}')),
+    cell AS (
+      SELECT stratum,
+             CAST(sum(CASE WHEN seg = '{_SP_SEG_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na,
+             CAST(sum(CASE WHEN seg = '{_SP_SEG_A}' THEN pos ELSE 0 END)
+                  AS BIGINT) AS ka,
+             CAST(sum(CASE WHEN seg = '{_SP_SEG_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN seg = '{_SP_SEG_B}' THEN pos ELSE 0 END)
+                  AS BIGINT) AS kb
+      FROM base GROUP BY stratum
+      HAVING sum(CASE WHEN seg = '{_SP_SEG_A}' THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN seg = '{_SP_SEG_B}' THEN 1 ELSE 0 END) > 0),
+    ordered AS (
+      SELECT *, row_number() OVER (ORDER BY stratum) AS rn FROM cell),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(kb) AS BIGINT) AS k_b,
+             CAST(sum(nb) AS BIGINT) AS n_b, CAST(sum(ka) AS BIGINT) AS k_a,
+             {_SP_POOLED} AS pooled_diff, {_SP_MH} AS mh_diff
+      FROM ordered)
+    SELECT n_strata, n_a, k_a, n_b, k_b,
+           round(pooled_diff, 6) AS pooled_diff,
+           round(mh_diff, 6) AS mh_diff,
+           CAST(CASE WHEN pooled_diff * mh_diff < 0 THEN 1 ELSE 0 END
+                AS INT) AS sign_reversed
+    FROM acc
+    """,
+)
+def q_bp_simpson(spark, sf_dir):
+    """SIMPSON'S-PARADOX audit: the pooled urgent-order-rate difference
+    between two customer segments vs the Cochran-Mantel-Haenszel
+    stratum-adjusted difference across nations (MH weights n_a*n_b /
+    (n_a+n_b) — Cochran 1954 / Mantel & Haenszel 1959, public), with a
+    sign-reversal flag — the aggregation-bias screen every experiment
+    dashboard needs before trusting a pooled lift. Strata missing either
+    segment drop (the MH weight is 0/undefined there). All counts are
+    exact integers; both closing rate differences are shared-text
+    doubles, and the MH numerator/denominator sums run over the
+    STRATUM-grain frame so there are only 25 addends.
+
+    Scale shape: one broadcast-joined scan (customer dim side fits in
+    memory at TPC-H shape) into a map-side-combinable groupBy(stratum);
+    the paradox algebra runs on one row per stratum. At 100 TB the
+    stratum frame is still nation-sized.
+
+    NOTE: the double sums in _SP_MH aggregate 25 stratum terms; both
+    engines sum them in their own order, so this relies on the terms
+    being well-conditioned (all same sign-magnitude range, no
+    catastrophic cancellation) plus the driver's 6dp rounding — the
+    same tolerance argument as q_ac's correlation matrix.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("stratum"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(f"CASE WHEN {_SP_POS} THEN 1 ELSE 0 END").alias("pos")
+    )
+    base = o.join(
+        F.broadcast(c.filter(F.col("seg").isin(_SP_SEG_A, _SP_SEG_B))),
+        o.o_custkey == c.c_custkey,
+    )
+    cell = (
+        base.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("seg") == _SP_SEG_A, 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("seg") == _SP_SEG_A, F.col("pos")).otherwise(0))
+            .cast("bigint")
+            .alias("ka"),
+            F.sum(F.when(F.col("seg") == _SP_SEG_B, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nb"),
+            F.sum(F.when(F.col("seg") == _SP_SEG_B, F.col("pos")).otherwise(0))
+            .cast("bigint")
+            .alias("kb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    acc = cell.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("na").cast("bigint").alias("n_a"),
+        F.sum("ka").cast("bigint").alias("k_a"),
+        F.sum("nb").cast("bigint").alias("n_b"),
+        F.sum("kb").cast("bigint").alias("k_b"),
+        F.expr(_SP_POOLED).alias("pooled_diff"),
+        F.expr(_SP_MH).alias("mh_diff"),
+    )
+    return acc.select(
+        "n_strata",
+        "n_a",
+        "k_a",
+        "n_b",
+        "k_b",
+        F.round("pooled_diff", 6).alias("pooled_diff"),
+        F.round("mh_diff", 6).alias("mh_diff"),
+        F.when(F.col("pooled_diff") * F.col("mh_diff") < 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("sign_reversed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score with Murphy decomposition (forecast-calibration audit)
+# ---------------------------------------------------------------------------
+
+#: Deterministic synthetic forecast in integer PERCENT (0-99): a pure
+#: function of the order key so both engines derive identical
+#: (forecast, outcome) pairs from the shared fixture. Outcome = the
+#: order shipped urgent-or-high priority.
+_BR_FP = "CAST(o_orderkey % 100 AS BIGINT)"
+_BR_Y = "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+
+#: Shared-text per-bin reliability / resolution terms. Exact-integer
+#: identity: n_k*(f̄_k - ȳ_k)^2 = (Σfp_k - 100Σy_k)^2 / (10000 n_k),
+#: and n_k*(ȳ_k - ȳ)^2 = (N Σy_k - n_k K)^2 / (n_k N^2) with K = Σy
+#: global — every numerator an exact BIGINT product, ONE division per
+#: term.
+_BR_REL_TERM = (
+    "CAST((sfp - 100 * sy) * (sfp - 100 * sy) AS DOUBLE)"
+    " / (10000.0 * CAST(nk AS DOUBLE))"
+)
+_BR_RES_TERM = (
+    "CAST((nn * sy - nk * kk) * (nn * sy - nk * kk) AS DOUBLE)"
+    " / (CAST(nk AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))"
+)
+
+
+@query(
+    "q_bq_brier",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_BR_FP} AS fp, {_BR_Y} AS y FROM orders),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS kk,
+             CAST(sum((fp - 100 * y) * (fp - 100 * y)) AS BIGINT) AS sq
+      FROM base),
+    bins AS (
+      SELECT fp // 10 AS bin, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(fp) AS BIGINT) AS sfp, CAST(sum(y) AS BIGINT) AS sy
+      FROM base GROUP BY fp // 10),
+    terms AS (
+      SELECT bin, nk, sfp, sy, nn, kk, sq,
+             {_BR_REL_TERM} AS rel_term, {_BR_RES_TERM} AS res_term
+      FROM bins CROSS JOIN tot),
+    cum AS (
+      SELECT bin, nn, kk, sq,
+             sum(rel_term) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rel_sum,
+             sum(res_term) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS res_sum,
+             row_number() OVER (ORDER BY bin DESC) AS rn
+      FROM terms)
+    SELECT nn AS n, kk AS n_events,
+           round(CAST(sq AS DOUBLE) / (10000.0 * CAST(nn AS DOUBLE)), 6)
+             AS brier,
+           round(rel_sum / CAST(nn AS DOUBLE), 6) AS reliability,
+           round(res_sum / CAST(nn AS DOUBLE), 6) AS resolution,
+           round((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+             AS uncertainty
+    FROM cum WHERE rn = 1
+    """,
+)
+def q_bq_brier(spark, sf_dir):
+    """BRIER SCORE with the Murphy decomposition (Brier 1950; Murphy
+    1973 — public): mean squared error of a probability forecast split
+    into reliability − resolution + uncertainty over 10 forecast bins —
+    the calibration audit behind every ML-scoring dashboard (companion
+    to q_z4's calibration curve, which plots the bins this decomposes).
+    The forecast is a deterministic integer-percent function of the
+    order key; the raw Brier numerator Σ(fp−100y)² and every bin moment
+    are EXACT integers, and each bin's reliability/resolution term is
+    one shared-text division of integer products. The 10 per-bin double
+    terms are then summed by an ORDERED cumulative window (bin order) —
+    both engines add them in the identical sequence, so even the double
+    accumulation is bit-stable (no unordered double aggregation
+    anywhere).
+
+    Scale shape: one map-side-combinable global aggregate + one 10-group
+    aggregate over the scan; the decomposition windows run on the
+    10-row bin frame. 100 TB = one scan, constant-size tail.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.expr(_BR_FP).alias("fp"), F.expr(_BR_Y).alias("y")
+    )
+    tot = o.agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.sum("y").cast("bigint").alias("kk"),
+        F.sum((F.col("fp") - 100 * F.col("y")) * (F.col("fp") - 100 * F.col("y")))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    bins = o.groupBy(F.expr("fp DIV 10").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("fp").cast("bigint").alias("sfp"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "nn",
+        "kk",
+        "sq",
+        F.expr(_BR_REL_TERM).alias("rel_term"),
+        F.expr(_BR_RES_TERM).alias("res_term"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = terms.select(
+        "bin",
+        "nn",
+        "kk",
+        "sq",
+        F.sum("rel_term").over(w_cum).alias("rel_sum"),
+        F.sum("res_term").over(w_cum).alias("res_sum"),
+        F.row_number().over(Window.orderBy(F.col("bin").desc())).alias("rn"),
+    )
+    ybar = F.col("kk").cast("double") / F.col("nn").cast("double")
+    return cum.filter(F.col("rn") == 1).select(
+        F.col("nn").alias("n"),
+        F.col("kk").alias("n_events"),
+        F.round(
+            F.col("sq").cast("double") / (10000.0 * F.col("nn").cast("double")), 6
+        ).alias("brier"),
+        F.round(F.col("rel_sum") / F.col("nn").cast("double"), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_sum") / F.col("nn").cast("double"), 6).alias(
+            "resolution"
+        ),
+        F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
+    )
