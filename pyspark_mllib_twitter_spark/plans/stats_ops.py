@@ -1125,3 +1125,111 @@ def q_bq_brier(spark, sf_dir):
         ),
         F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (MASE / sMAPE)
+# ---------------------------------------------------------------------------
+
+#: Shared-text closes on exact integer absolute-error sums: MASE is the
+#: seasonal-naive MAE over the one-step-naive MAE (scale-free), sMAPE
+#: the symmetric percentage form.
+_MASE_EXPR = (
+    "round(CAST(sae7 AS DOUBLE) / CAST(n7 AS DOUBLE)"
+    " / nullif(CAST(sae1 AS DOUBLE) / CAST(n1 AS DOUBLE), 0.0), 6)"
+)
+_SMAPE_EXPR = (
+    "round(CAST(2 * sae7 AS DOUBLE) / nullif(CAST(ssum7 AS DOUBLE), 0.0), 6)"
+)
+
+
+@query(
+    "q_bs_mase",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day',
+               (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+               date_trunc('day', o_orderdate)) AS day_idx,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    season AS (
+      SELECT a.day_idx, abs(a.cents - b.cents) AS ae7,
+             a.cents + b.cents AS s7
+      FROM daily a JOIN daily b ON b.day_idx = a.day_idx - 7),
+    naive AS (
+      SELECT a.day_idx, abs(a.cents - b.cents) AS ae1
+      FROM daily a JOIN daily b ON b.day_idx = a.day_idx - 1),
+    agg AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM season) AS n7,
+             (SELECT CAST(sum(ae7) AS BIGINT) FROM season) AS sae7,
+             (SELECT CAST(sum(s7) AS BIGINT) FROM season) AS ssum7,
+             (SELECT CAST(count(*) AS BIGINT) FROM naive) AS n1,
+             (SELECT CAST(sum(ae1) AS BIGINT) FROM naive) AS sae1)
+    SELECT n7 AS n_scored, sae7 AS seasonal_abs_err_cents,
+           n1 AS n_naive, sae1 AS naive_abs_err_cents,
+           {_MASE_EXPR} AS mase, {_SMAPE_EXPR} AS smape
+    FROM agg
+    """,
+)
+def q_bs_mase(spark, sf_dir):
+    """SEASONAL-NAIVE FORECAST EVALUATION: score the weekly-seasonal
+    naive forecast (revenue today = revenue 7 days ago) with MASE —
+    seasonal MAE over one-step-naive MAE (Hyndman & Koehler 2006,
+    public; the scale-free forecast-accuracy standard, MASE < 1 beats
+    the naive) — and sMAPE. Complements q_am's rolling-origin backtest
+    with the benchmark-relative metric. Day alignment is an explicit
+    day-index equi-join (robust to calendar gaps — a lag() over rows
+    would silently misalign across missing days); absolute errors are
+    exact integer cents summed exactly, and the two metrics are
+    shared-text closes.
+
+    Scale shape: one map-side-combinable daily rollup is the only
+    corpus-scan stage; the two alignment joins and the final reduce run
+    on the calendar-bounded daily frame (~2.4k rows at any sf).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    day0 = o.agg(
+        F.min(F.date_trunc("day", "o_orderdate")).alias("d0")
+    )
+    daily = (
+        o.crossJoin(F.broadcast(day0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), F.col("d0")).alias(
+                "day_idx"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    season = a.join(
+        F.broadcast(b), F.col("b.day_idx") == F.col("a.day_idx") - 7
+    ).select(
+        F.abs(F.col("a.cents") - F.col("b.cents")).alias("ae7"),
+        (F.col("a.cents") + F.col("b.cents")).alias("s7"),
+    )
+    naive = a.join(
+        F.broadcast(b), F.col("b.day_idx") == F.col("a.day_idx") - 1
+    ).select(F.abs(F.col("a.cents") - F.col("b.cents")).alias("ae1"))
+    s_agg = season.agg(
+        F.count("*").cast("bigint").alias("n7"),
+        F.sum("ae7").cast("bigint").alias("sae7"),
+        F.sum("s7").cast("bigint").alias("ssum7"),
+    )
+    n_agg = naive.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum("ae1").cast("bigint").alias("sae1"),
+    )
+    return s_agg.crossJoin(F.broadcast(n_agg)).select(
+        F.col("n7").alias("n_scored"),
+        F.col("sae7").alias("seasonal_abs_err_cents"),
+        F.col("n1").alias("n_naive"),
+        F.col("sae1").alias("naive_abs_err_cents"),
+        F.expr(_MASE_EXPR).alias("mase"),
+        F.expr(_SMAPE_EXPR).alias("smape"),
+    )

@@ -480,3 +480,174 @@ def q_bh_incremental_agg(spark, sf_dir):
         .select("priority", "n_rows", F.col("sum_cents").cast("bigint"))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan detection across the star schema)
+# ---------------------------------------------------------------------------
+
+#: Audited FK edges: (label, child table, child key, parent table,
+#: parent key, parent-is-dimension). Dimension parents broadcast; the
+#: one fact-sized parent (orders) takes a shuffled join.
+_FK_EDGES = (
+    ("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.customer", "orders", "o_custkey", "customer", "c_custkey", True),
+)
+
+
+@query(
+    "q_br_fk_orphans",
+    oracle="""
+    SELECT 'customer.nation' AS edge,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan_rows,
+           CAST(count(DISTINCT CASE WHEN n_nationkey IS NULL
+                                    THEN c_nationkey END) AS BIGINT)
+             AS n_orphan_keys
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'lineitem.orders', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+                                    THEN l_orderkey END) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'lineitem.part', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN p_partkey IS NULL
+                                    THEN l_partkey END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    UNION ALL
+    SELECT 'lineitem.supplier', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL
+                                    THEN l_suppkey END) AS BIGINT)
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    UNION ALL
+    SELECT 'orders.customer', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+                                    THEN o_custkey END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    ORDER BY edge
+    """,
+)
+def q_br_fk_orphans(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY AUDIT: orphan detection for every FK edge
+    of the star schema in one report — child row count, orphaned child
+    rows, and distinct orphaned keys per edge (the ingestion gate that
+    catches broken upstream joins before they silently drop rows in
+    INNER joins downstream; complements q_y4's single-table
+    expectations with CROSS-table contracts).
+
+    Spark-first shape: each edge pre-aggregates the child to (key,
+    row-count) — one map-side-combinable shuffle on the key — then
+    LEFT-joins the parent's key set: dimension parents broadcast
+    (nation/part/supplier/customer), the one fact-sized parent (orders)
+    takes a shuffled join that AQE sizes. The orphan arithmetic then
+    runs on the KEY-grain frame, so the distinct-count is over
+    already-distinct keys — no second distinct shuffle. At 100 TB each
+    edge costs one child scan + one key-grain join; edges are
+    independent and union trivially.
+    """
+    results = []
+    for label, child_t, ckey, parent_t, pkey, is_dim in _FK_EDGES:
+        child = read_table(spark, sf_dir, child_t)
+        parent = read_table(spark, sf_dir, parent_t).select(pkey).distinct()
+        if is_dim:
+            parent = F.broadcast(parent)
+        keyed = child.groupBy(ckey).agg(F.count("*").alias("cnt"))
+        joined = keyed.join(parent, keyed[ckey] == parent[pkey], "left")
+        orphan = F.col(pkey).isNull()
+        results.append(
+            joined.agg(
+                F.lit(label).alias("edge"),
+                F.sum("cnt").cast("bigint").alias("n_child_rows"),
+                F.sum(F.when(orphan, F.col("cnt")).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_rows"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k (round-robin interleave across sources)
+# ---------------------------------------------------------------------------
+
+#: Global result size and the per-source prune depth (k is enough: a
+#: source can contribute at most k of the final k).
+_DIV_K = 20
+
+
+@query(
+    "q_bt_diversified_topk",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS src_rank
+      FROM documents),
+    pruned AS (SELECT * FROM per WHERE src_rank <= {_DIV_K}),
+    interleaved AS (
+      SELECT doc_id, source, n_chars, src_rank,
+             row_number() OVER (ORDER BY src_rank, n_chars DESC, doc_id)
+               AS final_rank
+      FROM pruned)
+    SELECT CAST(final_rank AS INT) AS final_rank, doc_id, source,
+           n_chars, CAST(src_rank AS INT) AS src_rank
+    FROM interleaved WHERE final_rank <= {_DIV_K}
+    ORDER BY final_rank
+    """,
+)
+def q_bt_diversified_topk(spark, sf_dir):
+    """DIVERSIFIED TOP-K: the round-robin interleave that search and
+    feed ranking use to stop one source dominating the page — rank
+    documents within each source (score = length proxy), then order
+    globally by (within-source rank, score) so rank-1 docs of every
+    source appear before any rank-2 doc (the "slot-based diversity"
+    scheme; same goal as q_ar's MMR but deterministic and
+    SQL-expressible, so it gets a full value oracle). Ties break on
+    doc_id at both levels — total order, engine-identical.
+
+    Spark-first shape: the per-source window is a WindowGroupLimit prune
+    (rank <= k cuts each partition to k rows DURING the shuffle — the
+    q_w1_topk plan shape), so the global interleave window sorts only
+    n_sources * k rows, never the corpus. At 100 TB the corpus-sized
+    stage is one partitioned window with group-limit pushdown; the
+    final sort frame stays bounded.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    pruned = d.withColumn("src_rank", F.row_number().over(w_src)).filter(
+        F.col("src_rank") <= _DIV_K
+    )
+    w_all = Window.orderBy("src_rank", F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        pruned.withColumn("final_rank", F.row_number().over(w_all))
+        .filter(F.col("final_rank") <= _DIV_K)
+        .select(
+            F.col("final_rank").cast("int").alias("final_rank"),
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("src_rank").cast("int").alias("src_rank"),
+        )
+        .orderBy("final_rank")
+    )
