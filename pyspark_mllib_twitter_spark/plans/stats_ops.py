@@ -1233,3 +1233,255 @@ def q_bs_mase(spark, sf_dir):
         F.expr(_MASE_EXPR).alias("mase"),
         F.expr(_SMAPE_EXPR).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (training-pair generation)
+# ---------------------------------------------------------------------------
+
+#: Number of hash retries before a pair is declared unresolved. Three
+#: tries leave P(all collide) ~= (density)^3 — at TPC-H interaction
+#: density (<1%), effectively zero.
+_NS_TRIES = 3
+
+
+@query(
+    "q_bu_negative_sampling",
+    oracle=f"""
+    WITH inter AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    np AS (SELECT max(p_partkey) AS n_items FROM part),
+    cands AS (
+      SELECT i.user_id, i.item_id, t.try_no,
+             1 + ('0x' || substr(md5(CAST(i.user_id AS VARCHAR) || ':'
+                    || CAST(i.item_id AS VARCHAR) || ':'
+                    || CAST(t.try_no AS VARCHAR)), 1, 8))::BIGINT
+                 % (SELECT n_items FROM np) AS cand
+      FROM inter i CROSS JOIN
+        (SELECT UNNEST(generate_series(1, {_NS_TRIES})) AS try_no) t),
+    misses AS (
+      SELECT c.user_id, c.item_id, c.try_no
+      FROM cands c LEFT JOIN inter x
+        ON c.user_id = x.user_id AND c.cand = x.item_id
+      WHERE x.item_id IS NULL),
+    resolved AS (
+      SELECT user_id, item_id, min(try_no) AS try_used
+      FROM misses GROUP BY user_id, item_id),
+    tallies AS (
+      SELECT try_used, count(*) AS n FROM resolved GROUP BY try_used
+      UNION ALL
+      SELECT 0 AS try_used,
+             (SELECT count(*) FROM inter) - (SELECT count(*) FROM resolved)
+        AS n)
+    SELECT CAST(try_used AS INT) AS try_used, CAST(n AS BIGINT) AS n_pairs
+    FROM tallies WHERE n > 0 OR try_used = 0 ORDER BY try_used
+    """,
+)
+def q_bu_negative_sampling(spark, sf_dir):
+    """DETERMINISTIC NEGATIVE SAMPLING for training-pair generation —
+    the recsys/contrastive-learning data-prep step: for every observed
+    (user, item) interaction, draw a pseudo-random candidate item from
+    md5(user:item:try) (portable hash — identical bytes on both
+    engines, the q_xx/q_ye recipe), verify it is NOT an interaction of
+    that user by an anti-join, and retry up to {_NS_TRIES} times.
+    Output is the resolution tally (how many pairs resolved at try 1 /
+    2 / 3, how many exhausted all tries — try_used=0), which
+    value-checks the whole pipeline: hashing, the rejection anti-join,
+    and the min-try selection.
+
+    Scale shape: interactions reduce to one DISTINCT digest-width
+    shuffle; candidates are a map-side explode (x{_NS_TRIES}); the
+    rejection check is ONE equi-join on (user, candidate) against the
+    interaction set — the same shuffle key as the distinct, so AQE can
+    reuse the partitioning. No randomness API, no driver loop: re-runs
+    are bit-identical, which is what makes training data auditable. At
+    100 TB the try multiplier is the only fan-out and it's constant.
+    """
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+        )
+        .distinct()
+    )
+    n_items = read_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("n_items")
+    )
+    tries = spark.range(1, _NS_TRIES + 1).select(
+        F.col("id").cast("int").alias("try_no")
+    )
+    cands = (
+        inter.crossJoin(F.broadcast(tries))
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            "item_id",
+            "try_no",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("user_id").cast("string"),
+                                F.col("item_id").cast("string"),
+                                F.col("try_no").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_items")
+            ).alias("cand"),
+        )
+    )
+    x = inter.select(
+        F.col("user_id").alias("x_user"), F.col("item_id").alias("x_item")
+    )
+    misses = cands.join(
+        x,
+        (cands.user_id == x.x_user) & (cands.cand == x.x_item),
+        "left",
+    ).filter(F.col("x_item").isNull())
+    resolved = misses.groupBy("user_id", "item_id").agg(
+        F.min("try_no").alias("try_used")
+    )
+    tallies = resolved.groupBy("try_used").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    n_inter = inter.agg(F.count("*").alias("n_inter"))
+    n_res = resolved.agg(F.count("*").alias("n_res"))
+    unresolved = n_inter.crossJoin(F.broadcast(n_res)).select(
+        F.lit(0).alias("try_used"),
+        (F.col("n_inter") - F.col("n_res")).cast("bigint").alias("n_pairs"),
+    )
+    return (
+        tallies.unionByName(unresolved)
+        .filter((F.col("n_pairs") > 0) | (F.col("try_used") == 0))
+        .select(F.col("try_used").cast("int").alias("try_used"), "n_pairs")
+        .orderBy("try_used")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew advisor (join-key distribution diagnosis)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+
+@query(
+    "q_bv_skew_advisor",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_suppkey % 100 AS join_key, count(*) AS cnt
+      FROM lineitem GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM keyed),
+    top AS (
+      SELECT join_key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, join_key) AS rnk
+      FROM keyed)
+    SELECT CAST(rnk AS INT) AS rnk, CAST(join_key AS BIGINT) AS join_key,
+           CAST(cnt AS BIGINT) AS cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+           round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 6) AS ratio_to_avg,
+           n_rows, n_keys
+    FROM top CROSS JOIN tot
+    WHERE rnk <= {_SKEW_TOPK}
+    ORDER BY rnk
+    """,
+)
+def q_bv_skew_advisor(spark, sf_dir):
+    """SHUFFLE-SKEW ADVISOR: the pre-join diagnosis every AQE-era
+    pipeline still needs — the join-key frequency profile (here a
+    deliberately skew-folded supplier key) reduced to its top-{_SKEW_TOPK}
+    heavy keys with each key's row share and ratio-to-average. A
+    ratio_to_avg of r means the hottest shuffle partition gets ~r times
+    the average work — the number that decides between plain shuffle,
+    AQE skew-join splitting, or explicit salting (q_a8's recipe). This
+    is the measurement step; the repo's salted-agg and broadcast ops
+    are the remediations.
+
+    Scale shape: ONE map-side-combinable groupBy(key) collapses the
+    corpus to key grain; the top-k is TakeOrderedAndProject (per-task
+    partial top-k, k-row merge — no global sort); totals are a 2-scalar
+    broadcast. 100 TB costs the keyed aggregate, nothing more.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 100).alias("join_key")
+    )
+    keyed = li.groupBy("join_key").agg(F.count("*").alias("cnt"))
+    tot = keyed.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    top = (
+        keyed.orderBy(F.col("cnt").desc(), F.col("join_key"))
+        .limit(_SKEW_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("join_key"))
+            ),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("join_key").cast("bigint").alias("join_key"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6)
+            .alias("share"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("ratio_to_avg"),
+            "n_rows",
+            "n_keys",
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA spectrum (distributed moments + driver eigendecomposition)
+# ---------------------------------------------------------------------------
+
+
+@query("q_bw_pca")
+def q_bw_pca(spark, sf_dir):
+    """PCA COMPONENT SPECTRUM of the embedding corpus — top-8
+    eigenvalues, explained-variance ratios, cumulative EVR and dominant
+    input dimension per component (the scree-plot table behind every
+    dimensionality-reduction decision; operators/pca.py). Rows-only BY
+    DESIGN: the eigendecomposition is a driver-side float computation
+    DuckDB cannot mirror; determinism is enforced by the sign-fix
+    contract and golden-tested against a single-node numpy PCA on the
+    same vectors (tests/test_pca.py).
+
+    Scale shape: ONE Arrow-batched mapInPandas pass emits (count, sum,
+    Gram) partials — a float64 matmul per record batch, bounded
+    driver-side state (one tiny row per batch, 1+d+d^2 doubles) — then
+    the d x d eigenproblem is O(d^3) scalar work on the driver and the
+    (unused here) projection is a broadcast matmul. The same
+    moments-then-solve layout as MLlib's RowMatrix PCA. At 100 TB only
+    stage 1 touches data.
+    """
+    from ..operators.pca import pca_spectrum
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_spectrum(emb, "embedding", k=8)
