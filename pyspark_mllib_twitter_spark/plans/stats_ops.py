@@ -1485,3 +1485,267 @@ def q_bw_pca(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return pca_spectrum(emb, "embedding", k=8)
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT over a daily stream)
+# ---------------------------------------------------------------------------
+
+#: Bernoulli SPRT design: H0 p=0.03 vs H1 p=0.06 on the high-value
+#: purchase rate; alpha = beta = 0.05. Per-trial log-likelihood-ratio
+#: increments in integer MICRO-NATS (success: ln(p1/p0), failure:
+#: ln(q1/q0)) so the cumulative LLR and both Wald boundaries
+#: ln((1-b)/a) / ln(b/(1-a)) are exact integers — the stop decision is
+#: float-free on both engines.
+_SPRT_W_SUCC = 693_147  # ln(0.06/0.03) in micro-nats
+_SPRT_W_FAIL = -31_416  # ln(0.94/0.97) in micro-nats
+_SPRT_UPPER = 2_944_439  # ln(0.95/0.05)
+_SPRT_LOWER = -2_944_439  # ln(0.05/0.95)
+_SPRT_SUCCESS = "value >= 150"
+
+
+@query(
+    "q_bx_sprt",
+    oracle=f"""
+    WITH trials AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             CASE WHEN {_SPRT_SUCCESS} THEN 1 ELSE 0 END AS succ
+      FROM events WHERE event_type = 'purchase'),
+    daily AS (
+      SELECT day_idx, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(succ) AS BIGINT) AS k
+      FROM trials GROUP BY day_idx),
+    cum AS (
+      SELECT day_idx,
+             sum(n) OVER (ORDER BY day_idx) AS cum_n,
+             sum(k) OVER (ORDER BY day_idx) AS cum_k
+      FROM daily),
+    llr AS (
+      SELECT day_idx, cum_n, cum_k,
+             cum_k * {_SPRT_W_SUCC}
+               + (cum_n - cum_k) * {_SPRT_W_FAIL} AS llr_micros
+      FROM cum),
+    crossed AS (
+      SELECT *, min(CASE WHEN llr_micros >= {_SPRT_UPPER}
+                           OR llr_micros <= {_SPRT_LOWER}
+                         THEN day_idx END) OVER () AS first_cross
+      FROM llr)
+    SELECT CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(cum_n AS BIGINT) AS cum_trials,
+           CAST(cum_k AS BIGINT) AS cum_successes,
+           CAST(llr_micros AS BIGINT) AS llr_micros,
+           CASE WHEN first_cross IS NULL OR day_idx < first_cross
+                  THEN 'continue'
+                WHEN llr_micros >= {_SPRT_UPPER} AND day_idx = first_cross
+                  THEN 'accept_h1'
+                WHEN llr_micros <= {_SPRT_LOWER} AND day_idx = first_cross
+                  THEN 'accept_h0'
+                ELSE 'stopped' END AS decision
+    FROM crossed ORDER BY day_idx
+    """,
+)
+def q_bx_sprt(spark, sf_dir):
+    """WALD SPRT (sequential probability ratio test, Wald 1945 —
+    public; the always-valid-inference primitive under every modern
+    sequential A/B platform): daily cumulative log-likelihood ratio for
+    H0 p=0.03 vs H1 p=0.06 on the high-value purchase rate, with the
+    Wald stop boundaries. Per-trial LLR increments are constants in
+    exact integer micro-nats, so the cumulative statistic is an integer
+    linear form k*w1 + (n-k)*w0 and the crossing decision — including
+    WHICH day first crosses — is integer arithmetic on both engines;
+    days after the first crossing are labeled 'stopped' (a real
+    sequential test would halt there; the full trace is emitted for
+    audit).
+
+    Scale shape: one map-side-combinable daily aggregate over the scan;
+    cumulative and first-crossing windows run on the calendar-bounded
+    daily frame (30 rows). 100 TB = one scan + constant tail.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / _US_PER_DAY)
+        .cast("bigint")
+        .alias("day_idx"),
+        F.expr(f"CASE WHEN {_SPRT_SUCCESS} THEN 1 ELSE 0 END").alias("succ"),
+    ).groupBy("day_idx").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("succ").cast("bigint").alias("k"),
+    )
+    w_cum = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day_idx",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("k").over(w_cum).alias("cum_k"),
+    ).withColumn(
+        "llr_micros",
+        F.col("cum_k") * _SPRT_W_SUCC + (F.col("cum_n") - F.col("cum_k")) * _SPRT_W_FAIL,
+    )
+    crossed = cum.withColumn(
+        "first_cross",
+        F.min(
+            F.when(
+                (F.col("llr_micros") >= _SPRT_UPPER)
+                | (F.col("llr_micros") <= _SPRT_LOWER),
+                F.col("day_idx"),
+            )
+        ).over(w_all),
+    )
+    return crossed.select(
+        F.col("day_idx").cast("bigint").alias("day_idx"),
+        F.col("cum_n").cast("bigint").alias("cum_trials"),
+        F.col("cum_k").cast("bigint").alias("cum_successes"),
+        F.col("llr_micros").cast("bigint").alias("llr_micros"),
+        F.when(
+            F.col("first_cross").isNull()
+            | (F.col("day_idx") < F.col("first_cross")),
+            "continue",
+        )
+        .when(
+            (F.col("llr_micros") >= _SPRT_UPPER)
+            & (F.col("day_idx") == F.col("first_cross")),
+            "accept_h1",
+        )
+        .when(
+            (F.col("llr_micros") <= _SPRT_LOWER)
+            & (F.col("day_idx") == F.col("first_cross")),
+            "accept_h0",
+        )
+        .otherwise("stopped")
+        .alias("decision"),
+    ).orderBy("day_idx")
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel (view -> purchase within 24h)
+# ---------------------------------------------------------------------------
+
+_TF_WINDOW_US = 24 * 3_600_000_000
+
+
+@query(
+    "q_bz_timed_funnel",
+    oracle=f"""
+    WITH fv AS (
+      SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS fv_us
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+      GROUP BY user_id),
+    conv AS (
+      SELECT f.user_id,
+             min(epoch_us(CAST(e.ts AS TIMESTAMP)) - f.fv_us) AS delay_us
+      FROM fv f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND epoch_us(CAST(e.ts AS TIMESTAMP)) > f.fv_us
+       AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= f.fv_us + {_TF_WINDOW_US}
+      GROUP BY f.user_id),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_entered,
+             (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_converted)
+    SELECT CAST(delay_us // 3600000000 AS INT) AS delay_hour,
+           CAST(count(*) AS BIGINT) AS n_users,
+           min(n_entered) AS n_entered, min(n_converted) AS n_converted,
+           round(CAST(min(n_converted) AS DOUBLE)
+                 / CAST(min(n_entered) AS DOUBLE), 6) AS conversion_rate
+    FROM conv CROSS JOIN tot
+    GROUP BY delay_us // 3600000000
+    ORDER BY delay_hour
+    """,
+)
+def q_bz_timed_funnel(spark, sf_dir):
+    """TIME-BOUNDED FUNNEL: view -> purchase WITHIN 24 HOURS of the
+    user's first view, with the time-to-convert distribution by hour —
+    the constrained-funnel semantics real product analytics needs
+    (q_as's funnel counts ever-ordered steps; this one enforces the
+    conversion window, which changes both the count and the readout).
+    Delays are exact epoch-microsecond integers; the hour bucket is
+    integer division; n_entered/n_converted ride along each row so the
+    single result table carries the funnel summary and the histogram.
+
+    Scale shape: first-view is one map-side-combinable per-user min;
+    the window check is ONE equi-join on user_id with the time bounds
+    as join-condition residuals (no interval fan-out — each purchase
+    matches at most one first-view row), then a per-user min and an
+    hour-grain rollup. At 100 TB: two combinable aggregates + one
+    user-keyed join.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fv = (
+        ev.filter((F.col("event_type") == "view") & F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(us).alias("fv_us"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), us.alias("p_us")
+    )
+    conv = (
+        fv.join(
+            pur,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_us") > F.col("fv_us"))
+            & (F.col("p_us") <= F.col("fv_us") + _TF_WINDOW_US),
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_us") - F.col("fv_us")).alias("delay_us"))
+    )
+    tot = fv.agg(F.count("*").cast("bigint").alias("n_entered")).crossJoin(
+        conv.agg(F.count("*").cast("bigint").alias("n_converted"))
+    )
+    return (
+        conv.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("delay_us DIV 3600000000").cast("int").alias("delay_hour")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("n_entered").alias("n_entered"),
+            F.min("n_converted").alias("n_converted"),
+            F.round(
+                F.min("n_converted").cast("double")
+                / F.min("n_entered").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .orderBy("delay_hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inventory replenishment simulation (capped running balance)
+# ---------------------------------------------------------------------------
+
+
+@query("q_by_inventory")
+def q_by_inventory(spark, sf_dir):
+    """INVENTORY (s, Q) REPLENISHMENT SIMULATION per part: daily demand
+    from lineitem, reorder-point policy with lead time
+    (operators/inventory.py) — the capped-running-balance recurrence
+    (each day's stock depends on the previous day's POST-DECISION
+    state) that no window function expresses, so it runs as the
+    sanctioned Arrow-batched applyInPandas escape hatch: sequential
+    within an item's calendar-bounded day series, parallel across
+    items. Rows-only BY DESIGN (non-associative recurrence; DuckDB
+    would need a recursive CTE per item) — the policy is golden- and
+    hypothesis-tested against the pure-Python reference in
+    tests/test_inventory.py.
+
+    Scale shape: demand collapses to (item, day, qty) grain in one
+    map-side-combinable shuffle BEFORE Python; each applyInPandas group
+    is one item's bounded series. At 100 TB items fan out across
+    executors and no group outgrows the calendar.
+    """
+    from ..operators.inventory import simulate_inventory
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("item_id"),
+        F.expr(
+            f"CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV {_US_PER_DAY}"
+            " AS BIGINT)"
+        ).alias("day_idx"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    return simulate_inventory(li).orderBy("item_id")
