@@ -1358,6 +1358,11 @@ def q_bu_negative_sampling(spark, sf_dir):
             F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
         )
         .distinct()
+        # The interaction set feeds three consumers (candidate explode,
+        # rejection join, the unresolved tally); runtime exchange reuse
+        # deduplicates the join+distinct subplan, so no checkpoint — an
+        # eager localCheckpoint was measured SLOWER (20s vs 14s per
+        # bench run at sf0.1), the q_yr lesson again.
     )
     n_items = read_table(spark, sf_dir, "part").agg(
         F.max("p_partkey").alias("n_items")
