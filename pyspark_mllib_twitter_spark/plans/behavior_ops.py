@@ -431,3 +431,89 @@ def q_ay_roc_curve(spark, sf_dir):
         F.round(F.col("pos_ge").cast("double") / F.col("pos_tot"), 6).alias("tpr"),
         F.round(F.col("neg_ge").cast("double") / F.col("neg_tot"), 6).alias("fpr"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Allen interval-relation classification (temporal-pattern audit)
+# ---------------------------------------------------------------------------
+
+#: Shared-text classifier over exact epoch-us interval endpoints
+#: (a_s, a_e, b_s, b_e): the 13 Allen relations (Allen, CACM 1983 —
+#: public), evaluated coarsest-last so every pair lands in exactly one.
+_ALLEN_EXPR = (
+    "CASE"
+    " WHEN a_s = b_s AND a_e = b_e THEN 'equals'"
+    " WHEN a_e < b_s THEN 'before'"
+    " WHEN b_e < a_s THEN 'after'"
+    " WHEN a_e = b_s THEN 'meets'"
+    " WHEN b_e = a_s THEN 'met_by'"
+    " WHEN a_s = b_s AND a_e < b_e THEN 'starts'"
+    " WHEN a_s = b_s AND a_e > b_e THEN 'started_by'"
+    " WHEN a_e = b_e AND a_s > b_s THEN 'finishes'"
+    " WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'"
+    " WHEN a_s > b_s AND a_e < b_e THEN 'during'"
+    " WHEN a_s < b_s AND a_e > b_e THEN 'contains'"
+    " WHEN a_s < b_s THEN 'overlaps'"
+    " ELSE 'overlapped_by' END"
+)
+
+
+@query(
+    "q_c1_allen_relations",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, event_type,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) + 1 AS e_us
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+      GROUP BY user_id, event_type),
+    pairs AS (
+      SELECT v.user_id, v.s_us AS a_s, v.e_us AS a_e,
+             p.s_us AS b_s, p.e_us AS b_e
+      FROM spans v JOIN spans p
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase')
+    SELECT {_ALLEN_EXPR} AS relation, CAST(count(*) AS BIGINT) AS n_users
+    FROM pairs GROUP BY 1 ORDER BY relation
+    """,
+)
+def q_c1_allen_relations(spark, sf_dir):
+    """ALLEN INTERVAL-RELATION classification (Allen, CACM 1983 —
+    public; the temporal-logic vocabulary behind every interval-join
+    optimizer): for each user, the browsing span (first..last view) vs
+    the buying span (first..last purchase), classified into the 13
+    Allen relations — before/meets/overlaps/starts/during/finishes,
+    their inverses, and equals — by ONE shared-text CASE over exact
+    epoch-microsecond endpoints (half-open via max+1). The relation
+    histogram is the engagement-shape readout: 'during' = purchases
+    embedded in a browsing session, 'before' = research-then-buy-later.
+
+    Scale shape: spans are one map-side-combinable (user, type) min/max
+    aggregate; the pair join is a per-user equi-join with EXACTLY one
+    row per side per user (no fan-out); classification is a map-side
+    CASE into a 13-row aggregate. 100 TB = one scan + one user-keyed
+    join.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isin("view", "purchase")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("s_us"), (F.max(us) + 1).alias("e_us")
+    )
+    v = spans.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("s_us").alias("a_s"), F.col("e_us").alias("a_e")
+    )
+    p = spans.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+    )
+    pairs = v.join(p, v.user_id == p.p_user)
+    return (
+        pairs.select(F.expr(_ALLEN_EXPR).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("relation")
+    )

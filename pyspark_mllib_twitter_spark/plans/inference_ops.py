@@ -27,6 +27,7 @@ pipeline + warehouse analytics at 100 TB).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources import read_table
@@ -1523,4 +1524,119 @@ def q_be_logrank(spark, sf_dir):
             f" / sqrt(CAST(SUM(CAST(v_q AS DECIMAL(38,0))) AS DOUBLE) / {_LR_Q})"
             ", 6)"
         ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (F-test across nations)
+# ---------------------------------------------------------------------------
+
+#: Shared-text per-group between-variance term S_i^2 / n_i (cast before
+#: multiply — the BIGINT square would overflow at cluster scale).
+_ANOVA_TERM = "CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+
+#: Shared-text closes. SSB = sum(S_i^2/n_i) - S^2/N; SSW = Q - sum(S_i^2/n_i);
+#: F = (SSB/(k-1)) / (SSW/(N-k)).
+_ANOVA_SSB = (
+    "term_sum - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)"
+    " / CAST(n_tot AS DOUBLE)"
+)
+_ANOVA_SSW = "CAST(q_tot AS DOUBLE) - term_sum"
+_ANOVA_F = (
+    "(ssb / (CAST(k AS DOUBLE) - 1.0))"
+    " / nullif(ssw / (CAST(n_tot AS DOUBLE) - CAST(k AS DOUBLE)), 0.0)"
+)
+
+
+@query(
+    "q_c4_anova",
+    oracle=f"""
+    WITH x AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer),
+    per AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(cents) AS BIGINT) AS s_i,
+             sum(CAST(cents AS DECIMAL(38,0)) * cents) AS q_i
+      FROM x GROUP BY c_nationkey),
+    terms AS (
+      SELECT c_nationkey, n_i, s_i, q_i, {_ANOVA_TERM} AS term FROM per),
+    acc AS (
+      SELECT sum(term) OVER (ORDER BY c_nationkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS term_sum,
+             sum(n_i) OVER () AS n_tot,
+             sum(s_i) OVER () AS s_tot,
+             sum(q_i) OVER () AS q_tot,
+             count(*) OVER () AS k,
+             row_number() OVER (ORDER BY c_nationkey DESC) AS is_last
+      FROM terms),
+    m AS (
+      SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+             {_ANOVA_SSB} AS ssb, {_ANOVA_SSW} AS ssw, n_tot, k AS kk
+      FROM acc WHERE is_last = 1),
+    f AS (
+      SELECT k, n, ssb, ssw,
+             (ssb / (CAST(k AS DOUBLE) - 1.0))
+               / nullif(ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 0.0)
+               AS f_stat
+      FROM m)
+    SELECT k, n, round(ssb / 10000.0, 6) AS ss_between_sq_dollars,
+           round(ssw / 10000.0, 6) AS ss_within_sq_dollars,
+           round(f_stat, 6) AS f_stat
+    FROM f
+    """,
+)
+def q_c4_anova(spark, sf_dir):
+    """ONE-WAY ANOVA F-test of account balance across the 25 nations
+    (Fisher's variance decomposition, any statistics text — the
+    continuous-outcome counterpart of q_ya's chi-square and q_yi's
+    two-arm z): SSB/SSW from exact integer moments per group (sum,
+    sum-of-squares in DECIMAL, count), the per-group S_i^2/n_i terms
+    evaluated by one shared-text expression and accumulated by an
+    ORDERED window (bit-stable double summation, the q_bq contract),
+    then one shared-text F close. The within/between sums are reported
+    in squared dollars.
+
+    Scale shape: one map-side-combinable groupBy(nation) over the scan
+    collapses everything to 25 moment rows; all windows run on that
+    group-bounded frame. 100 TB = one scan + a 25-row tail.
+    """
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    per = c.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("cents").cast("bigint").alias("s_i"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q_i"),
+    )
+    terms = per.withColumn("term", F.expr(_ANOVA_TERM))
+    w_cum = Window.orderBy("c_nationkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = terms.select(
+        F.sum("term").over(w_cum).alias("term_sum"),
+        F.sum("n_i").over(w_all).alias("n_tot"),
+        F.sum("s_i").over(w_all).alias("s_tot"),
+        F.sum("q_i").over(w_all).alias("q_tot"),
+        F.count("*").over(w_all).alias("k"),
+        F.row_number()
+        .over(Window.orderBy(F.col("c_nationkey").desc()))
+        .alias("is_last"),
+    )
+    m = (
+        acc.filter(F.col("is_last") == 1)
+        .withColumn("ssb", F.expr(_ANOVA_SSB))
+        .withColumn("ssw", F.expr(_ANOVA_SSW))
+    )
+    return m.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_tot").cast("bigint").alias("n"),
+        F.round(F.col("ssb") / 10000.0, 6).alias("ss_between_sq_dollars"),
+        F.round(F.col("ssw") / 10000.0, 6).alias("ss_within_sq_dollars"),
+        F.round(F.expr(_ANOVA_F), 6).alias("f_stat"),
     )

@@ -3180,3 +3180,94 @@ def q_bd_decision_stump(spark, sf_dir):
         )
         .orderBy("split_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (power-law heaviness of the spend tail)
+# ---------------------------------------------------------------------------
+
+#: Order statistics used (top HILL_K above the k+1-th).
+HILL_K = 500
+
+#: Shared-text per-order-statistic log-excess ln(x_(i) / x_(k+1)) on
+#: exact integer cents.
+_HILL_TERM = "ln(CAST(cents AS DOUBLE)) - ln(CAST(xk1 AS DOUBLE))"
+
+
+@query(
+    "q_c3_hill_tail",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (
+               ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+               AS rnk
+      FROM orders),
+    top AS (SELECT cents, rnk FROM ranked WHERE rnk <= {HILL_K} + 1),
+    thresh AS (SELECT cents AS xk1 FROM top WHERE rnk = {HILL_K} + 1),
+    terms AS (
+      SELECT rnk, {_HILL_TERM} AS term
+      FROM top CROSS JOIN thresh WHERE rnk <= {HILL_K}),
+    acc AS (
+      SELECT rnk,
+             sum(term) OVER (ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h_sum,
+             row_number() OVER (ORDER BY rnk DESC) AS is_last
+      FROM terms)
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           (SELECT CAST(xk1 AS BIGINT) FROM thresh) AS xk1_cents,
+           round(h_sum / {HILL_K}.0, 6) AS hill_gamma,
+           round({HILL_K}.0 / nullif(h_sum, 0.0), 6) AS tail_alpha
+    FROM acc WHERE is_last = 1
+    """,
+)
+def q_c3_hill_tail(spark, sf_dir):
+    """HILL TAIL-INDEX estimator (Hill, Annals of Statistics 1975 —
+    public): gamma = (1/k) sum ln(x_(i)/x_(k+1)) over the top-k order
+    statistics of order value, alpha = 1/gamma — the standard estimate
+    of power-law tail heaviness (complement of q_zu's Zipf OLS, which
+    fits the whole rank curve; Hill reads only the extreme tail, where
+    whale risk lives). Order statistics tie-break on order key so both
+    engines pick identical top sets; each log-excess is one shared-text
+    expression, and the k doubles are summed by an ORDERED cumulative
+    window — bit-stable accumulation, the q_bq contract.
+
+    Scale shape: the ONLY corpus-scale work is the top-(k+1) selection,
+    which Spark plans as TakeOrderedAndProject (per-task partial top-k,
+    one k-row merge — no global sort); everything after runs on k+1
+    rows. At 100 TB the tail frame is still 501 rows.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    top = (
+        o.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+            ),
+        )
+    )
+    thresh = top.filter(F.col("rnk") == HILL_K + 1).select(
+        F.col("cents").alias("xk1")
+    )
+    terms = (
+        top.filter(F.col("rnk") <= HILL_K)
+        .crossJoin(F.broadcast(thresh))
+        .select("rnk", F.expr(_HILL_TERM).alias("term"), "xk1")
+    )
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    acc = terms.select(
+        "xk1",
+        F.sum("term").over(w_cum).alias("h_sum"),
+        F.row_number().over(Window.orderBy(F.col("rnk").desc())).alias("is_last"),
+    )
+    return acc.filter(F.col("is_last") == 1).select(
+        F.lit(HILL_K).cast("bigint").alias("k"),
+        F.col("xk1").cast("bigint").alias("xk1_cents"),
+        F.round(F.col("h_sum") / HILL_K, 6).alias("hill_gamma"),
+        F.round(HILL_K / F.expr("nullif(h_sum, 0.0)"), 6).alias("tail_alpha"),
+    )
