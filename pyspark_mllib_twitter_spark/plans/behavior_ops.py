@@ -517,3 +517,280 @@ def q_c1_allen_relations(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact over the 4-channel powerset)
+# ---------------------------------------------------------------------------
+
+#: Channel -> bitmask bit. Journey set = distinct channels a user
+#: touched before their first purchase (all channels for non-buyers).
+_SH_CHANNELS = (("view", 1), ("click", 2), ("signup", 4), ("error", 8))
+_SH_N = len(_SH_CHANNELS)
+
+#: Shapley coalition weights |S|!(n-1-|S|)!/n! for n=4, written as exact
+#: rational literals inside the shared text.
+_SH_W = {0: "(6.0/24.0)", 1: "(2.0/24.0)", 2: "(2.0/24.0)", 3: "(6.0/24.0)"}
+
+
+def _sh_phi_expr(bit: int) -> str:
+    """Shared-text Shapley value for the channel with bitmask ``bit``:
+    the 8 marginal-contribution terms in FIXED ascending-subset order
+    (written-order double accumulation — engine-identical)."""
+    others = [b for _, b in _SH_CHANNELS if b != bit]
+    terms = []
+    for m in range(8):  # subsets of the other 3 channels
+        s = sum(b for i, b in enumerate(others) if m & (1 << i))
+        size = bin(m).count("1")
+        terms.append(
+            f"{_SH_W[size]} * (COALESCE(v_{s | bit}, 0.0)"
+            f" - COALESCE(v_{s}, 0.0))"
+        )
+    return " + ".join(terms)
+
+
+#: v(S) per subset: conversion rate among users whose journey set is
+#: CONTAINED in S (zeta-transformed counts); empty denominators -> NULL
+#: -> treated as 0 in the phi terms (documented: v undefined on subsets
+#: no journey reaches).
+_SH_V_EXPR = "CAST(conv_cum AS DOUBLE) / nullif(CAST(n_cum AS DOUBLE), 0.0)"
+
+
+@query(
+    "q_c6_shapley",
+    oracle=f"""
+    WITH fp AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp_us
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    masked AS (
+      SELECT e.user_id,
+             {" + ".join(
+        f"max(CASE WHEN e.event_type = '{c}'"
+        f" AND (fp.fp_us IS NULL"
+        f"      OR epoch_us(CAST(e.ts AS TIMESTAMP)) < fp.fp_us)"
+        f" THEN {b} ELSE 0 END)" for c, b in _SH_CHANNELS)} AS mask,
+             max(CASE WHEN fp.fp_us IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      GROUP BY e.user_id),
+    sets16 AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM masked GROUP BY mask),
+    zeta AS (
+      SELECT s.m AS mask,
+             CAST(COALESCE(sum(t.n_users), 0) AS BIGINT) AS n_cum,
+             CAST(COALESCE(sum(t.n_conv), 0) AS BIGINT) AS conv_cum
+      FROM (SELECT UNNEST(generate_series(0, 15)) AS m) s
+      LEFT JOIN sets16 t ON (t.mask & s.m) = t.mask
+      GROUP BY s.m),
+    vrow AS (
+      SELECT {", ".join(
+        f"max(CASE WHEN mask = {m} THEN {_SH_V_EXPR} END) AS v_{m}"
+        for m in range(16))}
+      FROM zeta),
+    phis AS (
+      SELECT {", ".join(
+        f"{_sh_phi_expr(b)} AS phi_{c}" for c, b in _SH_CHANNELS)},
+             v_15 AS v_full
+      FROM vrow)
+    SELECT ch AS channel, round(phi, 6) AS shapley_value,
+           round(v_full, 6) AS v_grand_coalition
+    FROM (
+      SELECT unnest(['view','click','signup','error']) AS ch,
+             unnest([phi_view, phi_click, phi_signup, phi_error]) AS phi,
+             v_full
+      FROM phis)
+    ORDER BY channel
+    """,
+)
+def q_c6_shapley(spark, sf_dir):
+    """SHAPLEY-VALUE marketing attribution (Shapley 1953; the
+    cooperative-game method behind 'data-driven attribution' in every
+    ads platform — public): each channel's exact Shapley share of the
+    conversion rate, over the 4-channel powerset. Journey set = distinct
+    channels touched before the user's first purchase; v(S) = conversion
+    rate of users whose journey is contained in S (a zeta transform of
+    the 16 per-set count rows); phi_i = the 8 weighted marginal
+    contributions, generated as ONE shared-text expression per channel
+    with exact rational weights and fixed term order — the float
+    algebra is bit-identical on both engines, so even the 6dp-rounded
+    Shapley values hash-match. Complements last-touch (q_zd) and the
+    streaming attribution (q_stream_attribution) with the
+    game-theoretically fair split.
+
+    Scale shape: two corpus passes (first-purchase agg, then the
+    bitmask agg after a user-keyed join — same shuffle key, AQE reuses
+    the partitioning), collapsing to SIXTEEN rows; the zeta transform
+    is a 16x16 containment join and the Shapley algebra runs on one
+    pivoted row. Channel-set size is the only exponential and it's
+    fixed by the schema, not the data. 100 TB = two combinable aggs +
+    one join.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fp = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp_us")
+    )
+    e2 = ev.select("user_id", "event_type", us.alias("us")).join(fp, "user_id")
+    pre = F.col("fp_us").isNull() | (F.col("us") < F.col("fp_us"))
+    masked = e2.groupBy("user_id").agg(
+        sum(
+            [
+                F.max(
+                    F.when((F.col("event_type") == c) & pre, b).otherwise(0)
+                )
+                for c, b in _SH_CHANNELS
+            ],
+            F.lit(0),
+        ).alias("mask"),
+        F.max(
+            F.when(F.col("fp_us").isNotNull(), 1).otherwise(0)
+        ).alias("conv"),
+    )
+    sets16 = masked.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    all_masks = spark.range(16).select(F.col("id").cast("int").alias("m"))
+    zeta = (
+        all_masks.join(
+            sets16, F.expr("(mask & m) = mask"), "left"
+        )
+        .groupBy("m")
+        .agg(
+            F.coalesce(F.sum("n_users"), F.lit(0)).cast("bigint").alias("n_cum"),
+            F.coalesce(F.sum("n_conv"), F.lit(0)).cast("bigint").alias("conv_cum"),
+        )
+        .withColumnRenamed("m", "mask")
+    )
+    vrow = zeta.agg(
+        *[
+            F.max(
+                F.when(F.col("mask") == m, F.expr(_SH_V_EXPR))
+            ).alias(f"v_{m}")
+            for m in range(16)
+        ]
+    )
+    phis = vrow.select(
+        *[F.expr(_sh_phi_expr(b)).alias(f"phi_{c}") for c, b in _SH_CHANNELS],
+        F.col("v_15").alias("v_full"),
+    )
+    stack = ", ".join(
+        f"'{c}', phi_{c}, v_full" for c, _ in _SH_CHANNELS
+    )
+    return (
+        phis.selectExpr(
+            f"stack({_SH_N}, {stack}) AS (channel, phi, v_full)"
+        )
+        .select(
+            "channel",
+            F.round("phi", 6).alias("shapley_value"),
+            F.round("v_full", 6).alias("v_grand_coalition"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV accumulation curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c7_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    cohort_size AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY cohort_week),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS weeks_since,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    curve AS (
+      SELECT cohort_week, weeks_since,
+             sum(cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev)
+    SELECT c.cohort_week AS cohort_week, c.weeks_since,
+           s.n_users, CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           round(CAST(c.cum_cents AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+                 / 100.0, 6) AS ltv_per_user
+    FROM curve c JOIN cohort_size s ON c.cohort_week = s.cohort_week
+    ORDER BY c.cohort_week, c.weeks_since
+    """,
+)
+def q_c7_ltv_curve(spark, sf_dir):
+    """COHORT LTV CURVE: cumulative purchase revenue per user by
+    (signup-cohort week, weeks since signup) — the lifetime-value
+    triangle that pairs with q_at's retention triangle (retention counts
+    presence, LTV accumulates value; together they price a cohort).
+    Cohort = week of first event; revenue buckets by the PURCHASE's
+    week, so a cohort's curve is monotone in exact integer cents and
+    the only double is the closing per-user division.
+
+    Scale shape: first-seen is one per-user min aggregate; revenue
+    bucketing is a user-keyed join (same shuffle key — AQE reuses the
+    partitioning) into a (cohort, week)-grain aggregate; the cumulative
+    window runs per cohort over calendar-bounded frames. 100 TB = two
+    combinable aggs + one join.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = rev.withColumn("cum_cents", F.sum("cents").over(w_cum))
+    return (
+        curve.join(cohort_size, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_users",
+            F.col("cum_cents").cast("bigint").alias("cum_revenue_cents"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.col("n_users").cast("double")
+                / 100.0,
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -840,3 +840,117 @@ def q_bf_itemcf(spark, sf_dir):
         .filter(F.col("rnk") <= ITEMCF_TOPK)
         .orderBy("item_i", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (language-model IR)
+# ---------------------------------------------------------------------------
+
+#: Dirichlet smoothing mass (Zhai & Lafferty, SIGIR 2001 — public;
+#: mu ~ average doc length is the classic choice, 2000 the TREC habit —
+#: the fixture's short docs argue for the smaller setting).
+QL_MU = 50
+QL_TERMS = BM25_TERMS
+QL_TOPK = 15
+
+#: Fixed-order per-doc log-likelihood: every doc scores EVERY query term
+#: (absent terms fall back to the smoothed background cf/|C| — that's
+#: the point of the language model; BM25 skips them), summed in written
+#: term order so the doubles accumulate identically on both engines.
+_QL_SCORE = " + ".join(
+    f"ln((COALESCE(tf_{t}, 0) + {QL_MU}.0 * (CAST(cf_{t} AS DOUBLE)"
+    f" / CAST(ctot AS DOUBLE))) / (CAST(dl AS DOUBLE) + {QL_MU}.0))"
+    for t in QL_TERMS
+)
+
+
+@query(
+    "q_c5_dirichlet_ql",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    flat AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+    ctot_t AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM flat),
+    cf AS (
+      SELECT {", ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS cf_{t}" for t in QL_TERMS)}
+      FROM flat),
+    tf AS (
+      SELECT doc_id,
+             {", ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}" for t in QL_TERMS)}
+      FROM flat WHERE term IN {tuple(QL_TERMS)} GROUP BY doc_id),
+    scored AS (
+      SELECT dl.doc_id, {_QL_SCORE} AS score
+      FROM dl LEFT JOIN tf ON dl.doc_id = tf.doc_id
+      CROSS JOIN cf CROSS JOIN ctot_t),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    SELECT CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS log_ql
+    FROM ranked WHERE rank <= {QL_TOPK} ORDER BY rank
+    """,
+)
+def q_c5_dirichlet_ql(spark, sf_dir):
+    """DIRICHLET-SMOOTHED QUERY LIKELIHOOD retrieval (Zhai & Lafferty,
+    SIGIR 2001 — public; the language-model scorer that, with BM25
+    (q_za) and TF-IDF (q_x5), completes the classic ranking triad):
+    score(q,d) = sum_t ln((tf + mu*cf_t/|C|) / (dl + mu)). Unlike BM25,
+    EVERY document scores every query term — absent terms contribute the
+    smoothed background mass, so short no-match documents rank above
+    long ones on background alone; the full ranking (not just matching
+    docs) is hash-checked. Per-doc totals add in fixed written term
+    order (the q_za COALESCE-chain contract), never shuffle order.
+
+    Scale shape: one tokenize pass feeds dl / corpus totals / per-doc
+    query-term counts — all map-side-combinable; cf and |C| collapse to
+    ONE broadcast row; scoring is a map-side expression over the dl
+    frame left-joined with the (tiny) matching-doc tf pivot; top-k is
+    TakeOrderedAndProject. 100 TB = one scan + one doc-keyed join.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    toks = d.select("doc_id", TXT.tokens("text").alias("tk"))
+    dl = toks.select("doc_id", F.size("tk").alias("dl"))
+    flat = toks.select("doc_id", F.explode("tk").alias("term"))
+    ctot = flat.agg(F.count("*").cast("bigint").alias("ctot"))
+    cf = flat.agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"cf_{t}")
+            for t in QL_TERMS
+        ]
+    )
+    tf = (
+        flat.filter(F.col("term").isin(*QL_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf_{t}")
+                for t in QL_TERMS
+            ]
+        )
+        .withColumnRenamed("doc_id", "tf_doc_id")
+    )
+    scored = (
+        dl.join(tf, dl.doc_id == F.col("tf_doc_id"), "left")
+        .crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(ctot))
+        .select("doc_id", F.expr(_QL_SCORE).alias("score"))
+    )
+    topk = scored.orderBy(F.desc("score"), "doc_id").limit(QL_TOPK)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("log_ql"),
+    ).orderBy("rank")
