@@ -1806,3 +1806,395 @@ def q_by_inventory(spark, sf_dir):
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     return simulate_inventory(li).orderBy("item_id")
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (exact percent-rank feature transform)
+# ---------------------------------------------------------------------------
+
+#: Doubled average rank keeps tie midpoints integral (the q_zr trick):
+#: rank2 = 2*prev_cum + cnt + 1 = 2 * (rank_lt + (n_eq+1)/2).
+_QN_NORM = "CAST(rank2 AS DOUBLE) / (2.0 * (CAST(n_tot AS DOUBLE) + 1.0))"
+
+
+@query(
+    "q_c8_quantile_norm",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    cells AS (
+      SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM raw GROUP BY grp, cents),
+    cum AS (
+      SELECT grp, cents, cnt,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+             sum(cnt) OVER (PARTITION BY grp) AS n_tot
+      FROM cells),
+    ranked AS (
+      SELECT grp, cnt, n_tot,
+             2 * COALESCE(prev, 0) + cnt + 1 AS rank2
+      FROM cum),
+    binned AS (
+      SELECT grp, cnt, n_tot, rank2,
+             (10 * rank2) // (2 * (n_tot + 1)) AS decile
+      FROM ranked)
+    SELECT grp, CAST(decile AS INT) AS decile,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           round(CAST(sum(cnt * rank2) AS DOUBLE)
+                 / (CAST(sum(cnt) AS DOUBLE)
+                    * 2.0 * (CAST(min(n_tot) AS DOUBLE) + 1.0)), 6)
+             AS mean_norm
+    FROM binned GROUP BY grp, decile ORDER BY grp, decile
+    """,
+)
+def q_c8_quantile_norm(spark, sf_dir):
+    """QUANTILE NORMALIZATION: the exact percent-rank transform
+    norm(x) = avg_rank(x) / (n+1) per priority group — the
+    feature-scaling step that maps any distribution to ~Uniform(0,1)
+    (rank transform, any statistics text; ties get the midpoint via the
+    q_zr doubled-rank trick so every rank stays an exact integer). The
+    readout aggregates the transform back to (group, decile) grain —
+    n_rows per decile ~ n/10 and mean_norm ~ decile midpoint are the
+    self-audit that the transform is uniform.
+
+    Scale shape: ranks come from the distributed-rank recipe on the
+    (group, value, count) cell table; the per-group cumulative window
+    is the corpus-facing risk at 100 TB (distinct prices per group make
+    the cell frame corpus-sized) — there the q_bk crossing-bucket /
+    segmented-prefix decomposition applies unchanged; at bench scale
+    the straightforward cell window is faster than the extra shuffle
+    (measured ~2s; the q_bk rewrite paid off only past ~40s). No float
+    enters until the closing shared-text division.
+    """
+    raw = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cells = raw.groupBy("grp", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    grp_w = Window.partitionBy("grp")
+    cum = cells.select(
+        "grp",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                grp_w.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("prev"),
+        F.sum("cnt").over(grp_w).alias("n_tot"),
+    )
+    ranked = cum.withColumn("rank2", 2 * F.col("prev") + F.col("cnt") + 1)
+    binned = ranked.withColumn(
+        "decile", F.expr("(10 * rank2) DIV (2 * (n_tot + 1))")
+    )
+    return (
+        binned.groupBy("grp", F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("rank2")).cast("double")
+                / (
+                    F.sum("cnt").cast("double")
+                    * 2.0
+                    * (F.min("n_tot").cast("double") + 1.0)
+                ),
+                6,
+            ).alias("mean_norm"),
+        )
+        .orderBy("grp", "decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive-rate audit
+# ---------------------------------------------------------------------------
+
+#: Filter geometry: m bits, k hash functions (portable md5-derived, the
+#: q_xx/q_bu recipe). Membership set = small parts (p_size <= 10).
+_BF_M = 4096
+_BF_K = 3
+
+#: Shared-text FPR models. Literals use e-notation (1e0, not 1.0):
+#: Spark SQL types bare decimal literals as DECIMAL, so an all-literal
+#: subexpression like 1.0 - 1.0/4096.0 runs in decimal arithmetic there
+#: but double in DuckDB — a 1e-4 divergence that survives 6dp rounding
+#: (observed on fpr_theory). e-notation forces DOUBLE on both engines.
+_BF_FILL_EXPR = (
+    f"round(pow(CAST(n_bits_set AS DOUBLE) / {_BF_M}e0, {_BF_K}e0), 6)"
+)
+_BF_THEORY_EXPR = (
+    f"round(pow(1e0 - pow(1e0 - 1e0/{_BF_M}e0,"
+    f" {_BF_K}e0 * CAST(n_members AS DOUBLE)), {_BF_K}e0), 6)"
+)
+
+
+def _bf_bit_duck(key_expr: str, i: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || ':{i}'), 1, 8))"
+        f"::BIGINT % {_BF_M}"
+    )
+
+
+def _bf_bit_spark(key_col, i: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key_col.cast("string"), F.lit(f":{i}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BF_M
+    )
+
+
+@query(
+    "q_c9_bloom_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT p_partkey FROM part WHERE p_size <= 10),
+    probes AS (
+      SELECT p_partkey FROM part WHERE p_size > 10),
+    bits AS (
+      SELECT DISTINCT b FROM members, (VALUES {", ".join(f"({i})" for i in range(_BF_K))}) t(i),
+      LATERAL (SELECT CASE i {" ".join(
+        f"WHEN {i} THEN {_bf_bit_duck('p_partkey', i)}" for i in range(_BF_K))}
+               END AS b) x),
+    probe_hits AS (
+      SELECT p.p_partkey,
+             CAST(count(*) AS BIGINT) AS hits
+      FROM probes p, (VALUES {", ".join(f"({i})" for i in range(_BF_K))}) t(i),
+      LATERAL (SELECT CASE i {" ".join(
+        f"WHEN {i} THEN {_bf_bit_duck('p.p_partkey', i)}" for i in range(_BF_K))}
+               END AS b) x
+      WHERE x.b IN (SELECT b FROM bits)
+      GROUP BY p.p_partkey),
+    acc AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+             (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probes,
+             (SELECT CAST(count(*) AS BIGINT) FROM probe_hits
+              WHERE hits = {_BF_K}) AS n_false_pos)
+    SELECT n_members, n_bits_set, n_probes, n_false_pos,
+           round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE), 6)
+             AS fpr_observed,
+           {_BF_FILL_EXPR} AS fpr_fill_model,
+           {_BF_THEORY_EXPR} AS fpr_theory
+    FROM acc
+    """,
+)
+def q_c9_bloom_audit(spark, sf_dir):
+    """BLOOM-FILTER FPR AUDIT (Bloom, CACM 1970 — public): build a
+    portable m={_BF_M}, k={_BF_K} filter over the small-parts key set
+    with md5-derived bit positions (identical bytes on both engines —
+    the q_xx count-min recipe), probe it with every NON-member key, and
+    report the OBSERVED false-positive rate against two public models:
+    the fill-based (set-bits/m)^k and the classical
+    (1-(1-1/m)^(kn))^k. This is the quality gate for the engine's own
+    bloom-pre-pruned semi join (q_yq) — the number that tells you
+    whether m,k are sized right for the key cardinality before you ship
+    the filter to a 100 TB probe side.
+
+    Scale shape: the bit set is a DISTINCT over members x k (digest
+    arithmetic, combinable); probing is ONE semi-join of (probe, bit)
+    pairs against the m-bounded bit set (broadcast — it can never
+    exceed m rows), then a probe-grain count. At 100 TB the filter stays
+    {_BF_M} bits; only the probe scan grows.
+    """
+    part = read_table(spark, sf_dir, "part")
+    members = part.filter(F.col("p_size") <= 10).select("p_partkey")
+    probes = part.filter(F.col("p_size") > 10).select("p_partkey")
+    bits = (
+        members.select(
+            F.explode(
+                F.array(
+                    *[_bf_bit_spark(F.col("p_partkey"), i) for i in range(_BF_K)]
+                )
+            ).alias("b")
+        )
+        .distinct()
+    )
+    probe_bits = probes.select(
+        "p_partkey",
+        F.explode(
+            F.array(*[_bf_bit_spark(F.col("p_partkey"), i) for i in range(_BF_K)])
+        ).alias("b"),
+    )
+    probe_hits = (
+        probe_bits.join(F.broadcast(bits), "b")
+        .groupBy("p_partkey")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    acc = (
+        members.agg(F.count("*").cast("bigint").alias("n_members"))
+        .crossJoin(F.broadcast(bits.agg(F.count("*").cast("bigint").alias("n_bits_set"))))
+        .crossJoin(F.broadcast(probes.agg(F.count("*").cast("bigint").alias("n_probes"))))
+        .crossJoin(
+            F.broadcast(
+                probe_hits.filter(F.col("hits") == _BF_K).agg(
+                    F.count("*").cast("bigint").alias("n_false_pos")
+                )
+            )
+        )
+    )
+    return acc.select(
+        "n_members",
+        "n_bits_set",
+        "n_probes",
+        "n_false_pos",
+        F.round(
+            F.col("n_false_pos").cast("double") / F.col("n_probes").cast("double"),
+            6,
+        ).alias("fpr_observed"),
+        F.expr(_BF_FILL_EXPR).alias("fpr_fill_model"),
+        F.expr(_BF_THEORY_EXPR).alias("fpr_theory"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression via IRLS (iterative ML as declarative dataflow)
+# ---------------------------------------------------------------------------
+
+#: Per-row IRLS pieces, ONE shared text each, given the current
+#: (b0, b1) broadcast on the row. x = order value in $100k units;
+#: y = urgent-or-high priority. Literals in e-notation (the q_c9
+#: lesson: bare decimal literals type as DECIMAL in Spark SQL).
+_LR_X = "CAST(cents AS DOUBLE) / 1e7"
+_LR_ETA = f"(b0 + b1 * ({_LR_X}))"
+_LR_MU = f"(1e0 / (1e0 + exp(-{_LR_ETA})))"
+_LR_W = f"({_LR_MU} * (1e0 - {_LR_MU}))"
+_LR_RES = f"(CAST(y AS DOUBLE) - {_LR_MU})"
+
+#: Quantized addends (micro-units, 1e12): Fisher-information moments
+#: A=Σw, B=Σwx, C=Σwx², and the working-response forms D=Σ(w·eta+res),
+#: E=Σ(w·eta·x+res·x) — the identity w·z = w·eta + (y-mu) keeps every
+#: addend bounded even where w→0 (z alone explodes there). Rounding to
+#: exact BIGINT before the sum makes the accumulation order-free; the
+#: ±1-micro rounding jitter (~1e-12 per term) is invisible at the 6dp
+#: output scale.
+_LR_ADDENDS = {
+    "qa": f"CAST(round({_LR_W} * 1e12) AS BIGINT)",
+    "qb": f"CAST(round({_LR_W} * ({_LR_X}) * 1e12) AS BIGINT)",
+    "qc": f"CAST(round({_LR_W} * ({_LR_X}) * ({_LR_X}) * 1e12) AS BIGINT)",
+    "qd": f"CAST(round(({_LR_W} * {_LR_ETA} + {_LR_RES}) * 1e12) AS BIGINT)",
+    "qe": (
+        f"CAST(round(({_LR_W} * {_LR_ETA} * ({_LR_X})"
+        f" + {_LR_RES} * ({_LR_X})) * 1e12) AS BIGINT)"
+    ),
+}
+
+#: Closed-form 2x2 weighted-least-squares solve (scale 1e12 cancels in
+#: the ratios; products cast to DOUBLE first — BIGINT A*C overflows).
+_LR_DET = (
+    "(CAST(qa AS DOUBLE) * CAST(qc AS DOUBLE)"
+    " - CAST(qb AS DOUBLE) * CAST(qb AS DOUBLE))"
+)
+_LR_B0 = (
+    f"(CAST(qc AS DOUBLE) * CAST(qd AS DOUBLE)"
+    f" - CAST(qb AS DOUBLE) * CAST(qe AS DOUBLE)) / nullif({_LR_DET}, 0e0)"
+)
+_LR_B1 = (
+    f"(CAST(qa AS DOUBLE) * CAST(qe AS DOUBLE)"
+    f" - CAST(qb AS DOUBLE) * CAST(qd AS DOUBLE)) / nullif({_LR_DET}, 0e0)"
+)
+
+_LR_ITERS = 3
+
+_LR_SUMS_SQL = ",\n             ".join(
+    f"CAST(sum({expr}) AS BIGINT) AS {name}"
+    for name, expr in _LR_ADDENDS.items()
+)
+
+
+def _lr_oracle() -> str:
+    ctes = [
+        """src AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders)""",
+        "beta0 AS (SELECT CAST(0e0 AS DOUBLE) AS b0, CAST(0e0 AS DOUBLE) AS b1)",
+    ]
+    outs = []
+    for i in range(1, _LR_ITERS + 1):
+        ctes.append(
+            f"""m{i} AS (
+      SELECT {_LR_SUMS_SQL}
+      FROM src CROSS JOIN beta{i - 1})"""
+        )
+        ctes.append(
+            f"beta{i} AS (SELECT {_LR_B0} AS b0, {_LR_B1} AS b1 FROM m{i})"
+        )
+        outs.append(
+            f"""SELECT {i} AS iteration, round(b.b0, 6) AS b0,
+           round(b.b1, 6) AS b1,
+           round(CAST(m.qa AS DOUBLE) / 1e12, 6) AS sum_w,
+           round(CAST(m.qd AS DOUBLE) / 1e12, 6) AS sum_wz
+    FROM beta{i} b CROSS JOIN m{i} m"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL\n    ".join(outs)
+        + "\n    ORDER BY iteration"
+    )
+
+
+@query("q_ca_logistic_irls", oracle=_lr_oracle())
+def q_ca_logistic_irls(spark, sf_dir):
+    """LOGISTIC REGRESSION by IRLS (iteratively reweighted least
+    squares — Fisher scoring, any GLM text; the algorithm inside every
+    distributed LR including MLlib's): P(urgent order) ~ sigmoid(b0 +
+    b1*price), three exact iterations emitted as the audit trail. Each
+    iteration is ONE map-side-combinable aggregate of five Fisher
+    moments; per-row terms are shared-text sigmoid algebra QUANTIZED to
+    integer micro-units before summation — the sums are exact BIGINTs,
+    so the accumulation is partition-order-free and the 2x2 closed-form
+    solve feeds bit-identical betas to the next iteration on both
+    engines. The w·z = w·eta + (y-mu) identity keeps addends bounded
+    where the working response explodes. This is the engine's
+    demonstration that ITERATIVE ML fits the declarative one-scan-per-
+    iteration shape — no RDDs, no driver math beyond plan construction.
+
+    Scale shape: {_LR_ITERS} corpus scans (one per iteration), each
+    collapsing to ONE moment row; betas travel as broadcast 1-row
+    frames. At 100 TB: {_LR_ITERS} combinable aggregates, nothing else.
+    """
+    src = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr(
+            "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).cast("double").alias("b0"), F.lit(0.0).cast("double").alias("b1")
+    )
+    outs = []
+    for i in range(1, _LR_ITERS + 1):
+        m = src.crossJoin(F.broadcast(beta)).agg(
+            *[
+                F.sum(F.expr(expr)).cast("bigint").alias(name)
+                for name, expr in _LR_ADDENDS.items()
+            ]
+        )
+        beta = m.select(
+            F.expr(_LR_B0).alias("b0"), F.expr(_LR_B1).alias("b1")
+        )
+        outs.append(
+            beta.crossJoin(F.broadcast(m)).select(
+                F.lit(i).cast("int").alias("iteration"),
+                F.round("b0", 6).alias("b0"),
+                F.round("b1", 6).alias("b1"),
+                F.round(F.col("qa").cast("double") / 1e12, 6).alias("sum_w"),
+                F.round(F.col("qd").cast("double") / 1e12, 6).alias("sum_wz"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("iteration")
