@@ -953,3 +953,115 @@ def q_stream_kmv(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (how much data does a tight watermark drop)
+# ---------------------------------------------------------------------------
+
+#: Tight watermark for the lateness audit — far below the replay's
+#: 2-batch late shift (days of event time), so the deterministic late
+#: cohort is genuinely dropped, except stragglers landing within
+#: watermark+window of the stream head.
+LATE_AUDIT_WATERMARK = "20 minutes"
+_LA_WM_US = 20 * 60 * 1_000_000
+_LA_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_stream_lateness",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             row_number() OVER (ORDER BY ts, event_id) - 1 AS i,
+             count(*) OVER () AS n
+      FROM events),
+    batched AS (
+      SELECT event_id, us,
+             CASE WHEN (event_id * 2654435761) % 100 < 5
+                  THEN least((i * 8) // n + 2, 7)
+                  ELSE least((i * 8) // n, 7) END AS batch
+      FROM ordered),
+    batch_max AS (
+      SELECT batch, max(us) AS bmax FROM batched GROUP BY batch),
+    wm AS (
+      SELECT batch,
+             max(bmax) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - {_LA_WM_US} AS wm_us
+      FROM batch_max),
+    flagged AS (
+      SELECT b.us,
+             CASE WHEN w.wm_us IS NOT NULL
+                   AND (b.us // {_LA_HOUR_US} + 1) * {_LA_HOUR_US} <= w.wm_us
+                  THEN 1 ELSE 0 END AS dropped
+      FROM batched b JOIN wm w ON b.batch = w.batch)
+    SELECT CAST(us // {_LA_HOUR_US} AS BIGINT) AS hour_idx,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(1 - dropped) AS BIGINT) AS n_streamed,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY us // {_LA_HOUR_US}
+    ORDER BY hour_idx
+    """,
+)
+def q_stream_lateness(spark, sf_dir):
+    """WATERMARK LATENESS AUDIT: per event-hour, how many rows a
+    TIGHT-watermark streaming aggregation actually counted vs the batch
+    truth — n_dropped is the data loss a {LATE_AUDIT_WATERMARK}
+    watermark inflicts on the replay's deterministically late cohort
+    (5% of rows arrive 2 micro-batches later). This is the strongest
+    kind of streaming oracle in the engine: the DuckDB twin REPLICATES
+    the replayer's batch assignment (row-number arithmetic + the Knuth
+    multiplicative hash) and Spark's watermark protocol — empirically,
+    the watermark in force during batch b is max(event time of batches
+    <= b-2) minus the delay (the wm computed from batch b-1's data is
+    only COMMITTED when b-1 finishes and so first governs batch b; the
+    progress log's per-batch `watermark` field confirms the one-extra-
+    trigger lag), and a row is dropped iff its window END has been
+    passed — so
+    the streamed-vs-dropped split is value-checked row-exactly, not
+    just smoke-run. The ops readout every streaming pipeline needs
+    before choosing a watermark.
+
+    Scale shape: the streaming side is a standard watermarked tumbling
+    aggregate (state bounded by open windows); the audit join runs at
+    window grain (calendar-bounded). The oracle's global row_number is
+    replay-fixture math, not a production path — production assigns
+    batches by arrival, no global sort anywhere.
+    """
+    from pyspark.sql.functions import window as f_window
+
+    stream = (
+        _replayed_stream(spark, sf_dir)
+        .withWatermark("ts", LATE_AUDIT_WATERMARK)
+        .groupBy(f_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_streamed_raw"))
+    )
+    out = run_to_memory(stream, output_mode="append")
+    streamed = out.select(
+        F.expr(f"unix_micros(w.start) DIV {_LA_HOUR_US}").alias("hour_idx"),
+        F.col("n_streamed_raw"),
+    )
+    ev = read_table(spark, sf_dir, "events")
+    totals = ev.groupBy(
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_LA_HOUR_US}"
+        ).alias("hour_idx")
+    ).agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        totals.join(streamed, "hour_idx", "left")
+        .select(
+            F.col("hour_idx").cast("bigint").alias("hour_idx"),
+            "n_total",
+            F.coalesce(F.col("n_streamed_raw"), F.lit(0))
+            .cast("bigint")
+            .alias("n_streamed"),
+            (
+                F.col("n_total")
+                - F.coalesce(F.col("n_streamed_raw"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .orderBy("hour_idx")
+    )
