@@ -1640,3 +1640,257 @@ def q_c4_anova(spark, sf_dir):
         F.round(F.col("ssw") / 10000.0, 6).alias("ss_within_sq_dollars"),
         F.round(F.expr(_ANOVA_F), 6).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test (URGENT vs LOW order value)
+# ---------------------------------------------------------------------------
+
+#: Sample variance from exact integer moments (cents): (q - s^2/n)/(n-1).
+_WELCH_VAR = (
+    "(CAST(q{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)"
+    " / CAST(n{i} AS DOUBLE)) / (CAST(n{i} AS DOUBLE) - 1.0)"
+)
+#: Squared standard error of one arm's mean.
+_WELCH_SE = "v{i} / CAST(n{i} AS DOUBLE)"
+#: Welch t: mean difference (cents) over the combined standard error.
+_WELCH_T = (
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt(se1 + se2)"
+)
+#: Welch-Satterthwaite effective degrees of freedom.
+_WELCH_DF = (
+    "(se1 + se2) * (se1 + se2)"
+    " / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)"
+    "    + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0))"
+)
+
+
+@query(
+    "q_cb_welch_ttest",
+    oracle=f"""
+    WITH x AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END AS arm,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    per AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             sum(CAST(cents AS DECIMAL(38,0)) * cents) AS q
+      FROM x GROUP BY arm),
+    wide AS (
+      SELECT max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN s END) AS s1,
+             max(CASE WHEN arm = 1 THEN q END) AS q1,
+             max(CASE WHEN arm = 2 THEN n END) AS n2,
+             max(CASE WHEN arm = 2 THEN s END) AS s2,
+             max(CASE WHEN arm = 2 THEN q END) AS q2
+      FROM per),
+    v AS (
+      SELECT n1, s1, n2, s2,
+             {_WELCH_VAR.format(i=1)} AS v1,
+             {_WELCH_VAR.format(i=2)} AS v2
+      FROM wide),
+    se AS (
+      SELECT n1, s1, n2, s2, v1, v2,
+             {_WELCH_SE.format(i=1)} AS se1,
+             {_WELCH_SE.format(i=2)} AS se2
+      FROM v)
+    SELECT n1, n2,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0, 6)
+             AS mean1_dollars,
+           round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 100.0, 6)
+             AS mean2_dollars,
+           round(v1 / 10000.0, 6) AS var1_sq_dollars,
+           round(v2 / 10000.0, 6) AS var2_sq_dollars,
+           round({_WELCH_T}, 6) AS t_stat,
+           round({_WELCH_DF}, 6) AS df
+    FROM se
+    """,
+)
+def q_cb_welch_ttest(spark, sf_dir):
+    """WELCH'S UNEQUAL-VARIANCE t-TEST (Welch 1947, the default two-sample
+    test in R/scipy) of mean order value, 1-URGENT vs 5-LOW — the
+    two-arm continuous companion of q_c4's k-arm ANOVA and q_yi's
+    two-proportion z: per-arm exact integer moments (count, cent sum,
+    DECIMAL sum of squares), then ONE shared-text chain computes sample
+    variances, squared standard errors, the t statistic, and the
+    Welch-Satterthwaite effective df — every double born from the same
+    expression text in both engines, so the statistic is bit-identical.
+
+    Scale shape: one filtered, map-side-combinable groupBy collapses the
+    fact table to TWO moment rows; the pivot-to-wide and the closing
+    algebra are constant-size. 100 TB = one scan + a 1-row tail.
+    """
+    x = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(2)
+            .alias("arm"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    per = x.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("q"),
+    )
+    wide = per.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (1, 2)
+            for c in ("n", "s", "q")
+        ]
+    )
+    v = wide.withColumn("v1", F.expr(_WELCH_VAR.format(i=1))).withColumn(
+        "v2", F.expr(_WELCH_VAR.format(i=2))
+    )
+    se = v.withColumn("se1", F.expr(_WELCH_SE.format(i=1))).withColumn(
+        "se2", F.expr(_WELCH_SE.format(i=2))
+    )
+    return se.select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("s1").cast("double") / F.col("n1").cast("double") / 100.0, 6
+        ).alias("mean1_dollars"),
+        F.round(
+            F.col("s2").cast("double") / F.col("n2").cast("double") / 100.0, 6
+        ).alias("mean2_dollars"),
+        F.round(F.col("v1") / 10000.0, 6).alias("var1_sq_dollars"),
+        F.round(F.col("v2") / 10000.0, 6).alias("var2_sq_dollars"),
+        F.round(F.expr(_WELCH_T), 6).alias("t_stat"),
+        F.round(F.expr(_WELCH_DF), 6).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V + standardized residuals (mktsegment x region)
+# ---------------------------------------------------------------------------
+
+#: Independence expectation for one cell from exact integer margins.
+_CV_E = "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"
+#: Pearson standardized residual — which cells drive the dependence.
+_CV_RESID = "(CAST(o AS DOUBLE) - e) / sqrt(e)"
+#: Per-cell chi-square contribution.
+_CV_CONTRIB = "(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e"
+#: Cramér's V from the total statistic and the smaller table dimension.
+_CV_V = "sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(mindim AS DOUBLE)))"
+
+
+@query(
+    "q_cc_cramers_v",
+    oracle=f"""
+    WITH x AS (
+      SELECT c_mktsegment AS seg, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    obs AS (
+      SELECT seg, r_name, CAST(count(*) AS BIGINT) AS o
+      FROM x GROUP BY seg, r_name),
+    rows_m AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY seg),
+    cols_m AS (
+      SELECT r_name, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY r_name),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    dims AS (
+      SELECT least((SELECT count(*) FROM rows_m) - 1,
+                   (SELECT count(*) FROM cols_m) - 1) AS mindim),
+    grid AS (
+      SELECT rm.seg, cm.r_name, rm.r, cm.c, t.n,
+             coalesce(obs.o, 0) AS o
+      FROM rows_m rm CROSS JOIN cols_m cm CROSS JOIN tot t
+      LEFT JOIN obs ON obs.seg = rm.seg AND obs.r_name = cm.r_name),
+    cells AS (
+      SELECT seg, r_name, o, n, {_CV_E} AS e FROM grid),
+    acc AS (
+      SELECT seg, r_name, o, n, e,
+             {_CV_RESID} AS std_resid,
+             sum({_CV_CONTRIB}) OVER (ORDER BY seg, r_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS chi2
+      FROM cells)
+    SELECT seg, r_name, o,
+           round(e, 6) AS e,
+           round(std_resid, 6) AS std_resid,
+           round(chi2, 6) AS chi2,
+           round({_CV_V}, 6) AS cramers_v
+    FROM acc CROSS JOIN dims
+    ORDER BY seg, r_name
+    """,
+)
+def q_cc_cramers_v(spark, sf_dir):
+    """CRAMÉR'S V EFFECT SIZE + PEARSON STANDARDIZED RESIDUALS for the
+    market-segment x region contingency table (Cramér 1946) — the
+    effect-size companion of q_ya's chi-square: the test says WHETHER
+    segment mix depends on region, V says HOW MUCH (0..1, comparable
+    across table sizes), and the per-cell standardized residuals say
+    WHICH cells drive it. Expectations come from exact integer margins;
+    the chi-square total is one window over the 25-cell frame in a
+    fixed (seg, region) order so the double accumulation is bit-stable;
+    zero cells are materialized via the margin cross-product (q_ya
+    contract).
+
+    Scale shape: two broadcast dimension joins, then one map-side-
+    combinable contingency aggregate collapses the fact table to
+    |segments| x |regions| cells; margins, the cross-product grid, and
+    the V close are all cell-count work. 100 TB = one scan + a 25-row
+    tail.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", F.col("c_mktsegment").alias("seg")
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    x = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    )
+    obs = x.groupBy("seg", "r_name").agg(F.count("*").cast("bigint").alias("o"))
+    rows_m = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_m = obs.groupBy("r_name").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    dims = (
+        rows_m.agg((F.count("*") - 1).alias("rm1"))
+        .crossJoin(cols_m.agg((F.count("*") - 1).alias("cm1")))
+        .select(F.least("rm1", "cm1").alias("mindim"))
+    )
+    grid = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .crossJoin(F.broadcast(tot))
+        .join(obs, ["seg", "r_name"], "left")
+        .select(
+            "seg", "r_name", "r", "c", "n", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    cells = grid.withColumn("e", F.expr(_CV_E))
+    w_all = Window.orderBy("seg", "r_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = cells.select(
+        "seg",
+        "r_name",
+        "o",
+        "n",
+        "e",
+        F.expr(_CV_RESID).alias("std_resid"),
+        F.sum(F.expr(_CV_CONTRIB)).over(w_all).alias("chi2"),
+    )
+    return (
+        acc.crossJoin(F.broadcast(dims))
+        .select(
+            "seg",
+            "r_name",
+            "o",
+            F.round("e", 6).alias("e"),
+            F.round("std_resid", 6).alias("std_resid"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(F.expr(_CV_V), 6).alias("cramers_v"),
+        )
+        .orderBy("seg", "r_name")
+    )

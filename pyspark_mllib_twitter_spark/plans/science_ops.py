@@ -3271,3 +3271,177 @@ def q_c3_hill_tail(spark, sf_dir):
         F.round(F.col("h_sum") / HILL_K, 6).alias("hill_gamma"),
         F.round(HILL_K / F.expr("nullif(h_sum, 0.0)"), 6).alias("tail_alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters triple exponential smoothing (additive, weekly season)
+# ---------------------------------------------------------------------------
+
+#: Smoothing rationals alpha=2/10, beta=1/10, gamma=3/10 — every state
+#: update is an EXACT integer recurrence closed by one floor(x/10.0):
+#: int-to-double conversion and the /10.0 divide are IEEE-exact for
+#: |numerator| < 2^53 (daily revenue below ~$45T/day), so the floor is
+#: bit-identical in Python and DuckDB and the whole state trajectory is
+#: integer-exact cross-engine.
+def _hw_lnew(y: str, sj: str, l: str, b: str) -> str:
+    return (
+        f"CAST(floor((2 * (({y}) - ({sj})) + 8 * (({l}) + ({b})))"
+        " / 10.0) AS BIGINT)"
+    )
+
+
+def _hw_bnew(lnew: str, l: str, b: str) -> str:
+    return f"CAST(floor((({lnew}) - ({l}) + 9 * ({b})) / 10.0) AS BIGINT)"
+
+
+def _hw_snew(y: str, lnew: str, sj: str) -> str:
+    return (
+        f"CAST(floor((3 * (({y}) - ({lnew})) + 7 * ({sj}))"
+        " / 10.0) AS BIGINT)"
+    )
+
+
+def _hw_oracle() -> str:
+    sj = "CASE CAST(d.t % 7 AS INTEGER) WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5 ELSE hw.s6 END"
+    lnew = _hw_lnew("d.y", sj, "hw.l", "hw.b")
+    s_cols = ",\n             ".join(
+        f"CASE WHEN CAST(d.t % 7 AS INTEGER) = {k}"
+        f" THEN {_hw_snew('d.y', lnew, f'hw.s{k}')}"
+        f" ELSE hw.s{k} END AS s{k}"
+        for k in range(7)
+    )
+    return f"""
+    WITH RECURSIVE agg AS (
+      SELECT date_diff('day',
+               (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+               date_trunc('day', o_orderdate)) AS t,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1),
+    daily AS (
+      SELECT CAST(s.t AS BIGINT) AS t, coalesce(a.y, 0) AS y
+      FROM (SELECT unnest(range(0, (SELECT max(t) + 1 FROM agg))) AS t) s
+      LEFT JOIN agg a ON a.t = s.t),
+    means AS (
+      SELECT
+        CAST(floor(sum(CASE WHEN t BETWEEN 0 AND 6 THEN y END) / 7.0)
+          AS BIGINT) AS a1,
+        CAST(floor(sum(CASE WHEN t BETWEEN 7 AND 13 THEN y END) / 7.0)
+          AS BIGINT) AS a2
+      FROM daily),
+    init AS (
+      SELECT a1, CAST(floor((a2 - a1) / 7.0) AS BIGINT) AS b0,
+             (SELECT list(y ORDER BY t) FROM daily WHERE t <= 6) AS w1
+      FROM means),
+    hw AS (
+      SELECT CAST(6 AS BIGINT) AS t, a1 AS l, b0 AS b,
+             w1[1] - a1 AS s0, w1[2] - a1 AS s1, w1[3] - a1 AS s2,
+             w1[4] - a1 AS s3, w1[5] - a1 AS s4, w1[6] - a1 AS s5,
+             w1[7] - a1 AS s6,
+             CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
+      FROM init
+      UNION ALL
+      SELECT d.t,
+             {lnew} AS l,
+             {_hw_bnew(lnew, "hw.l", "hw.b")} AS b,
+             {s_cols},
+             d.y,
+             hw.l + hw.b + ({sj}) AS fitted
+      FROM hw JOIN daily d ON d.t = hw.t + 1)
+    SELECT t AS day_idx, y AS y_cents, fitted AS fitted_cents,
+           y - fitted AS resid_cents
+    FROM hw WHERE t >= 7 ORDER BY day_idx
+    """
+
+
+@query("q_cd_holt_winters", oracle=_hw_oracle())
+def q_cd_holt_winters(spark, sf_dir):
+    """HOLT-WINTERS TRIPLE EXPONENTIAL SMOOTHING (additive, weekly
+    season; Holt 1957 / Winters 1960 — the seasonal extension of q_ab's
+    Brown double smoothing) over daily order revenue: level, trend and
+    a 7-slot seasonal ring evolve by the classic recurrences with
+    alpha=.2, beta=.1, gamma=.3, and each day reports its ONE-STEP-AHEAD
+    fit l+b+s_j (computed before the day's update — a genuine forecast,
+    not an in-sample smooth). States live in exact integer cents with
+    every update closed by one floor(x/10.0), so the whole trajectory —
+    a 2.4k-step non-associative recurrence — is value-identical between
+    the Spark side (Arrow-batched applyInPandas running the pure-integer
+    loop) and a DuckDB RECURSIVE CTE twin: the strongest oracle shape a
+    sequential forecaster can carry. Init per Hyndman-Athanasopoulos
+    (fpp3 §8): level = week-1 mean, trend = (week-2 mean - week-1
+    mean)/7, seasonals = week-1 deviations.
+
+    Scale shape: the corpus-scan stage is ONE map-side-combinable daily
+    rollup (q_bs contract); the gap-filled spine, and the sequential
+    recurrence itself, live on the calendar-bounded daily frame (~2.4k
+    rows at any sf) — the Python stage never sees raw orders. The
+    recurrence is inherently order-dependent, so it runs in one task;
+    day count is bounded by the calendar, not data volume. Multi-series
+    use partitions by series key (q_by inventory contract).
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    o = read_table(spark, sf_dir, "orders")
+    day0 = o.agg(F.min(F.date_trunc("day", "o_orderdate")).alias("d0"))
+    daily = (
+        o.crossJoin(F.broadcast(day0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), F.col("d0"))
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    spine = daily.agg(F.max("t").alias("maxt")).select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("maxt"))).alias("t")
+    )
+    dense = spine.join(daily, "t", "left").select(
+        "t", F.coalesce("y", F.lit(0)).cast("bigint").alias("y")
+    )
+
+    schema = StructType(
+        [
+            StructField("day_idx", LongType()),
+            StructField("y_cents", LongType()),
+            StructField("fitted_cents", LongType()),
+            StructField("resid_cents", LongType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ys = [int(v) for v in pdf["y"]]
+        if len(ys) < 14:
+            raise ValueError("holt_winters: need >= 14 days")
+        a1 = math.floor(sum(ys[0:7]) / 7.0)
+        a2 = math.floor(sum(ys[7:14]) / 7.0)
+        l, b = a1, math.floor((a2 - a1) / 7.0)
+        s = [ys[j] - a1 for j in range(7)]
+        out = []
+        for t in range(7, len(ys)):
+            j = t % 7
+            fitted = l + b + s[j]
+            y = ys[t]
+            lnew = math.floor((2 * (y - s[j]) + 8 * (l + b)) / 10.0)
+            bnew = math.floor((lnew - l + 9 * b) / 10.0)
+            s[j] = math.floor((3 * (y - lnew) + 7 * s[j]) / 10.0)
+            l, b = lnew, bnew
+            out.append((t, y, fitted, y - fitted))
+        return pd.DataFrame(
+            out, columns=["day_idx", "y_cents", "fitted_cents", "resid_cents"]
+        )
+
+    return (
+        dense.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _, p: run(p), schema=schema)
+        .orderBy("day_idx")
+    )
