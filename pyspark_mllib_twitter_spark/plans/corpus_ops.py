@@ -4600,3 +4600,172 @@ def q_bc_weighted_sssp(spark, sf_dir):
     return dist.select("node", F.col("dist").cast("bigint").alias("dist")).orderBy(
         "dist", "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (distributed Borůvka)
+# ---------------------------------------------------------------------------
+
+MST_MAX_ROUNDS = 25
+#: Deterministic integer edge weight (q_bc SSSP family). Ties are broken
+#: by the full (w, u, v) struct ordering, making the MST unique.
+_MST_W_SQL = "(c * 7 + s * 13) % 97 + 1"
+
+
+def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame:
+    """Minimum spanning forest of an undirected weighted edge list
+    ``(u, v, w)`` (``u < v`` canonical, BIGINT ids) by distributed
+    Borůvka (Borůvka 1926; the GraphX/Pregel MSF standard — each round
+    every component selects its minimum outgoing edge, selected edges
+    merge components, repeat). With ties broken by the total (w, u, v)
+    struct order the forest is UNIQUE, so output is value-testable.
+
+    Loop discipline: outer rounds halve (at least) the component count —
+    <= log2(V) data-dependent rounds, each one edge-to-component join
+    pair + a map-side-combinable struct-min per component. Component
+    merging runs POINTER JUMPING on the component-grain parent table
+    (2-cycles of mutually-selecting components are broken toward the
+    smaller id — the classic root rule), doubling chain coverage per hop
+    — log-depth inner rounds on a frame that is component-count-sized,
+    never edge-sized. Both loops localCheckpoint each round (flat
+    lineage) and raise on max_rounds exhaustion (q_z6 kcore contract: a
+    partial forest is silently wrong).
+
+    Scale: edges shuffle only on component labels; the struct-min is a
+    partial aggregate (no window over edges); per-round work shrinks as
+    components merge. 100 TB graphs: same shapes, component table
+    stays node-grain.
+    """
+    comp = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    ed = edges.localCheckpoint(eager=True)
+    picked = None
+    converged = False
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        e2 = (
+            ed.join(cu, "u")
+            .join(cv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)
+        )
+        if e2.limit(1).count() == 0:
+            converged = True
+            break
+        pick = F.struct("w", "u", "v").alias("pick")
+        cand = e2.select(
+            F.col("cu").alias("c"), pick, F.col("cv").alias("other")
+        ).unionByName(
+            e2.select(F.col("cv").alias("c"), pick, F.col("cu").alias("other"))
+        )
+        sel = cand.groupBy("c").agg(
+            F.min(F.struct("pick", "other")).alias("m")
+        ).select(
+            "c",
+            F.col("m.pick.u").alias("u"),
+            F.col("m.pick.v").alias("v"),
+            F.col("m.pick.w").alias("w"),
+            F.col("m.other").alias("p"),
+        )
+        new_edges = sel.select("u", "v", "w").distinct()
+        picked = (
+            new_edges
+            if picked is None
+            else picked.unionByName(new_edges)
+        ).localCheckpoint(eager=True)
+        # Parent pointers at component grain; mutual pairs root at min id.
+        par = sel.select("c", "p")
+        back = par.select(F.col("c").alias("bp"), F.col("p").alias("c_back"))
+        par = par.join(
+            back, (par.p == back.bp) & (par.c == back.c_back), "left"
+        ).select(
+            "c",
+            F.when(
+                F.col("c_back").isNotNull() & (F.col("c") < F.col("p")),
+                F.col("c"),
+            )
+            .otherwise(F.col("p"))
+            .alias("p"),
+        ).localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            nxt = par.select(F.col("c").alias("pc"), F.col("p").alias("pp"))
+            jumped = par.join(nxt, par.p == nxt.pc, "left").select(
+                "c", F.coalesce("pp", "p").alias("p")
+            ).localCheckpoint(eager=True)
+            if (
+                jumped.alias("a")
+                .join(
+                    par.alias("b"),
+                    (F.col("a.c") == F.col("b.c"))
+                    & (F.col("a.p") != F.col("b.p")),
+                )
+                .limit(1)
+                .count()
+                == 0
+            ):
+                par = jumped
+                break
+            par = jumped
+        else:
+            raise RuntimeError(
+                "boruvka_mst: pointer jumping did not converge within "
+                f"max_rounds={max_rounds}"
+            )
+        root = par.select(F.col("c").alias("comp"), F.col("p").alias("newc"))
+        comp = (
+            comp.join(root, "comp", "left")
+            .select("node", F.coalesce("newc", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"boruvka_mst: forest not complete within max_rounds={max_rounds}"
+        )
+    if picked is None:
+        return edges.select("u", "v", "w").limit(0)
+    return picked.distinct()
+
+
+@query("q_cg_boruvka_mst")  # data-dependent rounds -> rows-only; golden-tested
+def q_cg_boruvka_mst(spark, sf_dir):
+    """MINIMUM SPANNING FOREST of the customer-supplier trade graph
+    (distributed Borůvka) — the backbone extraction used for
+    single-linkage clustering, network design, and graph sparsification
+    (an MSF is the minimal structure preserving connectivity). Nodes are
+    2*custkey / 2*suppkey+1; edges are distinct trading pairs with the
+    q_bc-family deterministic weight, pre-collapsed to MIN weight per
+    pair so the input is edge-grain before any iteration. Rows-only by
+    design (round count is data-dependent, no SQL unroll); the test
+    layer checks the forest EDGE-FOR-EDGE against a pure-Python Kruskal
+    on the same edge list plus the structural invariants |F| = V - #CC
+    and acyclicity (tests/test_corpus_ops.py).
+
+    Scale shape: see ``boruvka_mst`` — component-label shuffles and
+    partial struct-min aggregates only; nothing node- or edge-sized ever
+    reaches the driver.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            (F.col("c") * 2).alias("u"),
+            (F.col("s") * 2 + 1).alias("v"),
+            F.expr(_MST_W_SQL).cast("bigint").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    return boruvka_mst(edges).orderBy("u", "v")

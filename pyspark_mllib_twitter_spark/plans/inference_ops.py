@@ -1894,3 +1894,143 @@ def q_cc_cramers_v(spark, sf_dir):
         )
         .orderBy("seg", "r_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval + coverage audit
+# ---------------------------------------------------------------------------
+
+#: Conformal rank: k = ceil((n_cal + 1) * (1 - alpha)) with alpha = 1/10,
+#: in exact integer arithmetic via the shared floor(x/10.0) close.
+_CONF_K = "CAST(floor((9 * (n_cal + 1) + 9) / 10.0) AS BIGINT)"
+#: Integer point prediction: per-group train mean, floored to whole cents.
+_CONF_YHAT = "CAST(floor(CAST(s_tr AS DOUBLE) / CAST(n_tr AS DOUBLE)) AS BIGINT)"
+
+
+@query(
+    "q_cf_conformal",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey % 4 AS fold, o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    model AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_tr,
+             CAST(sum(cents) AS BIGINT) AS s_tr
+      FROM x WHERE fold IN (0, 1) GROUP BY grp),
+    yhat AS (SELECT grp, {_CONF_YHAT} AS yhat FROM model),
+    cal AS (
+      SELECT abs(x.cents - y.yhat) AS score
+      FROM x JOIN yhat y ON x.grp = y.grp WHERE x.fold = 2),
+    ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    kk AS (SELECT n_cal, {_CONF_K} AS k FROM ncal),
+    cells AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY score),
+    cum AS (
+      SELECT score,
+             sum(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM cells),
+    qhat AS (
+      SELECT min(score) AS qhat_cents
+      FROM cum CROSS JOIN kk WHERE cw >= kk.k),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(x.cents - y.yhat) <= q.qhat_cents
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM x JOIN yhat y ON x.grp = y.grp CROSS JOIN qhat q
+      WHERE x.fold = 3)
+    SELECT kk.n_cal, kk.k AS conformal_rank, q.qhat_cents,
+           t.n_test, t.n_covered,
+           round(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE), 6)
+             AS coverage
+    FROM kk CROSS JOIN qhat q CROSS JOIN test t
+    """,
+)
+def q_cf_conformal(spark, sf_dir):
+    """SPLIT-CONFORMAL PREDICTION INTERVAL + COVERAGE AUDIT (Vovk et al.
+    2005; Lei et al. 2018 JASA — the distribution-free uncertainty
+    wrapper production ML ships around any point model): train folds fit
+    a per-priority mean-price model, the calibration fold takes q̂ = the
+    ceil((n+1)(1-α))-th smallest absolute residual (α=0.1), and the
+    held-out test fold audits that ŷ ± q̂ covers ~90% — the guarantee is
+    distribution-free, so coverage ≈ 0.9 is a testable invariant, not a
+    hope. Folds are deterministic (orderkey mod 4); scores are exact
+    integer cents; q̂ is an EXACT order statistic via the distributed-
+    rank recipe (value cells + cumulative window, q_b8 contract), and
+    the conformal rank itself is exact integer arithmetic through the
+    shared floor close.
+
+    Scale shape: one scan, split by a cheap modulus; the model is a
+    5-row broadcast; score cells collapse the calibration fold before
+    the (cell-grain) cumulative window; the test audit is one combinable
+    aggregate against two broadcast scalars. 100 TB = one scan + cell-
+    grain tails.
+    """
+    x = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).alias("fold"),
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    model = (
+        x.filter(F.col("fold").isin(0, 1))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tr"),
+            F.sum("cents").cast("bigint").alias("s_tr"),
+        )
+    )
+    yhat = model.select("grp", F.expr(_CONF_YHAT).alias("yhat"))
+    cal = (
+        x.filter(F.col("fold") == 2)
+        .join(F.broadcast(yhat), "grp")
+        .select(F.abs(F.col("cents") - F.col("yhat")).alias("score"))
+    )
+    kk = cal.agg(F.count("*").cast("bigint").alias("n_cal")).select(
+        "n_cal", F.expr(_CONF_K).alias("k")
+    )
+    cells = cal.groupBy("score").agg(F.count("*").cast("bigint").alias("c"))
+    cum = cells.select(
+        "score",
+        F.sum("c")
+        .over(Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(kk))
+        .filter(F.col("cw") >= F.col("k"))
+        .agg(F.min("score").alias("qhat_cents"))
+    )
+    test = (
+        x.filter(F.col("fold") == 3)
+        .join(F.broadcast(yhat), "grp")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("yhat"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        kk.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_cal",
+            F.col("k").alias("conformal_rank"),
+            "qhat_cents",
+            "n_test",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

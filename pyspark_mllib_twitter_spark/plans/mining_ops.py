@@ -954,3 +954,113 @@ def q_c5_dirichlet_ql(spark, sf_dir):
         "doc_id",
         F.round("score", 6).alias("log_ql"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Dunning G² log-likelihood collocations (adjacent bigrams)
+# ---------------------------------------------------------------------------
+
+#: Report floor — bigrams this rare have unstable G² and bloat output.
+_G2_MIN_COUNT = 5
+
+#: One 0·ln0-guarded term of the log-likelihood sum: k ln(kN / (r c)).
+def _g2_term(k: str, r: str, c: str) -> str:
+    return (
+        f"CASE WHEN ({k}) > 0 THEN CAST({k} AS DOUBLE)"
+        f" * ln(CAST({k} AS DOUBLE) * CAST(nn AS DOUBLE)"
+        f" / (CAST({r} AS DOUBLE) * CAST({c} AS DOUBLE))) ELSE 0.0 END"
+    )
+
+
+#: The four contingency cells from bigram/margin counts, in fixed order:
+#: (w1,w2), (w1,¬w2), (¬w1,w2), (¬w1,¬w2).
+_G2_EXPR = (
+    "2.0 * ("
+    + " + ".join(
+        [
+            _g2_term("c12", "c1", "c2"),
+            _g2_term("c1 - c12", "c1", "nn - c2"),
+            _g2_term("c2 - c12", "nn - c1", "c2"),
+            _g2_term("nn - c1 - c2 + c12", "nn - c1", "nn - c2"),
+        ]
+    )
+    + ")"
+)
+
+
+@query(
+    "q_ce_g2_collocations",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) AS p
+      FROM toks),
+    bg AS (
+      SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      GROUP BY 1, 2),
+    lm AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    rm AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bg)
+    SELECT bg.w1, bg.w2, bg.c12, lm.c1, rm.c2,
+           round({_G2_EXPR}, 6) AS g2
+    FROM bg JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+    WHERE bg.c12 >= {_G2_MIN_COUNT}
+    ORDER BY bg.w1, bg.w2
+    """,
+)
+def q_ce_g2_collocations(spark, sf_dir):
+    """DUNNING G² LOG-LIKELIHOOD COLLOCATIONS over adjacent bigrams
+    (Dunning 1993, "Accurate methods for the statistics of surprise and
+    coincidence" — the collocation test that, unlike q_y3's PMI, stays
+    calibrated for rare counts): the 2x2 contingency table per bigram is
+    built from BIGRAM-EVENT margins (c1 = bigrams starting with w1, c2 =
+    bigrams ending with w2, N = all bigrams — the NLTK
+    BigramCollocationFinder convention, self-consistent across doc
+    boundaries), and G² = 2 Σ k ln(kN/(rc)) over the four cells with the
+    0·ln0 CASE guard (q_bd contract), every term one shared-text
+    expression on exact BIGINT counts. Output ordered by the token pair,
+    never by the float (q_y3 contract).
+
+    Scale shape: bigram generation is the (doc_id, position) equi-join
+    on the exploded token table — no theta join; bigram and margin
+    counts are map-side-combinable digest-keyed aggregates; the scalar N
+    broadcasts into the final projection. The report-floor filter prunes
+    the long tail before the margin joins.
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    pos = d.select(
+        "doc_id", F.posexplode(TXT.tokens("text")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    right = pos.select(
+        "doc_id", (F.col("p") - 1).alias("p"), F.col("tok").alias("w2")
+    )
+    bg = (
+        pos.withColumnRenamed("tok", "w1")
+        .join(right, ["doc_id", "p"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    lm = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    rm = bg.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    tot = bg.agg(F.sum("c12").cast("bigint").alias("nn"))
+    return (
+        bg.filter(F.col("c12") >= _G2_MIN_COUNT)
+        .join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(F.expr(_G2_EXPR), 6).alias("g2"),
+        )
+        .orderBy("w1", "w2")
+    )

@@ -536,3 +536,90 @@ def test_kmv_setops_estimates_within_bounds(spark, sf_smoke):
     # intersection compounds two estimates — double the envelope
     assert abs(r.est_inter - r.n_inter) <= max(3, 2 * tol * max(r.n_inter, 1)), r
     assert 0.0 <= r.jaccard_est <= 1.0
+
+
+def _kruskal(edges):
+    """Golden MST: Kruskal with (w, u, v) total-order tie-break."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = set()
+    for w, u, v in sorted((w, u, v) for u, v, w in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            chosen.add((u, v, w))
+    return chosen
+
+
+def test_boruvka_matches_kruskal_on_handbuilt_graph(spark):
+    """Exactness on a graph with ties, a cycle, and two components."""
+    from pyspark_mllib_twitter_spark.plans.corpus_ops import boruvka_mst
+
+    edges = [
+        (1, 2, 1),
+        (2, 3, 1),  # tie with (1,2): both in MST (tree edges)
+        (1, 3, 5),  # cycle closer, must be excluded
+        (3, 4, 2),
+        (5, 6, 7),  # second component
+    ]
+    df = spark.createDataFrame(edges, "u long, v long, w long")
+    got = {(r.u, r.v, r.w) for r in boruvka_mst(df).collect()}
+    assert got == _kruskal(edges)
+
+
+def test_boruvka_mst_matches_kruskal_and_invariants(spark, sf_smoke):
+    """Edge-for-edge golden vs pure-Python Kruskal on the real fixture
+    edge list, plus the forest invariants |F| = V - #CC and acyclicity."""
+    import pyspark.sql.functions as F
+
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    li = read_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = read_table(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = [
+        (r.u, r.v, r.w)
+        for r in pairs.select(
+            (F.col("c") * 2).alias("u"),
+            (F.col("s") * 2 + 1).alias("v"),
+            F.expr("(c * 7 + s * 13) % 97 + 1").cast("bigint").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .collect()
+    ]
+    golden = _kruskal(edges)
+    got = {(r.u, r.v, r.w) for r in _rows(spark, sf_smoke, "q_cg_boruvka_mst")}
+    assert got == golden
+
+    # |F| = V - #CC (forest spans every component) and acyclicity.
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v, _ in edges:
+        parent[find(u)] = find(v)
+    n_cc = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - n_cc
+    parent = {}
+    for u, v, _ in got:
+        ru, rv = find(u), find(v)
+        assert ru != rv, "forest contains a cycle"
+        parent[ru] = rv
