@@ -1064,3 +1064,108 @@ def q_ce_g2_collocations(spark, sf_dir):
         )
         .orderBy("w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (canonical, character-level)
+# ---------------------------------------------------------------------------
+
+#: Hard cap on the collected alphabet — the driver-side tree build is
+#: sanctioned ONLY because the alphabet is bounded (quantizer-fit
+#: contract); blowing past this means the symbol definition is wrong.
+HUFF_MAX_ALPHABET = 4096
+
+
+def _huffman_lengths(freqs: list[tuple[str, int]]) -> dict[str, int]:
+    """Optimal prefix-code lengths (Huffman 1952). Deterministic: leaves
+    enter the heap in symbol order, merges tie-break by insertion serial.
+    Any tie-break yields the same OPTIMAL average length (the classic
+    exchange argument); determinism just pins one representative."""
+    import heapq
+
+    if not freqs:
+        return {}
+    if len(freqs) == 1:
+        return {freqs[0][0]: 1}
+    heap: list[tuple[int, int, tuple[str, ...]]] = []
+    for i, (sym, c) in enumerate(sorted(freqs)):
+        heapq.heappush(heap, (c, i, (sym,)))
+    serial = len(freqs)
+    depth: dict[str, int] = {}
+    while len(heap) > 1:
+        c1, _, s1 = heapq.heappop(heap)
+        c2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] = depth.get(s, 0) + 1
+        heapq.heappush(heap, (c1 + c2, serial, s1 + s2))
+        serial += 1
+    return depth
+
+
+def canonical_codes(lengths: dict[str, int]) -> dict[str, str]:
+    """Canonical Huffman assignment (RFC 1951 §3.2.2 style): symbols
+    sorted by (length, symbol) get consecutive codes, left-padded as the
+    length steps up — decode tables need only the length histogram."""
+    code = 0
+    prev_len = 0
+    out: dict[str, str] = {}
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        code <<= ln - prev_len
+        out[sym] = format(code, f"0{ln}b")
+        code += 1
+        prev_len = ln
+    return out
+
+
+@query("q_ci_huffman")  # driver tree build on bounded alphabet -> rows-only
+def q_ci_huffman(spark, sf_dir):
+    """CANONICAL HUFFMAN CODE for the corpus character distribution
+    (Huffman 1952; canonical form per DEFLATE/RFC 1951) — the
+    entropy-coding primitive behind every compression stage a training-
+    data pipeline ships, and a direct readout of corpus compressibility
+    next to q_ns_compression_quality's zlib ratio: per-character counts
+    feed an optimal prefix code; output is (char, count, code_len,
+    code) plus each symbol's exact encoded contribution.
+
+    Scale shape: character counting is explode + ONE map-side-combinable
+    aggregate — the exploded rows collapse to alphabet grain BEFORE any
+    shuffle (partial aggregation), so the exchange carries ~100 rows
+    however big the corpus. The tree build runs driver-side on the
+    ALPHABET-BOUNDED frequency table (quantizer-fit contract,
+    HUFF_MAX_ALPHABET guard) — O(|A| log |A|), data-size-independent —
+    and rejoins as a broadcast literal frame. Rows-only by design (tree
+    construction is not SQL); tests pin the Kraft equality, the
+    Shannon entropy sandwich H <= avg_len < H+1, prefix-freeness, and
+    optimal average length vs an independent implementation
+    (tests/test_mining_ops.py).
+    """
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    rows = freq.collect()
+    if len(rows) > HUFF_MAX_ALPHABET:
+        raise RuntimeError(
+            f"huffman: alphabet {len(rows)} exceeds {HUFF_MAX_ALPHABET}; "
+            "symbol definition is not alphabet-bounded"
+        )
+    lengths = _huffman_lengths([(r.ch, r.cnt) for r in rows])
+    codes = canonical_codes(lengths)
+    code_df = spark.createDataFrame(
+        [(s, lengths[s], codes[s]) for s in sorted(lengths)],
+        "ch string, code_len long, code string",
+    )
+    return (
+        freq.join(F.broadcast(code_df), "ch")
+        .select(
+            "ch",
+            "cnt",
+            "code_len",
+            "code",
+            (F.col("cnt") * F.col("code_len")).cast("bigint").alias("bits"),
+        )
+        .orderBy("ch")
+    )

@@ -3445,3 +3445,179 @@ def q_cd_holt_winters(spark, sf_dir):
         .applyInPandas(lambda _, p: run(p), schema=schema)
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality (does order count forecast revenue?)
+# ---------------------------------------------------------------------------
+
+#: Moment names over aligned (t, t-1) day pairs. y = today's revenue
+#: in whole kilodollars (floor-quantized so every moment sum stays below
+#: 2^53 — see docstring), yl = yesterday's, xl = yesterday's order count.
+_GR_MOMS = [
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(sum(y) AS DOUBLE) AS sy",
+    "CAST(sum(yl) AS DOUBLE) AS syl",
+    "CAST(sum(xl) AS DOUBLE) AS sxl",
+    "CAST(sum(y * y) AS DOUBLE) AS syy",
+    "CAST(sum(yl * yl) AS DOUBLE) AS sylyl",
+    "CAST(sum(xl * xl) AS DOUBLE) AS sxlxl",
+    "CAST(sum(y * yl) AS DOUBLE) AS syyl",
+    "CAST(sum(y * xl) AS DOUBLE) AS syxl",
+    "CAST(sum(yl * xl) AS DOUBLE) AS sylxl",
+]
+
+#: Unrestricted model y ~ 1 + yl + xl: Cramer's rule on the 3x3 normal
+#: matrix [[n,syl,sxl],[syl,sylyl,sylxl],[sxl,sylxl,sxlxl]] (q_z9 layout).
+_GR_DET_U = (
+    "(CAST(n AS DOUBLE) * (sylyl * sxlxl - sylxl * sylxl)"
+    " - syl * (syl * sxlxl - sylxl * sxl)"
+    " + sxl * (syl * sylxl - sylyl * sxl))"
+)
+_GR_B0 = (
+    f"(sy * (sylyl * sxlxl - sylxl * sylxl)"
+    f" - syl * (syyl * sxlxl - sylxl * syxl)"
+    f" + sxl * (syyl * sylxl - sylyl * syxl)) / {_GR_DET_U}"
+)
+_GR_B1 = (
+    f"(CAST(n AS DOUBLE) * (syyl * sxlxl - sylxl * syxl)"
+    f" - sy * (syl * sxlxl - sylxl * sxl)"
+    f" + sxl * (syl * syxl - syyl * sxl)) / {_GR_DET_U}"
+)
+_GR_B2 = (
+    f"(CAST(n AS DOUBLE) * (sylyl * syxl - syyl * sylxl)"
+    f" - syl * (syl * syxl - syyl * sxl)"
+    f" + sy * (syl * sylxl - sylyl * sxl)) / {_GR_DET_U}"
+)
+#: Restricted model y ~ 1 + yl: 2x2 closed form.
+_GR_DET_R = "(CAST(n AS DOUBLE) * sylyl - syl * syl)"
+_GR_A0 = f"(sy * sylyl - syl * syyl) / {_GR_DET_R}"
+_GR_A1 = f"(CAST(n AS DOUBLE) * syyl - syl * sy) / {_GR_DET_R}"
+#: Residual sums of squares from the same moments: RSS = y'y - b'X'y.
+_GR_RSS_U = "(syy - (b0 * sy + b1 * syyl + b2 * syxl))"
+_GR_RSS_R = "(syy - (a0 * sy + a1 * syyl))"
+#: Granger F with 1 numerator df and n-3 denominator df.
+_GR_F = (
+    "((rss_r - rss_u) / 1.0)"
+    " / nullif(rss_u / (CAST(n AS DOUBLE) - 3.0), 0.0)"
+)
+
+
+@query(
+    "q_ch_granger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day',
+               (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+               date_trunc('day', o_orderdate)) AS t,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CAST(floor(a.rev / 100000.0) AS BIGINT) AS y,
+             CAST(floor(b.rev / 100000.0) AS BIGINT) AS yl,
+             b.cnt AS xl
+      FROM daily a JOIN daily b ON b.t = a.t - 1),
+    m AS (SELECT {", ".join(_GR_MOMS)} FROM pairs),
+    fit AS (
+      SELECT n, sy, syy, syyl, syxl,
+             {_GR_B0} AS b0, {_GR_B1} AS b1, {_GR_B2} AS b2,
+             {_GR_A0} AS a0, {_GR_A1} AS a1
+      FROM m),
+    rss AS (
+      SELECT n, b0, b1, b2, a0, a1,
+             {_GR_RSS_U} AS rss_u, {_GR_RSS_R} AS rss_r
+      FROM fit)
+    SELECT n,
+           round(b1, 6) AS b_y_lag, round(b2, 6) AS b_x_lag,
+           round(a1, 6) AS b_restricted_y_lag,
+           round(rss_u, 6) AS rss_u_sq_kdollars,
+           round(rss_r, 6) AS rss_r_sq_kdollars,
+           round({_GR_F}, 6) AS f_granger
+    FROM rss
+    """,
+)
+def q_ch_granger(spark, sf_dir):
+    """GRANGER CAUSALITY TEST (Granger 1969) — does yesterday's ORDER
+    COUNT help forecast today's REVENUE beyond revenue's own lag? The
+    nested-OLS F-test production forecasting teams run before adding a
+    leading indicator: unrestricted y_t ~ 1 + y_{{t-1}} + x_{{t-1}}
+    (3x3 Cramer's rule on exact integer moments, the q_z9 layout) vs
+    restricted y_t ~ 1 + y_{{t-1}} (2x2 closed form), F = (RSS_r -
+    RSS_u) / (RSS_u / (n-3)). Lag alignment is an explicit day-index
+    equi-join (q_bs contract — robust to calendar gaps, no row-offset
+    lag). Revenue is quantized to whole kilodollars through the shared
+    floor close BEFORE the moments, keeping every sum below 2^53 — the
+    DECIMAL-above-2^53 route diverges by 1 ulp between the engines'
+    decimal->double casts (observed; DuckDB's hugeint conversion
+    double-rounds) — so both engines produce bit-identical
+    coefficients, RSS, and F from plain BIGINT sums.
+
+    Scale shape: ONE map-side-combinable daily rollup is the only
+    corpus-scan stage; the self-join, moment aggregate (10 sums over
+    ~2.4k day pairs), and the closed-form solve are calendar-bounded.
+    100 TB = one scan + a 1-row tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    day0 = o.agg(F.min(F.date_trunc("day", "o_orderdate")).alias("d0"))
+    daily = (
+        o.crossJoin(F.broadcast(day0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), F.col("d0")).alias(
+                "t"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("b.t") == F.col("a.t") - 1
+    ).select(
+        F.expr("CAST(floor(a.rev / 100000.0) AS BIGINT)").alias("y"),
+        F.expr("CAST(floor(b.rev / 100000.0) AS BIGINT)").alias("yl"),
+        F.col("b.cnt").alias("xl"),
+    )
+    m = pairs.agg(
+        *[
+            F.expr(expr).alias(alias)
+            for expr, alias in (s.rsplit(" AS ", 1) for s in _GR_MOMS)
+        ]
+    )
+    fit = m.select(
+        "n",
+        "sy",
+        "syy",
+        "syyl",
+        "syxl",
+        F.expr(_GR_B0).alias("b0"),
+        F.expr(_GR_B1).alias("b1"),
+        F.expr(_GR_B2).alias("b2"),
+        F.expr(_GR_A0).alias("a0"),
+        F.expr(_GR_A1).alias("a1"),
+    )
+    rss = fit.select(
+        "n",
+        "b0",
+        "b1",
+        "b2",
+        "a0",
+        "a1",
+        F.expr(_GR_RSS_U).alias("rss_u"),
+        F.expr(_GR_RSS_R).alias("rss_r"),
+    )
+    return rss.select(
+        "n",
+        F.round("b1", 6).alias("b_y_lag"),
+        F.round("b2", 6).alias("b_x_lag"),
+        F.round("a1", 6).alias("b_restricted_y_lag"),
+        F.round(F.col("rss_u"), 6).alias("rss_u_sq_kdollars"),
+        F.round(F.col("rss_r"), 6).alias("rss_r_sq_kdollars"),
+        F.round(F.expr(_GR_F), 6).alias("f_granger"),
+    )

@@ -202,3 +202,51 @@ def test_attribution_matches_pure_python(spark, sf_smoke):
     assert len(got) == len(expect)
     for r in got:
         assert (r.attributed_type, r.touch_event_id, r.gap_us) == expect[r.event_id], r
+
+
+def test_huffman_code_information_theory_contracts(spark, sf_smoke):
+    """Kraft equality, the Shannon sandwich H <= L < H+1, prefix-freeness
+    of the canonical assignment, and optimality of the average length vs
+    an INDEPENDENT (sorted-list merge) Huffman implementation."""
+    import math
+
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_ci_huffman"].spark(spark, sf_smoke).collect()
+    assert len(rows) > 2
+    total = sum(r.cnt for r in rows)
+    # Kraft equality: a full binary tree uses the budget exactly.
+    assert abs(sum(2.0 ** -r.code_len for r in rows) - 1.0) < 1e-12
+    # Shannon sandwich on the weighted average length.
+    h = -sum((r.cnt / total) * math.log2(r.cnt / total) for r in rows)
+    avg = sum(r.bits for r in rows) / total
+    assert h - 1e-9 <= avg < h + 1.0
+    # Canonical codes are prefix-free and lengths match.
+    codes = [(r.code, r.code_len) for r in rows]
+    for c, ln in codes:
+        assert len(c) == ln
+    sc = sorted(c for c, _ in codes)
+    for a, b in zip(sc, sc[1:]):
+        assert not b.startswith(a), (a, b)
+    # Optimal average length equals an independent implementation's:
+    # repeatedly merge the two lightest clusters via sorted-list scan
+    # (no heapq, different tie-breaking) — all Huffman codes share the
+    # same optimal total bit count.
+    clusters = sorted(((r.cnt, [r.ch]) for r in rows), key=lambda x: x[0])
+    depth = {r.ch: 0 for r in rows}
+    while len(clusters) > 1:
+        (c1, s1), (c2, s2) = clusters[0], clusters[1]
+        clusters = clusters[2:]
+        for s in s1 + s2:
+            depth[s] += 1
+        merged = (c1 + c2, s1 + s2)
+        lo, hi = 0, len(clusters)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if clusters[mid][0] < merged[0]:
+                lo = mid + 1
+            else:
+                hi = mid
+        clusters.insert(lo, merged)
+    golden_bits = sum(r.cnt * depth[r.ch] for r in rows)
+    assert sum(r.bits for r in rows) == golden_bits
