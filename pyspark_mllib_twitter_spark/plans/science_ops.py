@@ -3621,3 +3621,247 @@ def q_ch_granger(spark, sf_dir):
         F.round(F.col("rss_r"), 6).alias("rss_r_sq_kdollars"),
         F.round(F.expr(_GR_F), 6).alias("f_granger"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decoding of a 2-state regime HMM over daily revenue
+# ---------------------------------------------------------------------------
+
+#: Sticky transition log-probs in exact integer micro-nats (shared
+#: literals): P(stay)=0.9, P(switch)=0.1, P0 uniform. Integer scores
+#: make the whole DP — max, compare, add — bit-identical cross-engine.
+_VIT_STAY = -105361       # floor(1e6 * ln(0.9))
+_VIT_SWITCH = -2302586    # floor(1e6 * ln(0.1))
+_VIT_INIT = -693148       # floor(1e6 * ln(0.5))
+
+#: Quantized Gaussian emission score (micro-nats, shared sigma^2 so the
+#: normalizer cancels): floor((-1e6 * (y-mu)^2) / (2 v)).
+def _vit_emit(mu: str, v: str) -> str:
+    return (
+        f"CAST(floor((-1e6 * (CAST(y - {mu} AS DOUBLE))"
+        f" * (CAST(y - {mu} AS DOUBLE))) / (2e0 * {v})) AS BIGINT)"
+    )
+
+
+def _vit_daily_sql() -> str:
+    """Gap-filled kilodollar daily series + deterministic emission params
+    (kilodollar-grain quartile means, pooled variance — the q_cj init)."""
+    return """
+    agg AS (
+      SELECT date_diff('day',
+               (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+               date_trunc('day', o_orderdate)) AS t,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    daily AS (
+      SELECT CAST(s.t AS BIGINT) AS t,
+             CAST(floor(CAST(coalesce(a.cents, 0) AS DOUBLE) / 1e5)
+               AS BIGINT) AS y
+      FROM (SELECT unnest(range(0, (SELECT max(t) + 1 FROM agg))) AS t) s
+      LEFT JOIN agg a ON a.t = s.t),
+    kcell AS (
+      SELECT y AS xk, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY y),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(xk * c) AS BIGINT) AS sx,
+             CAST(sum(xk * xk * c) AS BIGINT) AS sxx
+      FROM kcell),
+    cum AS (
+      SELECT xk, sum(c) OVER (ORDER BY xk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM kcell),
+    params AS (
+      SELECT
+        CAST((SELECT min(xk) FROM cum CROSS JOIN tot
+              WHERE cw >= CAST(floor((CAST(n AS DOUBLE) + 3e0) / 4e0)
+                AS BIGINT)) AS BIGINT) AS mu1,
+        CAST((SELECT min(xk) FROM cum CROSS JOIN tot
+              WHERE cw >= CAST(floor((3e0 * CAST(n AS DOUBLE) + 3e0) / 4e0)
+                AS BIGINT)) AS BIGINT) AS mu2,
+        greatest((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1e0), 1e0) AS v
+      FROM tot),
+    em AS MATERIALIZED (
+      -- materialized for the same reason as dec below: the forward
+      -- recursion joins em every iteration; inlined, each iteration
+      -- would re-run the whole daily/params subtree (orders scans).
+      SELECT d.t, d.y,
+             """ + _vit_emit("p.mu1", "p.v") + """ AS e1,
+             """ + _vit_emit("p.mu2", "p.v") + """ AS e2
+      FROM daily d CROSS JOIN params p)"""
+
+
+def _vit_oracle() -> str:
+    s, w, i0 = _VIT_STAY, _VIT_SWITCH, _VIT_INIT
+    return f"""
+    WITH RECURSIVE {_vit_daily_sql()},
+    fwd AS (
+      SELECT t, y, {i0} + e1 AS v1, {i0} + e2 AS v2,
+             CAST(0 AS INTEGER) AS d1, CAST(0 AS INTEGER) AS d2
+      FROM em WHERE t = 0
+      UNION ALL
+      SELECT e.t, e.y,
+             e.e1 + greatest(f.v1 + {s}, f.v2 + {w}),
+             e.e2 + greatest(f.v1 + {w}, f.v2 + {s}),
+             CASE WHEN f.v1 + {s} >= f.v2 + {w} THEN 1 ELSE 2 END,
+             CASE WHEN f.v1 + {w} >= f.v2 + {s} THEN 1 ELSE 2 END
+      FROM fwd f JOIN em e ON e.t = f.t + 1),
+    dec AS MATERIALIZED (
+      -- materialization barrier: without it each backtrace iteration
+      -- re-executes the ENTIRE forward recursion (observed: O(T^2)
+      -- forward passes, minutes instead of milliseconds at 2.4k days)
+      SELECT t, y, v1, v2, d1, d2 FROM fwd),
+    back AS (
+      SELECT t, y, CASE WHEN v1 >= v2 THEN 1 ELSE 2 END AS state, d1, d2
+      FROM dec WHERE t = (SELECT max(t) FROM dec)
+      UNION ALL
+      SELECT f.t, f.y,
+             CASE WHEN b.state = 1 THEN b.d1 ELSE b.d2 END, f.d1, f.d2
+      FROM back b JOIN dec f ON f.t = b.t - 1)
+    SELECT t AS day_idx, y AS y_kdollars, CAST(state AS BIGINT) AS state
+    FROM back ORDER BY day_idx
+    """
+
+
+@query("q_cm_viterbi", oracle=_vit_oracle())
+def q_cm_viterbi(spark, sf_dir):
+    """VITERBI DECODING of a 2-state sticky regime HMM over daily
+    revenue (Viterbi 1967; Rabiner 1989 tutorial — the regime-switching
+    readout behind market/seasonality segmentation): Gaussian emissions
+    with deterministic params (kilodollar-grain exact quartile means,
+    pooled variance — the q_cj init), sticky transitions P(stay)=0.9,
+    and EVERYTHING in exact integer micro-nats — emission scores by one
+    shared floor close, transition/initial log-probs as integer
+    literals — so the forward max-sum DP, its argmax decisions, AND the
+    backtraced state path are bit-identical across engines. The DuckDB
+    twin runs the forward pass as a RECURSIVE CTE and the backtrace as
+    a SECOND recursive CTE walking the stored decisions — the full
+    Viterbi path (2.4k days) is value-checked, not just the score
+    (q_cd's recurrence-oracle pattern, extended to argmax+backtrace).
+
+    Scale shape: the corpus-scan stage is one map-side-combinable daily
+    rollup; the gap-filled spine, emission projection, and the
+    inherently sequential DP (one applyInPandas task, q_cd contract)
+    are calendar-bounded. Ties break toward state 1 by the shared >=.
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    o = read_table(spark, sf_dir, "orders")
+    day0 = o.agg(F.min(F.date_trunc("day", "o_orderdate")).alias("d0"))
+    agg = (
+        o.crossJoin(F.broadcast(day0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), F.col("d0"))
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    spine = agg.agg(F.max("t").alias("maxt")).select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("maxt"))).alias("t")
+    )
+    daily = spine.join(agg, "t", "left").select(
+        "t",
+        F.expr(
+            "CAST(floor(CAST(coalesce(cents, 0) AS DOUBLE) / 1e5) AS BIGINT)"
+        ).alias("y"),
+    )
+    kcell = daily.groupBy(F.col("y").alias("xk")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = kcell.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("xk") * F.col("c")).cast("bigint").alias("sx"),
+        F.sum(F.col("xk") * F.col("xk") * F.col("c"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    cum = kcell.select(
+        "xk",
+        F.sum("c")
+        .over(Window.orderBy("xk").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+    )
+    k25 = "CAST(floor((CAST(n AS DOUBLE) + 3e0) / 4e0) AS BIGINT)"
+    k75 = "CAST(floor((3e0 * CAST(n AS DOUBLE) + 3e0) / 4e0) AS BIGINT)"
+    q1 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cw") >= F.expr(k25))
+        .agg(F.min("xk").cast("bigint").alias("mu1"))
+    )
+    q3 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cw") >= F.expr(k75))
+        .agg(F.min("xk").cast("bigint").alias("mu2"))
+    )
+    params = (
+        tot.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .select(
+            "mu1",
+            "mu2",
+            F.expr(
+                "greatest((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+                " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) - 1e0), 1e0)"
+            ).alias("v"),
+        )
+    )
+    em = daily.crossJoin(F.broadcast(params)).select(
+        "t",
+        "y",
+        F.expr(_vit_emit("mu1", "v")).alias("e1"),
+        F.expr(_vit_emit("mu2", "v")).alias("e2"),
+    )
+
+    schema = StructType(
+        [
+            StructField("day_idx", LongType()),
+            StructField("y_kdollars", LongType()),
+            StructField("state", LongType()),
+        ]
+    )
+    stay, sw, init = _VIT_STAY, _VIT_SWITCH, _VIT_INIT
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ts = [int(x) for x in pdf["t"]]
+        ys = [int(x) for x in pdf["y"]]
+        e1 = [int(x) for x in pdf["e1"]]
+        e2 = [int(x) for x in pdf["e2"]]
+        n = len(ts)
+        v1, v2 = init + e1[0], init + e2[0]
+        dec = [(0, 0)]
+        for k in range(1, n):
+            a1, b1 = v1 + stay, v2 + sw
+            a2, b2 = v1 + sw, v2 + stay
+            d1 = 1 if a1 >= b1 else 2
+            d2 = 1 if a2 >= b2 else 2
+            v1, v2 = e1[k] + max(a1, b1), e2[k] + max(a2, b2)
+            dec.append((d1, d2))
+        state = 1 if v1 >= v2 else 2
+        out = [(ts[n - 1], ys[n - 1], state)]
+        for k in range(n - 1, 0, -1):
+            state = dec[k][0] if state == 1 else dec[k][1]
+            out.append((ts[k - 1], ys[k - 1], state))
+        return pd.DataFrame(
+            reversed(out), columns=["day_idx", "y_kdollars", "state"]
+        )
+
+    return (
+        em.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _, p: decode(p), schema=schema)
+        .orderBy("day_idx")
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..sources import read_table
+from ..sources import read_table, register_views
 from .corpus_ops import KM_CUTOFF
 from .registry import query
 
@@ -841,7 +841,7 @@ _VW_UNIT_MICROS = (
     "q_bo_vwap",
     oracle=f"""
     WITH fills AS (
-      SELECT date_trunc('week', l_shipdate) AS week,
+      SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
              CAST(l_quantity AS BIGINT) AS qty
       FROM lineitem),
@@ -877,7 +877,11 @@ def q_bo_vwap(spark, sf_dir):
     shuffle.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
-        F.date_trunc("week", "l_shipdate").alias("week"),
+        # DATE, not the raw date_trunc TIMESTAMP: Spark's date_trunc
+        # returns a timestamp while DuckDB's returns a date — pandas-side
+        # compares coerce them equal, but string-normalizing harnesses
+        # (tests/oracle_harness) see '1997-12-29 00:00:00' vs '1997-12-29'.
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
@@ -2198,3 +2202,395 @@ def q_ca_logistic_irls(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("iteration")
+
+
+# ---------------------------------------------------------------------------
+# Two-component Gaussian mixture via EM (iterative ML as declarative SQL)
+# ---------------------------------------------------------------------------
+
+#: Order value in kilodollars as a double born from exact integer cents —
+#: keeps every quantized addend small enough that all BIGINT sums stay
+#: int64-exact (q_ca addend-bounding contract).
+_GMM_X = "(CAST(cents AS DOUBLE) / 1e5)"
+#: Responsibility quantization: 1e4 units. Addend bounds at sf0.1:
+#: q*rxx <= 1e4 * 600^2 = 3.6e9/row -> sums ~5e15, inside int64 AND a
+#: single BIGINT->DOUBLE cast (the Granger lesson: never route sums
+#: through DECIMAL128 above 2^53 — DuckDB's hugeint->double double-rounds).
+_GMM_QSCALE = "1e4"
+_GMM_ITERS = 3
+
+
+def _gmm_d(p: str) -> str:
+    """Log posterior-odds of component 1 for one row, params from CTE p."""
+    x = _GMM_X
+    return (
+        f"({p}.lw"
+        f" - (({x}) - {p}.mu1) * (({x}) - {p}.mu1) / (2e0 * {p}.v1)"
+        f" - 5e-1 * ln({p}.v1)"
+        f" + (({x}) - {p}.mu2) * (({x}) - {p}.mu2) / (2e0 * {p}.v2)"
+        f" + 5e-1 * ln({p}.v2))"
+    )
+
+
+def _gmm_moments(p: str) -> str:
+    """The six quantized responsibility-weighted sums for one E+M step."""
+    r1 = f"(1e0 / (1e0 + exp(-({_gmm_d(p)}))))"
+    x = _GMM_X
+    q = _GMM_QSCALE
+    pieces = {
+        "q1r": f"{r1} * {q}",
+        "q1rx": f"{r1} * ({x}) * {q}",
+        "q1rxx": f"{r1} * ({x}) * ({x}) * {q}",
+        "q2r": f"(1e0 - {r1}) * {q}",
+        "q2rx": f"(1e0 - {r1}) * ({x}) * {q}",
+        "q2rxx": f"(1e0 - {r1}) * ({x}) * ({x}) * {q}",
+    }
+    return ",\n             ".join(
+        f"CAST(sum(CAST(round({expr}) AS BIGINT)) AS BIGINT) AS {name}"
+        for name, expr in pieces.items()
+    )
+
+
+#: M-step parameter closes (shared text; sums are int64-exact).
+_GMM_MU = "(CAST(q{i}rx AS DOUBLE) / nullif(CAST(q{i}r AS DOUBLE), 0e0))"
+_GMM_V = (
+    "greatest(CAST(q{i}rxx AS DOUBLE) / nullif(CAST(q{i}r AS DOUBLE), 0e0)"
+    " - mu{i} * mu{i}, 1e-6)"
+)
+_GMM_LW = "ln(CAST(q1r AS DOUBLE) / nullif(CAST(q2r AS DOUBLE), 0e0))"
+_GMM_W1 = "(CAST(q1r AS DOUBLE) / (CAST(q1r AS DOUBLE) + CAST(q2r AS DOUBLE)))"
+
+
+def _gmm_sql() -> str:
+    """ONE dialect-portable SQL text (q_g4 contract) for init + 3 EM
+    iterations; runs verbatim on Spark and DuckDB."""
+    ctes = [
+        """src AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)""",
+        # Kilodollar value cells: the init quartiles and variance come from
+        # a frame bounded by the PRICE RANGE (~600 cells), not data volume.
+        """kcell AS (
+      SELECT CAST(floor(CAST(cents AS DOUBLE) / 1e5) AS BIGINT) AS xk,
+             CAST(count(*) AS BIGINT) AS c
+      FROM src GROUP BY CAST(floor(CAST(cents AS DOUBLE) / 1e5) AS BIGINT))""",
+        """tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(xk * c) AS BIGINT) AS sx,
+             CAST(sum(xk * xk * c) AS BIGINT) AS sxx
+      FROM kcell)""",
+        """cum AS (
+      SELECT xk, sum(c) OVER (ORDER BY xk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM kcell)""",
+        # Init: mu at the exact (kilodollar-grain) quartiles, one pooled
+        # variance, even weights. All deterministic.
+        """p0 AS (
+      SELECT
+        CAST((SELECT min(xk) FROM cum CROSS JOIN tot
+              WHERE cw >= CAST(floor((CAST(n AS DOUBLE) + 3e0) / 4e0) AS BIGINT))
+          AS DOUBLE) AS mu1,
+        greatest((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1e0), 1e-6) AS v1,
+        CAST((SELECT min(xk) FROM cum CROSS JOIN tot
+              WHERE cw >= CAST(floor((3e0 * CAST(n AS DOUBLE) + 3e0) / 4e0) AS BIGINT))
+          AS DOUBLE) AS mu2,
+        greatest((CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1e0), 1e-6) AS v2,
+        0e0 AS lw
+      FROM tot)""",
+    ]
+    outs = []
+    for i in range(1, _GMM_ITERS + 1):
+        ctes.append(
+            f"""m{i} AS (
+      SELECT {_gmm_moments(f"p{i - 1}")}
+      FROM src CROSS JOIN p{i - 1})"""
+        )
+        mu1 = _GMM_MU.format(i=1)
+        mu2 = _GMM_MU.format(i=2)
+        ctes.append(
+            f"""pa{i} AS (
+      SELECT q1r, q1rx, q1rxx, q2r, q2rx, q2rxx,
+             {mu1} AS mu1, {mu2} AS mu2
+      FROM m{i})"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+      SELECT mu1, {_GMM_V.format(i=1)} AS v1,
+             mu2, {_GMM_V.format(i=2)} AS v2,
+             {_GMM_LW} AS lw,
+             {_GMM_W1} AS w1
+      FROM pa{i})"""
+        )
+        outs.append(
+            f"""SELECT {i} AS iteration,
+           round(mu1, 6) AS mu1_kdollars, round(sqrt(v1), 6) AS sd1_kdollars,
+           round(mu2, 6) AS mu2_kdollars, round(sqrt(v2), 6) AS sd2_kdollars,
+           round(w1, 6) AS w1
+    FROM p{i}"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL\n    ".join(outs)
+        + "\n    ORDER BY iteration"
+    )
+
+
+@query("q_cj_gmm_em", oracle=_gmm_sql())
+def q_cj_gmm_em(spark, sf_dir):
+    """TWO-COMPONENT GAUSSIAN MIXTURE fit by EM (Dempster-Laird-Rubin
+    1977), 3 iterations, as one declarative dataflow — the distribution-
+    modeling companion of q_ca's IRLS and the algorithm under MLlib's
+    GaussianMixture: each iteration's E-step computes every row's
+    component-1 responsibility from the previous parameters (ONE
+    shared-text log-odds + logistic expression), quantizes the six
+    weighted addends to 1e4 units, and BIGINT-sums them (order-free,
+    q_ca contract); the M-step closes means/variances/log-odds in shared
+    text. Init is deterministic: kilodollar-grain exact quartiles for
+    the means (distributed-rank over ~600 price cells), pooled variance,
+    even weights. Addends are bounded so every sum stays int64 — never
+    DECIMAL128 — because DuckDB's hugeint->double cast double-rounds
+    above 2^53 (the q_ch lesson). Per-iteration parameter trajectory is
+    the output, so convergence itself is hash-checked.
+
+    Scale shape: 3 scans of the fact table (one per iteration), each a
+    map-side-combinable 6-sum aggregate against a broadcast 1-row param
+    frame; init runs on the price-range-bounded cell table. 100 TB =
+    3 combinable scans, zero corpus-sized shuffles.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_gmm_sql())
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy (ordinal-pattern complexity of the daily series)
+# ---------------------------------------------------------------------------
+
+#: Ordinal pattern of an embedded triple with the STABLE tie rule
+#: (earlier day ranks first on equality — Bandt-Pompe convention):
+#: 3 pairwise <=_stable bits; transitivity leaves 6 legal patterns.
+_PE_PAT = "(4 * (CASE WHEN a <= b THEN 1 ELSE 0 END)" \
+    " + 2 * (CASE WHEN b <= c THEN 1 ELSE 0 END)" \
+    " + (CASE WHEN a <= c THEN 1 ELSE 0 END))"
+#: 0·ln0-guarded Shannon term on the pattern distribution.
+_PE_TERM = (
+    "CASE WHEN cnt > 0 THEN (CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE))"
+    " * ln(CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE)) ELSE 0e0 END"
+)
+
+
+@query(
+    "q_ck_perm_entropy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day',
+               (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+               date_trunc('day', o_orderdate)) AS t,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1),
+    trip AS (
+      SELECT d0.y AS a, d1.y AS b, d2.y AS c
+      FROM daily d0
+      JOIN daily d1 ON d1.t = d0.t + 1
+      JOIN daily d2 ON d2.t = d0.t + 2),
+    pat AS (
+      SELECT {_PE_PAT} AS pattern, CAST(count(*) AS BIGINT) AS cnt
+      FROM trip GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM pat),
+    acc AS (
+      SELECT pattern, cnt, nt,
+             sum({_PE_TERM}) OVER (ORDER BY pattern
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS negh
+      FROM pat CROSS JOIN tot)
+    SELECT pattern, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS p,
+           round(-negh, 6) AS perm_entropy_nats,
+           round(-negh / ln(6e0), 6) AS perm_entropy_norm
+    FROM acc ORDER BY pattern
+    """,
+)
+def q_ck_perm_entropy(spark, sf_dir):
+    """PERMUTATION ENTROPY of daily revenue (Bandt & Pompe, PRL 2002 —
+    the ordinal-pattern complexity measure; low = trending/periodic,
+    ln(6)-normalized 1 = white noise), embedding dimension 3: each
+    consecutive day triple maps to its ordinal pattern via three stable
+    <= comparisons (ties rank by temporal order, the Bandt-Pompe
+    convention; transitivity leaves 6 legal codes), and the Shannon
+    entropy of the pattern distribution closes with the 0·ln0-guarded
+    shared-text term accumulated in fixed pattern order (q_bq contract).
+    Day alignment is the explicit day-index equi-join (q_bs contract).
+
+    Scale shape: one map-side-combinable daily rollup, two
+    calendar-bounded self-joins, a <= 6-row pattern table; entropy runs
+    on that constant frame. 100 TB = one scan + a 6-row tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    day0 = o.agg(F.min(F.date_trunc("day", "o_orderdate")).alias("d0"))
+    daily = (
+        o.crossJoin(F.broadcast(day0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), F.col("d0")).alias(
+                "t"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    d0, d1, d2 = daily.alias("d0"), daily.alias("d1"), daily.alias("d2")
+    trip = (
+        d0.join(F.broadcast(d1), F.col("d1.t") == F.col("d0.t") + 1)
+        .join(F.broadcast(d2), F.col("d2.t") == F.col("d0.t") + 2)
+        .select(
+            F.col("d0.y").alias("a"),
+            F.col("d1.y").alias("b"),
+            F.col("d2.y").alias("c"),
+        )
+    )
+    pat = trip.groupBy(F.expr(_PE_PAT).alias("pattern")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = pat.agg(F.sum("cnt").cast("bigint").alias("nt"))
+    w_all = Window.orderBy("pattern").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = pat.crossJoin(F.broadcast(tot)).select(
+        "pattern",
+        "cnt",
+        "nt",
+        F.sum(F.expr(_PE_TERM)).over(w_all).alias("negh"),
+    )
+    return acc.select(
+        "pattern",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("nt").cast("double"), 6)
+        .alias("p"),
+        F.round(-F.col("negh"), 6).alias("perm_entropy_nats"),
+        F.round(-F.col("negh") / F.expr("ln(6e0)"), 6).alias(
+            "perm_entropy_norm"
+        ),
+    ).orderBy("pattern")
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of daily up/down moves)
+# ---------------------------------------------------------------------------
+
+#: Closed-form moments of the run count under H0 (exact integer inputs).
+_RT_MU = "(1e0 + 2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))"
+_RT_VAR = (
+    "(2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (2e0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)))"
+)
+_RT_Z = f"((CAST(r AS DOUBLE) - {_RT_MU}) / nullif(sqrt({_RT_VAR}), 0e0))"
+
+
+@query(
+    "q_cl_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day',
+               (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+               date_trunc('day', o_orderdate)) AS t,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1),
+    moves AS (
+      SELECT a.t, CASE WHEN a.y > b.y THEN 1 ELSE 0 END AS up
+      FROM daily a JOIN daily b ON b.t = a.t - 1
+      WHERE a.y <> b.y),
+    seq AS (
+      SELECT up,
+             lag(up) OVER (ORDER BY t) AS prev_up
+      FROM moves),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(up) AS BIGINT) AS n1,
+             CAST(count(*) - sum(up) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev_up IS NOT NULL
+                                AND up <> prev_up THEN 1 ELSE 0 END)
+               AS BIGINT) AS r
+      FROM seq)
+    SELECT n, n1, n2, r,
+           round({_RT_MU}, 6) AS expected_runs,
+           round({_RT_Z}, 6) AS z_stat
+    FROM agg
+    """,
+)
+def q_cl_runs_test(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST on the daily revenue up/down sequence
+    (Wald & Wolfowitz 1940 — the nonparametric randomness check trading
+    desks and monitoring systems run before trusting iid assumptions):
+    day-over-day moves become a binary up/down sequence (flat days
+    dropped, the standard treatment), the run count R compares against
+    its exact null moments mu = 1 + 2 n1 n2 / n and the classical
+    variance, closing in one shared-text z. Too FEW runs = trending,
+    too MANY = mean-reverting oscillation. The run count itself is a
+    lag-compare sum — exact integers end to end; the only window runs
+    at day grain.
+
+    Scale shape: one map-side-combinable daily rollup, a day-index lag
+    join, one day-grain ordered window, a 1-row close. 100 TB = one
+    scan + a calendar-bounded tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    day0 = o.agg(F.min(F.date_trunc("day", "o_orderdate")).alias("d0"))
+    daily = (
+        o.crossJoin(F.broadcast(day0))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), F.col("d0")).alias(
+                "t"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    moves = (
+        a.join(F.broadcast(b), F.col("b.t") == F.col("a.t") - 1)
+        .filter(F.col("a.y") != F.col("b.y"))
+        .select(
+            F.col("a.t").alias("t"),
+            F.when(F.col("a.y") > F.col("b.y"), 1).otherwise(0).alias("up"),
+        )
+    )
+    seq = moves.select(
+        "up", F.lag("up").over(Window.orderBy("t")).alias("prev_up")
+    )
+    agg = seq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("up").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("up")).cast("bigint").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    return agg.select(
+        "n",
+        "n1",
+        "n2",
+        "r",
+        F.round(F.expr(_RT_MU), 6).alias("expected_runs"),
+        F.round(F.expr(_RT_Z), 6).alias("z_stat"),
+    )

@@ -141,6 +141,12 @@ def register(spark) -> None:
 # DocStoreDataSource — the WRITE half of the connector surface
 # ---------------------------------------------------------------------------
 
+class DocstoreConflictError(RuntimeError):
+    """A commit planned against a stale manifest version (another writer
+    committed in between) — the optimistic-concurrency conflict. The
+    store is untouched; re-plan against the current version and retry."""
+
+
 class _StagedFile(WriterCommitMessage):
     """Per-task commit message: where the task staged its rows, plus the
     optional min/max of the writer's ``stats_field`` — the zone-map entry
@@ -211,6 +217,17 @@ class DocStoreWriter(DataSourceWriter):
         # them); ``docstore_vacuum`` owns reclamation instead. Without the
         # flag, behavior is unchanged: replaced files are deleted at commit
         # (the round-6 overwrite-hygiene contract).
+        # Optimistic concurrency control (Delta/Iceberg commit-conflict
+        # shape, public designs): a read-modify-write cycle (DELETE /
+        # MERGE / OPTIMIZE plans against manifest version V, rewrites
+        # files, commits) passes the version it PLANNED against; commit
+        # compares it to the store's current version under the commit
+        # lock and raises DocstoreConflictError on mismatch instead of
+        # silently clobbering a concurrent writer's commit (lost update /
+        # resurrecting deleted rows). Blind appends omit it and never
+        # conflict.
+        ev = options.get("expected_version")
+        self.expected_version = int(ev) if ev not in (None, "") else None
         self.retain_history = str(options.get("retain_history", "")).lower() in (
             "1", "true", "yes",
         )
@@ -252,6 +269,39 @@ class DocStoreWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json as _json
         import os as _os
+        import time as _time
+
+        # Commit mutex: serialize the read-manifest -> publish-manifest
+        # critical section across processes (O_EXCL create is atomic on
+        # POSIX; object stores use a conditional-put here instead). The
+        # lock makes the OCC version comparison below race-free.
+        lock = _os.path.join(self.path, "_COMMIT.lock")
+        fd = None
+        for _ in range(100):
+            try:
+                fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+                break
+            except FileExistsError:
+                _time.sleep(0.1)
+        if fd is None:
+            raise DocstoreConflictError(
+                f"docstore: commit lock {lock} held for >10s — a crashed "
+                "committer leaves a stale lock; remove it after verifying "
+                "no commit is in flight"
+            )
+        try:
+            _os.write(fd, str(_os.getpid()).encode())
+            self._commit_locked(messages)
+        finally:
+            _os.close(fd)
+            try:
+                _os.remove(lock)
+            except OSError:
+                pass
+
+    def _commit_locked(self, messages) -> None:
+        import json as _json
+        import os as _os
 
         files = []
         prior = []
@@ -268,6 +318,19 @@ class DocStoreWriter(DataSourceWriter):
                 replace = set(self.replace_files)
                 prior = [e for e in committed if e["file"] not in replace]
                 replaced = [e["file"] for e in committed if e["file"] in replace]
+        if (
+            self.expected_version is not None
+            and version - 1 != self.expected_version
+        ):
+            # Stale plan: the files this job read (and the replace_files
+            # it computed) describe a superseded version. Clean the
+            # staged output and surface the conflict — the store is
+            # untouched.
+            self.abort(messages)
+            raise DocstoreConflictError(
+                f"docstore: planned against version {self.expected_version} "
+                f"but store is at {version - 1}; re-plan and retry"
+            )
         for m in messages:
             if m is None:
                 continue
@@ -432,7 +495,9 @@ def docstore_delete(spark, store: str, field: str, lo, hi) -> dict:
     from pyspark.sql import functions as _F
 
     with open(_os.path.join(store, "_MANIFEST.json"), encoding="utf-8") as f:
-        entries = _json.load(f)["files"]
+        latest = _json.load(f)
+    entries = latest["files"]
+    planned_version = int(latest.get("version", 1))
 
     def _touched(e: dict) -> bool:
         if "min" not in e or "max" not in e:
@@ -453,6 +518,10 @@ def docstore_delete(spark, store: str, field: str, lo, hi) -> dict:
             .mode("append")
             .option("replace_files", ",".join(hit))
             .option("stats_field", field)
+            # OCC: this rewrite planned against planned_version; commit
+            # refuses (DocstoreConflictError) if another writer landed
+            # in between — a stale rewrite would resurrect its rows.
+            .option("expected_version", str(planned_version))
             .save(store)
         )
     return {"touched": hit, "untouched": miss}
@@ -503,7 +572,9 @@ def docstore_merge(
         }
 
     with open(_os.path.join(store, "_MANIFEST.json"), encoding="utf-8") as f:
-        entries = _json.load(f)["files"]
+        latest = _json.load(f)
+    entries = latest["files"]
+    planned_version = int(latest.get("version", 1))
 
     def _touched(e: dict) -> bool:
         if "min" not in e or "max" not in e:
@@ -547,6 +618,9 @@ def docstore_merge(
     )
     if hit:
         writer = writer.option("replace_files", ",".join(hit))
+    # OCC (see docstore_delete): MERGE is read-modify-write; refuse to
+    # publish over a version it did not plan against.
+    writer = writer.option("expected_version", str(planned_version))
     writer.save(store)
     return {
         "touched": hit,

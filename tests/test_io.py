@@ -567,3 +567,90 @@ def test_docstore_merge_delete_action(spark, tmp_path):
             assert back[i] == f"UPD{i}"
         else:
             assert back[i] == f"t{i}"
+
+
+def test_docstore_occ_conflict_and_lock_hygiene(spark, tmp_path):
+    """Optimistic concurrency: a commit that planned against a stale
+    manifest version must raise, leave the store byte-identical, clean
+    its staged output, and release the commit lock; a correctly-versioned
+    commit and a blind append must still pass."""
+    import json
+    import os
+
+    import pytest
+
+    from pyspark_mllib_twitter_spark.sources.pydatasource import register
+
+    register(spark)
+    store = str(tmp_path / "occ_store")
+    df = spark.range(100).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    df.write.format("docstore").mode("overwrite").save(store)
+
+    def manifest():
+        with open(os.path.join(store, "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    assert manifest()["version"] == 1
+
+    # Correct expectation: passes, bumps version.
+    more = spark.range(100, 150).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    )
+    more.write.format("docstore").mode("append").option(
+        "expected_version", "1"
+    ).save(store)
+    assert manifest()["version"] == 2
+    before = manifest()
+
+    # Stale expectation (still claims version 1): must conflict.
+    with pytest.raises(Exception, match="planned against version 1"):
+        spark.range(150, 160).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text"
+        ).write.format("docstore").mode("append").option(
+            "expected_version", "1"
+        ).save(store)
+
+    # Store untouched: same manifest, same readable rows, lock released,
+    # and the conflicting job's staged files are gone.
+    assert manifest() == before
+    assert spark.read.format("docstore").load(store).count() == 150
+    assert not os.path.exists(os.path.join(store, "_COMMIT.lock"))
+    staged = os.path.join(store, "_staged")
+    assert not os.path.isdir(staged) or os.listdir(staged) == []
+
+    # Blind append (no expectation) never conflicts.
+    spark.range(150, 170).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).write.format("docstore").mode("append").save(store)
+    assert manifest()["version"] == 3
+    assert spark.read.format("docstore").load(store).count() == 170
+
+
+def test_docstore_merge_carries_planned_version(spark, tmp_path):
+    """The read-modify-write paths (MERGE / DELETE) now plan with OCC:
+    their rewrite publishes only if the version they read is still
+    current — verified here by the happy path (version advances by one)
+    since both read the manifest immediately before rewriting."""
+    from pyspark_mllib_twitter_spark.sources.pydatasource import (
+        docstore_merge,
+        register,
+    )
+
+    register(spark)
+    store = str(tmp_path / "occ_merge")
+    spark.range(50).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).write.format("docstore").mode("overwrite").option(
+        "stats_field", "doc_id"
+    ).save(store)
+    src = spark.range(40, 60).selectExpr(
+        "id AS doc_id", "CAST(id * 10 AS STRING) AS text"
+    )
+    res = docstore_merge(spark, store, "doc_id", src)
+    assert res["n_updates"] == 10 and res["n_inserts"] == 10
+    import json
+    import os
+
+    with open(os.path.join(store, "_MANIFEST.json")) as f:
+        assert json.load(f)["version"] == 2
+    assert spark.read.format("docstore").load(store).count() == 60
