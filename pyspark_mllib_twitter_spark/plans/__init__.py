@@ -16,6 +16,7 @@ from . import behavior_ops  # noqa: E402,F401
 from . import warehouse_ops  # noqa: E402,F401
 from . import stats_ops  # noqa: E402,F401
 from . import quant_ops  # noqa: E402,F401
+from . import lexical_ops  # noqa: E402,F401
 
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides
@@ -33,5 +34,5 @@ __all__ = [
     "relational", "analytic", "north_star", "workloads", "streaming_queries",
     "pipeline_ops", "lakehouse", "corpus_ops", "mining_ops",
     "inference_ops", "science_ops", "behavior_ops", "warehouse_ops",
-    "stats_ops", "quant_ops",
+    "stats_ops", "quant_ops", "lexical_ops",
 ]
