@@ -748,8 +748,10 @@ def q_c7_ltv_curve(spark, sf_dir):
     combinable aggs + one join.
     """
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # to_date: Spark's date_trunc yields TIMESTAMP where DuckDB's yields
+    # DATE — align the cross-engine surface type at the source.
     first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
     )
     cohort_size = first_seen.groupBy("cohort_week").agg(
         F.count("*").cast("bigint").alias("n_users")
