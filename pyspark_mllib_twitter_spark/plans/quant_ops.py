@@ -1,6 +1,7 @@
 """Quantitative-risk / nonparametric-statistics operators (round 8,
-batch 4): Kruskal-Wallis rank ANOVA, exact 1-D Wasserstein drift
-distance, and Value-at-Risk / CVaR tail risk.
+batches 4 and 6): Kruskal-Wallis rank ANOVA, exact 1-D Wasserstein
+drift distance, Value-at-Risk / CVaR tail risk, cumulative gains/lift
+deciles, AR(2) Yule-Walker fit, and single-bin DFT seasonality power.
 
 Design rules carried from the rest of the engine:
 
@@ -420,3 +421,398 @@ def q_cq_cvar(spark, sf_dir):
             tail_s.cast("double") / (F.lit(1e2) * tail_n.cast("double")), 6
         ).alias("cvar95"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table at deciles (scored-model evaluation)
+# ---------------------------------------------------------------------------
+
+#: Decile of a score cell from its DESC-order cumulative count:
+#: ceil(10*cum/n) — integer division per dialect (q_b8 contract). A
+#: tie cell lands wholly in the decile its END falls into, which is
+#: deterministic on both engines because cum is cell-grain exact.
+_LG_DEC_SPARK = "CAST((10 * cum + n - 1) DIV n AS BIGINT)"
+_LG_DEC_DUCK = "CAST((10 * cum + n - 1) // n AS BIGINT)"
+
+#: Shared-text closes on exact integer decile aggregates.
+_LG_LIFT = (
+    "((CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " / nullif(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 0e0))"
+)
+_LG_GAIN = "(CAST(cum_pos AS DOUBLE) / nullif(CAST(p AS DOUBLE), 0e0))"
+
+
+@query(
+    "q_cu_lift_gains",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(round(value * 1e6) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    cells AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS yc
+      FROM scored GROUP BY s),
+    cum AS (
+      SELECT s, c, yc,
+             SUM(c) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(yc) AS BIGINT) AS p
+      FROM cells),
+    bucketed AS (
+      SELECT {_LG_DEC_DUCK} AS decile, c, yc
+      FROM cum CROSS JOIN tot),
+    per AS (
+      SELECT decile, CAST(sum(c) AS BIGINT) AS nb,
+             CAST(sum(yc) AS BIGINT) AS pos
+      FROM bucketed GROUP BY decile),
+    curve AS (
+      SELECT decile, nb, pos,
+             SUM(pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+               AS cum_pos
+      FROM per)
+    SELECT c.decile, c.nb, c.pos,
+           CAST(c.cum_pos AS BIGINT) AS cum_pos,
+           round({_LG_LIFT}, 6) AS lift,
+           round({_LG_GAIN}, 6) AS cum_gain
+    FROM curve c CROSS JOIN tot ORDER BY c.decile
+    """,
+)
+def q_cu_lift_gains(spark, sf_dir):
+    """CUMULATIVE GAINS / LIFT TABLE at deciles — the campaign-targeting
+    evaluation every marketing/risk scorer ships next to ROC (q_ay:
+    threshold-free ranking quality) and calibration (q_z4: probability
+    faithfulness); lift says "decile 1 converts 3.2x base rate", the
+    gains curve says "the top 30% of scores captures 62% of positives".
+    Scores are micro-unit integers, deciles come from DESC-cumulative
+    counts at score-cell grain with the per-dialect integer division
+    (ceil(10*cum/n) — tie cells land wholly in one decile on BOTH
+    engines), and lift/gain close in shared text over exact integers.
+
+    Scale shape: collapse to score cells (combinable), one cell-grain
+    prefix window (q_zq local/distributed swap note), a 10-row tail.
+    100 TB = one scan + one cell-grain shuffle + a constant close.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 1e6).cast("bigint").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    cells = scored.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("yc"),
+    )
+    w_desc = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "s", "c", "yc", F.sum("c").over(w_desc).alias("cum")
+    )
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("yc").cast("bigint").alias("p"),
+    )
+    bucketed = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr(_LG_DEC_SPARK).alias("decile"), "c", "yc"
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.sum("c").cast("bigint").alias("nb"),
+        F.sum("yc").cast("bigint").alias("pos"),
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = per.select(
+        "decile", "nb", "pos", F.sum("pos").over(w_dec).alias("cum_pos")
+    )
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "nb",
+            "pos",
+            F.col("cum_pos").cast("bigint").alias("cum_pos"),
+            F.round(F.expr(_LG_LIFT), 6).alias("lift"),
+            F.round(F.expr(_LG_GAIN), 6).alias("cum_gain"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AR(2) fit via Yule-Walker on the daily revenue series
+# ---------------------------------------------------------------------------
+
+#: Autocovariance at lag k from exact DECIMAL moments, global-mean
+#: normalized (mu = sx/n): ck = (sxy_k - mu*(sa_k + sb_k) + nk*mu^2)/n.
+#: One shared-text expression per k; identical doubles on both engines.
+def _ar2_ck(sxy: str, sa: str, sb: str, nk: str) -> str:
+    mu = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    return (
+        f"((CAST({sxy} AS DOUBLE) - {mu} * (CAST({sa} AS DOUBLE)"
+        f" + CAST({sb} AS DOUBLE)) + CAST({nk} AS DOUBLE) * {mu} * {mu})"
+        " / CAST(n AS DOUBLE))"
+    )
+
+
+_AR2_C0 = _ar2_ck("sxx", "sx", "sx", "n")
+_AR2_C1 = _ar2_ck("sxy1", "sa1", "sb1", "nk1")
+_AR2_C2 = _ar2_ck("sxy2", "sa2", "sb2", "nk2")
+_AR2_R1 = f"({_AR2_C1} / nullif({_AR2_C0}, 0e0))"
+_AR2_R2 = f"({_AR2_C2} / nullif({_AR2_C0}, 0e0))"
+#: Yule-Walker solution of the 2x2 system.
+_AR2_PHI1 = (
+    f"({_AR2_R1} * (1e0 - {_AR2_R2})"
+    f" / nullif(1e0 - {_AR2_R1} * {_AR2_R1}, 0e0))"
+)
+_AR2_PHI2 = (
+    f"(({_AR2_R2} - {_AR2_R1} * {_AR2_R1})"
+    f" / nullif(1e0 - {_AR2_R1} * {_AR2_R1}, 0e0))"
+)
+#: Innovation-variance share 1 - phi1*r1 - phi2*r2 (fraction of series
+#: variance the AR(2) model does NOT explain).
+_AR2_NOISE = f"(1e0 - {_AR2_PHI1} * {_AR2_R1} - {_AR2_PHI2} * {_AR2_R2})"
+#: Stationarity triangle: phi2 in (-1,1), phi2 + phi1 < 1, phi2 - phi1 < 1.
+_AR2_STATIONARY = (
+    f"(abs({_AR2_PHI2}) < 1e0 AND {_AR2_PHI2} + {_AR2_PHI1} < 1e0"
+    f" AND {_AR2_PHI2} - {_AR2_PHI1} < 1e0)"
+)
+
+
+@query(
+    "q_cv_ar2_yule_walker",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS x
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, x FROM daily),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM idx),
+    l1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nk1, SUM(a.x * b.x) AS sxy1,
+             SUM(a.x) AS sa1, SUM(b.x) AS sb1
+      FROM idx a JOIN idx b ON b.t = a.t + 1),
+    l2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nk2, SUM(a.x * b.x) AS sxy2,
+             SUM(a.x) AS sa2, SUM(b.x) AS sb2
+      FROM idx a JOIN idx b ON b.t = a.t + 2)
+    SELECT n,
+           round({_AR2_R1}, 6) AS r1,
+           round({_AR2_R2}, 6) AS r2,
+           round({_AR2_PHI1}, 6) AS phi1,
+           round({_AR2_PHI2}, 6) AS phi2,
+           round({_AR2_NOISE}, 6) AS noise_share,
+           {_AR2_STATIONARY} AS stationary
+    FROM totals CROSS JOIN l1 CROSS JOIN l2
+    """,
+)
+def q_cv_ar2_yule_walker(spark, sf_dir):
+    """AR(2) AUTOREGRESSION FIT via the YULE-WALKER equations (Yule
+    1927 / Walker 1931 — the method-of-moments AR estimator) on daily
+    revenue: phi1 = r1(1-r2)/(1-r1²), phi2 = (r2-r1²)/(1-r1²) from the
+    exact lag-1/lag-2 autocorrelations, plus the innovation-variance
+    share (how much of the series the linear memory does NOT explain)
+    and the stationarity-triangle check — the parametric model the ACF
+    diagnostic (q_zi) feeds; Holt/Brown smoothers (q_cd/q_ab) are its
+    exponential cousins. Every moment (sums, squares, lagged
+    cross-products) is an exact DECIMAL(38,0); the autocovariances,
+    phis and the stationarity booleans are shared-text expressions on
+    those exact sums, so both engines compute identical doubles AND
+    identical comparison outcomes.
+
+    Scale shape: one map-side-combinable daily rollup; everything after
+    runs on the calendar-bounded day series (q_zi document-and-contain
+    argument). The lag joins are day-index equi-joins. 100 TB = one
+    scan + a constant tail.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "x"
+    )
+    totals = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+    def lag_moments(k: int, suffix: str):
+        a, b = idx.alias("a"), idx.alias("b")
+        return (
+            a.join(F.broadcast(b), F.col("b.t") == F.col("a.t") + k)
+            .agg(
+                F.count("*").cast("bigint").alias(f"nk{suffix}"),
+                F.sum(F.col("a.x") * F.col("b.x")).alias(f"sxy{suffix}"),
+                F.sum(F.col("a.x")).alias(f"sa{suffix}"),
+                F.sum(F.col("b.x")).alias(f"sb{suffix}"),
+            )
+        )
+
+    out = (
+        totals.crossJoin(F.broadcast(lag_moments(1, "1")))
+        .crossJoin(F.broadcast(lag_moments(2, "2")))
+    )
+    return out.selectExpr(
+        "n",
+        f"round({_AR2_R1}, 6) AS r1",
+        f"round({_AR2_R2}, 6) AS r2",
+        f"round({_AR2_PHI1}, 6) AS phi1",
+        f"round({_AR2_PHI2}, 6) AS phi2",
+        f"round({_AR2_NOISE}, 6) AS noise_share",
+        f"{_AR2_STATIONARY} AS stationary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-bin DFT (Goertzel-style) seasonality power at candidate periods
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_DFT_PERIODS = (5, 7, 9)
+
+
+def _dft_case(fn, p: int) -> str:
+    """CASE mapping day-index mod p -> literal cos/sin value.
+
+    The trig table is emitted as repr'd double LITERALS at codegen time
+    (Python math, deterministic), so neither engine's libm is ever
+    consulted — the cross-engine cos() 1-ULP hazard cannot occur.
+    """
+    arms = " ".join(
+        f"WHEN {k} THEN {getattr(_math, fn)(2.0 * _math.pi * k / p)!r}"
+        for k in range(p)
+    )
+    return f"(CASE (t - 1) % {p} {arms} END)"
+
+
+#: Demeaned series value in cents as a shared-text double.
+_DFT_YD = "(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+
+#: Per-day projection terms, quantized to integer cents so the
+#: cross-day sum is order-free (q_zv contract).
+def _dft_term(fn: str, p: int) -> str:
+    return (
+        f"CAST(round({_DFT_YD} * {_dft_case(fn, p)}, 0) AS BIGINT)"
+    )
+
+
+#: Shared-text closes: amplitude of the fitted sinusoid at period p and
+#: the share of series variance it explains (2*(sc^2+ss^2)/(n * SSE)).
+_DFT_POW = (
+    "(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)"
+    " + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))"
+)
+_DFT_AMP = f"(2e0 * sqrt({_DFT_POW}) / CAST(n AS DOUBLE) / 100e0)"
+_DFT_SSE = (
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE))"
+)
+_DFT_SHARE = f"(2e0 * {_DFT_POW} / (CAST(n AS DOUBLE) * nullif({_DFT_SSE}, 0e0)))"
+
+
+def _dft_oracle() -> str:
+    proj = " UNION ALL ".join(
+        f"""
+      SELECT {p} AS period, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum({_dft_term("cos", p)}) AS BIGINT) AS sc,
+             CAST(sum({_dft_term("sin", p)}) AS BIGINT) AS ss
+      FROM idx CROSS JOIN totals"""
+        for p in _DFT_PERIODS
+    )
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, x FROM daily),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sxx
+      FROM idx),
+    proj AS ({proj})
+    SELECT p.period, p.n_days,
+           round({_DFT_AMP}, 6) AS amplitude_dollars,
+           round({_DFT_SHARE}, 6) AS variance_share
+    FROM proj p CROSS JOIN totals ORDER BY p.period
+    """
+
+
+@query("q_cw_dft_seasonality", oracle=_dft_oracle())
+def q_cw_dft_seasonality(spark, sf_dir):
+    """SINGLE-BIN DFT SEASONALITY SCAN (the Goertzel single-frequency
+    evaluation, Goertzel 1958): project the demeaned daily-revenue
+    series onto cos/sin at candidate periods {5, 7, 9} days and report
+    each period's fitted amplitude and variance share — the spectral
+    confirmation that the weekly (7-day) cycle, not an artifact of
+    binning, carries the seasonality q_yx reads off day-of-week means
+    and q_b2's STL assumes. A sharp peak at 7 with flat neighbors (5,
+    9) is the signature; comparable power everywhere means no weekly
+    structure.
+
+    Exactness: the trig tables are repr'd double LITERALS generated at
+    codegen time and embedded in BOTH engine texts (neither engine's
+    libm cos/sin is consulted — the 1-ULP cross-engine hazard is
+    designed out); each day's projection term is shared-text demeaned
+    cents x literal, rounded to an integer so cross-day sums are
+    order-free (q_zv contract); amplitude/variance-share close in
+    shared text. sxx is a double product sum — order-free because each
+    term is an exact integer product below 2^53 cast once.
+
+    Scale shape: one map-side-combinable daily rollup; projections are
+    order-free sums over the calendar-bounded day series (q_zi
+    document-and-contain); 3 periods = one union of 1-row aggregates.
+    100 TB = one scan + a constant tail.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "x"
+    )
+    totals = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias(
+            "sxx"
+        ),
+    )
+    base = idx.crossJoin(F.broadcast(totals))
+    projs = None
+    for p in _DFT_PERIODS:
+        pr = base.agg(
+            F.lit(p).cast("bigint").alias("period"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.expr(_dft_term("cos", p))).cast("bigint").alias("sc"),
+            F.sum(F.expr(_dft_term("sin", p))).cast("bigint").alias("ss"),
+        )
+        projs = pr if projs is None else projs.unionByName(pr)
+    return (
+        projs.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "period",
+            "n_days",
+            f"round({_DFT_AMP}, 6) AS amplitude_dollars",
+            f"round({_DFT_SHARE}, 6) AS variance_share",
+        )
+        .orderBy("period")
+    )
