@@ -816,3 +816,369 @@ def q_cw_dft_seasonality(spark, sf_dir):
         )
         .orderBy("period")
     )
+
+
+# ---------------------------------------------------------------------------
+# Restricted mean survival time (RMST) per market segment
+# ---------------------------------------------------------------------------
+
+#: Censoring cutoff shared with q_yt's KM curve and the horizon tau.
+_RMST_CUTOFF = "2001-01-01"
+_RMST_TAU = 365
+
+#: KM survival step after the events at this duration, per arm:
+#: exp-of-sum-of-logs with the explicit zero clamp (the q_yt contract —
+#: Spark ln(0) is NULL, DuckDB's is -inf; the clamp keeps both engines
+#: on the defined branch).
+_RMST_S = (
+    "CASE WHEN min(1.0 - CAST(n_deaths AS DOUBLE) / at_risk)"
+    "          OVER (PARTITION BY arm ORDER BY dur) <= 0.0 THEN 0.0"
+    "     ELSE exp(sum(ln(1.0 - CAST(n_deaths AS DOUBLE) / at_risk))"
+    "              OVER (PARTITION BY arm ORDER BY dur)) END"
+)
+
+
+@query(
+    "q_cx_rmst",
+    oracle=f"""
+    WITH life AS (
+      SELECT c.c_mktsegment AS arm,
+             date_diff('day', min(o.o_orderdate), max(o.o_orderdate)) AS dur,
+             CASE WHEN max(o.o_orderdate) < TIMESTAMP '{_RMST_CUTOFF}'
+                  THEN 1 ELSE 0 END AS observed
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment),
+    tot AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM life GROUP BY arm),
+    per_d AS (
+      SELECT arm, dur, count(*) AS n_all, sum(observed) AS n_deaths
+      FROM life GROUP BY arm, dur),
+    risk AS (
+      SELECT p.arm, p.dur, p.n_all, p.n_deaths,
+             t.n - coalesce(sum(p.n_all) OVER (PARTITION BY p.arm
+                 ORDER BY p.dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS at_risk,
+             t.n
+      FROM per_d p JOIN tot t ON t.arm = p.arm),
+    km AS (
+      SELECT arm, dur, n_deaths, at_risk, n, {_RMST_S} AS s
+      FROM risk WHERE n_deaths > 0),
+    seg AS (
+      SELECT arm, dur, s, n,
+             coalesce(lag(dur) OVER (PARTITION BY arm ORDER BY dur), 0)
+               AS prev_dur,
+             coalesce(lag(s) OVER (PARTITION BY arm ORDER BY dur), 1.0)
+               AS prev_s
+      FROM km WHERE dur <= {_RMST_TAU}),
+    acc AS (
+      SELECT arm, dur, s, n,
+             sum(prev_s * CAST(dur - prev_dur AS DOUBLE))
+               OVER (PARTITION BY arm ORDER BY dur
+                     ROWS UNBOUNDED PRECEDING) AS area,
+             row_number() OVER (PARTITION BY arm ORDER BY dur DESC)
+               AS rk_desc,
+             CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n_times
+      FROM seg)
+    SELECT arm, n AS n_subjects, n_times AS n_event_times,
+           CAST({_RMST_TAU} AS BIGINT) AS tau_days,
+           round(area + s * CAST({_RMST_TAU} - dur AS DOUBLE), 6)
+             AS rmst_days
+    FROM acc WHERE rk_desc = 1 ORDER BY arm
+    """,
+)
+def q_cx_rmst(spark, sf_dir):
+    """RESTRICTED MEAN SURVIVAL TIME (RMST, tau = 365 days) of customer
+    lifetime per market segment — the area under the Kaplan-Meier curve
+    up to tau (Royston & Parmar, Stat Med 2013 made it the recommended
+    hazard-ratio alternative): "expected retained days in the first
+    year", directly comparable across segments without proportional-
+    hazards assumptions. Builds the q_yt KM machinery PER ARM
+    (partitioned windows — 5 independent curves, never a global sort),
+    then integrates the step function with an ORDERED cumulative area
+    (both engines accumulate the identical shared-text doubles in the
+    same duration order — the q_ck contract) and closes with the final
+    plateau segment s_K * (tau - t_K) on the per-arm last row.
+
+    Scale shape: the corpus-sized stage is ONE per-customer min/max
+    aggregate + a customer-key join; everything after runs at (arm x
+    duration) grain — calendar-bounded. 100 TB = one scan + one join +
+    a constant tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    life = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("arm"))
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "dur"
+            ),
+            (
+                F.max("o_orderdate")
+                < F.lit(_RMST_CUTOFF).cast("timestamp")
+            )
+            .cast("long")
+            .alias("observed"),
+        )
+        .select("arm", "dur", "observed")
+    )
+    tot = life.groupBy("arm").agg(F.count("*").cast("bigint").alias("n"))
+    per_d = life.groupBy("arm", "dur").agg(
+        F.count("*").alias("n_all"), F.sum("observed").alias("n_deaths")
+    )
+    w_prev = (
+        Window.partitionBy("arm")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_d.join(tot, "arm").select(
+        "arm",
+        "dur",
+        "n_deaths",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("n_all").over(w_prev), F.lit(0))
+        ).alias("at_risk"),
+        "n",
+    )
+    km = risk.withColumn("s", F.expr(_RMST_S)).filter(
+        F.col("n_deaths") > 0
+    )
+    w_arm = Window.partitionBy("arm").orderBy("dur")
+    seg = km.filter(F.col("dur") <= _RMST_TAU).select(
+        "arm",
+        "dur",
+        "s",
+        "n",
+        F.coalesce(F.lag("dur").over(w_arm), F.lit(0)).alias("prev_dur"),
+        F.coalesce(F.lag("s").over(w_arm), F.lit(1.0)).alias("prev_s"),
+    )
+    w_acc = w_arm.rowsBetween(Window.unboundedPreceding, 0)
+    acc = seg.select(
+        "arm",
+        "dur",
+        "s",
+        "n",
+        F.sum(
+            F.col("prev_s") * (F.col("dur") - F.col("prev_dur")).cast("double")
+        )
+        .over(w_acc)
+        .alias("area"),
+        F.row_number()
+        .over(Window.partitionBy("arm").orderBy(F.desc("dur")))
+        .alias("rk_desc"),
+        F.count("*")
+        .over(Window.partitionBy("arm"))
+        .cast("bigint")
+        .alias("n_times"),
+    )
+    return (
+        acc.filter(F.col("rk_desc") == 1)
+        .select(
+            "arm",
+            F.col("n").alias("n_subjects"),
+            F.col("n_times").alias("n_event_times"),
+            F.lit(_RMST_TAU).cast("bigint").alias("tau_days"),
+            F.round(
+                F.col("area")
+                + F.col("s") * (F.lit(_RMST_TAU) - F.col("dur")).cast("double"),
+                6,
+            ).alias("rmst_days"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue
+# ---------------------------------------------------------------------------
+
+_HURST_BLOCKS = (8, 16, 32, 64)
+
+#: Per-block R/S with an exact integer core: with y in whole DOLLARS
+#: (not cents — keeps m*ss - s^2 inside int64 headroom to ~sf1; the
+#: statistic is dimensionless so the unit only sets resolution) and block
+#: size m, m*Z_k = m*cumsum_k - k*block_sum is an exact integer, so
+#: R*m = max(mZ) - min(mZ) and S*m = sqrt(m*ss - s^2) give
+#: R/S = Rm / sqrt(m*ss - s*s) — one sqrt of an exact integer, then
+#: nano-quantized so the cross-block mean is order-free (q_zv
+#: contract). Degenerate (constant) blocks are excluded on both
+#: engines by the svar > 0 predicate.
+_RS_Q = (
+    "CAST(round(CAST(rm AS DOUBLE) / sqrt(CAST(svar AS DOUBLE))"
+    " * 1000000000.0, 0) AS BIGINT)"
+)
+#: ln(mean R/S) per block size, nano-quantized for the tiny OLS.
+_RS_LOG = (
+    "CAST(round(ln(CAST(rs_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE)"
+    " / 1000000000.0) * 1000000000.0, 0) AS BIGINT)"
+)
+_RS_LOGM = "CAST(round(ln(CAST(m AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)"
+
+_HURST_SLOPE = (
+    "((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / nullif(CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0e0))"
+)
+
+
+def _hurst_blocks_sql(div: str) -> str:
+    """Per-m block decomposition; ``div`` is the dialect's integer
+    division operator (DIV vs //)."""
+    parts = []
+    for m in _HURST_BLOCKS:
+        parts.append(f"""
+      SELECT {m} AS m, (t - 1) {div} {m} AS blk, t, x,
+             ((t - 1) % {m}) + 1 AS k
+      FROM idx WHERE (t - 1) {div} {m} < n_full {div} {m}""")
+    return " UNION ALL ".join(parts)
+
+
+def _hurst_oracle() -> str:
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY 1),
+    nrow AS (SELECT CAST(count(*) AS BIGINT) AS n_full FROM daily),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, x, n_full
+      FROM daily CROSS JOIN nrow),
+    blocks AS ({_hurst_blocks_sql("//")}),
+    cums AS (
+      SELECT m, blk, k, x,
+             SUM(x) OVER (PARTITION BY m, blk ORDER BY k
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(x) OVER (PARTITION BY m, blk) AS s,
+             SUM(x * x) OVER (PARTITION BY m, blk) AS ss
+      FROM blocks),
+    z AS (
+      SELECT m, blk, s, ss, m * cum - k * s AS mz
+      FROM cums),
+    per_block AS (
+      SELECT m, blk,
+             CAST(max(mz) - min(mz) AS BIGINT) AS rm,
+             CAST(max(m * ss - s * s) AS BIGINT) AS svar
+      FROM z GROUP BY m, blk),
+    per_m AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum({_RS_Q}) AS BIGINT) AS rs_sum
+      FROM per_block WHERE svar > 0 GROUP BY m),
+    pts AS (
+      SELECT m, n_blocks, rs_sum, {_RS_LOGM} AS qx, {_RS_LOG} AS qy
+      FROM per_m),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS np,
+             SUM(CAST(qx AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(qy AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(qx AS DECIMAL(38,0)) * qy) AS sxy,
+             SUM(CAST(qx AS DECIMAL(38,0)) * qx) AS sxx
+      FROM pts)
+    SELECT p.m, p.n_blocks,
+           round(CAST(p.rs_sum AS DOUBLE) / CAST(p.n_blocks AS DOUBLE)
+                 / 1000000000.0, 6) AS mean_rs,
+           round({_HURST_SLOPE}, 6) AS hurst_h
+    FROM pts p CROSS JOIN ols ORDER BY p.m
+    """
+
+
+@query("q_cy_hurst", oracle=_hurst_oracle())
+def q_cy_hurst(spark, sf_dir):
+    """HURST EXPONENT via RESCALED-RANGE (R/S) ANALYSIS (Hurst 1951;
+    Mandelbrot & Wallis 1969) of daily revenue: split the day series
+    into blocks of m in {8,16,32,64}, compute each block's rescaled
+    range R/S, and read H off the slope of ln(mean R/S) vs ln(m) —
+    H > 0.5 = long-memory persistence, H < 0.5 = mean reversion,
+    complementing ACF (q_zi: fixed lags) and the runs test (q_cl:
+    sign-level) with the scaling-law view. The core is exact: m*Z_k =
+    m*cumsum - k*block_sum keeps cumulative deviations integer, so
+    R/S = (max mZ - min mZ) / sqrt(m*ss - s^2) is one sqrt of exact
+    integers; per-block values are nano-quantized before the
+    cross-block mean (order-free, q_zv contract), and the 4-point
+    log-log OLS runs on nano-quantized logs with DECIMAL moments
+    (q_zu contract). Constant blocks (svar = 0) are excluded by the
+    same predicate on both engines.
+
+    Scale shape: one map-side-combinable daily rollup; blocks/windows
+    all run at day grain partitioned by (m, block) — parallel,
+    calendar-bounded (q_zi document-and-contain); the OLS is 4 rows.
+    100 TB = one scan + a constant tail.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    nrow = daily.agg(F.count("*").cast("bigint").alias("n_full"))
+    idx = daily.crossJoin(F.broadcast(nrow)).select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "x", "n_full"
+    )
+    blocks = None
+    for m in _HURST_BLOCKS:
+        b = idx.filter(
+            F.expr(f"(t - 1) DIV {m}") < F.expr(f"n_full DIV {m}")
+        ).select(
+            F.lit(m).cast("bigint").alias("m"),
+            F.expr(f"(t - 1) DIV {m}").alias("blk"),
+            F.expr(f"((t - 1) % {m}) + 1").alias("k"),
+            "x",
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+    w_blk = (
+        Window.partitionBy("m", "blk")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("m", "blk")
+    cums = blocks.select(
+        "m",
+        "blk",
+        "k",
+        "x",
+        F.sum("x").over(w_blk).alias("cum"),
+        F.sum("x").over(w_all).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).alias("ss"),
+    )
+    z = cums.select(
+        "m",
+        "blk",
+        "s",
+        "ss",
+        (F.col("m") * F.col("cum") - F.col("k") * F.col("s")).alias("mz"),
+    )
+    per_block = z.groupBy("m", "blk").agg(
+        (F.max("mz") - F.min("mz")).cast("bigint").alias("rm"),
+        F.max(F.col("m") * F.col("ss") - F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("svar"),
+    )
+    per_m = per_block.filter(F.col("svar") > 0).groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.expr(_RS_Q)).cast("bigint").alias("rs_sum"),
+    )
+    pts = per_m.selectExpr(
+        "m", "n_blocks", "rs_sum", f"{_RS_LOGM} AS qx", f"{_RS_LOG} AS qy"
+    )
+    ols = pts.agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("qy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias("sxx"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(ols))
+        .selectExpr(
+            "m",
+            "n_blocks",
+            "round(CAST(rs_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE)"
+            " / 1000000000.0, 6) AS mean_rs",
+            f"round({_HURST_SLOPE}, 6) AS hurst_h",
+        )
+        .orderBy("m")
+    )
