@@ -1182,3 +1182,146 @@ def q_cy_hurst(spark, sf_dir):
         )
         .orderBy("m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-shape audit: skewness, kurtosis, Bowley skew per event type
+# ---------------------------------------------------------------------------
+
+#: Shared-text central-moment closes on exact DECIMAL power sums
+#: (centi-unit values). No pow(): m2^1.5 is m2*sqrt(m2) (sqrt is
+#: IEEE-exact, libm-free); decimal->double conversions round the same
+#: exact integers to the same doubles on both engines.
+_SH_MU = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_SH_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_SH_MU} * {_SH_MU})"
+_SH_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3e0 * {_SH_MU} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 2e0 * {_SH_MU} * {_SH_MU} * {_SH_MU})"
+)
+_SH_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4e0 * {_SH_MU} * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" + 6e0 * {_SH_MU} * {_SH_MU} * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3e0 * {_SH_MU} * {_SH_MU} * {_SH_MU} * {_SH_MU})"
+)
+_SH_SKEW = f"({_SH_M3} / nullif({_SH_M2} * sqrt({_SH_M2}), 0e0))"
+_SH_KURT = f"({_SH_M4} / nullif({_SH_M2} * {_SH_M2}, 0e0) - 3e0)"
+_SH_BOWLEY = (
+    "((CAST(q3 AS DOUBLE) + CAST(q1 AS DOUBLE) - 2e0 * CAST(q2 AS DOUBLE))"
+    " / nullif(CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE), 0e0))"
+)
+
+
+def _sh_rank(a: int, b: int, div: str) -> str:
+    return f"CAST(({a} * n + {b} - 1) {div} {b} AS BIGINT)"
+
+
+def _shape_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    cells AS (
+      SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM cells),
+    quart AS (
+      SELECT event_type,
+             min(CASE WHEN c >= {_sh_rank(1, 4, "//")} THEN v END) AS q1,
+             min(CASE WHEN c >= {_sh_rank(1, 2, "//")} THEN v END) AS q2,
+             min(CASE WHEN c >= {_sh_rank(3, 4, "//")} THEN v END) AS q3
+      FROM cum GROUP BY event_type),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             SUM(CAST(v AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2,
+             SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,
+             SUM(CAST(v AS DECIMAL(38,0)) * v * v * v) AS s4
+      FROM base GROUP BY event_type)
+    SELECT m.event_type, m.n,
+           round({_SH_MU} / 100e0, 6) AS mean,
+           round(sqrt({_SH_M2}) / 100e0, 6) AS sd,
+           round({_SH_SKEW}, 6) AS skewness,
+           round({_SH_KURT}, 6) AS ex_kurtosis,
+           round({_SH_BOWLEY}, 6) AS bowley_skew
+    FROM mom m JOIN quart q ON q.event_type = m.event_type
+    ORDER BY m.event_type
+    """
+
+
+@query("q_d1_shape_audit", oracle=_shape_oracle())
+def q_d1_shape_audit(spark, sf_dir):
+    """DISTRIBUTION-SHAPE AUDIT per event type: moment skewness g1,
+    excess kurtosis g2, AND the outlier-robust Bowley quartile skew in
+    one pass — the "is this metric even roughly normal" triage that
+    decides whether the parametric tests upstream (q_cb Welch, q_c4
+    ANOVA) or the rank tests (q_cn Kruskal-Wallis) apply, and the
+    tail-heaviness signal (g2) behind the Hill estimator handoff
+    (q_c3). Power sums stay exact DECIMAL(38,0) over centi-unit
+    integers; quartiles are exact order statistics via the per-dialect
+    integer-division rank (q_b8 contract); every double closes in
+    shared text with no pow() (m2^1.5 = m2*sqrt(m2) keeps libm out).
+
+    Scale shape: TWO combinable aggregates over the corpus (moment
+    sums at type grain; value cells for quartiles) + per-type
+    cell-grain prefix windows. 100 TB = one scan + two shuffles + a
+    type-count-sized close.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    cells = base.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w_c = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(w_c).alias("c"),
+        F.sum("cnt").over(w_n).alias("n"),
+    )
+    quart = cum.groupBy("event_type").agg(
+        F.expr(
+            f"min(CASE WHEN c >= {_sh_rank(1, 4, 'DIV')} THEN v END)"
+        ).alias("q1"),
+        F.expr(
+            f"min(CASE WHEN c >= {_sh_rank(1, 2, 'DIV')} THEN v END)"
+        ).alias("q2"),
+        F.expr(
+            f"min(CASE WHEN c >= {_sh_rank(3, 4, 'DIV')} THEN v END)"
+        ).alias("q3"),
+    )
+    d = F.col("v").cast("decimal(38,0)")
+    mom = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * F.col("v")).alias("s2"),
+        F.sum(d * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(d * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    return (
+        mom.join(quart, "event_type")
+        .selectExpr(
+            "event_type",
+            "n",
+            f"round({_SH_MU} / 100e0, 6) AS mean",
+            f"round(sqrt({_SH_M2}) / 100e0, 6) AS sd",
+            f"round({_SH_SKEW}, 6) AS skewness",
+            f"round({_SH_KURT}, 6) AS ex_kurtosis",
+            f"round({_SH_BOWLEY}, 6) AS bowley_skew",
+        )
+        .orderBy("event_type")
+    )

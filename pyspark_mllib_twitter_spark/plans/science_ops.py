@@ -3865,3 +3865,108 @@ def q_cm_viterbi(spark, sf_dir):
         .applyInPandas(lambda _, p: decode(p), schema=schema)
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (LPA) on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 5
+) -> DataFrame:
+    """Synchronous LABEL PROPAGATION (Raghavan, Albert & Kumara, Phys.
+    Rev. E 2007 — the near-linear community detector; the same fixed-
+    iteration semantics GraphFrames' LPA ships) over an undirected edge
+    list ``(u, v)``: labels start as node ids; each round every node
+    adopts the label most frequent among its neighbors PLUS its own
+    current label (the self-vote damps the classic bipartite
+    oscillation), ties broken by the SMALLEST label — fully
+    deterministic, so a fixed round count yields a reproducible
+    partition (sync LPA has no convergence guarantee in general; fixed
+    rounds is the standard practice this API mirrors).
+
+    Loop discipline: the round state is ONE (node, label) table;
+    each round = neighbor expansion (2|E| rows), a combinable
+    (node, label) count, a per-node argmax via max(struct(cnt,
+    -label)) — no window over the corpus — and a localCheckpoint to
+    keep lineage flat (the kcore/PageRank loop contract).
+
+    Scale: each round shuffles (node, label) pairs keyed by node —
+    2|E| rows, digest-width; rounds are a small constant.
+    """
+    sym = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    labels = (
+        sym.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            ).select("node", "label")
+            # Self-vote: the node's own current label counts once.
+            .unionByName(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("best")
+            )
+            .select("node", (-F.col("best.nl")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+@query("q_cz_lpa")
+def q_cz_lpa(spark, sf_dir):
+    """COMMUNITY DETECTION via label propagation on the part
+    co-purchase graph (parts appearing in the same order, the q_a2
+    pair grain): the missing member of the graph stack — CC finds
+    components, k-core finds cores, modularity SCORES a partition,
+    LPA FINDS one. Emits community sizes after 5 deterministic
+    synchronous rounds (min-label tie-break + self-vote; see
+    label_propagation). Rows-only by design: data-dependent iteration
+    is outside DuckDB's single-query reach (the q_z6 class); the
+    algorithm is golden-tested on known two-clique fixtures and
+    determinism-tested in tests/test_science_ops.py.
+
+    Scale shape: the pair generation is order-bounded fan-out
+    (lineitem self-join on o_orderkey — items-per-order is bounded, so
+    pairs per order are bounded); each LPA round shuffles 2|E|
+    (node, label) pairs. 100 TB = one pair shuffle + 5 bounded rounds.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, rounds=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(F.col("label").alias("community"), "n_nodes")
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+    )

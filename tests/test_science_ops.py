@@ -761,3 +761,63 @@ def test_mmr_matches_pure_python_greedy(spark, sf_smoke):
     assert set(got) == set(expected)
     for qid in got:
         assert [nid for _, nid in sorted(got[qid])] == expected[qid], qid
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (q_cz_lpa)
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_two_cliques_converge_to_two_communities(spark):
+    """Two K4 cliques joined by a single bridge edge: LPA must settle on
+    exactly two communities, each labeled by its clique's minimum node
+    id (the deterministic tie-break contract)."""
+    from pyspark_mllib_twitter_spark.plans.science_ops import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "u int, v int")
+    labels = {r.node: r.label for r in label_propagation(edges, rounds=5).collect()}
+    assert set(labels) == set(range(4)) | set(range(10, 14))
+    assert {labels[n] for n in range(4)} == {0}
+    assert {labels[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_deterministic_across_runs(spark):
+    """Same edges, same rounds -> identical labeling (struct-argmax
+    min-label tie-break leaves no nondeterminism)."""
+    from pyspark_mllib_twitter_spark.plans.science_ops import (
+        label_propagation,
+    )
+
+    star = [(0, i) for i in range(1, 6)] + [(1, 2), (3, 4)]
+    edges = spark.createDataFrame(star, "u int, v int")
+    a = sorted(map(tuple, label_propagation(edges, rounds=4).collect()))
+    b = sorted(map(tuple, label_propagation(edges, rounds=4).collect()))
+    assert a == b
+
+
+def test_lpa_partition_covers_all_nodes_once(spark, sf_smoke):
+    """Registry entry: every part in the co-purchase graph is assigned
+    exactly one community, and community sizes sum to the node count."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["q_cz_lpa"].spark(spark, sf_smoke)
+    rows = df.collect()
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    a, b = li.alias("a"), li.alias("b")
+    n_nodes = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
