@@ -1335,3 +1335,55 @@ def q_d1_shape_audit(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantile sketch (rows-only; the mergeable quantile summary)
+# ---------------------------------------------------------------------------
+
+
+@query("q_d2_tdigest")
+def q_d2_tdigest(spark, sf_dir):
+    """T-DIGEST QUANTILE SKETCH over event values (Dunning & Ertl 2019)
+    — the mergeable quantile summary that completes the sketch family
+    (KMV/HLL distinct, CMS frequency, Bloom membership, Space-Saving
+    top-k, q_yo's mergeable bins): rank error is tightest exactly at
+    the tails where fixed bins are weakest. Two-level distributed
+    build: per-partition Arrow-batched clustering (mapInPandas, ~delta
+    centroids per partition), then one bounded sketch-sized merge (the
+    quantizer-fit single-reducer contract). Emits p50/p95/p99 estimates
+    plus digest size; accuracy/merge/determinism contracts live in
+    tests/test_tdigest.py. Rows-only by design: the sketch's exact
+    centroid layout is an engine artifact DuckDB has no twin for — the
+    EXACT quantiles it approximates are oracle-checked at q_b8.
+
+    Scale shape: one scan, one sketch-width shuffle (partitions x
+    delta rows), one bounded reducer. 100 TB = same plan; the merge
+    input grows only with partition COUNT.
+    """
+    from ..operators.tdigest import (
+        DEFAULT_DELTA,
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("value")
+    digest = tdigest_merge(tdigest_build(ev, "value"), DEFAULT_DELTA)
+    # Sketch-sized (<= ~2*delta rows) driver materialization — the
+    # sanctioned bounded collect, not a data collect.
+    pdf = digest.toPandas()
+    p50, p95, p99 = tdigest_quantiles(pdf, [0.5, 0.95, 0.99])
+    row = [
+        (
+            int(round(float(pdf["weight"].sum()))),
+            int(len(pdf)),
+            round(p50, 6),
+            round(p95, 6),
+            round(p99, 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_values bigint, n_centroids bigint, p50 double, p95 double, p99 double",
+    )
