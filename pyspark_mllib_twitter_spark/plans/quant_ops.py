@@ -1387,3 +1387,237 @@ def q_d2_tdigest(spark, sf_dir):
         row,
         "n_values bigint, n_centroids bigint, p50 double, p95 double, p99 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Shifted-beta-geometric (sBG) churn model fit by exact-integer grid MLE
+# ---------------------------------------------------------------------------
+
+#: Cohort year and renewal horizon: orders span 1995..2001-08, so 1995
+#: first-timers get five full renewal opportunities (1996..2000).
+_SBG_Y0 = 1995
+_SBG_T = 5
+
+#: Year -> bit literal map (bounded calendar, shared text, no dialect
+#: shift operator needed).
+_SBG_BIT = (
+    "(CASE year(o_orderdate) WHEN 1995 THEN 1 WHEN 1996 THEN 2"
+    " WHEN 1997 THEN 4 WHEN 1998 THEN 8 WHEN 1999 THEN 16"
+    " WHEN 2000 THEN 32 ELSE 0 END)"
+)
+
+#: First missed renewal (1 + trailing-active run length) from the
+#: activity bitmask; NULL = survived all five periods. `&` is bitwise
+#: AND in BOTH dialects.
+_SBG_CHURN_T = (
+    "(CASE WHEN mask & 2 = 0 THEN 1 WHEN mask & 4 = 0 THEN 2"
+    " WHEN mask & 8 = 0 THEN 3 WHEN mask & 16 = 0 THEN 4"
+    " WHEN mask & 32 = 0 THEN 5 ELSE NULL END)"
+)
+
+#: Log-spaced 20-point grids emitted as codegen-time double LITERALS
+#: (the q_cw trig-table trick — no engine pow()/exp2 is consulted):
+#: alpha in 2^(-1.5..8), beta in 2^(-1..10.5). The wide log range keeps
+#: the argmax interior even in the near-geometric (homogeneous-churn)
+#: regime where alpha, beta grow together with alpha/(alpha+beta)
+#: pinned at the flat hazard.
+import math as _m
+
+
+def _sbg_grid(idx: str, lo: float, step: float) -> str:
+    # CAST AS DOUBLE: DuckDB parses bare decimal literals as DECIMAL,
+    # which would survive round() and canonicalize differently.
+    arms = " ".join(
+        f"WHEN {i} THEN CAST({2.0 ** (lo + step * (i - 1))!r} AS DOUBLE)"
+        for i in range(1, 21)
+    )
+    return f"(CASE {idx} {arms} END)"
+
+
+_SBG_A = _sbg_grid("ai", -1.5, 0.5)
+_SBG_B = _sbg_grid("bi", -1.0, 0.6)
+
+#: Per-period increment of ln P(t) in integer MICRO-NATS (the q_cm
+#: Viterbi contract: every libm value is rounded ONCE to an integer so
+#: recursion, sums and the final argmax are exact integer arithmetic).
+#: P(1) = a/(a+b); P(t)/P(t-1) = (b+t-2)/(a+b+t-1).
+_SBG_INC = (
+    f"(CASE WHEN t = 1 THEN CAST(round((ln({_SBG_A})"
+    f" - ln({_SBG_A} + {_SBG_B})) * 1000000e0, 0) AS BIGINT)"
+    f" ELSE CAST(round((ln({_SBG_B} + CAST(t AS DOUBLE) - 2e0)"
+    f" - ln({_SBG_A} + {_SBG_B} + CAST(t AS DOUBLE) - 1e0))"
+    " * 1000000e0, 0) AS BIGINT) END)"
+)
+
+#: P(t) in pico-units from the integer micro-nat log-prob.
+_SBG_PQ = (
+    "CAST(round(exp(CAST(lnp AS DOUBLE) / 1000000e0) * 1000000000000e0, 0)"
+    " AS BIGINT)"
+)
+
+#: ln of the survivor mass (pico-units back to nats), micro-quantized.
+_SBG_LNS = (
+    "CAST(round(ln(CAST(s_q AS DOUBLE) / 1000000000000e0) * 1000000e0, 0)"
+    " AS BIGINT)"
+)
+
+
+def _sbg_oracle() -> str:
+    return f"""
+    WITH mask_t AS (
+      SELECT o_custkey, CAST(bit_or({_SBG_BIT}) AS BIGINT) AS mask
+      FROM orders WHERE year(o_orderdate) <= 2000
+      GROUP BY o_custkey),
+    cohort AS (
+      SELECT {_SBG_CHURN_T} AS churn_t
+      FROM mask_t WHERE mask & 1 = 1),
+    counts AS (
+      SELECT churn_t, CAST(count(*) AS BIGINT) AS n_t
+      FROM cohort WHERE churn_t IS NOT NULL GROUP BY churn_t),
+    sizes AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cohort,
+             CAST(sum(CASE WHEN churn_t IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_surv
+      FROM cohort),
+    grid AS (
+      SELECT a.ai, b.bi
+      FROM (SELECT unnest(range(1, 21)) AS ai) a
+      CROSS JOIN (SELECT unnest(range(1, 21)) AS bi) b),
+    cells AS (
+      SELECT g.ai, g.bi, t.t, {_SBG_INC} AS inc
+      FROM grid g CROSS JOIN (SELECT unnest(range(1, {_SBG_T + 1})) AS t) t),
+    lnp AS (
+      SELECT ai, bi, t,
+             SUM(inc) OVER (PARTITION BY ai, bi ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS lnp
+      FROM cells),
+    probs AS (
+      SELECT ai, bi, t, lnp, {_SBG_PQ} AS p_q FROM lnp),
+    per_cell AS (
+      SELECT p.ai, p.bi,
+             CAST(sum(coalesce(c.n_t, 0) * p.lnp) AS BIGINT) AS ll_churn,
+             CAST(1000000000000 - sum(p.p_q) AS BIGINT) AS s_q
+      FROM probs p LEFT JOIN counts c ON c.churn_t = p.t
+      GROUP BY p.ai, p.bi),
+    scored AS (
+      SELECT pc.ai, pc.bi, sz.n_cohort, sz.n_surv,
+             pc.ll_churn + sz.n_surv * {_SBG_LNS} AS ll_micro,
+             pc.s_q
+      FROM per_cell pc CROSS JOIN sizes sz
+      WHERE pc.s_q > 0),
+    best AS (
+      SELECT * FROM scored
+      ORDER BY ll_micro DESC, ai ASC, bi ASC LIMIT 1)
+    SELECT n_cohort, n_surv,
+           round({_SBG_A}, 6) AS alpha,
+           round({_SBG_B}, 6) AS beta,
+           CAST(ll_micro AS BIGINT) AS ll_micro_nats,
+           round(CAST(s_q AS DOUBLE) / 1000000000000e0, 6) AS s5_pred,
+           round(CAST(n_surv AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+             AS s5_obs
+    FROM best
+    """
+
+
+@query("q_d3_sbg_churn", oracle=_sbg_oracle())
+def q_d3_sbg_churn(spark, sf_dir):
+    """SHIFTED-BETA-GEOMETRIC CHURN MODEL (Fader & Hardie, "How to
+    project customer retention", J. Interactive Marketing 2007 — the
+    standard contractual-churn model) fit by maximum likelihood over a
+    20x20 (alpha, beta) grid: the 1995 first-order cohort's yearly
+    activity collapses to a 6-bit mask per customer (bit_or of literal
+    year bits — shared text, no dialect shift operator), churn period =
+    first missed year, and the sBG likelihood P(1) = a/(a+b),
+    P(t)/P(t-1) = (b+t-2)/(a+b+t-1) evaluates in integer MICRO-NATS
+    (every libm ln/exp rounded once — the q_cm Viterbi contract), so
+    the per-cell log-likelihood is an exact BIGINT and the grid argmax
+    + (alpha, beta) tie-break are exact integer comparisons on both
+    engines. Ships the fitted (alpha, beta), the predicted vs observed
+    5-year survivor share, and the exact integer log-likelihood.
+
+    Scale shape: the corpus-sized work is ONE per-customer bit_or
+    aggregate (combinable, 1 bigint per customer); the grid evaluation
+    is a constant 20x20x5 frame with per-cell ordered windows. 100 TB
+    = one scan + a constant tail. The grid refines by re-running with
+    a tighter range around the argmax — same plan.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") <= 2000
+    )
+    mask_t = o.groupBy("o_custkey").agg(
+        F.expr(f"bit_or({_SBG_BIT})").cast("bigint").alias("mask")
+    )
+    cohort = mask_t.filter(F.expr("mask & 1 = 1")).select(
+        F.expr(_SBG_CHURN_T).alias("churn_t")
+    )
+    counts = (
+        cohort.filter(F.col("churn_t").isNotNull())
+        .groupBy("churn_t")
+        .agg(F.count("*").cast("bigint").alias("n_t"))
+    )
+    sizes = cohort.agg(
+        F.count("*").cast("bigint").alias("n_cohort"),
+        F.sum(F.when(F.col("churn_t").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_surv"),
+    )
+    grid = (
+        spark.range(1, 21)
+        .select(F.col("id").alias("ai"))
+        .crossJoin(spark.range(1, 21).select(F.col("id").alias("bi")))
+    )
+    cells = grid.crossJoin(
+        spark.range(1, _SBG_T + 1).select(F.col("id").alias("t"))
+    ).select("ai", "bi", "t", F.expr(_SBG_INC).alias("inc"))
+    w_cell = (
+        Window.partitionBy("ai", "bi")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lnp = cells.select(
+        "ai", "bi", "t", F.sum("inc").over(w_cell).alias("lnp")
+    )
+    probs = lnp.select("ai", "bi", "t", "lnp", F.expr(_SBG_PQ).alias("p_q"))
+    per_cell = (
+        probs.join(
+            F.broadcast(counts),
+            probs["t"] == counts["churn_t"],
+            "left",
+        )
+        .groupBy("ai", "bi")
+        .agg(
+            F.sum(F.coalesce(F.col("n_t"), F.lit(0)) * F.col("lnp"))
+            .cast("bigint")
+            .alias("ll_churn"),
+            (F.lit(1000000000000) - F.sum("p_q"))
+            .cast("bigint")
+            .alias("s_q"),
+        )
+    )
+    scored = (
+        per_cell.crossJoin(F.broadcast(sizes))
+        .filter(F.col("s_q") > 0)
+        .select(
+            "ai",
+            "bi",
+            "n_cohort",
+            "n_surv",
+            (
+                F.col("ll_churn") + F.col("n_surv") * F.expr(_SBG_LNS)
+            ).alias("ll_micro"),
+            "s_q",
+        )
+    )
+    best = scored.orderBy(
+        F.desc("ll_micro"), F.asc("ai"), F.asc("bi")
+    ).limit(1)
+    return best.selectExpr(
+        "n_cohort",
+        "n_surv",
+        f"round({_SBG_A}, 6) AS alpha",
+        f"round({_SBG_B}, 6) AS beta",
+        "CAST(ll_micro AS BIGINT) AS ll_micro_nats",
+        "round(CAST(s_q AS DOUBLE) / 1000000000000e0, 6) AS s5_pred",
+        "round(CAST(n_surv AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)"
+        " AS s5_obs",
+    )
