@@ -1621,3 +1621,162 @@ def q_d3_sbg_churn(spark, sf_dir):
         "round(CAST(n_surv AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)"
         " AS s5_obs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strength ranking of nations (unrolled MM iterations)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 5
+
+#: Per-opponent denominator term n_ij / (p_i + p_j), nano-quantized so
+#: the per-player sum is order-free (q_zv contract). p values are
+#: identical doubles on both engines by induction: each iteration's p
+#: is W_i * 1e9 / (an exact BIGINT), one shared-text division.
+_BT_TERM = (
+    "CAST(round(CAST(nij AS DOUBLE) / (pi + pj) * 1000000000e0, 0)"
+    " AS BIGINT)"
+)
+_BT_UPDATE = "(CAST(wi AS DOUBLE) * 1000000000e0 / CAST(den AS DOUBLE))"
+
+
+def _bt_oracle() -> str:
+    its = []
+    for k in range(1, _BT_ITERS + 1):
+        prev = f"it{k - 1}"
+        its.append(f"""
+    it{k} AS MATERIALIZED (
+      SELECT e.i,
+             {_BT_UPDATE.replace("wi", "w.wi").replace(
+                 "den", f"d{k}.den")} AS p
+      FROM (SELECT DISTINCT i FROM e) e
+      JOIN w ON w.i = e.i
+      JOIN (
+        SELECT e.i, CAST(SUM({_BT_TERM.replace("pi", "pa.p").replace(
+            "pj", "pb.p")}) AS BIGINT) AS den
+        FROM e JOIN {prev} pa ON pa.i = e.i
+               JOIN {prev} pb ON pb.i = e.j
+        GROUP BY e.i) d{k} ON d{k}.i = e.i)""")
+    return f"""
+    WITH dir AS MATERIALIZED (
+      SELECT sp.s_nationkey AS i, cu.c_nationkey AS j,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      WHERE sp.s_nationkey <> cu.c_nationkey
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT i, j, c AS w, c AS n FROM dir
+      UNION ALL
+      SELECT j AS i, i AS j, 0 AS w, c AS n FROM dir),
+    e AS MATERIALIZED (
+      SELECT i, j, CAST(sum(w) AS BIGINT) AS wij,
+             CAST(sum(n) AS BIGINT) AS nij
+      FROM sym GROUP BY i, j),
+    w AS (SELECT i, CAST(sum(wij) AS BIGINT) AS wi FROM e GROUP BY i),
+    it0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS p FROM e),
+    {",".join(its)},
+    base AS (SELECT p AS p0 FROM it{_BT_ITERS} ORDER BY i LIMIT 1)
+    SELECT n.n_name AS nation, w.wi AS wins,
+           round(f.p / b.p0, 6) AS strength_vs_first
+    FROM it{_BT_ITERS} f
+    JOIN w ON w.i = f.i
+    JOIN nation n ON n.n_nationkey = f.i
+    CROSS JOIN base b
+    ORDER BY strength_vs_first DESC, nation
+    """
+
+
+@query("q_d4_bradley_terry", oracle=_bt_oracle())
+def q_d4_bradley_terry(spark, sf_dir):
+    """BRADLEY-TERRY PAIRED-COMPARISON RANKING (Bradley & Terry 1952;
+    Hunter's MM algorithm, Ann. Stat. 2004) of nations from directed
+    trade flows: "i beats j" once per lineitem a nation-i supplier
+    ships to a nation-j customer, then 5 unrolled MM iterations
+    p_i <- W_i / sum_j n_ij/(p_i+p_j) recover latent strengths — the
+    principled ranking when pairwise volumes are unbalanced (raw win
+    counts over-reward nations that simply trade more). Exactness by
+    induction: denominators are nano-quantized BIGINT sums (q_zv
+    contract), each p is one shared-text division of exact inputs, so
+    both engines carry identical doubles through all iterations and
+    the final DESC ordering agrees bit-for-bit.
+
+    Scale shape: the corpus-sized stage is the q_b4 modularity join
+    pipeline collapsing the fact table to a <= 25x24 directed-pair
+    frame; the MM iterations live entirely on that constant frame.
+    100 TB = one fact join-aggregate + a constant tail.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cu = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dir_ = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sp), li["l_suppkey"] == sp["s_suppkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("i"),
+            F.col("c_nationkey").alias("j"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    sym = dir_.select(
+        "i", "j", F.col("c").alias("w"), F.col("c").alias("n")
+    ).unionByName(
+        dir_.select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            F.lit(0).cast("bigint").alias("w"),
+            F.col("c").alias("n"),
+        )
+    )
+    e = sym.groupBy("i", "j").agg(
+        F.sum("w").cast("bigint").alias("wij"),
+        F.sum("n").cast("bigint").alias("nij"),
+    )
+    # The MM loop would otherwise double the logical plan per round
+    # (each iteration joins `e` twice against the previous p): pin the
+    # constant pair frame once and flatten p's lineage per round — the
+    # kcore/PageRank loop contract.
+    e = e.localCheckpoint(eager=True)
+    w = e.groupBy("i").agg(F.sum("wij").cast("bigint").alias("wi"))
+    p = e.select("i").distinct().select("i", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        den = (
+            e.join(p.withColumnRenamed("p", "pi"), "i")
+            .join(
+                p.select(F.col("i").alias("j"), F.col("p").alias("pj")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.expr(_BT_TERM)).cast("bigint").alias("den"))
+        )
+        p = (
+            den.join(w, "i")
+            .select("i", F.expr(_BT_UPDATE).alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    base = p.orderBy("i").limit(1).select(F.col("p").alias("p0"))
+    return (
+        p.join(w, "i")
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("i"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("wi").alias("wins"),
+            F.round(F.col("p") / F.col("p0"), 6).alias("strength_vs_first"),
+        )
+        .orderBy(F.desc("strength_vs_first"), "nation")
+    )
