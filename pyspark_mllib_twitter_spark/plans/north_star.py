@@ -834,3 +834,97 @@ def q_ns_compression_quality(spark, sf_dir):
         " too_repetitive int, too_random int"
     )
     return docs.mapInPandas(batches, schema=out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: langid heuristic vs labeled lang (classifier agreement)
+# ---------------------------------------------------------------------------
+
+#: Chance-corrected agreement close on exact integer confusion margins:
+#: po = diag/n, pe = sum(row_i * col_i)/n^2, kappa = (po-pe)/(1-pe).
+_KAPPA = (
+    "((CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    " / nullif(1e0 - CAST(pe_num AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0e0))"
+)
+
+
+def _kappa_oracle() -> str:
+    toks = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+    hits = {
+        lang: f"len(list_intersect({toks}, {list(ws)!r}))"
+        for lang, ws in _SW.items()
+    }
+    best = "greatest(" + ", ".join(hits[lang] for lang in TXT.LANG_ORDER) + ")"
+    case = "CASE "
+    for lang in TXT.LANG_ORDER:
+        case += f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH pred AS (
+      SELECT lang AS truth, {case} AS guess FROM documents),
+    cell AS (
+      SELECT truth, guess, CAST(count(*) AS BIGINT) AS c
+      FROM pred GROUP BY 1, 2),
+    rows_ AS (SELECT truth, CAST(sum(c) AS BIGINT) AS r FROM cell GROUP BY 1),
+    cols_ AS (SELECT guess, CAST(sum(c) AS BIGINT) AS k FROM cell GROUP BY 1),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN truth = guess THEN c ELSE 0 END) AS BIGINT)
+               AS diag
+      FROM cell),
+    pe AS (
+      SELECT CAST(sum(r.r * c.k) AS BIGINT) AS pe_num
+      FROM rows_ r JOIN cols_ c ON c.guess = r.truth)
+    SELECT a.n, a.diag,
+           round(CAST(a.diag AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+             AS accuracy,
+           round({_KAPPA}, 6) AS kappa
+    FROM agg a CROSS JOIN pe
+    """
+
+
+@query("q_d7_cohens_kappa", oracle=_kappa_oracle())
+def q_d7_cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA (Cohen, Educ. Psychol. Meas. 1960) between the
+    engine's stopword-argmax language identifier (q_ns_langid) and the
+    corpus's labeled ``lang`` column — chance-corrected agreement, the
+    honest version of raw accuracy when class priors are skewed (a
+    majority-class guesser scores high accuracy but kappa ~ 0). The
+    confusion matrix, its margins and the diagonal are exact integer
+    aggregates at class grain (<= 6 x 6 cells); po/pe/kappa close in
+    one shared-text expression.
+
+    Scale shape: one classifier scan (pure JVM regex + array
+    intersects — no Python), one class-grain aggregate, a constant
+    close. 100 TB = one scan + a 36-cell tail.
+    """
+    d = _docs(spark, sf_dir)
+    pred = d.select(
+        F.col("lang").alias("truth"), TXT.lang_guess("text").alias("guess")
+    )
+    cell = pred.groupBy("truth", "guess").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    rows_ = cell.groupBy("truth").agg(F.sum("c").cast("bigint").alias("r"))
+    cols_ = cell.groupBy("guess").agg(F.sum("c").cast("bigint").alias("k"))
+    agg = cell.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("truth") == F.col("guess"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    pe = (
+        rows_.join(cols_, rows_["truth"] == cols_["guess"])
+        .agg(F.sum(F.col("r") * F.col("k")).cast("bigint").alias("pe_num"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(pe))
+        .selectExpr(
+            "n",
+            "diag",
+            "round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy",
+            f"round({_KAPPA}, 6) AS kappa",
+        )
+    )

@@ -1780,3 +1780,242 @@ def q_d4_bradley_terry(spark, sf_dir):
         )
         .orderBy(F.desc("strength_vs_first"), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (blocked rank ANOVA: day-of-week blocks x priority arms)
+# ---------------------------------------------------------------------------
+
+#: Friedman statistic from DOUBLED within-block rank sums (R2_j = 2*R_j
+#: exact integers; b blocks, k treatments):
+#: Fr = 12/(b k (k+1)) * sum_j R_j^2 - 3 b (k+1), tie-corrected by
+#: C = 1 - sum(t^3 - t) / (b k (k^2 - 1)).
+_FR_TERM = (
+    "(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)"
+    " / (4e0 * CAST(b AS DOUBLE) * CAST(k AS DOUBLE)"
+    " * (CAST(k AS DOUBLE) + 1e0)))"
+)
+_FR_STAT = "(12e0 * s - 3e0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1e0))"
+_FR_C = (
+    "(1e0 - CAST(tie_sum AS DOUBLE) / nullif(CAST(b AS DOUBLE)"
+    " * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1e0),"
+    " 0e0))"
+)
+
+
+@query(
+    "q_d5_friedman",
+    oracle=f"""
+    WITH obs AS (
+      SELECT dayofweek(o_orderdate) AS blk, o_orderpriority AS arm,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1, 2),
+    ranked AS (
+      SELECT blk, arm, y,
+             CAST(2 * rank() OVER (PARTITION BY blk ORDER BY y)
+                  + count(*) FILTER (WHERE TRUE)
+                    OVER (PARTITION BY blk, y) - 1 AS BIGINT) AS r2
+      FROM obs),
+    dims AS (
+      SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+             CAST(count(DISTINCT arm) AS BIGINT) AS k
+      FROM obs),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT) AS tie_sum
+      FROM (SELECT blk, y, count(*) AS t FROM obs GROUP BY blk, y)),
+    arm_sum AS (
+      SELECT arm, CAST(sum(r2) AS BIGINT) AS r2
+      FROM ranked GROUP BY arm),
+    acc AS (
+      SELECT a.arm, a.r2, d.b, d.k, t.tie_sum,
+             SUM({_FR_TERM}) OVER (ORDER BY a.arm
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS s
+      FROM arm_sum a CROSS JOIN dims d CROSS JOIN ties t)
+    SELECT arm, r2 AS rank_sum_x2, b AS n_blocks,
+           round({_FR_STAT}, 6) AS friedman_stat,
+           round({_FR_STAT} / nullif({_FR_C}, 0e0), 6) AS tie_corrected,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM acc ORDER BY arm
+    """,
+)
+def q_d5_friedman(spark, sf_dir):
+    """FRIEDMAN TEST (Friedman, JASA 1937 — the blocked rank ANOVA):
+    do the five priority arms differ in daily revenue AFTER removing
+    the day-of-week effect? Blocks = the 7 weekdays, observations =
+    exact cents revenue per (weekday, arm) cell, ranks computed WITHIN
+    each block (5-row windows — never a corpus sort) in doubled units
+    (2*rank + ties - 1, exact integers; the q_cn contract), closing
+    with the shared-text statistic and tie-correction accumulated in
+    fixed arm order. The blocked companion of q_cn Kruskal-Wallis —
+    when the block effect (weekday seasonality, q_yx) dominates,
+    unblocked tests lose power; Friedman removes it by construction.
+
+    Scale shape: one map-side-combinable (weekday, arm) rollup;
+    everything after runs on a 35-cell frame. 100 TB = one scan + a
+    constant tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.dayofweek("o_orderdate").alias("blk"),
+        F.col("o_orderpriority").alias("arm"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w_rank = Window.partitionBy("blk").orderBy("y")
+    w_tie = Window.partitionBy("blk", "y")
+    ranked = obs.select(
+        "blk",
+        "arm",
+        "y",
+        (
+            2 * F.rank().over(w_rank) + F.count("*").over(w_tie) - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    dims = obs.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        F.countDistinct("arm").cast("bigint").alias("k"),
+    )
+    ties = (
+        obs.groupBy("blk", "y")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    arm_sum = ranked.groupBy("arm").agg(
+        F.sum("r2").cast("bigint").alias("r2")
+    )
+    w_all = Window.orderBy("arm").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = (
+        arm_sum.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "arm",
+            "r2",
+            "b",
+            "k",
+            "tie_sum",
+            F.sum(F.expr(_FR_TERM)).over(w_all).alias("s"),
+        )
+    )
+    return acc.selectExpr(
+        "arm",
+        "r2 AS rank_sum_x2",
+        "b AS n_blocks",
+        f"round({_FR_STAT}, 6) AS friedman_stat",
+        f"round({_FR_STAT} / nullif({_FR_C}, 0e0), 6) AS tie_corrected",
+        "CAST(k - 1 AS BIGINT) AS df",
+    ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: customer activity flip before/after the midpoint
+# ---------------------------------------------------------------------------
+
+_MC_SPLIT = "1998-01-01"
+
+#: Continuity-corrected McNemar chi-square on the exact discordant
+#: counts; degenerate (no discordant pairs) -> NULL via nullif.
+_MC_CHI2 = (
+    "((abs(CAST(b01 AS DOUBLE) - CAST(b10 AS DOUBLE)) - 1e0)"
+    " * (abs(CAST(b01 AS DOUBLE) - CAST(b10 AS DOUBLE)) - 1e0)"
+    " / nullif(CAST(b01 AS DOUBLE) + CAST(b10 AS DOUBLE), 0e0))"
+)
+
+
+@query(
+    "q_d6_mcnemar",
+    oracle=f"""
+    WITH act AS (
+      SELECT c.c_custkey,
+             CAST(max(CASE WHEN o.o_orderdate < TIMESTAMP '{_MC_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS before_f,
+             CAST(max(CASE WHEN o.o_orderdate >= TIMESTAMP '{_MC_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS after_f
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN before_f = 0 AND after_f = 0 THEN 1 ELSE 0
+                      END) AS BIGINT) AS b00,
+             CAST(sum(CASE WHEN before_f = 0 AND after_f = 1 THEN 1 ELSE 0
+                      END) AS BIGINT) AS b01,
+             CAST(sum(CASE WHEN before_f = 1 AND after_f = 0 THEN 1 ELSE 0
+                      END) AS BIGINT) AS b10,
+             CAST(sum(CASE WHEN before_f = 1 AND after_f = 1 THEN 1 ELSE 0
+                      END) AS BIGINT) AS b11
+      FROM act)
+    SELECT b00, b01, b10, b11,
+           round({_MC_CHI2}, 6) AS chi2_cc,
+           CAST(1 AS BIGINT) AS df
+    FROM cells
+    """,
+)
+def q_d6_mcnemar(spark, sf_dir):
+    """McNEMAR'S PAIRED TEST (McNemar, Psychometrika 1947) on customer
+    activity flips across the 1998-01-01 midpoint: each customer is their
+    own control (active-before vs active-after booleans), and only the
+    DISCORDANT cells b01/b10 carry information — the right test for
+    "did the population's activity state change" where a two-sample
+    z-test (q_yi) would wrongly treat the periods as independent
+    samples. Continuity-corrected chi-square on exact integer cells;
+    customers with no orders at all land in b00 via the LEFT join.
+
+    Scale shape: one customer-keyed LEFT join + per-customer max
+    flags (combinable) + a single 4-cell reduction. 100 TB = one join
+    + a 1-row close.
+    """
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    split = F.lit(_MC_SPLIT).cast("timestamp")
+    act = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderdate") < split, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("before_f"),
+            F.max(
+                F.when(F.col("o_orderdate") >= split, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("after_f"),
+        )
+    )
+    cells = act.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("before_f") == bf) & (F.col("after_f") == af), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"b{bf}{af}")
+            for bf in (0, 1)
+            for af in (0, 1)
+        ]
+    )
+    return cells.selectExpr(
+        "b00",
+        "b01",
+        "b10",
+        "b11",
+        f"round({_MC_CHI2}, 6) AS chi2_cc",
+        "CAST(1 AS BIGINT) AS df",
+    )
