@@ -2019,3 +2019,158 @@ def q_d6_mcnemar(spark, sf_dir):
         f"round({_MC_CHI2}, 6) AS chi2_cc",
         "CAST(1 AS BIGINT) AS df",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-way fixed-effects (within) panel regression: revenue ~ order count
+# ---------------------------------------------------------------------------
+
+#: Within-transformed cell values (x~ = x - Xbar_i - Xbar_t + Xbar):
+#: exact integer group sums divided in ONE shared-text expression, so
+#: both engines carry identical demeaned doubles per cell.
+def _fe_dm(v: str) -> str:
+    return (
+        f"(CAST({v} AS DOUBLE)"
+        f" - CAST({v}_i AS DOUBLE) / CAST(n_i AS DOUBLE)"
+        f" - CAST({v}_t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+        f" + CAST({v}_g AS DOUBLE) / CAST(n_g AS DOUBLE))"
+    )
+
+
+#: Per-cell product terms, micro-quantized so the panel sums are
+#: order-free (q_zv contract).
+_FE_XY = (
+    f"CAST(round({_fe_dm('x')} * {_fe_dm('y')} * 1000000e0, 0) AS BIGINT)"
+)
+_FE_XX = (
+    f"CAST(round({_fe_dm('x')} * {_fe_dm('x')} * 1000000e0, 0) AS BIGINT)"
+)
+_FE_YY = (
+    f"CAST(round({_fe_dm('y')} * {_fe_dm('y')} * 1000000e0, 0) AS BIGINT)"
+)
+
+_FE_BETA = "(CAST(sxy AS DOUBLE) / nullif(CAST(sxx AS DOUBLE), 0e0))"
+_FE_R2 = (
+    "(CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " / nullif(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE), 0e0))"
+)
+
+
+@query(
+    "q_da_panel_fe",
+    oracle=f"""
+    WITH cell AS (
+      SELECT s.s_nationkey AS i, year(o.o_orderdate) AS t,
+             CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) // 100000 AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    gi AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n_i,
+             CAST(sum(x) AS BIGINT) AS x_i, CAST(sum(y) AS BIGINT) AS y_i
+      FROM cell GROUP BY i),
+    gt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(x) AS BIGINT) AS x_t, CAST(sum(y) AS BIGINT) AS y_t
+      FROM cell GROUP BY t),
+    gg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS x_g, CAST(sum(y) AS BIGINT) AS y_g
+      FROM cell),
+    dm AS (
+      SELECT c.i, c.t, {_FE_XY} AS pxy, {_FE_XX} AS pxx, {_FE_YY} AS pyy
+      FROM cell c
+      JOIN gi ON gi.i = c.i JOIN gt ON gt.t = c.t CROSS JOIN gg),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(pxy) AS BIGINT) AS sxy,
+             CAST(sum(pxx) AS BIGINT) AS sxx,
+             CAST(sum(pyy) AS BIGINT) AS syy
+      FROM dm)
+    SELECT n_cells,
+           round({_FE_BETA}, 6) AS beta_within,
+           round({_FE_R2}, 6) AS r2_within
+    FROM mom
+    """,
+)
+def q_da_panel_fe(spark, sf_dir):
+    """TWO-WAY FIXED-EFFECTS PANEL REGRESSION (the within estimator;
+    Wooldridge, Econometric Analysis of Cross Section and Panel Data)
+    of supplier-nation yearly revenue (units of $1k) on order count
+    over the (nation x year) panel: nation effects absorb level
+    differences, year effects absorb global cycles, and the remaining
+    within-variation identifies the marginal revenue per order — the
+    econometrician's answer where pooled OLS (q_z9) would conflate
+    "big nations sell more" with "more orders earn more". The
+    demeaning x~ = x - Xbar_i - Xbar_t + Xbar uses exact integer group
+    sums in one shared-text expression per cell; per-cell products are
+    micro-quantized and BIGINT-summed (q_zv contract), so beta and
+    r-squared close on exact integers.
+
+    Scale shape: the corpus-sized stage is one fact join-aggregate to
+    the <= 25 x years panel; margins and the close run on that
+    constant frame. 100 TB = one scan + a constant tail.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cell = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("i"),
+            F.year("o_orderdate").alias("t"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").cast("bigint").alias("x"),
+            F.expr(
+                "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT) DIV 100000"
+            ).alias("y"),
+        )
+    )
+    gi = cell.groupBy("i").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("x").cast("bigint").alias("x_i"),
+        F.sum("y").cast("bigint").alias("y_i"),
+    )
+    gt = cell.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_t"),
+        F.sum("x").cast("bigint").alias("x_t"),
+        F.sum("y").cast("bigint").alias("y_t"),
+    )
+    gg = cell.agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("x_g"),
+        F.sum("y").cast("bigint").alias("y_g"),
+    )
+    dm = (
+        cell.join(F.broadcast(gi), "i")
+        .join(F.broadcast(gt), "t")
+        .crossJoin(F.broadcast(gg))
+        .select(
+            F.expr(_FE_XY).alias("pxy"),
+            F.expr(_FE_XX).alias("pxx"),
+            F.expr(_FE_YY).alias("pyy"),
+        )
+    )
+    mom = dm.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("pxy").cast("bigint").alias("sxy"),
+        F.sum("pxx").cast("bigint").alias("sxx"),
+        F.sum("pyy").cast("bigint").alias("syy"),
+    )
+    return mom.selectExpr(
+        "n_cells",
+        f"round({_FE_BETA}, 6) AS beta_within",
+        f"round({_FE_R2}, 6) AS r2_within",
+    )

@@ -3970,3 +3970,132 @@ def q_cz_lpa(spark, sf_dir):
         .select(F.col("label").alias("community"), "n_nodes")
         .orderBy(F.desc("n_nodes"), F.asc("community"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping (Sakoe-Chiba band) between two segments' revenue
+# ---------------------------------------------------------------------------
+
+_DTW_BAND = 14
+_DTW_SEG_A = "AUTOMOBILE"
+_DTW_SEG_B = "BUILDING"
+
+
+def dtw_distance(
+    xs, ys, band: int
+) -> tuple[float, int]:
+    """Banded DTW DP (Sakoe & Chiba, IEEE TASSP 1978) with symmetric
+    step pattern; returns (distance, warping-path length). Pure
+    function so tests can golden-check the operator against it."""
+    import math
+
+    n, m = len(xs), len(ys)
+    inf = math.inf
+    prev = [inf] * (m + 1)
+    prev[0] = 0.0
+    # Track path length via parallel DP (steps count).
+    prev_len = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [inf] * (m + 1)
+        cur_len = [0] * (m + 1)
+        lo = max(1, i - band)
+        hi = min(m, i + band)
+        for j in range(lo, hi + 1):
+            c = abs(xs[i - 1] - ys[j - 1])
+            best, blen = prev[j - 1], prev_len[j - 1]  # match
+            if prev[j] < best:
+                best, blen = prev[j], prev_len[j]  # insertion
+            if cur[j - 1] < best:
+                best, blen = cur[j - 1], cur_len[j - 1]  # deletion
+            cur[j] = c + best
+            cur_len[j] = blen + 1
+        prev, prev_len = cur, cur_len
+    return prev[m], prev_len[m]
+
+
+@query("q_d8_dtw")
+def q_d8_dtw(spark, sf_dir):
+    """DYNAMIC TIME WARPING distance between two market segments' daily
+    revenue curves (Sakoe-Chiba band = 14 days): the elastic-alignment
+    similarity that tolerates phase shifts where lagged cross-
+    correlation (q_zx) only tests FIXED lags — "do these two segments
+    follow the same demand shape, allowing a fortnight of slack?".
+    Series are z-normalized from exact integer moments before
+    alignment (scale-free comparison, the standard DTW preprocessing).
+    Rows-only by design: the banded DP is sequential per PAIR —
+    day-grain bounded (q_zi document-and-contain), so it runs inside
+    ONE applyInPandas group (the q_cm Viterbi shape) while the
+    corpus-sized work (the daily rollup) stays distributed; DuckDB has
+    no DP twin, so correctness is pinned by golden tests against the
+    pure-Python dtw_distance on known series (identity -> 0, symmetry,
+    band violation detection) in tests/test_science_ops.py.
+
+    Scale shape: one map-side-combinable (segment, day) rollup + one
+    bounded two-series DP task. 100 TB = one scan + one join + a
+    constant tail.
+    """
+    import pandas as pd
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    # One dense day axis for BOTH series (zero-filled): unequal active
+    # day counts would otherwise make the far corner unreachable inside
+    # the band (|n - m| > band -> infinite distance).
+    daily = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("c_mktsegment").isin(_DTW_SEG_A, _DTW_SEG_B))
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == _DTW_SEG_A,
+                    F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_cents"),
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == _DTW_SEG_B,
+                    F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("b_cents"),
+        )
+    )
+
+    schema = (
+        "n_a bigint, n_b bigint, band bigint, dtw_distance double, "
+        "path_len bigint"
+    )
+
+    def run(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf.sort_values("day", kind="stable")
+        a = p["a_cents"].to_numpy(dtype="float64")
+        b = p["b_cents"].to_numpy(dtype="float64")
+
+        def znorm(v):
+            mu = v.mean()
+            sd = v.std()
+            return (v - mu) / sd if sd > 0 else v - mu
+
+        xs, ys = znorm(a), znorm(b)
+        d, plen = dtw_distance(list(xs), list(ys), _DTW_BAND)
+        return pd.DataFrame(
+            [
+                {
+                    "n_a": len(a),
+                    "n_b": len(b),
+                    "band": _DTW_BAND,
+                    "dtw_distance": round(float(d), 6),
+                    "path_len": plen,
+                }
+            ]
+        )
+
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(run, schema)
+    )

@@ -651,3 +651,96 @@ def q_bt_diversified_topk(spark, sf_dir):
         )
         .orderBy("final_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) inventory classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+#: Class from the PRIOR cumulative revenue share (exact integer
+#: cross-multiplication against the 80%/95% literal thresholds — the
+#: boundary part whose prefix crosses a threshold belongs to the
+#: class it STARTS in, deterministic on both engines).
+_ABC_CLASS = (
+    "(CASE WHEN 100 * (cum - rev) < 80 * tot THEN 'A'"
+    " WHEN 100 * (cum - rev) < 95 * tot THEN 'B'"
+    " ELSE 'C' END)"
+)
+
+
+@query(
+    "q_d9_abc_class",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM per_part),
+    classed AS (
+      SELECT {_ABC_CLASS} AS abc, rev, tot FROM ranked)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(min(tot) AS DOUBLE), 6)
+             AS revenue_share,
+           round(CAST(sum(rev) AS DOUBLE) / 100e0, 2) AS revenue_dollars
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+)
+def q_d9_abc_class(spark, sf_dir):
+    """ABC (PARETO) INVENTORY CLASSIFICATION of parts by discounted
+    revenue — the classic 80/15/5 warehouse segmentation (A-parts get
+    cycle counts and safety stock, C-parts get bulk policies; the
+    (s,Q) simulation q_by consumes exactly this split): rank parts by
+    revenue DESC, classify by the PRIOR cumulative share against the
+    80%/95% thresholds via exact integer cross-multiplication — no
+    float share ever feeds a comparison, so the boundary part lands in
+    the same class on both engines. Emits per-class part counts and
+    revenue shares.
+
+    Scale shape: one map-side-combinable per-part rollup; the ranked
+    prefix runs at part grain (sublinear in the fact table; the q_yj
+    distributed-rank recipe swaps in when the part dimension itself is
+    huge — integer-exact either way). 100 TB = one scan + one
+    part-grain shuffle + a 3-row close.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_tot).alias("tot"),
+    )
+    classed = ranked.select(
+        F.expr(_ABC_CLASS).alias("abc"), "rev", "tot"
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("rev").cast("double") / F.min("tot").cast("double"), 6
+            ).alias("revenue_share"),
+            F.round(F.sum("rev").cast("double") / 100.0, 2).alias(
+                "revenue_dollars"
+            ),
+        )
+        .orderBy("abc")
+    )

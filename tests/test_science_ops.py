@@ -821,3 +821,53 @@ def test_lpa_partition_covers_all_nodes_once(spark, sf_smoke):
         .count()
     )
     assert sum(r.n_nodes for r in rows) == n_nodes
+
+
+# ---------------------------------------------------------------------------
+# DTW (q_d8_dtw)
+# ---------------------------------------------------------------------------
+
+
+def test_dtw_identity_symmetry_and_known_value():
+    from pyspark_mllib_twitter_spark.plans.science_ops import dtw_distance
+
+    x = [0.0, 1.0, 2.0, 3.0, 2.0, 1.0]
+    y = [0.0, 0.0, 1.0, 2.0, 3.0, 2.0]
+    # Identity: zero distance, diagonal path.
+    d0, l0 = dtw_distance(x, x, band=3)
+    assert d0 == 0.0 and l0 == len(x)
+    # Symmetry.
+    dxy, _ = dtw_distance(x, y, band=3)
+    dyx, _ = dtw_distance(y, x, band=3)
+    assert abs(dxy - dyx) < 1e-12
+    # The shifted copy aligns almost perfectly within the band; the
+    # unwarped (lockstep, band=0) cost must be strictly worse.
+    lock, _ = dtw_distance(x, y, band=0)
+    assert dxy < lock
+    # Hand-checked DP value for this pair.
+    assert abs(dxy - 1.0) < 1e-12
+
+
+def test_dtw_band_restricts_alignment():
+    from pyspark_mllib_twitter_spark.plans.science_ops import dtw_distance
+
+    x = [0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 0.0]
+    y = [0.0, 0.0, 0.0, 0.0, 0.0, 5.0, 0.0]
+    wide, _ = dtw_distance(x, y, band=3)
+    narrow, _ = dtw_distance(x, y, band=1)
+    # The 3-step phase shift between the spikes is absorbable only when
+    # the band is at least as wide as the shift.
+    assert wide == 0.0
+    assert narrow > 0.0
+
+
+def test_dtw_registry_entry_runs_and_is_deterministic(spark, sf_smoke):
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    r1 = REGISTRY["q_d8_dtw"].spark(spark, sf_smoke).collect()
+    r2 = REGISTRY["q_d8_dtw"].spark(spark, sf_smoke).collect()
+    assert r1 == r2
+    row = r1[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert row.dtw_distance >= 0.0
+    assert row.path_len >= max(row.n_a, row.n_b)
