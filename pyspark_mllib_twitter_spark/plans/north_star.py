@@ -904,8 +904,13 @@ def q_d7_cohens_kappa(spark, sf_dir):
     pred = d.select(
         F.col("lang").alias("truth"), TXT.lang_guess("text").alias("guess")
     )
-    cell = pred.groupBy("truth", "guess").agg(
-        F.count("*").cast("bigint").alias("c")
+    # Pin the 36-cell confusion frame: rows_/cols_/agg would otherwise
+    # each re-run the langid scan (3x the corpus cost, measured 24s ->
+    # scan-once at sf0.1).
+    cell = (
+        pred.groupBy("truth", "guess")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
     rows_ = cell.groupBy("truth").agg(F.sum("c").cast("bigint").alias("r"))
     cols_ = cell.groupBy("guess").agg(F.sum("c").cast("bigint").alias("k"))

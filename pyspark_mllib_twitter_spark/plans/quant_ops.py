@@ -2137,6 +2137,10 @@ def q_da_panel_fe(spark, sf_dir):
                 " AS BIGINT) DIV 100000"
             ).alias("y"),
         )
+        # Pin the <=25 x years panel: the margins (gi/gt/gg) and the
+        # demeaning join would otherwise re-run the fact join-aggregate
+        # 4x (measured 10s -> scan-once at sf0.1).
+        .localCheckpoint(eager=True)
     )
     gi = cell.groupBy("i").agg(
         F.count("*").cast("bigint").alias("n_i"),
@@ -2173,4 +2177,95 @@ def q_da_panel_fe(spark, sf_dir):
         "n_cells",
         f"round({_FE_BETA}, 6) AS beta_within",
         f"round({_FE_R2}, 6) AS r2_within",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q: did yearly activity rates change across 1996..2000?
+# ---------------------------------------------------------------------------
+
+#: Fully-integer Cochran's Q: numerator (k-1)(k*sum(C_j^2) - T^2),
+#: denominator k*T - sum(R_i^2); degenerate (all rows constant) -> NULL.
+_CQ_STAT = (
+    "(CAST((k - 1) * (k * sc2 - t_tot * t_tot) AS DOUBLE)"
+    " / nullif(CAST(k * t_tot - sr2 AS DOUBLE), 0e0))"
+)
+
+#: Active-year bits 1..5 of the q_d3 mask (1996..2000).
+_CQ_YEAR_BITS = (2, 4, 8, 16, 32)
+
+
+@query(
+    "q_db_cochran_q",
+    oracle=f"""
+    WITH mask_t AS (
+      SELECT o_custkey, CAST(bit_or({_SBG_BIT}) AS BIGINT) AS mask
+      FROM orders WHERE year(o_orderdate) <= 2000
+      GROUP BY o_custkey),
+    rows_ AS (
+      SELECT mask & 62 AS amask,
+             CAST(bit_count(CAST(mask & 62 AS BIGINT)) AS BIGINT) AS r
+      FROM mask_t),
+    per_year AS (
+      SELECT {" + ".join(f"CAST(sum(CASE WHEN amask & {b} > 0 THEN 1 ELSE 0 END) * sum(CASE WHEN amask & {b} > 0 THEN 1 ELSE 0 END) AS BIGINT)" for b in _CQ_YEAR_BITS)}
+               AS sc2,
+             CAST(sum(r) AS BIGINT) AS t_tot,
+             CAST(sum(r * r) AS BIGINT) AS sr2,
+             CAST(count(*) AS BIGINT) AS b,
+             CAST(5 AS BIGINT) AS k
+      FROM rows_)
+    SELECT b AS n_customers, k AS n_periods, t_tot,
+           round({_CQ_STAT}, 6) AS q_stat,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM per_year
+    """,
+)
+def q_db_cochran_q(spark, sf_dir):
+    """COCHRAN'S Q TEST (Cochran, Biometrika 1950 — the k-treatment
+    generalization of McNemar): are customer activity RATES equal
+    across the five years 1996..2000, treating each customer as their
+    own block? The activity panel collapses to the q_d3 bit_or mask
+    (one bigint per customer), row totals come from bit_count, column
+    totals from per-bit flags, and Q = (k-1)(k*sum C_j^2 - T^2) /
+    (k*T - sum R_i^2) is EXACT INTEGER arithmetic end to end — the
+    only double is the final shared-text division. Customers active in
+    all five years (or none) contribute nothing, exactly as the
+    statistic prescribes.
+
+    Scale shape: one combinable bit_or aggregate + one 5-term
+    reduction. 100 TB = one scan + a 1-row close.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") <= 2000
+    )
+    mask_t = o.groupBy("o_custkey").agg(
+        F.expr(f"bit_or({_SBG_BIT})").cast("bigint").alias("mask")
+    )
+    rows_ = mask_t.select(
+        (F.col("mask").bitwiseAND(62)).alias("amask"),
+        F.expr("CAST(bit_count(CAST(mask & 62 AS BIGINT)) AS BIGINT)").alias(
+            "r"
+        ),
+    )
+    flag_sq = [
+        F.expr(
+            f"CAST(sum(CASE WHEN amask & {b} > 0 THEN 1 ELSE 0 END)"
+            f" * sum(CASE WHEN amask & {b} > 0 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        )
+        for b in _CQ_YEAR_BITS
+    ]
+    per_year = rows_.agg(
+        sum(flag_sq[1:], flag_sq[0]).alias("sc2"),
+        F.sum("r").cast("bigint").alias("t_tot"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+        F.count("*").cast("bigint").alias("b"),
+        F.lit(5).cast("bigint").alias("k"),
+    )
+    return per_year.selectExpr(
+        "b AS n_customers",
+        "k AS n_periods",
+        "t_tot",
+        f"round({_CQ_STAT}, 6) AS q_stat",
+        "CAST(k - 1 AS BIGINT) AS df",
     )

@@ -2594,3 +2594,142 @@ def q_cl_runs_test(spark, sf_dir):
         F.round(F.expr(_RT_MU), 6).alias("expected_runs"),
         F.round(F.expr(_RT_Z), 6).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means (k=4, 3 iterations) as one dialect-portable SQL text
+# ---------------------------------------------------------------------------
+
+_KM4_K = 4
+_KM4_ITERS = 3
+
+
+def _km4_dist(j: int, cent: str) -> str:
+    """Micro-quantized squared distance of a point to centroid j of the
+    1-row wide centroid frame ``cent`` (the q_cm integer-decision
+    contract: argmin compares exact BIGINTs, never raw doubles)."""
+    return (
+        "CAST(round(((CAST(x AS DOUBLE) - {c}.mx{j}) * (CAST(x AS DOUBLE)"
+        " - {c}.mx{j}) + (CAST(y AS DOUBLE) - {c}.my{j})"
+        " * (CAST(y AS DOUBLE) - {c}.my{j})) * 1000000e0, 0) AS BIGINT)"
+    ).format(j=j, c=cent)
+
+
+def _km4_assign(cent: str) -> str:
+    """Argmin cluster id with lowest-id tie-break, as nested integer
+    comparisons over the quantized distances."""
+    ds = [_km4_dist(j, cent) for j in range(1, _KM4_K + 1)]
+    arms = []
+    for j in range(1, _KM4_K):
+        conds = " AND ".join(
+            f"{ds[j - 1]} <= {ds[m]}" for m in range(j, _KM4_K)
+        )
+        arms.append(f"WHEN {conds} THEN {j}")
+    return f"(CASE {' '.join(arms)} ELSE {_KM4_K} END)"
+
+
+def _km4_cent_cte(k_it: int, prev: str) -> str:
+    """Centroid update CTE: mean of members per cluster, empty clusters
+    keep the previous centroid (coalesce on the 1-row wide frame)."""
+    assign = _km4_assign(prev)
+    aggs = []
+    for j in range(1, _KM4_K + 1):
+        for axis in ("x", "y"):
+            aggs.append(
+                f"coalesce(CAST(sum(CASE WHEN a.c = {j} THEN a.{axis}"
+                f" ELSE 0 END) AS DOUBLE)"
+                f" / nullif(CAST(sum(CASE WHEN a.c = {j} THEN 1 ELSE 0 END)"
+                f" AS DOUBLE), 0e0), min({prev}.m{axis}{j}))"
+                f" AS m{axis}{j}"
+            )
+    return (
+        f"cent{k_it} AS (SELECT {', '.join(aggs)}"
+        f" FROM (SELECT x, y, {assign} AS c FROM pts CROSS JOIN {prev}) a"
+        f" CROSS JOIN {prev} GROUP BY 1=1)"
+    )
+
+
+def _km4_sql() -> str:
+    init_aggs = []
+    for j in range(1, _KM4_K + 1):
+        for axis in ("x", "y"):
+            init_aggs.append(
+                f"CAST(sum(CASE WHEN strat = {j} THEN {axis} ELSE 0 END)"
+                f" AS DOUBLE) / CAST(sum(CASE WHEN strat = {j} THEN 1"
+                f" ELSE 0 END) AS DOUBLE) AS m{axis}{j}"
+            )
+    its = ",\n    ".join(
+        _km4_cent_cte(i, f"cent{i - 1}") for i in range(1, _KM4_ITERS + 1)
+    )
+    final = f"cent{_KM4_ITERS}"
+    fin_assign = _km4_assign(final)
+    fin_dist = " + ".join(
+        f"(CASE WHEN {_km4_assign(final)} = {j} THEN {_km4_dist(j, final)}"
+        " ELSE 0 END)"
+        for j in range(1, _KM4_K + 1)
+    )
+    cent_cols = " ".join(
+        f"WHEN {j} THEN {final}.mx{j}" for j in range(1, _KM4_K + 1)
+    )
+    cent_cols_y = " ".join(
+        f"WHEN {j} THEN {final}.my{j}" for j in range(1, _KM4_K + 1)
+    )
+    return f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    pts AS (
+      SELECT CAST(ntile(100) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS x,
+             CAST(ntile(100) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+               AS y
+      FROM spend),
+    strata AS (
+      SELECT x, y, CAST(ntile({_KM4_K}) OVER (ORDER BY x, y) AS BIGINT)
+               AS strat
+      FROM pts),
+    cent0 AS (SELECT {', '.join(init_aggs)} FROM strata),
+    {its},
+    assigned AS (
+      SELECT {fin_assign} AS cluster, x, y, {fin_dist} AS d_q
+      FROM pts CROSS JOIN {final})
+    SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_points,
+           round(CAST(sum(a.x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS cx,
+           round(CAST(sum(a.y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS cy,
+           round(CAST(sum(a.d_q) AS DOUBLE) / 1000000e0, 6) AS wcss,
+           round(min(CASE a.cluster {cent_cols} END), 6) AS model_cx,
+           round(min(CASE a.cluster {cent_cols_y} END), 6) AS model_cy
+    FROM assigned a CROSS JOIN {final}
+    GROUP BY a.cluster ORDER BY a.cluster
+    """
+
+
+@query("q_dc_kmeans_sql", oracle=_km4_sql())
+def q_dc_kmeans_sql(spark, sf_dir):
+    """LLOYD k-MEANS (k=4, 3 iterations) as ONE dialect-portable SQL
+    text (Lloyd 1957/1982; the algorithm under MLlib's KMeans, which
+    the engine ships seeded as rows-only q_ml_kmeans — THIS twin is
+    fully oracle-checked): features are the customer's spend and
+    order-count PERCENTILE RANKS (ntile over a total order — exact
+    integers, scale-free, deterministic on both engines), every
+    point-to-centroid distance is micro-quantized so cluster
+    assignment is an exact-integer argmin with lowest-id tie-break
+    (the q_cm decision contract), and each iteration's centroid update
+    is exact integer sums over members with empty clusters holding
+    their previous position. Output: per-cluster size, realized
+    center, WCSS, and the model centroids — the full trajectory-final
+    state, hash-checked.
+
+    Scale shape: one per-customer rollup, rank transforms at customer
+    grain, then 3+1 passes each = one combinable aggregate against a
+    broadcast 1-row centroid frame (the q_cj GMM shape). 100 TB =
+    4 combinable scans of the customer table, zero corpus-sized
+    shuffles.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_km4_sql())
