@@ -2269,3 +2269,391 @@ def q_db_cochran_q(spark, sf_dir):
         f"round({_CQ_STAT}, 6) AS q_stat",
         "CAST(k - 1 AS BIGINT) AS df",
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette of the labeled embedding clusters
+# ---------------------------------------------------------------------------
+
+#: Per-dimension squared-distance term in exact integer micro-units:
+#: embeddings quantize ONCE (round(val*1e6)), centroids are exact
+#: rational sums over those integers, and the per-dim term closes in
+#: shared text then nano-quantizes so the dim sum is order-free — no
+#: float-typed avg() ever feeds a comparison (the q_ah lesson).
+_SIL_TERM = (
+    "CAST(round((CAST(vq AS DOUBLE) - CAST(sq AS DOUBLE)"
+    " / CAST(nc AS DOUBLE)) * (CAST(vq AS DOUBLE) - CAST(sq AS DOUBLE)"
+    " / CAST(nc AS DOUBLE)) / 1000e0, 0) AS BIGINT)"
+)
+
+#: Per-point silhouette s = (b - a) / max(a, b), nano-quantized for the
+#: order-free per-label mean; degenerate (a = b = 0) -> 0.
+_SIL_S = (
+    "(CASE WHEN greatest(da, db) > 0 THEN CAST(round((sqrt(CAST(db"
+    " AS DOUBLE)) - sqrt(CAST(da AS DOUBLE))) / greatest(sqrt(CAST(da"
+    " AS DOUBLE)), sqrt(CAST(db AS DOUBLE))) * 1000000000e0, 0) AS BIGINT)"
+    " ELSE 0 END)"
+)
+
+
+@query(
+    "q_dd_silhouette",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000e0)
+                  AS BIGINT) AS vq
+      FROM embeddings),
+    cent AS (
+      SELECT label AS clabel, dim, CAST(sum(vq) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS nc
+      FROM e GROUP BY label, dim),
+    terms AS (
+      SELECT e.vec_id, e.label, c.clabel, {_SIL_TERM} AS t
+      FROM e JOIN cent c ON c.dim = e.dim),
+    dists AS (
+      SELECT vec_id, label, clabel, CAST(sum(t) AS BIGINT) AS d2
+      FROM terms GROUP BY vec_id, label, clabel),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(min(CASE WHEN clabel = label THEN d2 END) AS BIGINT)
+               AS da,
+             CAST(min(CASE WHEN clabel <> label THEN d2 END) AS BIGINT)
+               AS db
+      FROM dists GROUP BY vec_id, label),
+    scored AS (
+      SELECT label, {_SIL_S} AS s_q FROM ab)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_points,
+           round(CAST(sum(s_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000000e0, 6) AS silhouette
+    FROM scored GROUP BY label ORDER BY label
+    """,
+)
+def q_dd_silhouette(spark, sf_dir):
+    """SIMPLIFIED SILHOUETTE (Hruschka et al. 2004 — the centroid-based
+    O(N·k) variant of Rousseeuw's silhouette; what sklearn calls the
+    "medoid-free" cluster-quality score) of the labeled embedding
+    clusters: per point, a = distance to OWN centroid, b = distance to
+    the NEAREST OTHER centroid, s = (b-a)/max(a,b) — the quality audit
+    that scores the assignment q_xy's centroid-cosine audit only
+    sketches. Embeddings quantize once to integer micro-units, so
+    centroids are exact rationals and every per-dim term nano-
+    quantizes before the order-free dim sum (the q_ah float-fold
+    lesson, designed out).
+
+    Scale shape: posexplode widens by the FIXED dim count; the
+    centroid table is labels x dims (broadcast-tiny); the per-point
+    distance join fans out by label count only (bounded k). 100 TB =
+    one scan + one (point, label)-grain combinable aggregate.
+    """
+    e = (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim0", "val"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.round(F.col("val").cast("double") * 1e6)
+            .cast("bigint")
+            .alias("vq"),
+        )
+    )
+    cent = e.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("vq").cast("bigint").alias("sq"),
+        F.count("*").cast("bigint").alias("nc"),
+    )
+    terms = e.join(F.broadcast(cent), "dim").select(
+        "vec_id", "label", "clabel", F.expr(_SIL_TERM).alias("t")
+    )
+    dists = terms.groupBy("vec_id", "label", "clabel").agg(
+        F.sum("t").cast("bigint").alias("d2")
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2")))
+        .cast("bigint")
+        .alias("da"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))
+        .cast("bigint")
+        .alias("db"),
+    )
+    scored = ab.select("label", F.expr(_SIL_S).alias("s_q"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.round(
+                F.sum("s_q").cast("double")
+                / F.count("*").cast("double")
+                / 1e9,
+                6,
+            ).alias("silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 90-day regression beta between two segments' daily revenue
+# ---------------------------------------------------------------------------
+
+_RB_WIN = 90
+_RB_SEG_X = "MACHINERY"
+_RB_SEG_Y = "FURNITURE"
+
+#: Shared-text windowed OLS closes on exact integer rolling moments
+#: (dollar units keep 90-day x*y sums inside int64 to ~sf1).
+_RB_BETA = (
+    "((CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+    " * CAST(sy AS DOUBLE)) / nullif(CAST(nw AS DOUBLE)"
+    " * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),"
+    " 0e0))"
+)
+_RB_CORR = (
+    "((CAST(nw AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+    " * CAST(sy AS DOUBLE)) / nullif(sqrt((CAST(nw AS DOUBLE)"
+    " * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(nw AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+    " * CAST(sy AS DOUBLE))), 0e0))"
+)
+
+
+@query(
+    "q_de_rolling_beta",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o.o_orderdate) AS day,
+             CAST(SUM(CASE WHEN c.c_mktsegment = '{_RB_SEG_X}'
+                  THEN CAST(round(o.o_totalprice) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN c.c_mktsegment = '{_RB_SEG_Y}'
+                  THEN CAST(round(o.o_totalprice) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('{_RB_SEG_X}', '{_RB_SEG_Y}')
+      GROUP BY 1),
+    idx AS (SELECT row_number() OVER (ORDER BY day) AS t, day, x, y
+            FROM daily),
+    win AS (
+      SELECT t, day,
+             CAST(count(*) OVER w AS BIGINT) AS nw,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      FROM idx
+      WINDOW w AS (ORDER BY t ROWS BETWEEN {_RB_WIN - 1} PRECEDING
+                   AND CURRENT ROW))
+    SELECT CAST(day AS DATE) AS day, nw,
+           round({_RB_BETA}, 6) AS beta,
+           round({_RB_CORR}, 6) AS corr
+    FROM win WHERE nw = {_RB_WIN} AND t % 30 = 0
+    ORDER BY day
+    """,
+)
+def q_de_rolling_beta(spark, sf_dir):
+    """ROLLING 90-DAY REGRESSION BETA of one segment's daily revenue on
+    another's (sampled every 30 days) — the time-varying-relationship
+    monitor behind pairs dashboards: a one-shot correlation (q_ac)
+    answers "are they related", the rolling beta answers "is the
+    relationship DRIFTING" (regime shifts show as beta excursions;
+    q_cm's HMM would segment them). All six rolling moments are exact
+    integer window sums over dollar-unit daily revenue (the q_cy int64
+    headroom argument); beta and corr close in shared text per day.
+
+    Scale shape: one fact join-aggregate to the dense day axis; the
+    rolling windows run at day grain (q_zi document-and-contain); the
+    30-day sampling keeps the emitted curve compact. 100 TB = one
+    scan + one join + a calendar-bounded tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("c_mktsegment").isin(_RB_SEG_X, _RB_SEG_Y))
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == _RB_SEG_X,
+                    F.round("o_totalprice").cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == _RB_SEG_Y,
+                    F.round("o_totalprice").cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "day", "x", "y"
+    )
+    w = Window.orderBy("t").rowsBetween(-(_RB_WIN - 1), 0)
+    win = idx.select(
+        "t",
+        "day",
+        F.count("*").over(w).cast("bigint").alias("nw"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    return (
+        win.filter((F.col("nw") == _RB_WIN) & (F.col("t") % 30 == 0))
+        .selectExpr(
+            "CAST(day AS DATE) AS day",
+            "nw",
+            f"round({_RB_BETA}, 6) AS beta",
+            f"round({_RB_CORR}, 6) AS corr",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spend-quintile mobility matrix + Shorrocks index (1996 -> 1999)
+# ---------------------------------------------------------------------------
+
+_MOB_Y_FROM = 1996
+_MOB_Y_TO = 1999
+
+#: Per-diagonal-cell trace term p_jj nano-quantized; Shorrocks
+#: M = (k - trace) / (k - 1) closes on the fixed-order accumulated sum.
+_MOB_PJJ = (
+    "CAST(round(CAST(n_jj AS DOUBLE) / CAST(row_n AS DOUBLE)"
+    " * 1000000000e0, 0) AS BIGINT)"
+)
+_MOB_M = (
+    "((5e0 - CAST(tr_q AS DOUBLE) / 1000000000e0) / 4e0)"
+)
+
+
+@query(
+    "q_df_mobility",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE year(o_orderdate) IN ({_MOB_Y_FROM}, {_MOB_Y_TO})
+      GROUP BY 1, 2),
+    both_y AS (
+      SELECT o_custkey,
+             min(CASE WHEN yr = {_MOB_Y_FROM} THEN cents END) AS c_from,
+             min(CASE WHEN yr = {_MOB_Y_TO} THEN cents END) AS c_to
+      FROM spend GROUP BY o_custkey
+      HAVING min(CASE WHEN yr = {_MOB_Y_FROM} THEN cents END) IS NOT NULL
+         AND min(CASE WHEN yr = {_MOB_Y_TO} THEN cents END) IS NOT NULL),
+    quints AS (
+      SELECT CAST(ntile(5) OVER (ORDER BY c_from, o_custkey) AS BIGINT)
+               AS q_from,
+             CAST(ntile(5) OVER (ORDER BY c_to, o_custkey) AS BIGINT)
+               AS q_to
+      FROM both_y),
+    cells AS (
+      SELECT q_from, q_to, CAST(count(*) AS BIGINT) AS n
+      FROM quints GROUP BY q_from, q_to),
+    rows_ AS (
+      SELECT q_from, CAST(sum(n) AS BIGINT) AS row_n
+      FROM cells GROUP BY q_from),
+    diag AS (
+      SELECT c.q_from, c.n AS n_jj, r.row_n
+      FROM cells c JOIN rows_ r ON r.q_from = c.q_from
+      WHERE c.q_from = c.q_to),
+    tr AS (
+      SELECT CAST(sum({_MOB_PJJ}) AS BIGINT) AS tr_q FROM diag)
+    SELECT c.q_from, c.q_to, c.n,
+           round(CAST(c.n AS DOUBLE) / CAST(r.row_n AS DOUBLE), 6) AS p,
+           round({_MOB_M}, 6) AS shorrocks_m
+    FROM cells c JOIN rows_ r ON r.q_from = c.q_from CROSS JOIN tr
+    ORDER BY c.q_from, c.q_to
+    """,
+)
+def q_df_mobility(spark, sf_dir):
+    """SPEND-QUINTILE MOBILITY MATRIX (1996 -> 1999) + SHORROCKS
+    MOBILITY INDEX (Shorrocks, Economica 1978): among customers active
+    in both years, where does each 1996 spend quintile land in 1999?
+    M = (k - trace(P)) / (k - 1) summarizes it — 0 = frozen ranks
+    (perfect persistence), 1 = complete reshuffling; the longitudinal
+    companion of the Gini/Lorenz static-inequality pair (q_yj/q_z7).
+    Quintiles come from ntile over a TOTAL order (exact, deterministic
+    on both engines — the q_dc contract); cell counts and row margins
+    are exact integers; each diagonal p_jj nano-quantizes before the
+    trace sum (q_zv contract) so M closes on exact integers.
+
+    Scale shape: one year-filtered rollup, customer-grain rank
+    transforms, a 25-cell tail. 100 TB = one scan + one customer-grain
+    shuffle + a constant close.
+    """
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(_MOB_Y_FROM, _MOB_Y_TO)
+    )
+    spend = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    both_y = (
+        spend.groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.when(F.col("yr") == _MOB_Y_FROM, F.col("cents"))
+            ).alias("c_from"),
+            F.min(F.when(F.col("yr") == _MOB_Y_TO, F.col("cents"))).alias(
+                "c_to"
+            ),
+        )
+        .filter(
+            F.col("c_from").isNotNull() & F.col("c_to").isNotNull()
+        )
+    )
+    quints = both_y.select(
+        F.ntile(5)
+        .over(Window.orderBy("c_from", "o_custkey"))
+        .cast("bigint")
+        .alias("q_from"),
+        F.ntile(5)
+        .over(Window.orderBy("c_to", "o_custkey"))
+        .cast("bigint")
+        .alias("q_to"),
+    )
+    cells = quints.groupBy("q_from", "q_to").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rows_ = cells.groupBy("q_from").agg(
+        F.sum("n").cast("bigint").alias("row_n")
+    )
+    diag = (
+        cells.filter(F.col("q_from") == F.col("q_to"))
+        .join(rows_, "q_from")
+        .select(F.col("n").alias("n_jj"), "row_n")
+    )
+    tr = diag.agg(F.sum(F.expr(_MOB_PJJ)).cast("bigint").alias("tr_q"))
+    return (
+        cells.join(rows_, "q_from")
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "q_from",
+            "q_to",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_n").cast("double"), 6
+            ).alias("p"),
+            F.round(F.expr(_MOB_M), 6).alias("shorrocks_m"),
+        )
+        .orderBy("q_from", "q_to")
+    )
