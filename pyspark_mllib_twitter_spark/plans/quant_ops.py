@@ -2657,3 +2657,400 @@ def q_df_mobility(spark, sf_dir):
         )
         .orderBy("q_from", "q_to")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price index by year (base 1995)
+# ---------------------------------------------------------------------------
+
+#: Per-part numerator/denominator terms of the index ratios: unit
+#: price = rev/qty is a rational with per-part denominators, so each
+#: p*q product micro-quantizes before the cross-part sum (q_zv
+#: contract). rev in cents, qty in units -> p_t*q_0 in cents.
+_PI_LNUM = (
+    "CAST(round(CAST(rev_t AS DOUBLE) / CAST(qty_t AS DOUBLE)"
+    " * CAST(qty_0 AS DOUBLE) * 1000e0, 0) AS BIGINT)"
+)
+_PI_PDEN = (
+    "CAST(round(CAST(rev_0 AS DOUBLE) / CAST(qty_0 AS DOUBLE)"
+    " * CAST(qty_t AS DOUBLE) * 1000e0, 0) AS BIGINT)"
+)
+_PI_L = "(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE))"
+_PI_P = "(CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))"
+_PI_F = f"sqrt({_PI_L} * {_PI_P})"
+
+
+@query(
+    "q_dg_price_index",
+    oracle=f"""
+    WITH py AS (
+      SELECT l_partkey, year(l_shipdate) AS yr,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem WHERE year(l_shipdate) <= 2000
+      GROUP BY 1, 2 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+    base AS (
+      SELECT l_partkey, rev AS rev_0, qty AS qty_0
+      FROM py WHERE yr = 1995),
+    matched AS (
+      SELECT p.yr, p.rev AS rev_t, p.qty AS qty_t, b.rev_0, b.qty_0
+      FROM py p JOIN base b ON b.l_partkey = p.l_partkey
+      WHERE p.yr > 1995),
+    sums AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum({_PI_LNUM}) AS BIGINT) AS lnum,
+             CAST(sum(rev_0 * 1000) AS BIGINT) AS lden,
+             CAST(sum(rev_t * 1000) AS BIGINT) AS pnum,
+             CAST(sum({_PI_PDEN}) AS BIGINT) AS pden
+      FROM matched GROUP BY yr)
+    SELECT yr, n_parts,
+           round({_PI_L}, 6) AS laspeyres,
+           round({_PI_P}, 6) AS paasche,
+           round({_PI_F}, 6) AS fisher
+    FROM sums ORDER BY yr
+    """,
+)
+def q_dg_price_index(spark, sf_dir):
+    """LASPEYRES / PAASCHE / FISHER PRICE INDICES by ship year against
+    the 1995 base basket (Fisher 1922 — the "ideal index"; what CPI
+    methodology debates are about): Laspeyres holds base-year
+    quantities (sum p_t q_0 / sum p_0 q_0), Paasche holds current-year
+    quantities, Fisher is their geometric mean — bounding substitution
+    bias from both sides. Unit prices are per-part rationals
+    (rev/qty from exact integer sums); every p*q cross-term
+    micro-quantizes before the basket sum (q_zv contract), and the
+    exact identities sum(p_0 q_0) = rev_0, sum(p_t q_t) = rev_t skip
+    quantization entirely where the rational cancels.
+
+    Scale shape: one map-side-combinable (part, year) rollup, a
+    part-keyed join against the base basket, a years-sized close.
+    100 TB = one scan + one part-grain join.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") <= 2000
+    )
+    py = (
+        li.groupBy(
+            "l_partkey", F.year("l_shipdate").alias("yr")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.round("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+        .filter(F.col("qty") > 0)
+    )
+    base = py.filter(F.col("yr") == 1995).select(
+        "l_partkey",
+        F.col("rev").alias("rev_0"),
+        F.col("qty").alias("qty_0"),
+    )
+    matched = (
+        py.filter(F.col("yr") > 1995)
+        .join(base, "l_partkey")
+        .select(
+            "yr",
+            F.col("rev").alias("rev_t"),
+            F.col("qty").alias("qty_t"),
+            "rev_0",
+            "qty_0",
+        )
+    )
+    sums = matched.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(F.expr(_PI_LNUM)).cast("bigint").alias("lnum"),
+        F.sum(F.col("rev_0") * 1000).cast("bigint").alias("lden"),
+        F.sum(F.col("rev_t") * 1000).cast("bigint").alias("pnum"),
+        F.sum(F.expr(_PI_PDEN)).cast("bigint").alias("pden"),
+    )
+    return sums.selectExpr(
+        "yr",
+        "n_parts",
+        f"round({_PI_L}, 6) AS laspeyres",
+        f"round({_PI_P}, 6) AS paasche",
+        f"round({_PI_F}, 6) AS fisher",
+    ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Apriori 3-itemsets with confidence and lift (order-bounded fan-out)
+# ---------------------------------------------------------------------------
+
+_A3_MINSUP = 2
+
+#: Shared-text closes on exact integer supports. Lift compares the
+#: triple's probability against full independence (P(a)P(b)P(c) over
+#: order baskets); confidence is the ab -> c rule.
+_A3_CONF = "(CAST(sup AS DOUBLE) / CAST(sup_ab AS DOUBLE))"
+_A3_LIFT = (
+    "(CAST(sup AS DOUBLE) * CAST(n_ord AS DOUBLE) * CAST(n_ord AS DOUBLE)"
+    " / (CAST(f1 AS DOUBLE) * CAST(f2 AS DOUBLE) * CAST(f3 AS DOUBLE)))"
+)
+
+
+@query(
+    "q_dh_apriori_triples",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord_t AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_ord FROM li),
+    freq AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM li GROUP BY 1),
+    tri AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             CAST(count(*) AS BIGINT) AS sup
+      FROM li a
+      JOIN li b ON b.l_orderkey = a.l_orderkey
+                AND b.l_partkey > a.l_partkey
+      JOIN li c ON c.l_orderkey = a.l_orderkey
+                AND c.l_partkey > b.l_partkey
+      GROUP BY 1, 2, 3 HAVING count(*) >= {_A3_MINSUP}),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS sup_ab
+      FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey
+                          AND b.l_partkey > a.l_partkey
+      GROUP BY 1, 2)
+    SELECT t.p1, t.p2, t.p3, t.sup,
+           round({_A3_CONF}, 6) AS conf_ab_c,
+           round({_A3_LIFT}, 6) AS lift
+    FROM tri t
+    JOIN pairs pr ON pr.p1 = t.p1 AND pr.p2 = t.p2
+    JOIN freq f1_ ON f1_.l_partkey = t.p1
+    JOIN freq f2_ ON f2_.l_partkey = t.p2
+    JOIN freq f3_ ON f3_.l_partkey = t.p3
+    CROSS JOIN n_ord_t
+    , LATERAL (SELECT f1_.f AS f1, f2_.f AS f2, f3_.f AS f3) fx
+    ORDER BY t.sup DESC, t.p1, t.p2, t.p3
+    """,
+)
+def q_dh_apriori_triples(spark, sf_dir):
+    """APRIORI 3-ITEMSETS (Agrawal & Srikant, VLDB 1994) over order
+    baskets with confidence and lift — one level deeper than the
+    pairwise rules (q_yh) and the reference twin of what FPGrowth
+    (q_ml_fpgrowth, rows-only) mines: triples co-purchased in >= 2
+    orders, the ab -> c rule confidence from the embedded pair
+    support, and lift against full independence. All supports are
+    exact integers from combinable counts; the two closes share text.
+
+    Scale shape: the triple fan-out is ORDER-BOUNDED (C(m,3) per
+    basket with m = items per order, bounded — the q_a2/q_cz pair-
+    grain argument cubed but still constant per order); candidate
+    pruning is the HAVING on the grouped supports — map-side partial
+    aggregation collapses the fan-out before the shuffle. 100 TB =
+    one scan + two basket-bounded shuffles.
+    """
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_ord = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_ord")
+    )
+    freq = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("f")
+    )
+    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    tri = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+        .agg(F.count("*").cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= _A3_MINSUP)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").cast("bigint").alias("sup_ab"))
+    )
+    return (
+        tri.join(pairs, ["p1", "p2"])
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("p1"),
+                                    F.col("f").alias("f1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("p2"),
+                                    F.col("f").alias("f2"))),
+            "p2",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("p3"),
+                                    F.col("f").alias("f3"))),
+            "p3",
+        )
+        .crossJoin(F.broadcast(n_ord))
+        .selectExpr(
+            "p1",
+            "p2",
+            "p3",
+            "sup",
+            f"round({_A3_CONF}, 6) AS conf_ab_c",
+            f"round({_A3_LIFT}, 6) AS lift",
+        )
+        .orderBy(F.desc("sup"), "p1", "p2", "p3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe test (median-centered Levene) for equal variances
+# ---------------------------------------------------------------------------
+
+#: F statistic from exact integer deviation moments: between-group
+#: SS = sum_g S_g^2/n_g - S^2/N, within SS = sum z^2 - sum_g S_g^2/n_g;
+#: F = (between/(k-1)) / (within/(N-k)). Shared text, nullif-guarded.
+_BF_BETWEEN = (
+    "(sg2n - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)"
+    " / CAST(n_all AS DOUBLE))"
+)
+_BF_WITHIN = "(CAST(zz_all AS DOUBLE) - sg2n)"
+_BF_F = (
+    f"(({_BF_BETWEEN} / (CAST(k AS DOUBLE) - 1e0))"
+    f" / nullif({_BF_WITHIN} / (CAST(n_all AS DOUBLE)"
+    " - CAST(k AS DOUBLE)), 0e0))"
+)
+#: Per-group S_g^2/n_g term, nano-quantized for the order-free k-term
+#: sum (q_zv contract).
+_BF_SG2N = (
+    "CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)"
+    " / CAST(n_g AS DOUBLE) * 1000e0, 0) AS BIGINT)"
+)
+
+
+@query(
+    "q_di_brown_forsythe",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS arm,
+             CAST(round(o_totalprice) AS BIGINT) AS cents
+      FROM orders),
+    cells AS (
+      SELECT arm, cents, CAST(count(*) AS BIGINT) AS cnt
+      FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT arm, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY arm ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY arm) AS n
+      FROM cells),
+    med AS (
+      SELECT arm,
+             min(CASE WHEN c >= {_sh_rank(1, 2, "//")} THEN cents END)
+               AS m
+      FROM cum GROUP BY arm),
+    dev AS (
+      SELECT b.arm, abs(b.cents - med.m) AS z
+      FROM base b JOIN med ON med.arm = b.arm),
+    grp AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z) AS BIGINT) AS s_g,
+             CAST(sum(z * z) AS BIGINT) AS zz_g
+      FROM dev GROUP BY arm),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n_g) AS BIGINT) AS n_all,
+             CAST(sum(s_g) AS BIGINT) AS s_all,
+             CAST(sum(zz_g) AS BIGINT) AS zz_all,
+             CAST(sum({_BF_SG2N}) AS DOUBLE) / 1000e0 AS sg2n
+      FROM grp)
+    SELECT k AS n_arms, n_all,
+           round({_BF_F}, 6) AS bf_f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n_all - k AS BIGINT) AS df2
+    FROM tot
+    """,
+)
+def q_di_brown_forsythe(spark, sf_dir):
+    """BROWN-FORSYTHE TEST (Brown & Forsythe, JASA 1974 — Levene's test
+    with MEDIAN centering, the robust default) for variance equality
+    across the five priority arms on order value: the gatekeeper for
+    every pooled-variance method upstream (q_c4 ANOVA assumes it;
+    Welch q_cb is the escape hatch when this rejects). Group medians
+    are exact order statistics (q_b8 per-dialect integer rank);
+    absolute deviations are exact integers in whole-DOLLAR units (the
+    q_cy int64-headroom argument: cents-squared sums overflow int64 at
+    sf0.01 already), so the one-way-ANOVA F on them closes in shared
+    text from integer moments, with the
+    per-group S_g^2/n_g rationals nano-quantized before their k-term
+    sum (q_zv contract).
+
+    Scale shape: value-cell collapse + per-arm prefix windows for the
+    medians (q_b8 recipe), one deviation scan, a 5-row close. 100 TB =
+    two scans + one cell-grain shuffle.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("arm"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("cents"),
+    )
+    cells = base.groupBy("arm", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w_c = (
+        Window.partitionBy("arm")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = Window.partitionBy("arm")
+    cum = cells.select(
+        "arm",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(w_c).alias("c"),
+        F.sum("cnt").over(w_n).alias("n"),
+    )
+    med = cum.groupBy("arm").agg(
+        F.expr(
+            f"min(CASE WHEN c >= {_sh_rank(1, 2, 'DIV')} THEN cents END)"
+        ).alias("m")
+    )
+    dev = base.join(F.broadcast(med), "arm").select(
+        "arm", F.abs(F.col("cents") - F.col("m")).alias("z")
+    )
+    grp = dev.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("zz_g"),
+    )
+    tot = grp.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n_all"),
+        F.sum("s_g").cast("bigint").alias("s_all"),
+        F.sum("zz_g").cast("bigint").alias("zz_all"),
+        (F.sum(F.expr(_BF_SG2N)).cast("double") / F.lit(1000.0)).alias(
+            "sg2n"
+        ),
+    )
+    return tot.selectExpr(
+        "k AS n_arms",
+        "n_all",
+        f"round({_BF_F}, 6) AS bf_f_stat",
+        "CAST(k - 1 AS BIGINT) AS df1",
+        "CAST(n_all - k AS BIGINT) AS df2",
+    )
