@@ -3054,3 +3054,126 @@ def q_di_brown_forsythe(spark, sf_dir):
         "CAST(k - 1 AS BIGINT) AS df1",
         "CAST(n_all - k AS BIGINT) AS df2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-Evidence / Information Value feature screening
+# ---------------------------------------------------------------------------
+
+#: WoE on exact integers: ln((pos_b/POS)/(neg_b/NEG)) = ln(pos_b*NEG)
+#: - ln(neg_b*POS) — ln of exact integer-valued doubles, bit-identical
+#: across engines (the q_zu contract). Zero cells contribute 0 and are
+#: flagged by woe IS NULL instead of polluting IV.
+_WOE = (
+    "(CASE WHEN pos > 0 AND neg > 0 THEN"
+    " ln(CAST(pos AS DOUBLE) * CAST(negt AS DOUBLE))"
+    " - ln(CAST(neg AS DOUBLE) * CAST(post AS DOUBLE)) END)"
+)
+_IV_TERM = (
+    f"(CASE WHEN pos > 0 AND neg > 0 THEN"
+    f" (CAST(pos AS DOUBLE) / CAST(post AS DOUBLE)"
+    f" - CAST(neg AS DOUBLE) / CAST(negt AS DOUBLE)) * {_WOE}"
+    " ELSE 0e0 END)"
+)
+
+
+@query(
+    "q_dj_woe_iv",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(round(value * 1e6) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    cells AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS yc
+      FROM scored GROUP BY s),
+    cum AS (
+      SELECT s, c, yc,
+             SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cells),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    binned AS (
+      SELECT CAST((10 * cum + n - 1) // n AS BIGINT) AS bin, c, yc
+      FROM cum CROSS JOIN tot),
+    per AS (
+      SELECT bin, CAST(sum(yc) AS BIGINT) AS pos,
+             CAST(sum(c - yc) AS BIGINT) AS neg
+      FROM binned GROUP BY bin),
+    tots AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS post,
+             CAST(sum(neg) AS BIGINT) AS negt
+      FROM per),
+    acc AS (
+      SELECT p.bin, p.pos, p.neg, t.post, t.negt,
+             SUM({_IV_TERM}) OVER (ORDER BY p.bin
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS iv
+      FROM per p CROSS JOIN tots t)
+    SELECT bin, pos, neg,
+           round({_WOE}, 6) AS woe,
+           round(iv, 6) AS iv_total
+    FROM acc ORDER BY bin
+    """,
+)
+def q_dj_woe_iv(spark, sf_dir):
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE (the credit-scoring
+    feature screen; Siddiqi, "Credit Risk Scorecards" 2006) of event
+    value vs the purchase label: WoE per value decile says which way
+    and how strongly each bin separates the classes, IV = sum
+    (dist_pos - dist_neg) * WoE grades the whole feature (the
+    scorecard folklore thresholds: < 0.02 useless, > 0.3 strong) —
+    the binned, directional complement of mutual information (q_yz)
+    and the input transform logistic scorecards (q_ca) consume.
+    Deciles come from the q_cu integer-rank bucketing; WoE is a
+    difference of ln's of exact integer products (bit-identical, no
+    ratio ever rounds first); the IV accumulates in fixed bin order.
+
+    Scale shape: score-cell collapse + one cell-grain prefix window
+    (q_zq swap note) + a 10-row close. 100 TB = one scan + one
+    cell-grain shuffle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 1e6).cast("bigint").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    cells = scored.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("yc"),
+    )
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "s", "c", "yc", F.sum("c").over(w_cum).alias("cum")
+    )
+    tot = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("CAST((10 * cum + n - 1) DIV n AS BIGINT)").alias("bin"),
+        "c",
+        "yc",
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("yc").cast("bigint").alias("pos"),
+        F.sum(F.col("c") - F.col("yc")).cast("bigint").alias("neg"),
+    )
+    tots = per.agg(
+        F.sum("pos").cast("bigint").alias("post"),
+        F.sum("neg").cast("bigint").alias("negt"),
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    acc = per.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "pos",
+        "neg",
+        "post",
+        "negt",
+        F.sum(F.expr(_IV_TERM)).over(w_all).alias("iv"),
+    )
+    return acc.selectExpr(
+        "bin",
+        "pos",
+        "neg",
+        f"round({_WOE}, 6) AS woe",
+        "round(iv, 6) AS iv_total",
+    ).orderBy("bin")

@@ -1065,3 +1065,55 @@ def q_stream_lateness(spark, sf_dir):
         )
         .orderBy("hour_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming t-digest quantiles per event type (rows-only, bound-tested)
+# ---------------------------------------------------------------------------
+
+
+@query("q_stream_tdigest")
+def q_stream_tdigest(spark, sf_dir):
+    """STREAMING t-DIGEST quantiles per event type — the quantile
+    member of the streaming sketch family (KMV order statistics, HLL
+    register-max, Space-Saving counters): bounded ~2*delta centroid
+    state per key regardless of stream length, p50/p95/p99 read from
+    the digest every micro-batch. Rows-only BY NATURE, not convenience:
+    t-digest merging is batching-sensitive, so unlike q_stream_kmv no
+    value oracle exists; the contract is the rank-error bound vs exact
+    quantiles, pinned in tests/test_streaming.py against the same
+    replayed batch plan.
+
+    Final row per event type = the digest after the last batch; the
+    emitted trajectory (version, n) documents the monotone growth.
+    """
+    from ..streaming import streaming_tdigest
+
+    stream = streaming_tdigest(
+        _replayed_stream(spark, sf_dir).filter(
+            (F.col("event_type") != FLUSH_EVENT_TYPE)
+            & F.col("value").isNotNull()
+        ),
+        watermark=REPLAY_WATERMARK,
+    )
+    out = run_to_memory(stream, output_mode="update")
+    final_v = out.groupBy(F.col("event_type").alias("et")).agg(
+        F.max("version").alias("vmax")
+    )
+    return (
+        out.join(
+            F.broadcast(final_v),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("version") == F.col("vmax")),
+        )
+        .select(
+            "event_type",
+            "version",
+            F.col("n_values").cast("bigint").alias("n_values"),
+            "n_centroids",
+            F.round("p50", 6).alias("p50"),
+            F.round("p95", 6).alias("p95"),
+            F.round("p99", 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

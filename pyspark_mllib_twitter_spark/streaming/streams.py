@@ -867,3 +867,84 @@ def streaming_kmv(events: DataFrame, watermark: str = "2 hours", k: int = 64) ->
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_tdigest(
+    events: DataFrame, watermark: str = "2 hours", delta: int = 100
+) -> DataFrame:
+    """Streaming t-digest quantile sketch per event type (Dunning &
+    Ertl 2019) as a custom stateful operator: state per key is the
+    centroid list (means, weights) — each micro-batch's values merge
+    into the digest by the same greedy k1-scale clustering the batch
+    twin uses (operators/tdigest.py), so state stays ~2*delta rows per
+    key no matter how much data streams through. UNLIKE the KMV/HLL
+    sketches, t-digest merging is NOT batching-invariant (centroid
+    layout depends on arrival grouping), so this entry is rows-only
+    with rank-error-bound tests against exact quantiles instead of a
+    value oracle — the honest contract for this sketch family, stated
+    here because the distinction is what q_stream_kmv's docstring
+    celebrates in the other direction.
+
+    Each batch emits (version, n, p50/p95/p99) read from the digest;
+    estimates are computed inside the operator (NumPy midpoint
+    interpolation — deterministic given the replayer's fixed batch
+    plan, which tests/test_streaming.py pins).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.tdigest import _cluster, tdigest_quantiles
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            means, weights, version = state.get
+            means = list(means)
+            weights = list(weights)
+        else:
+            means, weights, version = [], [], 0
+        new_vals = []
+        for pdf in pdfs:
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            new_vals.append(v[~np.isnan(v)])
+        add = np.concatenate(new_vals) if new_vals else np.array([])
+        pts = np.concatenate([np.asarray(means, dtype=np.float64), add])
+        wts = np.concatenate(
+            [np.asarray(weights, dtype=np.float64), np.ones_like(add)]
+        )
+        order = np.lexsort((wts, pts))
+        m2, w2 = _cluster(pts[order], wts[order], delta)
+        version += 1
+        state.update(([float(x) for x in m2], [float(x) for x in w2], version))
+        q = tdigest_quantiles(
+            pd.DataFrame({"mean": m2, "weight": w2}), [0.5, 0.95, 0.99]
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "version": [version],
+                "n_values": [float(w2.sum())],
+                "n_centroids": [len(m2)],
+                "p50": [q[0]],
+                "p95": [q[1]],
+                "p99": [q[2]],
+            }
+        )
+
+    out_schema = (
+        "event_type string, version long, n_values double, "
+        "n_centroids long, p50 double, p95 double, p99 double"
+    )
+    state_schema = "means array<double>, weights array<double>, version long"
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -74,3 +74,25 @@ def test_tdigest_deterministic_given_partitioning(spark):
     pd.testing.assert_frame_equal(
         d1.reset_index(drop=True), d2.reset_index(drop=True)
     )
+
+
+def test_streaming_tdigest_rank_bounds_and_monotone_state(spark, sf_smoke):
+    """Streaming digest contract: final per-type p50/p95/p99 all land
+    within the rank-error bound vs exact, versions grow monotonically,
+    and state stays sketch-sized."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_stream_tdigest"].spark(spark, sf_smoke).collect()
+    assert rows, "no streamed digests"
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    for r in rows:
+        sub = ev.filter(F.col("event_type") == r.event_type)
+        n = sub.count()
+        assert abs(r.n_values - n) <= 1
+        assert r.n_centroids <= 2 * DEFAULT_DELTA
+        assert r.version >= 1
+        for q, est in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            rank = sub.filter(F.col("value") <= est).count() / n
+            assert abs(rank - q) < 0.03, (r.event_type, q, rank)
