@@ -1634,8 +1634,8 @@ _BT_ITERS = 5
 #: identical doubles on both engines by induction: each iteration's p
 #: is W_i * 1e9 / (an exact BIGINT), one shared-text division.
 _BT_TERM = (
-    "CAST(round(CAST(nij AS DOUBLE) / (pi + pj) * 1000000000e0, 0)"
-    " AS BIGINT)"
+    "CAST(round(CAST(nij AS DOUBLE) / nullif(pi + pj, 0e0)"
+    " * 1000000000e0, 0) AS BIGINT)"
 )
 _BT_UPDATE = "(CAST(wi AS DOUBLE) * 1000000000e0 / CAST(den AS DOUBLE))"
 
@@ -1671,15 +1671,21 @@ def _bt_oracle() -> str:
       SELECT i, j, c AS w, c AS n FROM dir
       UNION ALL
       SELECT j AS i, i AS j, 0 AS w, c AS n FROM dir),
-    e AS MATERIALIZED (
+    e0 AS MATERIALIZED (
       SELECT i, j, CAST(sum(w) AS BIGINT) AS wij,
              CAST(sum(n) AS BIGINT) AS nij
       FROM sym GROUP BY i, j),
-    w AS (SELECT i, CAST(sum(wij) AS BIGINT) AS wi FROM e GROUP BY i),
+    w AS (SELECT i, CAST(sum(wij) AS BIGINT) AS wi_raw,
+                 CAST(sum(2 * wij + 1) AS BIGINT) AS wi
+          FROM e0 GROUP BY i),
+    e AS MATERIALIZED (
+      SELECT i, j, CAST(2 * wij + 1 AS BIGINT) AS wij,
+             CAST(2 * nij + 2 AS BIGINT) AS nij
+      FROM e0),
     it0 AS (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS p FROM e),
     {",".join(its)},
     base AS (SELECT p AS p0 FROM it{_BT_ITERS} ORDER BY i LIMIT 1)
-    SELECT n.n_name AS nation, w.wi AS wins,
+    SELECT n.n_name AS nation, w.wi_raw AS wins,
            round(f.p / b.p0, 6) AS strength_vs_first
     FROM it{_BT_ITERS} f
     JOIN w ON w.i = f.i
@@ -1746,12 +1752,26 @@ def q_d4_bradley_terry(spark, sf_dir):
         F.sum("w").cast("bigint").alias("wij"),
         F.sum("n").cast("bigint").alias("nij"),
     )
+    # MLE regularity (Davidson-style add-half smoothing): wij' = 2wij+1,
+    # nij' = 2nij+2 gives every player a fractional win per observed
+    # pair, so no strength degenerates to 0 (at sf0.001 zero-win
+    # nations made the update divide 0/0); the x2 scale cancels in the
+    # MM ratio. Reported wins stay RAW.
+    w = e.groupBy("i").agg(
+        F.sum("wij").cast("bigint").alias("wi_raw"),
+        F.sum(2 * F.col("wij") + 1).cast("bigint").alias("wi"),
+    ).localCheckpoint(eager=True)
+    e = e.select(
+        "i",
+        "j",
+        (2 * F.col("wij") + 1).cast("bigint").alias("wij"),
+        (2 * F.col("nij") + 2).cast("bigint").alias("nij"),
+    )
     # The MM loop would otherwise double the logical plan per round
     # (each iteration joins `e` twice against the previous p): pin the
     # constant pair frame once and flatten p's lineage per round — the
     # kcore/PageRank loop contract.
     e = e.localCheckpoint(eager=True)
-    w = e.groupBy("i").agg(F.sum("wij").cast("bigint").alias("wi"))
     p = e.select("i").distinct().select("i", F.lit(1.0).alias("p"))
     for _ in range(_BT_ITERS):
         den = (
@@ -1775,7 +1795,7 @@ def q_d4_bradley_terry(spark, sf_dir):
         .crossJoin(F.broadcast(base))
         .select(
             F.col("n_name").alias("nation"),
-            F.col("wi").alias("wins"),
+            F.col("wi_raw").alias("wins"),
             F.round(F.col("p") / F.col("p0"), 6).alias("strength_vs_first"),
         )
         .orderBy(F.desc("strength_vs_first"), "nation")

@@ -2733,3 +2733,216 @@ def q_dc_kmeans_sql(spark, sf_dir):
     """
     register_views(spark, sf_dir)
     return spark.sql(_km4_sql())
+
+
+# ---------------------------------------------------------------------------
+# PACF via Durbin-Levinson in integer pico-units (one portable SQL text)
+# ---------------------------------------------------------------------------
+
+_PACF_MAXLAG = 7
+
+_PACF_MU = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_PACF_C0 = (
+    f"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - {_PACF_MU} * {_PACF_MU})"
+)
+_PACF_CK = (
+    f"((CAST(sxy AS DOUBLE) - {_PACF_MU} * (CAST(sa AS DOUBLE)"
+    f" + CAST(sb AS DOUBLE)) + CAST(nk AS DOUBLE) * {_PACF_MU}"
+    f" * {_PACF_MU}) / CAST(n AS DOUBLE))"
+)
+
+#: One rounded pico-unit product a*b/1e12 (both operands pico-scaled
+#: BIGINTs): the IEEE double product/divide sequence is deterministic,
+#: so both engines round the identical value (the q_cm contract carried
+#: through a recursion).
+def _pq_mul(a: str, b: str) -> str:
+    return (
+        f"CAST(round(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+        " / 1000000000000e0, 0) AS BIGINT)"
+    )
+
+
+def _pacf_sql() -> str:
+    lag_selects = " UNION ALL ".join(
+        f"""
+      SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS nk,
+             SUM(a.x * b.x) AS sxy, SUM(a.x) AS sa, SUM(b.x) AS sb
+      FROM idx a JOIN idx b ON b.t = a.t + {k}"""
+        for k in range(1, _PACF_MAXLAG + 1)
+    )
+    lvls = [
+        "lvl1 AS (SELECT 1 AS j, (SELECT rq FROM r WHERE k = 1) AS pq)"
+    ]
+    for k in range(2, _PACF_MAXLAG + 1):
+        lvls.append(
+            f"""nd{k} AS MATERIALIZED (
+      SELECT (SELECT rq FROM r WHERE k = {k})
+             - (SELECT CAST(SUM({_pq_mul("p.pq", "rr.rq")}) AS BIGINT)
+                FROM lvl{k - 1} p JOIN r rr ON rr.k = {k} - p.j) AS num,
+             1000000000000
+             - (SELECT CAST(SUM({_pq_mul("p.pq", "rr.rq")}) AS BIGINT)
+                FROM lvl{k - 1} p JOIN r rr ON rr.k = p.j) AS den)"""
+        )
+        lvls.append(
+            f"""phi{k} AS MATERIALIZED (
+      SELECT CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  * 1000000000000e0, 0) AS BIGINT) AS pq FROM nd{k})"""
+        )
+        lvls.append(
+            f"""lvl{k} AS MATERIALIZED (
+      SELECT p.j, p.pq - {_pq_mul("ph.pq", "p2.pq")} AS pq
+      FROM lvl{k - 1} p JOIN lvl{k - 1} p2 ON p2.j = {k} - p.j
+      CROSS JOIN phi{k} ph
+      UNION ALL SELECT {k} AS j, pq FROM phi{k})"""
+        )
+    diag = " UNION ALL ".join(
+        ["SELECT 1 AS lag, (SELECT rq FROM r WHERE k = 1) AS pq"]
+        + [
+            f"SELECT {k} AS lag, pq FROM phi{k}"
+            for k in range(2, _PACF_MAXLAG + 1)
+        ]
+    )
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS x
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY day) AS t, x FROM daily),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM idx),
+    lagged AS ({lag_selects}),
+    r AS (
+      SELECT k, CAST(round({_PACF_CK} / nullif({_PACF_C0}, 0e0)
+                  * 1000000000000e0, 0) AS BIGINT) AS rq
+      FROM lagged CROSS JOIN totals),
+    {",".join(lvls)}
+    SELECT lag, round(CAST(pq AS DOUBLE) / 1000000000000e0, 6) AS pacf
+    FROM ({diag}) ORDER BY lag
+    """
+
+
+@query("q_dl_pacf", oracle=_pacf_sql())
+def q_dl_pacf(spark, sf_dir):
+    """PARTIAL AUTOCORRELATION FUNCTION (lags 1..7) of daily revenue
+    via the DURBIN-LEVINSON recursion (Durbin 1960; Levinson 1947) —
+    the third leg of the Box-Jenkins identification triad the engine
+    now completes: ACF (q_zi) says which lags correlate, the PACF says
+    which correlate DIRECTLY (an AR(p) process cuts off after lag p —
+    the order-selection signal q_cv's fixed AR(2) assumes away). The
+    recursion runs in integer PICO-UNITS: autocorrelations quantize
+    once from exact DECIMAL moments, every Durbin-Levinson update is
+    one rounded pico-product of BIGINTs (deterministic IEEE sequence —
+    the q_cm integer-decision contract carried through a recursion),
+    so all seven levels are exact integer state on both engines. The
+    oracle is ONE MATERIALIZED-CTE text; the Spark side runs the
+    identical shared fragments as a checkpointed loop (Spark inlines
+    doubly-referenced CTEs — the single text doubles the plan per
+    level).
+
+    Scale shape: one map-side-combinable daily rollup; the lag joins
+    and the 7-level recursion run on the calendar-bounded day series
+    and <= 7-row frames (q_zi document-and-contain). 100 TB = one
+    scan + a constant tail.
+    """
+    # Spark CTE inlining doubles the plan per level (lvl_k references
+    # lvl_{k-1} twice) — the single text OOMs the optimizer. The oracle
+    # keeps the one MATERIALIZED text; here the identical arithmetic
+    # runs as a checkpointed DataFrame loop over <= 7-row frames (the
+    # q_d4 MM-loop contract), sharing the expression fragments.
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("decimal(38,0)")
+        ).alias("x")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).alias("t"), "x"
+    ).localCheckpoint(eager=True)
+    totals = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lagged = None
+    for k in range(1, _PACF_MAXLAG + 1):
+        a, b = idx.alias("a"), idx.alias("b")
+        lk = a.join(b, F.col("b.t") == F.col("a.t") + k).agg(
+            F.lit(k).alias("k"),
+            F.count("*").cast("bigint").alias("nk"),
+            F.sum(F.col("a.x") * F.col("b.x")).alias("sxy"),
+            F.sum(F.col("a.x")).alias("sa"),
+            F.sum(F.col("b.x")).alias("sb"),
+        )
+        lagged = lk if lagged is None else lagged.unionByName(lk)
+    r = (
+        lagged.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "k",
+            f"CAST(round({_PACF_CK} / nullif({_PACF_C0}, 0e0)"
+            " * 1000000000000e0, 0) AS BIGINT) AS rq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    lvl = r.filter(F.col("k") == 1).select(
+        F.lit(1).alias("j"), F.col("rq").alias("pq")
+    ).localCheckpoint(eager=True)
+    diag = r.filter(F.col("k") == 1).select(
+        F.lit(1).alias("lag"), F.col("rq").alias("pq")
+    )
+    for k in range(2, _PACF_MAXLAG + 1):
+        rk = r.filter(F.col("k") == k).select(F.col("rq").alias("rk_q"))
+        num = (
+            lvl.alias("p")
+            .join(r.alias("rr"), F.expr(f"rr.k = {k} - p.j"))
+            .agg(
+                F.sum(F.expr(_pq_mul("p.pq", "rr.rq")))
+                .cast("bigint")
+                .alias("acc")
+            )
+            .crossJoin(F.broadcast(rk))
+            .select((F.col("rk_q") - F.col("acc")).alias("num"))
+        )
+        den = (
+            lvl.alias("p")
+            .join(r.alias("rr"), F.expr("rr.k = p.j"))
+            .agg(
+                F.sum(F.expr(_pq_mul("p.pq", "rr.rq")))
+                .cast("bigint")
+                .alias("acc")
+            )
+            .select((F.lit(1000000000000) - F.col("acc")).alias("den"))
+        )
+        phi = (
+            num.crossJoin(F.broadcast(den))
+            .selectExpr(
+                "CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+                " * 1000000000000e0, 0) AS BIGINT) AS pq"
+            )
+            .localCheckpoint(eager=True)
+        )
+        upd = (
+            lvl.alias("p")
+            .join(lvl.alias("p2"), F.expr(f"p2.j = {k} - p.j"))
+            .crossJoin(F.broadcast(phi.alias("ph")))
+            .selectExpr(
+                "p.j AS j",
+                f"p.pq - {_pq_mul('ph.pq', 'p2.pq')} AS pq",
+            )
+        )
+        lvl = upd.unionByName(
+            phi.select(F.lit(k).alias("j"), "pq")
+        ).localCheckpoint(eager=True)
+        diag = diag.unionByName(
+            phi.select(F.lit(k).alias("lag"), "pq")
+        )
+    return diag.selectExpr(
+        "lag",
+        "round(CAST(pq AS DOUBLE) / 1000000000000e0, 6) AS pacf",
+    ).orderBy("lag")

@@ -744,3 +744,96 @@ def q_d9_abc_class(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Knee / elbow detection on the Pareto revenue curve
+# ---------------------------------------------------------------------------
+
+#: Chord deviation of the cumulative revenue curve at rank i, exact
+#: integer cross-multiplication: dev_i = cum_i * N - i * T (the
+#: "kneedle" max-distance-from-chord criterion up to the constant
+#: chord-length factor, which does not move the argmax).
+_KNEE_DEV = "(cum * n_parts - i * tot)"
+
+
+@query(
+    "q_dk_pareto_knee",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, l_partkey) AS i,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS tot,
+             COUNT(*) OVER () AS n_parts
+      FROM per_part),
+    best AS (
+      SELECT i, cum, tot, n_parts, {_KNEE_DEV} AS dev
+      FROM ranked ORDER BY dev DESC, i ASC LIMIT 1)
+    SELECT CAST(i AS BIGINT) AS knee_rank,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           round(CAST(i AS DOUBLE) / CAST(n_parts AS DOUBLE), 6)
+             AS knee_part_share,
+           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS knee_revenue_share
+    FROM best
+    """,
+)
+def q_dk_pareto_knee(spark, sf_dir):
+    """KNEE DETECTION on the Pareto revenue curve (the "kneedle"
+    max-distance-from-chord criterion, Satopaa et al. ICDCS-W 2011):
+    where does cumulative part revenue stop earning its rank? The
+    answer replaces q_d9's FIXED 80/95 thresholds with the
+    data-chosen cutoff — the same primitive picks k from a scree plot
+    (q_bw PCA spectrum). The deviation dev_i = cum_i*N - i*T is an
+    exact integer cross-multiplication (no float share feeds the
+    argmax) and the argmax is TakeOrderedAndProject with a
+    deterministic rank tie-break.
+
+    Scale shape: one per-part rollup + a part-grain prefix (q_yj
+    distributed-rank swap applies) + a top-1 tail. 100 TB = one scan
+    + one part-grain shuffle + a 1-row close.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    w_ord = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n_parts"),
+    )
+    best = (
+        ranked.select(
+            "i", "cum", "tot", "n_parts", F.expr(_KNEE_DEV).alias("dev")
+        )
+        .orderBy(F.desc("dev"), F.asc("i"))
+        .limit(1)
+    )
+    return best.select(
+        F.col("i").cast("bigint").alias("knee_rank"),
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round(
+            F.col("i").cast("double") / F.col("n_parts").cast("double"), 6
+        ).alias("knee_part_share"),
+        F.round(
+            F.col("cum").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("knee_revenue_share"),
+    )
