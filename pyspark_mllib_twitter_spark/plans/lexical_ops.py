@@ -412,3 +412,107 @@ def q_ct_burrows(spark, sf_dir):
             6,
         ).alias("delta"),
     ).orderBy("lang_a", "lang_b")
+
+
+# ---------------------------------------------------------------------------
+# Gries' DP dispersion of top words across sources
+# ---------------------------------------------------------------------------
+
+_DP_TOP = 50
+
+#: Per-(word, source) deviation |obs_share - exp_share| from exact
+#: integer counts, nano-quantized for the order-free source sum (q_zv
+#: contract): obs = c_ws/c_w, exp = n_s/n_total.
+_DP_TERM = (
+    "CAST(round(abs(CAST(c_ws AS DOUBLE) / CAST(c_w AS DOUBLE)"
+    " - CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE)) * 1000000000e0, 0)"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "q_dp_dispersion",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    cnt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, tok),
+    src AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY source),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM src),
+    top AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS c_w FROM cnt GROUP BY tok
+      ORDER BY c_w DESC, tok LIMIT {_DP_TOP}),
+    dense AS (
+      SELECT t.tok, t.c_w, s.source, s.n_s, coalesce(c.c, 0) AS c_ws
+      FROM top t CROSS JOIN src s
+      LEFT JOIN cnt c ON c.tok = t.tok AND c.source = s.source),
+    dp AS (
+      SELECT d.tok, d.c_w,
+             CAST(sum({_DP_TERM}) AS BIGINT) AS dev_q
+      FROM dense d CROSS JOIN tot GROUP BY d.tok, d.c_w)
+    SELECT tok, c_w AS count,
+           round(CAST(dev_q AS DOUBLE) / 2e9, 6) AS dp
+    FROM dp ORDER BY dp DESC, tok
+    """,
+)
+def q_dp_dispersion(spark, sf_dir):
+    """GRIES' DP DISPERSION (Gries, "Dispersions and adjusted
+    frequencies in corpus linguistics", IJCL 2008) of the top-50 corpus
+    words across sources: DP = 0.5 * sum_s |obs_share - expected_share|
+    — 0 means the word spreads exactly like the corpus itself, near 1
+    means it lives in one source. The per-SOURCE counterpart of
+    Burrows' Delta (q_ct: cross-language style distance): high-DP
+    high-frequency words are source artifacts (boilerplate, markup)
+    that frequency alone (q_zu Zipf rank) cannot flag — a direct
+    curation signal. Exact integer counts; each deviation term
+    nano-quantizes before the source sum (q_zv contract); dense
+    (word x source) frame includes zero cells (q_ct contract).
+
+    Scale shape: explode -> (source, type) counts (combinable); the
+    top-50 pick is TakeOrderedAndProject; the dense frame is 50 x
+    sources (broadcast). 100 TB = one scan + one vocab-grain shuffle
+    + a constant tail.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    src = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    tot = src.agg(F.sum("n_s").cast("bigint").alias("n_tot"))
+    top = (
+        cnt.groupBy("tok")
+        .agg(F.sum("c").cast("bigint").alias("c_w"))
+        .orderBy(F.desc("c_w"), F.asc("tok"))
+        .limit(_DP_TOP)
+    )
+    dense = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(src))
+        .join(cnt, ["tok", "source"], "left")
+        .select(
+            "tok",
+            "c_w",
+            "source",
+            "n_s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_ws"),
+        )
+    )
+    dp = (
+        dense.crossJoin(F.broadcast(tot))
+        .groupBy("tok", "c_w")
+        .agg(F.sum(F.expr(_DP_TERM)).cast("bigint").alias("dev_q"))
+    )
+    return dp.select(
+        "tok",
+        F.col("c_w").alias("count"),
+        F.round(F.col("dev_q").cast("double") / 2e9, 6).alias("dp"),
+    ).orderBy(F.desc("dp"), F.asc("tok"))

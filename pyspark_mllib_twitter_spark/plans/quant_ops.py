@@ -3197,3 +3197,193 @@ def q_dj_woe_iv(spark, sf_dir):
         f"round({_WOE}, 6) AS woe",
         "round(iv, 6) AS iv_total",
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit (extreme value theory on monthly peaks)
+# ---------------------------------------------------------------------------
+
+import math as _math2
+
+#: Method-of-moments Gumbel fit constants as codegen literals (the
+#: q_cw trick): sqrt(6)/pi and the Euler-Mascheroni constant.
+_GU_SQRT6_PI = repr(_math2.sqrt(6.0) / _math2.pi)
+_GU_EULER = "0.5772156649015329"
+
+_GU_MEAN = "(CAST(s1 AS DOUBLE) / CAST(nb AS DOUBLE))"
+_GU_SD = (
+    "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1e0))"
+)
+_GU_SCALE = f"({_GU_SQRT6_PI} * {_GU_SD})"
+_GU_LOC = f"({_GU_MEAN} - {_GU_EULER} * {_GU_SCALE})"
+
+
+def _gu_rl(t: int) -> str:
+    # Return level for T-block return period: loc - scale*ln(-ln(1-1/T)).
+    return f"({_GU_LOC} - {_GU_SCALE} * ln(-ln(1e0 - 1e0/{t}e0)))"
+
+
+@query(
+    "q_dm_gumbel",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    blocks AS (
+      SELECT date_trunc('month', day) AS mon, CAST(max(x) AS BIGINT) AS mx
+      FROM daily GROUP BY 1),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(mx) AS BIGINT) AS s1,
+             SUM(CAST(mx AS DOUBLE) * CAST(mx AS DOUBLE)) AS s2
+      FROM blocks)
+    SELECT nb AS n_blocks,
+           round({_GU_LOC}, 6) AS gumbel_loc,
+           round({_GU_SCALE}, 6) AS gumbel_scale,
+           round({_gu_rl(12)}, 6) AS return_level_12mo,
+           round({_gu_rl(120)}, 6) AS return_level_120mo
+    FROM mom
+    """,
+)
+def q_dm_gumbel(spark, sf_dir):
+    """GUMBEL BLOCK-MAXIMA FIT (Gumbel 1958; the Fisher-Tippett type-I
+    limit for light-tailed maxima) on monthly peaks of daily revenue,
+    by method of moments: scale = sqrt(6)/pi * sd, loc = mean - gamma *
+    scale (constants are codegen double literals — no engine libm
+    constant), then the 12- and 120-month RETURN LEVELS — "the daily
+    peak a year / a decade of months will exceed once" — capacity
+    planning's question, complementing the Hill estimator (q_c3:
+    heavy-tail index from upper order statistics) with the block-maxima
+    view. Block maxima and both moment sums are exact integers (dollar
+    units, q_cy headroom); every double closes in shared text.
+
+    Scale shape: one daily rollup + one month-grain max + a 1-row
+    close. 100 TB = one scan + a calendar-bounded tail.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round("o_totalprice").cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    blocks = daily.groupBy(
+        F.date_trunc("month", "day").alias("mon")
+    ).agg(F.max("x").cast("bigint").alias("mx"))
+    mom = blocks.agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("mx").cast("bigint").alias("s1"),
+        F.sum(F.col("mx").cast("double") * F.col("mx").cast("double")).alias(
+            "s2"
+        ),
+    )
+    return mom.selectExpr(
+        "nb AS n_blocks",
+        f"round({_GU_LOC}, 6) AS gumbel_loc",
+        f"round({_GU_SCALE}, 6) AS gumbel_scale",
+        f"round({_gu_rl(12)}, 6) AS return_level_12mo",
+        f"round({_gu_rl(120)}, 6) AS return_level_120mo",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dyad census + reciprocity of the directed nation trade graph
+# ---------------------------------------------------------------------------
+
+_DY_RECIP = (
+    "(2e0 * CAST(mutual AS DOUBLE)"
+    " / nullif(2e0 * CAST(mutual AS DOUBLE) + CAST(asym AS DOUBLE), 0e0))"
+)
+
+
+@query(
+    "q_dn_dyad_census",
+    oracle=f"""
+    WITH dir AS (
+      SELECT DISTINCT sp.s_nationkey AS i, cu.c_nationkey AS j
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      WHERE sp.s_nationkey <> cu.c_nationkey),
+    und AS (
+      SELECT least(i, j) AS a, greatest(i, j) AS b,
+             CAST(count(*) AS BIGINT) AS directions
+      FROM dir GROUP BY 1, 2),
+    nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nations FROM nation),
+    census AS (
+      SELECT CAST(sum(CASE WHEN directions = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mutual,
+             CAST(sum(CASE WHEN directions = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS asym
+      FROM und)
+    SELECT c.mutual, c.asym,
+           CAST(n.n_nations * (n.n_nations - 1) / 2 - c.mutual - c.asym
+                AS BIGINT) AS null_dyads,
+           round({_DY_RECIP}, 6) AS reciprocity
+    FROM census c CROSS JOIN nn n
+    """,
+)
+def q_dn_dyad_census(spark, sf_dir):
+    """DYAD CENSUS + RECIPROCITY (Holland & Leinhardt 1970's MAN census,
+    the undirected-pair classification; Wasserman & Faust ch. 13) of
+    the directed nation trade graph: every unordered nation pair is
+    mutual (trade flows both ways), asymmetric (one way), or null —
+    and reciprocity = fraction of directed edges that are returned,
+    the first-order test of whether trade relationships are bilateral.
+    The assortativity (q_zk) and modularity (q_b4) entries read
+    structure from the same graph; this reads its SYMMETRY. Exact
+    integer census; one shared-text close.
+
+    Scale shape: the q_b4 fact join pipeline collapses to DISTINCT
+    directed nation pairs (<= 600 rows) map-side; the census is a
+    constant reduction. 100 TB = one scan + a constant tail.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cu = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = read_table(spark, sf_dir, "nation")
+    dir_ = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sp), li["l_suppkey"] == sp["s_suppkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("i"),
+            F.col("c_nationkey").alias("j"),
+        )
+        .distinct()
+    )
+    und = dir_.groupBy(
+        F.least("i", "j").alias("a"), F.greatest("i", "j").alias("b")
+    ).agg(F.count("*").cast("bigint").alias("directions"))
+    nn = na.agg(F.count("*").cast("bigint").alias("n_nations"))
+    census = und.agg(
+        F.sum(F.when(F.col("directions") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("mutual"),
+        F.sum(F.when(F.col("directions") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("asym"),
+    )
+    return (
+        census.crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "mutual",
+            "asym",
+            "CAST(n_nations * (n_nations - 1) / 2 - mutual - asym"
+            " AS BIGINT) AS null_dyads",
+            f"round({_DY_RECIP}, 6) AS reciprocity",
+        )
+    )
