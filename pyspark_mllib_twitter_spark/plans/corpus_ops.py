@@ -30,6 +30,8 @@ the north-star mandate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -4610,6 +4612,15 @@ MST_MAX_ROUNDS = 25
 #: Deterministic integer edge weight (q_bc SSSP family). Ties are broken
 #: by the full (w, u, v) struct ordering, making the MST unique.
 _MST_W_SQL = "(c * 7 + s * 13) % 97 + 1"
+#: Per-round parent-pair tables (component grain, shrinking at least
+#: geometrically) at or below this row count are resolved with a
+#: driver-local union-find — the same bounded-driver contract as the
+#: quantizer fit. Above it, distributed pointer jumping with a FIXED
+#: ceil(log2(n)) hop budget (no per-hop convergence probes).
+MST_DRIVER_UNION_MAX = 4_000_000
+#: Node tables at or below this row count are broadcast into the
+#: edge-to-component label joins (comp is 16 bytes/row — 2M rows ≈ 32 MB).
+_MST_BROADCAST_NODES = 2_000_000
 
 
 def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame:
@@ -4623,19 +4634,30 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
     Loop discipline: outer rounds halve (at least) the component count —
     <= log2(V) data-dependent rounds, each one edge-to-component join
     pair + a map-side-combinable struct-min per component. Component
-    merging runs POINTER JUMPING on the component-grain parent table
-    (2-cycles of mutually-selecting components are broken toward the
-    smaller id — the classic root rule), doubling chain coverage per hop
-    — log-depth inner rounds on a frame that is component-count-sized,
-    never edge-sized. Both loops localCheckpoint each round (flat
-    lineage) and raise on max_rounds exhaustion (q_z6 kcore contract: a
-    partial forest is silently wrong).
+    merging resolves the per-round parent pairs (component grain:
+    exactly one row per component with an outgoing edge, so <= node
+    count in round 1 and geometrically shrinking after) with a
+    DRIVER-LOCAL union-find when the table fits the bounded-driver
+    contract (``MST_DRIVER_UNION_MAX``, same sanction as the quantizer
+    fit) — the round-8 per-hop pointer-jumping loop with its eager
+    localCheckpoint + two distributed convergence probes PER HOP
+    launched hundreds of jobs on a <=16k-row frame and died in
+    Catalyst's size-estimation arithmetic at bench scale. Beyond the
+    driver bound, pointer jumping runs distributed with a FIXED
+    ceil(log2(n)) + 1 hop budget (synchronous p <- p[p] squares chain
+    coverage per hop, so log2 of the table size provably reaches every
+    root — no convergence probes needed), checkpointing every third hop
+    to keep plans shallow. Outer loop raises on max_rounds exhaustion
+    (q_z6 kcore contract: a partial forest is silently wrong).
 
-    Scale: edges shuffle only on component labels; the struct-min is a
+    Scale: edges shuffle only on component labels (the node->label side
+    is broadcast when the node table is small); the struct-min is a
     partial aggregate (no window over edges); per-round work shrinks as
-    components merge. 100 TB graphs: same shapes, component table
-    stays node-grain.
+    components merge. 100 TB graphs: same shapes, component table stays
+    node-grain, and only rounds whose surviving-component count exceeds
+    4M ever take the distributed-jump branch.
     """
+    spark = edges.sparkSession
     comp = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -4643,21 +4665,21 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    n_nodes = comp.count()
     ed = edges.localCheckpoint(eager=True)
     picked = None
     converged = False
     for _ in range(max_rounds):
         cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
         cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        if n_nodes <= _MST_BROADCAST_NODES:
+            cu, cv = F.broadcast(cu), F.broadcast(cv)
         e2 = (
             ed.join(cu, "u")
             .join(cv, "v")
             .filter(F.col("cu") != F.col("cv"))
             .localCheckpoint(eager=True)
         )
-        if e2.limit(1).count() == 0:
-            converged = True
-            break
         pick = F.struct("w", "u", "v").alias("pick")
         cand = e2.select(
             F.col("cu").alias("c"), pick, F.col("cv").alias("other")
@@ -4673,51 +4695,79 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
             F.col("m.pick.w").alias("w"),
             F.col("m.other").alias("p"),
         )
+        # Component-grain parent pairs; empty <=> no cross-component edge
+        # left <=> converged (this collect doubles as the convergence probe).
+        pairs = (
+            sel.select("c", "p").limit(MST_DRIVER_UNION_MAX + 1).collect()
+        )
+        if not pairs:
+            converged = True
+            break
         new_edges = sel.select("u", "v", "w").distinct()
         picked = (
             new_edges
             if picked is None
             else picked.unionByName(new_edges)
         ).localCheckpoint(eager=True)
-        # Parent pointers at component grain; mutual pairs root at min id.
-        par = sel.select("c", "p")
-        back = par.select(F.col("c").alias("bp"), F.col("p").alias("c_back"))
-        par = par.join(
-            back, (par.p == back.bp) & (par.c == back.c_back), "left"
-        ).select(
-            "c",
-            F.when(
-                F.col("c_back").isNotNull() & (F.col("c") < F.col("p")),
-                F.col("c"),
+        if len(pairs) <= MST_DRIVER_UNION_MAX:
+            # Bounded-driver branch: union-find with path compression;
+            # roots normalize to the minimum member id (deterministic,
+            # though output edges are label-independent either way).
+            parent: dict = {}
+
+            def _find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in pairs:
+                a, b = _find(r.c), _find(r.p)
+                if a != b:
+                    if a < b:
+                        parent[b] = a
+                    else:
+                        parent[a] = b
+            root = spark.createDataFrame(
+                [(c, _find(c)) for c in list(parent)],
+                "comp long, newc long",
             )
-            .otherwise(F.col("p"))
-            .alias("p"),
-        ).localCheckpoint(eager=True)
-        for _ in range(max_rounds):
-            nxt = par.select(F.col("c").alias("pc"), F.col("p").alias("pp"))
-            jumped = par.join(nxt, par.p == nxt.pc, "left").select(
-                "c", F.coalesce("pp", "p").alias("p")
-            ).localCheckpoint(eager=True)
-            if (
-                jumped.alias("a")
-                .join(
-                    par.alias("b"),
-                    (F.col("a.c") == F.col("b.c"))
-                    & (F.col("a.p") != F.col("b.p")),
-                )
-                .limit(1)
-                .count()
-                == 0
-            ):
-                par = jumped
-                break
-            par = jumped
+            root = F.broadcast(root)
         else:
-            raise RuntimeError(
-                "boruvka_mst: pointer jumping did not converge within "
-                f"max_rounds={max_rounds}"
+            # Distributed branch (component count beyond the driver
+            # bound): break mutual 2-cycles toward the smaller id, then
+            # pointer-jump a fixed log2(n)+1 hops — chain coverage
+            # squares per synchronous hop, so the budget provably roots
+            # every chain of length <= n without per-hop probes.
+            n_pairs = sel.count()
+            par = sel.select("c", "p")
+            back = par.select(
+                F.col("c").alias("bp"), F.col("p").alias("c_back")
             )
-        root = par.select(F.col("c").alias("comp"), F.col("p").alias("newc"))
+            par = par.join(
+                back, (par.p == back.bp) & (par.c == back.c_back), "left"
+            ).select(
+                "c",
+                F.when(
+                    F.col("c_back").isNotNull() & (F.col("c") < F.col("p")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            ).localCheckpoint(eager=True)
+            hops = max(1, math.ceil(math.log2(max(2, n_pairs))) + 1)
+            for h in range(hops):
+                nxt = par.select(
+                    F.col("c").alias("pc"), F.col("p").alias("pp")
+                )
+                par = par.join(nxt, par.p == nxt.pc, "left").select(
+                    "c", F.coalesce("pp", "p").alias("p")
+                )
+                if h % 3 == 2 or h == hops - 1:
+                    par = par.localCheckpoint(eager=True)
+            root = par.select(
+                F.col("c").alias("comp"), F.col("p").alias("newc")
+            )
         comp = (
             comp.join(root, "comp", "left")
             .select("node", F.coalesce("newc", "comp").alias("comp"))
