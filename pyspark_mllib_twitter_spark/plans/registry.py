@@ -17,24 +17,17 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-8 window — FIRST ROWS for the round-7 additions (round-7 verdict
-task #2): 50 of the 58 oracle-backed entries that have never had a
-driver row — every TPC-H shape added in round 7 (``q_sql_q1/q2/q4/q6/
-q7/q8/q9/q11/q13/q15/q20``), the docstore maintenance trio
-(``q_s8/s9/sa``), the stateful streaming attribution, the full
-``q_z9``-``q_zq`` and ``q_zr``-``q_zz`` blocks (including the round-8
-FIXED ``q_zk_assortativity``), and the ``q_aa``-``q_ah`` + ``q_ak``
-science entries (``q_ah``/``q_ak`` carry round-8 oracle edits, so their
-first row verifies the fixed text). Queued for round 9 (the window only
-holds 50): the remaining 8 oracle-backed round-7 entries (``q_ag_rake_
-keywords``, ``q_ai_isotonic``, ``q_al_sax``, ``q_am_backtest``,
-``q_an_readability``, ``q_ao_impute``, ``q_ap_dp_counts``,
-``q_aq_path_prefixes``) plus the three rows-only round-7 additions
-(``q_ar_mmr_rerank``, ``q_stream_topk``, ``q_xl3_hits``) and the older
-rows-only stragglers (``q_ns_ann_pq``, ``q_stream_dedup``,
-``q_stream_session``, ``q_stream_stateful``, ``q_w1_user_similarity``,
-``q_w2_als_recommend``). After rounds 8+9 land green, every entry in
-the ledger has a driver row.
+Round-9 window — ledger convergence (round-8 verdict task #3): the 50
+OLDEST of the 104 oracle-backed entries that have never had a driver
+row, in registration order — the eight round-7 stragglers
+(``q_ag/q_ai/q_al/q_am/q_an/q_ao/q_ap/q_aq``), the ``q_as``-``q_ay``
+behavior/science block, the full ``q_b1``-``q_bv`` block plus
+``q_bx_sprt``/``q_bz_timed_funnel``, and ``q_c1_allen_relations``/
+``q_c3_hill_tail``. Queued for round 10: the remaining 54 oracle-backed
+never-checked entries (``q_c4``-``q_dp``, ``q_sb_docstore_merge``,
+``q_stream_hll/kmv/lateness``) and the 13 rows-only never-checked
+entries. Round-9 registry additions are CAPPED (<= 15) until the
+pending backlog fits inside one window.
 """
 
 from __future__ import annotations
@@ -50,64 +43,63 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- TPC-H shapes (round-7, never driver-checked) -----------------------
-    "q_sql_q1",
-    "q_sql_q2",
-    "q_sql_q4",
-    "q_sql_q6",
-    "q_sql_q7",
-    "q_sql_q8",
-    "q_sql_q9",
-    "q_sql_q11",
-    "q_sql_q13",
-    "q_sql_q15",
-    "q_sql_q20",
-    # -- docstore maintenance + stateful streaming (round-7) ----------------
-    "q_s8_docstore_delete",
-    "q_s9_time_travel",
-    "q_sa_docstore_cdf",
-    "q_stream_attribution",
-    # -- mining/inference block q_z9..q_zq (round-7) ------------------------
-    "q_z9_ols_normal_eq",
-    "q_za_bm25",
-    "q_zb_gaps_islands",
-    "q_zc_cusum",
-    "q_zd_attribution",
-    "q_ze_geo_blocked_join",
-    "q_zf_int8_quant",
-    "q_zg_kmv_setops",
-    "q_zh_poisson_bootstrap",
-    "q_zi_acf",
-    "q_zj_rfm",
-    "q_zk_assortativity",
-    "q_zl_seqpat",
-    "q_zm_m4_downsample",
-    "q_zn_mann_kendall",
-    "q_zo_theil_sen",
-    "q_zp_concentration",
-    "q_zq_ks_twosample",
-    # -- science block q_zr..q_zz (round-7) ---------------------------------
-    "q_zr_spearman",
-    "q_zs_clustering_coef",
-    "q_zt_link_predict",
-    "q_zu_zipf",
-    "q_zv_js_divergence",
-    "q_zw_ngram_novelty",
-    "q_zx_crosscorr",
-    "q_zy_naive_bayes",
-    "q_zz_eval_prf",
-    # -- science block q_aa..q_ah + q_ak (round-7; ah/ak oracle-edited r8) --
-    "q_aa_bollinger",
-    "q_ab_double_smoothing",
-    "q_ac_corr_matrix",
-    "q_ad_wilson_ranking",
-    "q_ae_markov_entropy",
-    "q_af_ipw_ate",
-    "q_ah_cosine_hist",
-    "q_ak_grid_dbscan",
-    # Sitting out (queued for round 9 — see module docstring): q_ag, q_ai,
-    # q_al, q_am, q_an, q_ao, q_ap, q_aq, q_ar_mmr_rerank, q_stream_topk,
-    # q_xl3_hits, and the older rows-only stragglers.
+    # -- round-7 stragglers (the 8 that missed the round-8 window) ----------
+    "q_ag_rake_keywords",
+    "q_ai_isotonic",
+    "q_al_sax",
+    "q_am_backtest",
+    "q_an_readability",
+    "q_ao_impute",
+    "q_ap_dp_counts",
+    "q_aq_path_prefixes",
+    # -- behavior/science block q_as..q_ay (round-8) -------------------------
+    "q_as_funnel",
+    "q_at_retention",
+    "q_au_did",
+    "q_av_edit_distance_join",
+    "q_aw_hll_distinct",
+    "q_ax_haar_wavelet",
+    "q_ay_roc_curve",
+    # -- q_b1..q_bv block (round-8) ------------------------------------------
+    "q_b1_jackknife_ratio",
+    "q_b2_stl_decompose",
+    "q_b3_containment_join",
+    "q_b4_modularity",
+    "q_b5_psi",
+    "q_b6_feature_hashing",
+    "q_b7_phrase_search",
+    "q_b8_percentiles",
+    "q_b9_gapfill",
+    "q_ba_ratio_to_parent",
+    "q_bb_cdc_apply",
+    "q_bc_weighted_sssp",
+    "q_bd_decision_stump",
+    "q_be_logrank",
+    "q_bf_itemcf",
+    "q_bg_profile",
+    "q_bh_incremental_agg",
+    "q_bi_bh_fdr",
+    "q_bj_peak_concurrency",
+    "q_bk_weighted_median",
+    "q_bl_kendall_tau",
+    "q_bm_nelson_aalen",
+    "q_bn_fellegi_sunter",
+    "q_bo_vwap",
+    "q_bp_simpson",
+    "q_bq_brier",
+    "q_br_fk_orphans",
+    "q_bs_mase",
+    "q_bt_diversified_topk",
+    "q_bu_negative_sampling",
+    "q_bv_skew_advisor",
+    "q_bx_sprt",
+    "q_bz_timed_funnel",
+    # -- first two of the q_c block (round-8) --------------------------------
+    "q_c1_allen_relations",
+    "q_c3_hill_tail",
+    # Queued for round 10 (the window only holds 50): q_c4..q_dp,
+    # q_sb_docstore_merge, q_stream_hll/kmv/lateness, and the 13
+    # never-checked rows-only entries — see module docstring.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
