@@ -141,6 +141,11 @@ def tdigest_quantiles(digest_pdf: pd.DataFrame, qs: list[float]) -> list[float]:
     p = digest_pdf.sort_values("mean", kind="stable")
     means = p["mean"].to_numpy(np.float64)
     wts = p["weight"].to_numpy(np.float64)
+    if len(means) == 0:
+        # Empty digest (e.g. a streaming key whose every value so far was
+        # NaN): no quantile exists — return NaN per query rather than
+        # index into an empty cumulative array.
+        return [float("nan")] * len(qs)
     total = wts.sum()
     # Cumulative weight at centroid midpoints.
     cum = np.cumsum(wts) - wts / 2.0

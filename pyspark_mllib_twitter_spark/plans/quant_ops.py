@@ -2968,24 +2968,24 @@ _BF_SG2N = (
     oracle=f"""
     WITH base AS (
       SELECT o_orderpriority AS arm,
-             CAST(round(o_totalprice) AS BIGINT) AS cents
+             CAST(round(o_totalprice) AS BIGINT) AS dollars
       FROM orders),
     cells AS (
-      SELECT arm, cents, CAST(count(*) AS BIGINT) AS cnt
+      SELECT arm, dollars, CAST(count(*) AS BIGINT) AS cnt
       FROM base GROUP BY 1, 2),
     cum AS (
-      SELECT arm, cents, cnt,
-             SUM(cnt) OVER (PARTITION BY arm ORDER BY cents
+      SELECT arm, dollars, cnt,
+             SUM(cnt) OVER (PARTITION BY arm ORDER BY dollars
                             ROWS UNBOUNDED PRECEDING) AS c,
              SUM(cnt) OVER (PARTITION BY arm) AS n
       FROM cells),
     med AS (
       SELECT arm,
-             min(CASE WHEN c >= {_sh_rank(1, 2, "//")} THEN cents END)
+             min(CASE WHEN c >= {_sh_rank(1, 2, "//")} THEN dollars END)
                AS m
       FROM cum GROUP BY arm),
     dev AS (
-      SELECT b.arm, abs(b.cents - med.m) AS z
+      SELECT b.arm, abs(b.dollars - med.m) AS z
       FROM base b JOIN med ON med.arm = b.arm),
     grp AS (
       SELECT arm, CAST(count(*) AS BIGINT) AS n_g,
@@ -3027,31 +3027,31 @@ def q_di_brown_forsythe(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_orderpriority").alias("arm"),
-        F.round(F.col("o_totalprice")).cast("bigint").alias("cents"),
+        F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"),
     )
-    cells = base.groupBy("arm", "cents").agg(
+    cells = base.groupBy("arm", "dollars").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
     w_c = (
         Window.partitionBy("arm")
-        .orderBy("cents")
+        .orderBy("dollars")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_n = Window.partitionBy("arm")
     cum = cells.select(
         "arm",
-        "cents",
+        "dollars",
         "cnt",
         F.sum("cnt").over(w_c).alias("c"),
         F.sum("cnt").over(w_n).alias("n"),
     )
     med = cum.groupBy("arm").agg(
         F.expr(
-            f"min(CASE WHEN c >= {_sh_rank(1, 2, 'DIV')} THEN cents END)"
+            f"min(CASE WHEN c >= {_sh_rank(1, 2, 'DIV')} THEN dollars END)"
         ).alias("m")
     )
     dev = base.join(F.broadcast(med), "arm").select(
-        "arm", F.abs(F.col("cents") - F.col("m")).alias("z")
+        "arm", F.abs(F.col("dollars") - F.col("m")).alias("z")
     )
     grp = dev.groupBy("arm").agg(
         F.count("*").cast("bigint").alias("n_g"),

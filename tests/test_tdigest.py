@@ -96,3 +96,18 @@ def test_streaming_tdigest_rank_bounds_and_monotone_state(spark, sf_smoke):
         for q, est in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
             rank = sub.filter(F.col("value") <= est).count() / n
             assert abs(rank - q) < 0.03, (r.event_type, q, rank)
+
+
+def test_tdigest_quantiles_empty_digest_returns_nan():
+    """ADVICE r8: an empty digest (streaming key whose values were all
+    NaN) must yield NaN quantiles, not IndexError on cum[0]."""
+    import math
+
+    import pandas as pd
+
+    from pyspark_mllib_twitter_spark.operators.tdigest import tdigest_quantiles
+
+    out = tdigest_quantiles(
+        pd.DataFrame({"mean": [], "weight": []}), [0.5, 0.95, 0.99]
+    )
+    assert len(out) == 3 and all(math.isnan(x) for x in out)
