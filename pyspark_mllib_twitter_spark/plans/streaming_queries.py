@@ -37,16 +37,13 @@ from .corpus_ops import _HLL_RHO as _HLL_RHO_SQL
 
 #: Capability flags for surfaces gated on optional runtime dependencies.
 #: ``transform_with_state``: the Spark 4 TWS operator family needs
-#: ``google.protobuf`` for its driver-side worker; where present, the
-#: ``q_stream_tws`` entry below registers and is checked like any other
-#: query — where absent, the flag records WHY the registry lacks the entry.
-#: Rounds 5-7 each re-verified absence in this container (no installed
-#: copy, no vendorable wheel on disk, installs prohibited); vendoring is
-#: ruled out deliberately — the generated ``*_pb2`` modules need the full
-#: protobuf runtime (descriptor pool + wire format), and reimplementing
-#: that to unskip one test is worse than the documented gate. The
-#: ``applyInPandasWithState`` twin covers the stateful-streaming semantics
-#: meanwhile (`q_stream_stateful`).
+#: ``google.protobuf`` in its state-server worker; where importable (or
+#: wire-in-able — ``streams.ensure_protobuf`` borrows the system-bundled
+#: pure-Python runtime when the module is not installed, see its
+#: docstring), the ``q_stream_tws`` entry below registers and is checked
+#: like any other query — where genuinely absent, the flag records WHY
+#: the registry lacks the entry. Gated rounds 5-8 (no installed copy, no
+#: reachable package index); un-gated round 9 via the fallback.
 CAPABILITIES: dict[str, bool] = {"transform_with_state": tws_available()}
 
 

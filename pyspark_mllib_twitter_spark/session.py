@@ -26,6 +26,13 @@ def get_spark(
     real cluster the master/executor topology comes from spark-submit and
     everything here remains valid.
     """
+    # Wire the protobuf fallback into PYTHONPATH BEFORE the JVM launches so
+    # Python workers (which inherit the JVM env) can import google.protobuf
+    # — transformWithStateInPandas needs it worker-side.
+    from .streaming.streams import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         try:

@@ -521,24 +521,108 @@ ROCKSDB_STATE_CONF = {
 }
 
 
+#: System locations known to ship a pure-Python ``google.protobuf``
+#: runtime (public, BSD-licensed — the google-cloud-sdk bundles one for
+#: its own tooling). No package index is reachable from this container,
+#: so when the module is not installed we borrow the SDK's copy by
+#: appending its directory to ``sys.path`` (driver process) and
+#: ``PYTHONPATH`` / ``sc.environment`` (Python workers — see
+#: :func:`_wire_worker_pythonpath`). Appended, never prepended, so an
+#: installed protobuf always wins.
+_PROTOBUF_FALLBACK_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+#: Fallback dir wired in by :func:`ensure_protobuf` (sticky: later calls
+#: keep returning it so worker-env wiring still happens after the first
+#: call made the module importable driver-side).
+_protobuf_wired: str | None = None
+
+
+def ensure_protobuf() -> str | None:
+    """Make ``google.protobuf`` importable in this process if at all
+    possible. Returns ``""`` when it imports natively, the sys.path
+    entry that provides it when a system fallback was wired in (sticky
+    across calls), or ``None`` when unavailable. Idempotent."""
+    global _protobuf_wired
+    import importlib
+    import os
+    import sys
+
+    if _protobuf_wired is not None:
+        return _protobuf_wired
+    try:
+        # Import a real module, not the bare package: `google.protobuf`
+        # can resolve as an EMPTY namespace package (any sys.path entry
+        # with a bare google/protobuf/ directory), which imports fine yet
+        # provides nothing.
+        from google.protobuf import descriptor  # noqa: F401
+
+        return ""
+    except ImportError:
+        pass
+    for d in _PROTOBUF_FALLBACK_DIRS:
+        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+            continue
+        added = d not in sys.path
+        if added:
+            sys.path.append(d)
+        # Drop any cached EMPTY-namespace google.protobuf so the retry
+        # re-resolves against the newly added portion (the regular
+        # package with __init__.py wins over bare namespace dirs).
+        for mod in [m for m in sys.modules if m.startswith("google")]:
+            if getattr(sys.modules[mod], "__file__", None) is None:
+                del sys.modules[mod]
+        try:
+            importlib.import_module("google.protobuf.descriptor")
+        except Exception:
+            if added:
+                sys.path.remove(d)
+            continue
+        # Future JVM launches inherit this env, so python workers spawned
+        # by them resolve the same copy.
+        pp = os.environ.get("PYTHONPATH", "")
+        if d not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = pp + os.pathsep + d if pp else d
+        # The borrowed runtime may trail pyspark's gencode by a minor
+        # version (observed: StateMessage_pb2 gencode 6.33 vs runtime
+        # 6.32). Use protobuf's OWN documented escape hatch
+        # (runtime_version.ValidateProtobufRuntimeVersion checks this
+        # env var) rather than patching the validator.
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        _protobuf_wired = d
+        return d
+    return None
+
+
+def _wire_worker_pythonpath(df: DataFrame, path: str) -> None:
+    """Propagate a protobuf fallback dir to Python WORKERS of an
+    already-running session: ``sc.environment`` is read every time a
+    Python function is wrapped for the JVM (rdd.py
+    ``_prepare_for_python_RDD``), so mutating it here reaches workers
+    even when the JVM predates the import of this module."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    pp = sc.environment.get("PYTHONPATH", "")
+    if path not in pp.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = pp + os.pathsep + path if pp else path
+    sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+
+
 def tws_available() -> bool:
     """True when ``transformWithStateInPandas`` can actually run here: its
-    driver-side worker speaks protobuf to the JVM, so the ``google.protobuf``
-    package must be importable (verified empirically — without it the worker
-    exits with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+    state-server worker speaks protobuf to the JVM, so the
+    ``google.protobuf`` package must be importable (verified empirically —
+    without it the worker exits with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
 
-    Environment status (re-checked every round since 5, last round 8):
-    the module is absent, the container has no package index reachable
-    (pip resolves no distribution — DNS fails), and vendoring a
-    generated-code runtime is out of scope, so the capability stays
-    gated until the environment ships protobuf. The applyInPandasWithState
-    twin (``stateful_user_stats``) covers the same semantics and IS
-    executed."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    Environment status (rounds 5-8: gated — module absent, no package
+    index reachable). Round 9: un-gated by borrowing the pure-Python
+    protobuf the google-cloud-sdk ships (see ``_PROTOBUF_FALLBACK_DIRS``);
+    the batch-twin equivalence test executes wherever this returns True."""
+    return ensure_protobuf() is not None
 
 
 def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -550,10 +634,9 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
     Requires the RocksDB state store — run with
     ``run_to_memory(..., extra_conf=ROCKSDB_STATE_CONF)`` — and a Python
-    environment with ``google.protobuf`` (gate on :func:`tws_available`;
-    this container lacks it, so the operator is NOT registered as a driver
-    query and its test skips — the plan construction below still builds and
-    analyzes). State is one (n, s) pair per user; output mode Update emits
+    environment with ``google.protobuf`` (gate on :func:`tws_available`,
+    which wires in the system-bundled pure-Python runtime when the module
+    is not installed). State is one (n, s) pair per user; output mode Update emits
     one row per user per micro-batch in which the user appears, so counts
     are monotone and the final state is the per-user max (what the batch
     twin checks).
@@ -562,6 +645,10 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    fallback = ensure_protobuf()
+    if fallback:  # borrowed runtime -> workers need the path too
+        _wire_worker_pythonpath(events, fallback)
 
     class _RunningStats(StatefulProcessor):
         # No annotations on these methods: this module stringifies them
