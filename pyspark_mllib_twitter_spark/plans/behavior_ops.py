@@ -796,3 +796,104 @@ def q_c7_ltv_curve(spark, sf_dir):
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap-based sessions over the event log)
+# ---------------------------------------------------------------------------
+
+#: Inactivity gap that closes a session (the industry-standard 30 min).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_dq_sessionize",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events WHERE user_id IS NOT NULL),
+    m AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    per_sess AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(max(n_ev) AS BIGINT) AS max_events,
+           round(CAST(sum(dur_us) AS DOUBLE) / count(*), 6)
+             AS avg_session_us
+    FROM per_sess GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_dq_sessionize(spark, sf_dir):
+    """BATCH SESSIONIZATION (gaps-and-islands over the event log; Kimball's
+    classic clickstream pattern): per user, a >30-minute inactivity gap
+    closes the session; cumulative-sum over the break flags assigns
+    session ids, and per-user session stats roll up. The BATCH twin of
+    the streaming ``q_stream_session`` (session_window) — run over the
+    lake for backfills and as the oracle for the stream, the way
+    ``q_zd_attribution``/``q_stream_attribution`` pair up. Session
+    membership depends only on the SORTED multiset of timestamps, so
+    equal-timestamp tie order cannot change the result; all durations
+    stay exact integer microseconds until the one shared-text close.
+
+    Scale shape: one user-grain window pass (single shuffle on user_id,
+    the same partitioning both window steps and both rollups reuse), then
+    combinable aggregates. 100 TB = one scan + one user-grain shuffle —
+    no global sort, nothing driver-side.
+    """
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    s = ev.select("user_id", "us", "event_id", brk).select(
+        "user_id",
+        "us",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per_sess = s.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("dur_us"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+            F.max("n_ev").cast("bigint").alias("max_events"),
+            F.round(
+                F.sum("dur_us").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_session_us"),
+        )
+        .orderBy("user_id")
+    )

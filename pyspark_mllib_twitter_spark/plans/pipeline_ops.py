@@ -1447,3 +1447,165 @@ def q_xi_span_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation filter funnel (ordered-rule attrition audit)
+# ---------------------------------------------------------------------------
+
+#: Ordered curation rules (Gopher/CCNet-style gates, thresholds tuned to
+#: be non-vacuous on the synthetic fixture — every stage drops someone at
+#: sf0.01). A document is charged to its FIRST failing rule, so stage
+#: counts compose into a funnel: n_in(k+1) = n_out(k).
+FUNNEL_RULE_NAMES = (
+    "len_gate",      # 1: n_chars in [100, 520]
+    "lang_known",    # 2: lang in the supported set
+    "min_tokens",    # 3: >= 25 whitespace tokens
+    "ttr",           # 4: type-token ratio >= 0.4 (10*distinct >= 4*n)
+    "token_shape",   # 5: mean token length in [4.2, 4.8] (x10 integer)
+)
+FUNNEL_LANGS = ("en", "de", "fr", "es")
+
+_FF_TOKS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
+
+
+@query(
+    "q_dt_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT n_chars, coalesce(lang, '') AS lang,
+             CAST(len({_FF_TOKS_SQL}) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct({_FF_TOKS_SQL})) AS BIGINT) AS n_dist,
+             CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))
+                  AS BIGINT) AS tok_chars
+      FROM documents),
+    f AS (
+      SELECT CASE
+               WHEN n_chars NOT BETWEEN 100 AND 520 THEN 1
+               WHEN lang NOT IN {FUNNEL_LANGS!r} THEN 2
+               WHEN n_tok < 25 THEN 3
+               WHEN n_dist * 10 < n_tok * 4 THEN 4
+               WHEN tok_chars * 10 NOT BETWEEN n_tok * 42 AND n_tok * 48
+                 THEN 5
+               ELSE 0 END AS fail
+      FROM t),
+    drops AS (SELECT fail, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY fail),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    stages(stage, rule) AS (VALUES
+      (1, 'len_gate'), (2, 'lang_known'), (3, 'min_tokens'),
+      (4, 'ttr'), (5, 'token_shape'))
+    SELECT CAST(s.stage AS BIGINT) AS stage, s.rule,
+           CAST(tot.n - coalesce(SUM(coalesce(d.n, 0)) OVER
+                  (ORDER BY s.stage
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_in,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_dropped,
+           CAST(tot.n - coalesce(SUM(coalesce(d.n, 0)) OVER
+                  (ORDER BY s.stage
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS BIGINT) AS n_out,
+           round(CAST(coalesce(d.n, 0) AS DOUBLE)
+                 / (tot.n - coalesce(SUM(coalesce(d.n, 0)) OVER
+                      (ORDER BY s.stage
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)),
+                 6) AS drop_share
+    FROM stages s LEFT JOIN drops d ON d.fail = s.stage CROSS JOIN tot
+    ORDER BY stage
+    """,
+)
+def q_dt_filter_funnel(spark, sf_dir):
+    """CURATION FILTER FUNNEL — the attrition audit every production
+    cleaning pipeline publishes (RefinedWeb table 2, Gopher appendix A,
+    CCNet fig. 1 all report exactly this shape): five ordered quality
+    gates (length, language, token count, type-token ratio, token shape),
+    each document charged to its FIRST failing rule, per-stage
+    n_in/n_dropped/n_out/drop_share. Composes the engine's individual
+    quality signals (q_ns_quality, q_x8 repetition, q_x9 LM score) into
+    the decision layer that actually gates training data — and because
+    stages compose (n_in(k+1) = n_out(k)), the output is self-auditing.
+    All gates are exact-integer comparisons (type-token and token-shape
+    via cross-multiplication, never a float ratio), so both engines make
+    identical keep/drop decisions; the one double is the final
+    drop_share close.
+
+    Scale shape: ONE scan computes per-doc token stats JVM-side
+    (split/list ops, no explode, no shuffle), one 6-group aggregate, and
+    a constant 5-row funnel tail. 100 TB = one scan + a 6-row reduce.
+    """
+    d = _docs(spark, sf_dir)
+    toks = TXT.tokens("text")
+    t = d.select(
+        "n_chars",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_dist"),
+        F.length(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+        )
+        .cast("bigint")
+        .alias("tok_chars"),
+    )
+    fail = (
+        F.when(~F.col("n_chars").between(100, 520), 1)
+        .when(~F.col("lang").isin(*FUNNEL_LANGS), 2)
+        .when(F.col("n_tok") < 25, 3)
+        .when(F.col("n_dist") * 10 < F.col("n_tok") * 4, 4)
+        .when(
+            ~(F.col("tok_chars") * 10).between(
+                F.col("n_tok") * 42, F.col("n_tok") * 48
+            ),
+            5,
+        )
+        .otherwise(0)
+        .alias("fail")
+    )
+    drops = t.select(fail).groupBy("fail").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = t.agg(F.count("*").cast("bigint").alias("n_total"))
+    stages = spark.createDataFrame(
+        [(i + 1, name) for i, name in enumerate(FUNNEL_RULE_NAMES)],
+        "stage long, rule string",
+    )
+    w_prev = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cur = Window.orderBy("stage").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    joined = (
+        stages.join(
+            F.broadcast(drops.withColumnRenamed("fail", "stage")),
+            "stage",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            "rule",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_dropped"),
+            "n_total",
+        )
+    )
+    return joined.select(
+        "stage",
+        "rule",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_dropped").over(w_prev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_in"),
+        "n_dropped",
+        (F.col("n_total") - F.sum("n_dropped").over(w_cur))
+        .cast("bigint")
+        .alias("n_out"),
+        F.round(
+            F.col("n_dropped").cast("double")
+            / (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_dropped").over(w_prev), F.lit(0))
+            ).cast("double"),
+            6,
+        ).alias("drop_share"),
+    ).orderBy("stage")

@@ -393,6 +393,31 @@ if tws_available():
             .orderBy("user_id")
         )
 
+    @query("q_stream_tws_timers", oracle=None)  # timer cadence engine-specific
+    def q_stream_tws_timers(spark, sf_dir):
+        """Idle-timeout sessionization with EVENT-TIME TIMERS
+        (``registerTimer``/``deleteTimer``/``handleExpiredTimer``) — the
+        TWS API surface ``q_stream_tws`` doesn't reach. In-batch idle
+        gaps finalize inline, the open tail is finalized by its timer
+        when the watermark passes ``last + gap``; the replay's flush
+        sentinel closes every session, and the exact-equivalence test
+        against a pure-Python batch sessionizer (0%-late replay) pins
+        session boundaries batch-slicing-independent
+        (tests/test_streaming.py). Rows-only: timer emission cadence has
+        no SQL twin (the batch twin is ``q_dq_sessionize``)."""
+        from ..streaming import ROCKSDB_STATE_CONF
+        from ..streaming.streams import tws_session_finalizer
+
+        stream = tws_session_finalizer(
+            _replayed_stream(spark, sf_dir), watermark="30 minutes"
+        )
+        out = run_to_memory(
+            stream, output_mode="append", extra_conf=ROCKSDB_STATE_CONF
+        )
+        return out.filter(F.col("user_id") >= 0).orderBy(
+            "user_id", "start_ms"
+        )
+
 
 @query("q_stream_dedup", oracle=None)  # emission timing engine-specific; batch-checked in tests
 def q_stream_dedup(spark, sf_dir):

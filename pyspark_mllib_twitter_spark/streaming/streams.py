@@ -685,6 +685,122 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+#: Idle gap (ms, event time) after which a TWS timer finalizes a session.
+TWS_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def tws_session_finalizer(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    gap_ms: int = TWS_SESSION_GAP_MS,
+) -> DataFrame:
+    """Idle-timeout SESSIONIZATION with event-time TIMERS via
+    ``transformWithStateInPandas`` — the API surface ``tws_user_stats``
+    doesn't exercise: ``handle.registerTimer``/``deleteTimer`` +
+    ``handleExpiredTimer`` in ``timeMode="EventTime"``. Per user, a
+    ValueState row (start_ms, last_ms, n) tracks the open session; idle
+    gaps WITHIN a batch finalize inline during ``handleInputRows`` (so
+    session boundaries match the batch twin ``q_dq_sessionize`` exactly,
+    independent of micro-batch slicing), and the open tail re-arms one
+    timer at ``last_ms + gap_ms`` each batch; when the watermark passes
+    it, ``handleExpiredTimer`` EMITS the finalized session and clears
+    state — the push-based twin of ``session_window`` (a session appears
+    in the sink the moment the engine can prove it closed, not when the
+    next aggregation runs). A session still open when input ends is
+    emitted only if a later watermark passes its idle deadline (the
+    replayer's far-future flush sentinel guarantees that in tests;
+    a production stream would hold it open — correctly). Timer firing
+    depends only on the deterministic per-batch watermark sequence of
+    the fixed replay plan, so output is stable across runs. Requires ``google.protobuf`` (see :func:`tws_available`)
+    and the RocksDB state store (``ROCKSDB_STATE_CONF``).
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    fallback = ensure_protobuf()
+    if fallback:
+        _wire_worker_pythonpath(events, fallback)
+
+    class _SessionFinalizer(StatefulProcessor):
+        # No type annotations: the TWS worker resolves hints at runtime
+        # and this module stringifies them (see tws_user_stats).
+        def init(self, handle):
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms bigint, last_ms bigint, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            all_ms = []
+            for pdf in rows:
+                ms = (
+                    pdf["ts"].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
+                all_ms.extend(int(x) for x in ms)
+            if not all_ms:
+                return iter([])
+            all_ms.sort()
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+                self._handle.deleteTimer(last + gap_ms)
+            else:
+                start, last, n = all_ms[0], all_ms[0], 0
+            closed = []
+            for ms in all_ms:
+                if ms - last > gap_ms:
+                    # In-batch idle gap: finalize inline (same semantics
+                    # as the batch twin), open a fresh session.
+                    closed.append((key[0], n, start, last, last - start))
+                    start, last, n = ms, ms, 1
+                else:
+                    last, n = max(last, ms), n + 1
+            self._sess.update((start, last, n))
+            self._handle.registerTimer(last + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=[
+                        "user_id", "n_events", "start_ms", "end_ms", "dur_ms"
+                    ],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            if not self._sess.exists():
+                return iter([])
+            start, last, n = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "start_ms": [start],
+                    "end_ms": [last],
+                    "dur_ms": [last - start],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            _SessionFinalizer(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, start_ms bigint,"
+                " end_ms bigint, dur_ms bigint"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful last-touch attribution (streaming twin of q_zd_attribution)
 # ---------------------------------------------------------------------------

@@ -809,3 +809,105 @@ def test_incremental_agg_equals_recompute(spark, sf_smoke):
         .collect()
     }
     assert {p: (r.n_rows, r.sum_cents) for p, r in rows.items()} == expect
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _py_sessions(events, gap_us):
+    """Pure-Python gap sessionizer: {user: [(start, last, n), ...]}."""
+    by_user = {}
+    for uid, us in sorted(events):
+        sess = by_user.setdefault(uid, [])
+        if sess and us - sess[-1][1] <= gap_us:
+            s, l, n = sess[-1]
+            sess[-1] = (s, max(l, us), n + 1)
+        else:
+            sess.append((us, us, 1))
+    return by_user
+
+
+def test_sessionize_matches_pure_python(spark, sf_smoke):
+    """q_dq_sessionize: per-user session stats must match an independent
+    pure-Python gap sessionizer run on the same events."""
+    from pyspark_mllib_twitter_spark.plans.behavior_ops import SESSION_GAP_US
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    ev = [
+        (r.user_id, r.us)
+        for r in read_table(spark, sf_smoke, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .collect()
+    ]
+    golden = _py_sessions(ev, SESSION_GAP_US)
+    got = {r.user_id: r for r in _rows(spark, sf_smoke, "q_dq_sessionize")}
+    assert set(got) == set(golden)
+    for uid, sessions in golden.items():
+        r = got[uid]
+        assert r.n_sessions == len(sessions)
+        assert r.n_events == sum(n for _, _, n in sessions)
+        assert r.max_events == max(n for _, _, n in sessions)
+        want_avg = round(sum(l - s for s, l, _ in sessions) / len(sessions), 6)
+        assert abs(r.avg_session_us - want_avg) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Curation filter funnel (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_funnel_composes_and_accounts_for_every_doc(spark, sf_smoke):
+    """q_dt_filter_funnel: stages compose (n_in(k+1) = n_out(k)), drops
+    are charged once, and total accounting holds: n_in(1) = corpus size,
+    n_out(5) = survivors = n_in(1) - sum(drops)."""
+    from pyspark_mllib_twitter_spark.sources import read_table
+
+    rows = _rows(spark, sf_smoke, "q_dt_filter_funnel")
+    assert [r.stage for r in rows] == [1, 2, 3, 4, 5]
+    total = read_table(spark, sf_smoke, "documents").count()
+    assert rows[0].n_in == total
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_out
+    for r in rows:
+        assert r.n_out == r.n_in - r.n_dropped
+        assert 0 <= r.n_dropped <= r.n_in
+    assert rows[-1].n_out == total - sum(r.n_dropped for r in rows)
+    # The funnel is non-vacuous on the fixture: someone is dropped and
+    # someone survives.
+    assert sum(r.n_dropped for r in rows) > 0
+    assert rows[-1].n_out > 0
+
+
+def test_filter_funnel_first_fail_matches_pandas(spark, sf_smoke):
+    """Per-rule drop counts must match an independent pandas
+    recomputation of the ordered gates."""
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(f"{sf_smoke}/documents.parquet").to_pandas()
+    toks = d.text.str.lower().str.strip().str.split()
+    n_tok = toks.str.len()
+    n_dist = toks.apply(lambda t: len(set(t)))
+    tok_chars = d.text.str.lower().str.strip().str.replace(
+        r"\s+", "", regex=True
+    ).str.len()
+    lang = d.lang.fillna("")
+    fail = []
+    for i in range(len(d)):
+        if not (100 <= d.n_chars.iloc[i] <= 520):
+            fail.append(1)
+        elif lang.iloc[i] not in ("en", "de", "fr", "es"):
+            fail.append(2)
+        elif n_tok.iloc[i] < 25:
+            fail.append(3)
+        elif n_dist.iloc[i] * 10 < n_tok.iloc[i] * 4:
+            fail.append(4)
+        elif not (n_tok.iloc[i] * 42 <= tok_chars.iloc[i] * 10 <= n_tok.iloc[i] * 48):
+            fail.append(5)
+        else:
+            fail.append(0)
+    want = {s: fail.count(s) for s in range(1, 6)}
+    got = {r.stage: r.n_dropped for r in _rows(spark, sf_smoke, "q_dt_filter_funnel")}
+    assert got == want

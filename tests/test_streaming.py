@@ -401,3 +401,59 @@ def test_space_saving_topk_bounds_and_determinism(spark, sf_smoke):
         assert 1 <= r.rank <= 5
     second = spec.spark(spark, sf_smoke).collect()
     assert first == second
+
+
+def test_tws_session_finalizer_matches_batch_sessionizer(spark, events):
+    """q_stream_tws_timers: on a 0%-late replay (nothing dropped by the
+    watermark) with the flush sentinel closing every open session, the
+    timer-finalized session set must EQUAL a pure-Python gap sessionizer
+    over the same events — session boundaries independent of micro-batch
+    slicing (in-batch gaps split inline, cross-batch tails via timers)."""
+    from pyspark_mllib_twitter_spark.streaming.streams import (
+        ROCKSDB_STATE_CONF,
+        TWS_SESSION_GAP_MS,
+        replay_events_dir,
+        tws_available,
+        tws_session_finalizer,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable — TWS cannot execute here")
+
+    rd = replay_events_dir(events, late_fraction_pct=0, flush_margin="60 days")
+    stream = tws_session_finalizer(
+        read_events_stream(spark, rd), watermark="30 minutes"
+    )
+    streamed = run_to_memory(
+        stream, output_mode="append", extra_conf=ROCKSDB_STATE_CONF
+    )
+    got = {
+        (r.user_id, r.start_ms, r.end_ms, r.n_events)
+        for r in streamed.filter(F.col("user_id") >= 0).collect()
+    }
+
+    ev = sorted(
+        (r.user_id, r.ms)
+        for r in events.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1000)
+            .cast("bigint")
+            .alias("ms"),
+        )
+        .collect()
+    )
+    want = set()
+    cur = {}
+    for uid, ms in ev:
+        if uid in cur and ms - cur[uid][1] <= TWS_SESSION_GAP_MS:
+            s, l, n = cur[uid]
+            cur[uid] = (s, max(l, ms), n + 1)
+        else:
+            if uid in cur:
+                s, l, n = cur[uid]
+                want.add((uid, s, l, n))
+            cur[uid] = (ms, ms, 1)
+    for uid, (s, l, n) in cur.items():  # flush closes the open tails
+        want.add((uid, s, l, n))
+    assert got == want
