@@ -1609,3 +1609,87 @@ def q_dt_filter_funnel(spark, sf_dir):
             6,
         ).alias("drop_share"),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted-interleave curriculum schedule
+# ---------------------------------------------------------------------------
+
+#: Schedule prefix length returned by q_ds (TakeOrderedAndProject bound).
+CURRICULUM_TAKE = 200
+#: Per-source weight: 1 + (numeric source suffix mod 3) in {1,2,3} — a
+#: pure function of the key (hash-checkable; production would use the
+#: mixing weights from q_x4/q_y5). LCM(1,2,3)=6 makes every stride
+#: 6 DIV w an exact integer, so schedule positions never touch floats.
+_CURRICULUM_W = "(1 + CAST(substr(source, 4, 8) AS INT) % 3)"
+
+
+@query(
+    "q_ds_curriculum_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rank_in_src,
+             {_CURRICULUM_W} AS w
+      FROM documents),
+    sched AS (
+      SELECT CAST(rank_in_src * (6 // w) AS BIGINT) AS pos,
+             source, doc_id, CAST(w AS BIGINT) AS w
+      FROM ranked
+      ORDER BY pos, source, doc_id
+      LIMIT {CURRICULUM_TAKE})
+    SELECT CAST(row_number() OVER (ORDER BY pos, source, doc_id) AS BIGINT)
+             AS seq,
+           pos, source, doc_id, w
+    FROM sched
+    ORDER BY seq
+    """,
+)
+def q_ds_curriculum_interleave(spark, sf_dir):
+    """DETERMINISTIC WEIGHTED INTERLEAVE — the training-ORDER schedule
+    the mixing entries stop short of (q_x4 picks proportions, q_y5
+    temperature-rebalances counts; neither says which example comes
+    NEXT). Each source emits its rank-k document at integer position
+    ``k * (LCM/w)`` — weighted round-robin / examples-proportional
+    interleaving (the deterministic twin of tf.data sample_from_datasets
+    and the T5 mixing schedule, Raffel et al. 2020 §3.5.2): a source
+    with weight w appears w times as often, evenly spaced, no RNG. The
+    stride LCM(weights)=6 keeps every position an exact integer, so both
+    engines order identically with zero float comparisons; ties resolve
+    (source, doc_id). Returns the first {CURRICULUM_TAKE} schedule slots.
+
+    Scale shape: one source-grain window (single shuffle) + a global
+    TakeOrderedAndProject bounded by the take — no global sort of the
+    corpus; the full schedule would be written partition-parallel by
+    repartitionByRange(pos) at 100 TB.
+    """
+    d = _docs(spark, sf_dir).select("source", "doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rank_in_src"),
+        F.expr(_CURRICULUM_W).alias("w"),
+    )
+    sched = (
+        ranked.select(
+            F.expr("CAST(rank_in_src * (6 DIV w) AS BIGINT)").alias("pos"),
+            "source",
+            "doc_id",
+            F.col("w").cast("bigint").alias("w"),
+        )
+        .orderBy("pos", "source", "doc_id")
+        .limit(CURRICULUM_TAKE)
+    )
+    return sched.select(
+        F.row_number()
+        .over(Window.orderBy("pos", "source", "doc_id"))
+        .cast("bigint")
+        .alias("seq"),
+        "pos",
+        "source",
+        "doc_id",
+        "w",
+    ).orderBy("seq")

@@ -343,3 +343,39 @@ def test_chunk_dedup_ratios_demonstrate_cdc(spark):
     assert rows[0].dedup_ratio == 1.0
     assert rows[1].dedup_ratio >= 0.5, rows[1]
     assert rows[1].n_chunks > 0 and rows[0].n_chunks > 0
+
+
+# ---------------------------------------------------------------------------
+# Curriculum interleave (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_interleave_spacing_and_share(spark, sf_smoke):
+    """q_ds: weighted round-robin invariants — within every source the
+    schedule preserves doc_id order with constant stride 6//w between
+    positions, and over any full prefix a weight-w source never exceeds
+    its fair share of slots by more than one round."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    rows = REGISTRY["q_ds_curriculum_interleave"].spark(spark, sf_smoke).collect()
+    assert [r.seq for r in rows] == list(range(1, len(rows) + 1))
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        w = rs[0].w
+        stride = 6 // w
+        # per-source positions are rank * stride in doc_id order
+        assert [x.pos for x in rs] == [stride * (i + 1) for i in range(len(rs))]
+        assert [x.doc_id for x in rs] == sorted(x.doc_id for x in rs)
+    # A weight-w source holds pos = rank * (6//w), so a source the cut
+    # truncated (its next slot would still fit under max_pos only if it
+    # ran out of documents) must fill every slot below max_pos; an
+    # exhausted source simply ends early.
+    max_pos = rows[-1].pos
+    for src, rs in by_src.items():
+        stride = 6 // rs[0].w
+        exhausted = rs[-1].pos + stride <= max_pos
+        if not exhausted:
+            expect = max_pos // stride  # full rounds fitting below the cut
+            assert abs(len(rs) - expect) <= 1
