@@ -25,9 +25,12 @@ behavior/science block, the full ``q_b1``-``q_bv`` block plus
 ``q_bx_sprt``/``q_bz_timed_funnel``, and ``q_c1_allen_relations``/
 ``q_c3_hill_tail``. Queued for round 10: the remaining 54 oracle-backed
 never-checked entries (``q_c4``-``q_dp``, ``q_sb_docstore_merge``,
-``q_stream_hll/kmv/lateness``) and the 13 rows-only never-checked
-entries. Round-9 registry additions are CAPPED (<= 15) until the
-pending backlog fits inside one window.
+``q_stream_hll/kmv/lateness``), the 13 rows-only never-checked entries,
+and the five round-9 additions (``q_dq_sessionize``,
+``q_dt_filter_funnel``, ``q_ds_curriculum_interleave``, plus rows-only
+``q_stream_tws``/``q_stream_tws_timers``). Round-9 registry additions
+were CAPPED at those five (budget <= 15) so the backlog keeps shrinking
+toward one window.
 """
 
 from __future__ import annotations

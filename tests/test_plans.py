@@ -535,3 +535,30 @@ def test_setsim_candidate_join_carries_ppjoin_filters(spark):
     join_lines = [l for l in plan.splitlines() if "Join" in l and "doc_id" in l]
     cond = next((l for l in join_lines if "sz" in l and "pos" in l), None)
     assert cond is not None, "length/positional filters not in join condition"
+
+
+def test_sessionize_single_user_grain_shuffle(spark):
+    """q_dq: both window passes and both rollups must reuse ONE
+    hashpartitioning(user_id) exchange (HashPartitioning(user_id)
+    satisfies ClusteredDistribution(user_id, sid), so the session and
+    per-user aggregates add no shuffle); the only other exchange is the
+    output ORDER BY's range partitioning."""
+    import re
+
+    plan = _plan(spark, "q_dq_sessionize")
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1, hashes
+    assert "user_id" in hashes[0]
+    assert plan.count("Exchange rangepartitioning") == 1  # final ORDER BY
+
+
+def test_curriculum_interleave_takeordered_bounded(spark):
+    """q_ds: the schedule prefix must be a TakeOrderedAndProject (no
+    global sort of the corpus), fed by the single source-grain window
+    shuffle."""
+    import re
+
+    plan = _plan(spark, "q_ds_curriculum_interleave")
+    assert "TakeOrderedAndProject" in plan
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashes) == 1 and "source" in hashes[0], hashes
