@@ -839,16 +839,18 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
     """,
 )
 def q_dq_sessionize(spark, sf_dir):
-    """BATCH SESSIONIZATION (gaps-and-islands over the event log; Kimball's
-    classic clickstream pattern): per user, a >30-minute inactivity gap
-    closes the session; cumulative-sum over the break flags assigns
-    session ids, and per-user session stats roll up. The BATCH twin of
-    the streaming ``q_stream_session`` (session_window) — run over the
-    lake for backfills and as the oracle for the stream, the way
-    ``q_zd_attribution``/``q_stream_attribution`` pair up. Session
-    membership depends only on the SORTED multiset of timestamps, so
-    equal-timestamp tie order cannot change the result; all durations
-    stay exact integer microseconds until the one shared-text close.
+    """PER-USER SESSION STATISTICS — the engagement-KPI rollup one grain
+    ABOVE the engine's session builder (``q_w5_sessionize`` emits the
+    per-session rows; this emits the per-user layer product analytics
+    reports on: session count, events per session, longest burst, mean
+    dwell — the DAU-dashboard shape). Same gaps-and-islands recipe
+    (>30-min inactivity closes a session, cumulative-sum over break
+    flags), kept inline rather than stacked on q_w5 so the whole
+    pipeline stays ONE user-grain exchange (plan-asserted in
+    tests/test_plans.py). Session membership depends only on the SORTED
+    multiset of timestamps, so equal-timestamp tie order cannot change
+    the result; all durations stay exact integer microseconds until the
+    one shared-text close.
 
     Scale shape: one user-grain window pass (single shuffle on user_id,
     the same partitioning both window steps and both rollups reuse), then

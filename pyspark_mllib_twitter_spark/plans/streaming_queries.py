@@ -404,7 +404,7 @@ if tws_available():
         against a pure-Python batch sessionizer (0%-late replay) pins
         session boundaries batch-slicing-independent
         (tests/test_streaming.py). Rows-only: timer emission cadence has
-        no SQL twin (the batch twin is ``q_dq_sessionize``)."""
+        no SQL twin (batch twins: ``q_w5_sessionize`` / ``q_dq_sessionize``)."""
         from ..streaming import ROCKSDB_STATE_CONF
         from ..streaming.streams import tws_session_finalizer
 

@@ -709,7 +709,9 @@ def tws_session_finalizer(
     next aggregation runs). A session still open when input ends is
     emitted only if a later watermark passes its idle deadline (the
     replayer's far-future flush sentinel guarantees that in tests;
-    a production stream would hold it open — correctly). Timer firing
+    a production stream would hold it open — correctly). Lake-side
+    backfills use the batch twins (``q_w5_sessionize`` per-session,
+    ``q_dq_sessionize`` per-user rollup). Timer firing
     depends only on the deterministic per-batch watermark sequence of
     the fixed replay plan, so output is stable across runs. Requires ``google.protobuf`` (see :func:`tws_available`)
     and the RocksDB state store (``ROCKSDB_STATE_CONF``).
