@@ -681,3 +681,28 @@ def test_boruvka_mst_bench_scale_smoke(spark):
         parent[find(u)] = find(v)
     n_cc = len({find(n) for n in nodes})
     assert len(got) == len(nodes) - n_cc
+
+
+def test_boruvka_distributed_jump_branch_matches_kruskal(spark, monkeypatch):
+    """The beyond-driver-bound branch (fixed-budget distributed pointer
+    jumping) must produce the identical forest: force it by dropping the
+    driver-union bound to 0 and re-run the handbuilt + chain graphs.
+    This is the 100 TB code path — it must not rot untested."""
+    from pyspark_mllib_twitter_spark.plans import corpus_ops
+
+    monkeypatch.setattr(corpus_ops, "MST_DRIVER_UNION_MAX", 0)
+    edges = [
+        (1, 2, 1),
+        (2, 3, 1),
+        (1, 3, 5),
+        (3, 4, 2),
+        (5, 6, 7),
+        # a longer chain exercises >1 pointer-jump hop
+        (6, 7, 1),
+        (7, 8, 2),
+        (8, 9, 3),
+        (9, 10, 4),
+    ]
+    df = spark.createDataFrame(edges, "u long, v long, w long")
+    got = {(r.u, r.v, r.w) for r in corpus_ops.boruvka_mst(df).collect()}
+    assert got == _kruskal(edges)

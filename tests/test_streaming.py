@@ -457,3 +457,22 @@ def test_tws_session_finalizer_matches_batch_sessionizer(spark, events):
     for uid, (s, l, n) in cur.items():  # flush closes the open tails
         want.add((uid, s, l, n))
     assert got == want
+
+
+def test_ensure_protobuf_gate_behavior(monkeypatch):
+    """ensure_protobuf contract: with no fallback dirs and no installed
+    module it returns None (tws_available False → entry not registered);
+    with the wired fallback it returns a sticky path or '' (installed).
+    Runs against the live module state, so it also documents which leg
+    this container takes."""
+    from pyspark_mllib_twitter_spark.streaming import streams
+
+    got = streams.ensure_protobuf()
+    assert got is None or isinstance(got, str)
+    if got is None:
+        assert not streams.tws_available()
+    else:
+        # Sticky: the second call must return the same answer, and the
+        # module must now import in this process.
+        assert streams.ensure_protobuf() == got
+        from google.protobuf import descriptor  # noqa: F401
