@@ -4686,6 +4686,11 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
         ).unionByName(
             e2.select(F.col("cv").alias("c"), pick, F.col("cu").alias("other"))
         )
+        # sel is COMPONENT-grain (one row per component with an outgoing
+        # edge) but its lineage is the edge-scale struct-min shuffle —
+        # checkpoint it so the convergence count, the forest append, and
+        # the merge branch below all read the materialized small frame
+        # instead of re-running the edge aggregate up to four times.
         sel = cand.groupBy("c").agg(
             F.min(F.struct("pick", "other")).alias("m")
         ).select(
@@ -4694,13 +4699,11 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
             F.col("m.pick.v").alias("v"),
             F.col("m.pick.w").alias("w"),
             F.col("m.other").alias("p"),
-        )
-        # Component-grain parent pairs; empty <=> no cross-component edge
-        # left <=> converged (this collect doubles as the convergence probe).
-        pairs = (
-            sel.select("c", "p").limit(MST_DRIVER_UNION_MAX + 1).collect()
-        )
-        if not pairs:
+        ).localCheckpoint(eager=True)
+        # One count probes convergence AND sizes the merge strategy —
+        # nothing is collected until the driver bound is known to hold.
+        n_pairs = sel.count()
+        if n_pairs == 0:
             converged = True
             break
         new_edges = sel.select("u", "v", "w").distinct()
@@ -4709,7 +4712,8 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
             if picked is None
             else picked.unionByName(new_edges)
         ).localCheckpoint(eager=True)
-        if len(pairs) <= MST_DRIVER_UNION_MAX:
+        if n_pairs <= MST_DRIVER_UNION_MAX:
+            pairs = sel.select("c", "p").collect()
             # Bounded-driver branch: union-find with path compression;
             # roots normalize to the minimum member id (deterministic,
             # though output edges are label-independent either way).
@@ -4739,7 +4743,6 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = MST_MAX_ROUNDS) -> DataFrame
             # pointer-jump a fixed log2(n)+1 hops — chain coverage
             # squares per synchronous hop, so the budget provably roots
             # every chain of length <= n without per-hop probes.
-            n_pairs = sel.count()
             par = sel.select("c", "p")
             back = par.select(
                 F.col("c").alias("bp"), F.col("p").alias("c_back")

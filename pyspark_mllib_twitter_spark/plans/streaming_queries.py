@@ -401,15 +401,22 @@ if tws_available():
         gaps finalize inline, the open tail is finalized by its timer
         when the watermark passes ``last + gap``; the replay's flush
         sentinel closes every session, and the exact-equivalence test
-        against a pure-Python batch sessionizer (0%-late replay) pins
-        session boundaries batch-slicing-independent
-        (tests/test_streaming.py). Rows-only: timer emission cadence has
-        no SQL twin (batch twins: ``q_w5_sessionize`` / ``q_dq_sessionize``)."""
+        against a pure-Python batch sessionizer pins session boundaries
+        batch-slicing-independent (tests/test_streaming.py). This entry
+        replays with ``late_fraction_pct=0`` ON PURPOSE: under the tight
+        30-minute watermark a timer query must drop late rows (correct
+        streaming behavior, but then its sessions legitimately diverge
+        from the batch twins — ``q_stream_lateness`` is the entry that
+        audits that loss); the zero-late replay keeps this entry's
+        output equal to the batch twins' session set, which is what
+        makes it checkable. Rows-only: timer emission cadence has no SQL
+        twin (batch twins: ``q_w5_sessionize`` / ``q_dq_sessionize``)."""
         from ..streaming import ROCKSDB_STATE_CONF
         from ..streaming.streams import tws_session_finalizer
 
         stream = tws_session_finalizer(
-            _replayed_stream(spark, sf_dir), watermark="30 minutes"
+            _replayed_stream(spark, sf_dir, late_fraction_pct=0),
+            watermark="30 minutes",
         )
         out = run_to_memory(
             stream, output_mode="append", extra_conf=ROCKSDB_STATE_CONF

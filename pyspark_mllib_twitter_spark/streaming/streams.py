@@ -568,10 +568,17 @@ def ensure_protobuf() -> str | None:
         added = d not in sys.path
         if added:
             sys.path.append(d)
-        # Drop any cached EMPTY-namespace google.protobuf so the retry
-        # re-resolves against the newly added portion (the regular
-        # package with __init__.py wins over bare namespace dirs).
-        for mod in [m for m in sys.modules if m.startswith("google")]:
+        # Drop any cached EMPTY-namespace google.protobuf (and its
+        # submodules) so the retry re-resolves against the newly added
+        # portion — a cached namespace "google" parent is fine as-is,
+        # PEP 420 namespace __path__ recomputes when sys.path changes.
+        # Only protobuf entries are touched: evicting sibling namespace
+        # packages (google.cloud, ...) would orphan live references.
+        for mod in [
+            m
+            for m in sys.modules
+            if m == "google.protobuf" or m.startswith("google.protobuf.")
+        ]:
             if getattr(sys.modules[mod], "__file__", None) is None:
                 del sys.modules[mod]
         try:
@@ -757,7 +764,9 @@ def tws_session_finalizer(
                     closed.append((key[0], n, start, last, last - start))
                     start, last, n = ms, ms, 1
                 else:
-                    last, n = max(last, ms), n + 1
+                    # In-allowance out-of-order rows may precede the
+                    # open session's start — extend backward too.
+                    start, last, n = min(start, ms), max(last, ms), n + 1
             self._sess.update((start, last, n))
             self._handle.registerTimer(last + gap_ms)
             if closed:

@@ -378,6 +378,14 @@ def test_survey_registry_totals_match():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     total, with_oracle = len(qs), len([k for k in qs if k in oracles])
+    from pyspark_mllib_twitter_spark.plans.streaming_queries import CAPABILITIES
+
+    if not CAPABILITIES["transform_with_state"]:
+        # SURVEY documents the fully-capable container (the driver's).
+        # On a host with neither an installed google.protobuf nor the
+        # SDK fallback, the two rows-only TWS entries do not register —
+        # adjust the expectation instead of failing on capability.
+        total += 2
     survey = open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "SURVEY.md"),
