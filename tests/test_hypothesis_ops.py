@@ -320,3 +320,76 @@ def test_assoc_rule_math_equals_naive(spark, baskets):
         assert c_got == c
         assert abs(conf - c / item_c[x]) < 1e-12
         assert abs(lift - (c / item_c[x]) / (item_c[y] / n_baskets)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (q_dq) vs its per-event Python specification
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    # (user, minutes-offset) events; offsets cluster around the 30-min
+    # boundary so exact-gap (==1800s must MERGE, >1800s must split),
+    # duplicate-timestamp, and single-event cases all occur.
+    ev=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_sessionize_equals_python_spec(spark, tmp_path_factory, ev):
+    """q_dq_sessionize == the per-event Python gap specification on
+    arbitrary small event sets, including ties and exact-gap boundaries
+    (a gap of exactly SESSION_GAP_US merges; strictly greater splits)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.behavior_ops import SESSION_GAP_US
+
+    d = str(tmp_path_factory.mktemp("sess_sf"))
+    base = 1_700_000_000_000_000  # epoch us
+    rows = [
+        (i, base + mins * 60_000_000, uid, "view", 0.0, None)
+        for i, (uid, mins) in enumerate(ev)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+
+    got = {
+        r.user_id: (r.n_sessions, r.n_events, r.max_events, r.avg_session_us)
+        for r in REGISTRY["q_dq_sessionize"].spark(spark, d).collect()
+    }
+
+    by_user = {}
+    for uid, mins in sorted(ev, key=lambda t: (t[0], t[1])):
+        us = base + mins * 60_000_000
+        sess = by_user.setdefault(uid, [])
+        if sess and us - sess[-1][1] <= SESSION_GAP_US:
+            s, l, n = sess[-1]
+            sess[-1] = (s, max(l, us), n + 1)
+        else:
+            sess.append((us, us, 1))
+    want = {
+        uid: (
+            len(ss),
+            sum(n for _, _, n in ss),
+            max(n for _, _, n in ss),
+            round(sum(l - s for s, l, _ in ss) / len(ss), 6),
+        )
+        for uid, ss in by_user.items()
+    }
+    assert got == want
