@@ -3895,10 +3895,16 @@ def label_propagation(
     Scale: each round shuffles (node, label) pairs keyed by node —
     2|E| rows, digest-width; rounds are a small constant.
     """
-    sym = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    sym = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+        )
+        # Joined once per round: without this pin every round re-runs the
+        # caller's edge DERIVATION (q_cz: a lineitem self-join +
+        # distinct) — the q_d7/q_da re-scan class, measured 12.0s -> see
+        # BENCHNOTES round 9.
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select("node")
