@@ -74,6 +74,13 @@ SINGLE_RUN = {
     "q_stream_attribution",
     "q_s3_pystream",
     "q_s5_pystream_sink",
+    "q_stream_topk",
+    "q_stream_hll",
+    "q_stream_kmv",
+    "q_stream_lateness",
+    "q_stream_tdigest",
+    "q_stream_tws",
+    "q_stream_tws_timers",
     "q_ml_fpgrowth",
     "q_ml_word2vec",
     "q_yc_bfs_sssp",
