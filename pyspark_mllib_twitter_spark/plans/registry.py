@@ -17,20 +17,21 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-9 window — ledger convergence (round-8 verdict task #3): the 50
-OLDEST of the 104 oracle-backed entries that have never had a driver
-row, in registration order — the eight round-7 stragglers
-(``q_ag/q_ai/q_al/q_am/q_an/q_ao/q_ap/q_aq``), the ``q_as``-``q_ay``
-behavior/science block, the full ``q_b1``-``q_bv`` block plus
-``q_bx_sprt``/``q_bz_timed_funnel``, and ``q_c1_allen_relations``/
-``q_c3_hill_tail``. Queued for round 10: the remaining 54 oracle-backed
-never-checked entries (``q_c4``-``q_dp``, ``q_sb_docstore_merge``,
-``q_stream_hll/kmv/lateness``), the 13 rows-only never-checked entries,
-and the five round-9 additions (``q_dq_sessionize``,
-``q_dt_filter_funnel``, ``q_ds_curriculum_interleave``, plus rows-only
-``q_stream_tws``/``q_stream_tws_timers``). Round-9 registry additions
-were CAPPED at those five (budget <= 15) so the backlog keeps shrinking
-toward one window.
+Round-10 window — ledger convergence, continued (round-9 verdict task
+#1): the 50 OLDEST of the 57 oracle-backed entries that have never had
+a driver row, in registration order — ``q_sb_docstore_merge``, the
+round-8/9 statistics and behavior blocks (``q_c4``-``q_di``,
+interleaved with their registration order below), the three sketch
+streams (``q_stream_hll/kmv/lateness``), and the round-9 additions
+(``q_dq_sessionize``, ``q_ds_curriculum_interleave``,
+``q_dt_filter_funnel``). Queued for the FINAL round-11 sweep: the 7
+oracle-backed entries that did not fit (``q_dj_woe_iv``,
+``q_dm_gumbel``, ``q_dn_dyad_census``, ``q_cr_chao1``, ``q_cs_heaps``,
+``q_ct_burrows``, ``q_dp_dispersion``), the 15 rows-only never-checked
+entries (they emit ``no_oracle`` driver rows — external evidence of
+registration + execution), and this round's additions. Round-10
+registry additions are CAPPED at 5 so the round-11 sweep fits one
+window (7 + 15 + 5 = 27 <= 50).
 """
 
 from __future__ import annotations
@@ -46,63 +47,61 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- round-7 stragglers (the 8 that missed the round-8 window) ----------
-    "q_ag_rake_keywords",
-    "q_ai_isotonic",
-    "q_al_sax",
-    "q_am_backtest",
-    "q_an_readability",
-    "q_ao_impute",
-    "q_ap_dp_counts",
-    "q_aq_path_prefixes",
-    # -- behavior/science block q_as..q_ay (round-8) -------------------------
-    "q_as_funnel",
-    "q_at_retention",
-    "q_au_did",
-    "q_av_edit_distance_join",
-    "q_aw_hll_distinct",
-    "q_ax_haar_wavelet",
-    "q_ay_roc_curve",
-    # -- q_b1..q_bv block (round-8) ------------------------------------------
-    "q_b1_jackknife_ratio",
-    "q_b2_stl_decompose",
-    "q_b3_containment_join",
-    "q_b4_modularity",
-    "q_b5_psi",
-    "q_b6_feature_hashing",
-    "q_b7_phrase_search",
-    "q_b8_percentiles",
-    "q_b9_gapfill",
-    "q_ba_ratio_to_parent",
-    "q_bb_cdc_apply",
-    "q_bc_weighted_sssp",
-    "q_bd_decision_stump",
-    "q_be_logrank",
-    "q_bf_itemcf",
-    "q_bg_profile",
-    "q_bh_incremental_agg",
-    "q_bi_bh_fdr",
-    "q_bj_peak_concurrency",
-    "q_bk_weighted_median",
-    "q_bl_kendall_tau",
-    "q_bm_nelson_aalen",
-    "q_bn_fellegi_sunter",
-    "q_bo_vwap",
-    "q_bp_simpson",
-    "q_bq_brier",
-    "q_br_fk_orphans",
-    "q_bs_mase",
-    "q_bt_diversified_topk",
-    "q_bu_negative_sampling",
-    "q_bv_skew_advisor",
-    "q_bx_sprt",
-    "q_bz_timed_funnel",
-    # -- first two of the q_c block (round-8) --------------------------------
-    "q_c1_allen_relations",
-    "q_c3_hill_tail",
-    # Queued for round 10 (the window only holds 50): q_c4..q_dp,
-    # q_sb_docstore_merge, q_stream_hll/kmv/lateness, and the 13
-    # never-checked rows-only entries — see module docstring.
+    # -- 50 oldest never-driver-checked oracle entries, registration order --
+    "q_sb_docstore_merge",
+    "q_d7_cohens_kappa",
+    "q_c5_dirichlet_ql",
+    "q_ce_g2_collocations",
+    "q_stream_hll",
+    "q_stream_kmv",
+    "q_stream_lateness",
+    "q_dt_filter_funnel",
+    "q_ds_curriculum_interleave",
+    "q_c4_anova",
+    "q_cb_welch_ttest",
+    "q_cc_cramers_v",
+    "q_cf_conformal",
+    "q_cd_holt_winters",
+    "q_ch_granger",
+    "q_cm_viterbi",
+    "q_c6_shapley",
+    "q_c7_ltv_curve",
+    "q_dq_sessionize",
+    "q_d9_abc_class",
+    "q_dk_pareto_knee",
+    "q_c8_quantile_norm",
+    "q_c9_bloom_audit",
+    "q_ca_logistic_irls",
+    "q_cj_gmm_em",
+    "q_ck_perm_entropy",
+    "q_cl_runs_test",
+    "q_dc_kmeans_sql",
+    "q_dl_pacf",
+    "q_cn_kruskal_wallis",
+    "q_co_wasserstein",
+    "q_cq_cvar",
+    "q_cu_lift_gains",
+    "q_cv_ar2_yule_walker",
+    "q_cw_dft_seasonality",
+    "q_cx_rmst",
+    "q_cy_hurst",
+    "q_d1_shape_audit",
+    "q_d3_sbg_churn",
+    "q_d4_bradley_terry",
+    "q_d5_friedman",
+    "q_d6_mcnemar",
+    "q_da_panel_fe",
+    "q_db_cochran_q",
+    "q_dd_silhouette",
+    "q_de_rolling_beta",
+    "q_df_mobility",
+    "q_dg_price_index",
+    "q_dh_apriori_triples",
+    "q_di_brown_forsythe",
+    # Queued for the FINAL round-11 sweep (the window only holds 50):
+    # q_dj_woe_iv, q_dm_gumbel, q_dn_dyad_census, q_cr_chao1, q_cs_heaps,
+    # q_ct_burrows, q_dp_dispersion, the 15 never-checked rows-only
+    # entries, and round-10 additions — see module docstring.
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
