@@ -26,13 +26,12 @@ def get_spark(
     real cluster the master/executor topology comes from spark-submit and
     everything here remains valid.
     """
-    # Wire the protobuf fallback into PYTHONPATH BEFORE the JVM launches so
-    # Python workers (which inherit the JVM env) can import google.protobuf
-    # — transformWithStateInPandas needs it worker-side.
-    from .streaming.streams import ensure_protobuf
-
-    ensure_protobuf()
-
+    # NOTE: protobuf fallback wiring is LAZY — only the TWS operator
+    # constructors (streaming/streams.py tws_*) call ensure_protobuf();
+    # workers of an already-running session get the shim via
+    # sc.environment (_wire_worker_pythonpath). Session creation mutates
+    # no environment (round-9 A/B measured ~15% Python-worker tax from
+    # unconditional PYTHONPATH wiring here; see BENCHNOTES round 10).
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         try:

@@ -524,30 +524,116 @@ ROCKSDB_STATE_CONF = {
 #: System locations known to ship a pure-Python ``google.protobuf``
 #: runtime (public, BSD-licensed — the google-cloud-sdk bundles one for
 #: its own tooling). No package index is reachable from this container,
-#: so when the module is not installed we borrow the SDK's copy by
-#: appending its directory to ``sys.path`` (driver process) and
-#: ``PYTHONPATH`` / ``sc.environment`` (Python workers — see
-#: :func:`_wire_worker_pythonpath`). Appended, never prepended, so an
-#: installed protobuf always wins.
+#: so when the module is not installed we borrow the SDK's copy. The
+#: borrowed root is never put on ``sys.path`` directly: it also exposes
+#: ``google.auth``/``google.oauth2``/``google.appengine``/``pyglib`` and
+#: top-level scripts (``run_tests.py`` …), and PYTHONPATH entries precede
+#: site-packages in a fresh worker's ``sys.path``, so the whole root
+#: could shadow installed packages. Instead :func:`_protobuf_shim_dir`
+#: builds a private directory exposing ONLY ``google/protobuf`` (a bare
+#: ``google/`` namespace portion + one symlink) and THAT goes on
+#: ``sys.path`` (driver) and ``PYTHONPATH`` / ``sc.environment``
+#: (workers — see :func:`_wire_worker_pythonpath`). Wiring is LAZY: only
+#: the TWS operator constructors call :func:`ensure_protobuf`; plain
+#: session creation never mutates the environment.
 _PROTOBUF_FALLBACK_DIRS = (
     "/usr/lib/google-cloud-sdk/platform/google_appengine",
 )
 
 
-#: Fallback dir wired in by :func:`ensure_protobuf` (sticky: later calls
+#: Shim dir wired in by :func:`ensure_protobuf` (sticky: later calls
 #: keep returning it so worker-env wiring still happens after the first
 #: call made the module importable driver-side).
 _protobuf_wired: str | None = None
+#: True when the borrowed runtime needed the documented protobuf escape
+#: hatch (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) for a verified
+#: known-safe minor-version skew; workers then need the same env var.
+_protobuf_version_override = False
+
+
+def _protobuf_shim_dir(src_root: str) -> str:
+    """Create (idempotently) a private sys.path entry that exposes ONLY
+    ``google/protobuf`` from ``src_root``: a bare ``google/`` directory
+    (PEP 420 namespace portion, merges with any installed ``google.*``)
+    holding one symlink. Keyed by source root so distinct roots never
+    collide; safe to share across processes on one host."""
+    import hashlib
+    import tempfile
+
+    target = os.path.join(src_root, "google", "protobuf")
+    shim = os.path.join(
+        tempfile.gettempdir(),
+        "spark_twitter_pb_shim_"
+        + hashlib.md5(src_root.encode()).hexdigest()[:10],
+    )
+    os.makedirs(os.path.join(shim, "google"), exist_ok=True)
+    link = os.path.join(shim, "google", "protobuf")
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.remove(link)
+            os.symlink(target, link)
+    elif not os.path.exists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:  # concurrent creator won the race
+            pass
+    return shim
+
+
+def _validate_tws_gencode() -> bool:
+    """Import pyspark's TWS protobuf gencode against the active runtime.
+
+    Returns True when usable. The borrowed runtime may trail the gencode
+    by a minor version (observed: ``StateMessage_pb2`` gencode 6.33 vs
+    runtime 6.32); protobuf's ``ValidateProtobufRuntimeVersion`` rejects
+    that, and its OWN documented escape hatch is the
+    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` env var. Setting that
+    var process-wide disables version validation for EVERY protobuf
+    consumer, so it is scoped: parse both versions out of the
+    VersionError and only override for a same-major skew of <= 2 minor
+    versions (wire-format stable); anything else fails closed (TWS
+    reported unavailable rather than risking gencode/runtime corruption).
+    """
+    global _protobuf_version_override
+    import importlib
+    import re as _re
+
+    gencode = "pyspark.sql.streaming.proto.StateMessage_pb2"
+    try:
+        importlib.import_module(gencode)
+        return True  # validates cleanly — no override needed
+    except ImportError:
+        return True  # no TWS gencode in this pyspark — nothing to check
+    except Exception as e:  # protobuf VersionError (failed import is not cached)
+        if type(e).__name__ != "VersionError":
+            return False
+        vers = _re.findall(r"(\d+)\.(\d+)\.(\d+)", str(e))
+        if len(vers) < 2:
+            return False
+        (gmaj, gmin, _), (rmaj, rmin, _) = (
+            tuple(int(x) for x in v) for v in vers[:2]
+        )
+        if gmaj != rmaj or abs(gmin - rmin) > 2:
+            return False
+        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+        try:
+            importlib.import_module(gencode)
+        except Exception:
+            del os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"]
+            return False
+        _protobuf_version_override = True
+        return True
 
 
 def ensure_protobuf() -> str | None:
-    """Make ``google.protobuf`` importable in this process if at all
-    possible. Returns ``""`` when it imports natively, the sys.path
-    entry that provides it when a system fallback was wired in (sticky
-    across calls), or ``None`` when unavailable. Idempotent."""
+    """Make ``google.protobuf`` (and pyspark's TWS gencode) usable in
+    this process if at all possible. Returns ``""`` when it works
+    natively, the private shim dir that provides it when a system
+    fallback was wired in (sticky across calls), or ``None`` when
+    unavailable. Idempotent. Called LAZILY from the TWS operator
+    constructors only — never from session creation."""
     global _protobuf_wired
     import importlib
-    import os
     import sys
 
     if _protobuf_wired is not None:
@@ -559,12 +645,13 @@ def ensure_protobuf() -> str | None:
         # provides nothing.
         from google.protobuf import descriptor  # noqa: F401
 
-        return ""
+        return "" if _validate_tws_gencode() else None
     except ImportError:
         pass
-    for d in _PROTOBUF_FALLBACK_DIRS:
-        if not os.path.isdir(os.path.join(d, "google", "protobuf")):
+    for root in _PROTOBUF_FALLBACK_DIRS:
+        if not os.path.isdir(os.path.join(root, "google", "protobuf")):
             continue
+        d = _protobuf_shim_dir(root)
         added = d not in sys.path
         if added:
             sys.path.append(d)
@@ -587,35 +674,35 @@ def ensure_protobuf() -> str | None:
             if added:
                 sys.path.remove(d)
             continue
+        if not _validate_tws_gencode():
+            # Importable but gencode-incompatible beyond the safe skew:
+            # unwire and report unavailable rather than crash mid-query.
+            if added:
+                sys.path.remove(d)
+            return None
         # Future JVM launches inherit this env, so python workers spawned
         # by them resolve the same copy.
         pp = os.environ.get("PYTHONPATH", "")
         if d not in pp.split(os.pathsep):
             os.environ["PYTHONPATH"] = pp + os.pathsep + d if pp else d
-        # The borrowed runtime may trail pyspark's gencode by a minor
-        # version (observed: StateMessage_pb2 gencode 6.33 vs runtime
-        # 6.32). Use protobuf's OWN documented escape hatch
-        # (runtime_version.ValidateProtobufRuntimeVersion checks this
-        # env var) rather than patching the validator.
-        os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
         _protobuf_wired = d
         return d
     return None
 
 
 def _wire_worker_pythonpath(df: DataFrame, path: str) -> None:
-    """Propagate a protobuf fallback dir to Python WORKERS of an
+    """Propagate the protobuf shim dir to Python WORKERS of an
     already-running session: ``sc.environment`` is read every time a
     Python function is wrapped for the JVM (rdd.py
     ``_prepare_for_python_RDD``), so mutating it here reaches workers
-    even when the JVM predates the import of this module."""
-    import os
-
+    even when the JVM predates the import of this module. The version
+    override travels only when driver-side validation required it."""
     sc = df.sparkSession.sparkContext
     pp = sc.environment.get("PYTHONPATH", "")
     if path not in pp.split(os.pathsep):
         sc.environment["PYTHONPATH"] = pp + os.pathsep + path if pp else path
-    sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if _protobuf_version_override:
+        sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
 
 def tws_available() -> bool:

@@ -476,3 +476,42 @@ def test_ensure_protobuf_gate_behavior(monkeypatch):
         # module must now import in this process.
         assert streams.ensure_protobuf() == got
         from google.protobuf import descriptor  # noqa: F401
+    if got:
+        # Wired fallback leg: only the private shim goes on sys.path —
+        # never a raw fallback root (which would shadow google.auth,
+        # google.oauth2, pyglib and top-level scripts in every worker).
+        import sys
+
+        for root in streams._PROTOBUF_FALLBACK_DIRS:
+            assert root not in sys.path
+            assert root not in os.environ.get("PYTHONPATH", "").split(
+                os.pathsep
+            )
+        assert os.path.islink(os.path.join(got, "google", "protobuf"))
+        assert set(os.listdir(os.path.join(got, "google"))) == {"protobuf"}
+
+
+def test_protobuf_shim_dir_is_minimal_and_idempotent(tmp_path):
+    """_protobuf_shim_dir exposes ONLY google/protobuf from the source
+    root (no sibling packages leak), re-running is a no-op, and a stale
+    symlink is re-targeted."""
+    from pyspark_mllib_twitter_spark.streaming import streams
+
+    root = tmp_path / "sdkroot"
+    for pkg in ("protobuf", "auth", "oauth2"):
+        (root / "google" / pkg).mkdir(parents=True)
+        (root / "google" / pkg / "__init__.py").write_text("")
+    shim = streams._protobuf_shim_dir(str(root))
+    link = os.path.join(shim, "google", "protobuf")
+    assert os.path.islink(link)
+    assert os.readlink(link) == str(root / "google" / "protobuf")
+    assert set(os.listdir(os.path.join(shim, "google"))) == {"protobuf"}
+    # No __init__.py: the google/ dir must stay a PEP 420 namespace
+    # portion so it merges with any installed google.* packages.
+    assert not os.path.exists(os.path.join(shim, "google", "__init__.py"))
+    assert streams._protobuf_shim_dir(str(root)) == shim  # idempotent
+    # Stale symlink (e.g. SDK relocated): re-targeted in place.
+    os.remove(link)
+    os.symlink(str(root / "google" / "auth"), link)
+    assert streams._protobuf_shim_dir(str(root)) == shim
+    assert os.readlink(link) == str(root / "google" / "protobuf")
