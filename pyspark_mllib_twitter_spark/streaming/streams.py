@@ -792,11 +792,14 @@ def tws_session_finalizer(
     ``transformWithStateInPandas`` — the API surface ``tws_user_stats``
     doesn't exercise: ``handle.registerTimer``/``deleteTimer`` +
     ``handleExpiredTimer`` in ``timeMode="EventTime"``. Per user, a
-    ValueState row (start_ms, last_ms, n) tracks the open session; idle
-    gaps WITHIN a batch finalize inline during ``handleInputRows`` (so
-    session boundaries match the batch twin ``q_dq_sessionize`` exactly,
-    independent of micro-batch slicing), and the open tail re-arms one
-    timer at ``last_ms + gap_ms`` each batch; when the watermark passes
+    ValueState row (start_ms, last_ms, n) tracks the open session; each
+    batch re-runs the gap split over the open session MERGED with the
+    batch's sorted events (so session boundaries match the batch twin
+    ``q_dq_sessionize`` exactly, independent of micro-batch slicing —
+    including a late-but-in-allowance row more than ``gap_ms`` BEFORE
+    the open session's start, which closes as its own earlier session
+    instead of extending the session backward), and the open tail
+    re-arms one timer at ``last_ms + gap_ms`` each batch; when the watermark passes
     it, ``handleExpiredTimer`` EMITS the finalized session and clears
     state — the push-based twin of ``session_window`` (a session appears
     in the sink the moment the engine can prove it closed, not when the
@@ -837,25 +840,34 @@ def tws_session_finalizer(
                 all_ms.extend(int(x) for x in ms)
             if not all_ms:
                 return iter([])
-            all_ms.sort()
+            # Re-run the gap split over the COMBINED sequence: the open
+            # session (an interval — its recorded events already chain
+            # within gap_ms) plus each new event as a point, sorted.
+            # A late-but-in-allowance row arriving more than gap_ms
+            # BEFORE the open session's start (possible: the watermark
+            # is global across keys) therefore forms — and immediately
+            # closes — its own earlier island, exactly like the batch
+            # twin, instead of extending the session backward.
+            spans = [(ms, ms, 1) for ms in all_ms]
             if self._sess.exists():
                 start, last, n = self._sess.get()
                 self._handle.deleteTimer(last + gap_ms)
-            else:
-                start, last, n = all_ms[0], all_ms[0], 0
+                spans.append((start, last, n))
+            spans.sort()
             closed = []
-            for ms in all_ms:
-                if ms - last > gap_ms:
-                    # In-batch idle gap: finalize inline (same semantics
-                    # as the batch twin), open a fresh session.
-                    closed.append((key[0], n, start, last, last - start))
-                    start, last, n = ms, ms, 1
+            cs, ce, cn = spans[0]
+            for s, e, c in spans[1:]:
+                if s - ce > gap_ms:
+                    # Idle gap: finalize inline (same semantics as the
+                    # batch twin), open a fresh island.
+                    closed.append((key[0], cn, cs, ce, ce - cs))
+                    cs, ce, cn = s, e, c
                 else:
-                    # In-allowance out-of-order rows may precede the
-                    # open session's start — extend backward too.
-                    start, last, n = min(start, ms), max(last, ms), n + 1
-            self._sess.update((start, last, n))
-            self._handle.registerTimer(last + gap_ms)
+                    # Merging never re-opens an interior gap: a point
+                    # landing inside [cs, ce] is covered by the interval.
+                    ce, cn = max(ce, e), cn + c
+            self._sess.update((cs, ce, cn))
+            self._handle.registerTimer(ce + gap_ms)
             if closed:
                 yield pd.DataFrame(
                     closed,

@@ -459,6 +459,85 @@ def test_tws_session_finalizer_matches_batch_sessionizer(spark, events):
     assert got == want
 
 
+def test_tws_session_finalizer_backward_late_row_splits(spark, tmp_path):
+    """Regression (round-9 ADVICE): a late-but-in-allowance row arriving
+    more than gap_ms BEFORE the open session's start (possible — the
+    watermark is global across keys) must close as its OWN session, not
+    extend the open session backward via min(start, ms). Hand-built
+    replay: batch 1 delivers u1@12:00; batch 2 delivers u1@10:30 (90 min
+    early — own island) and u1@11:45 (15 min early — merges backward);
+    batch twin says sessions {10:30} and {11:45..12:00}."""
+    import time as _time
+
+    from pyspark_mllib_twitter_spark.streaming.streams import (
+        FLUSH_EVENT_TYPE,
+        ROCKSDB_STATE_CONF,
+        read_events_stream,
+        tws_available,
+        tws_session_finalizer,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable — TWS cannot execute here")
+
+    def us(hhmm):  # event-time on an arbitrary fixed day, micros
+        h, m = divmod(hhmm, 100)
+        return ((1_700_000_000 // 86400) * 86400 + h * 3600 + m * 60) * 1_000_000
+
+    batches = [
+        [(1, us(1200), 1, "view"), (2, us(1200), 2, "view")],
+        [(3, us(1030), 1, "view"), (4, us(1145), 1, "view")],
+        # Two flush sentinels: watermark from flush #1 is applied (and
+        # timers fire) while processing flush #2 — replayer pattern.
+        [(-1, us(1200) + 86400_000_000 * 30, -1, FLUSH_EVENT_TYPE)],
+        [(-2, us(1200) + 86400_000_000 * 31, -1, FLUSH_EVENT_TYPE)],
+    ]
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    base = _time.time() - 10
+    for b, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [0.0] * len(rows),
+                "props": [None] * len(rows),
+            },
+            schema=schema,
+        )
+        path = str(tmp_path / f"batch_{b:05d}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (base + b, base + b))
+
+    # Allowance must admit the 90-min-early row: 3 h watermark, 30 min gap.
+    stream = tws_session_finalizer(
+        read_events_stream(spark, str(tmp_path)), watermark="3 hours"
+    )
+    streamed = run_to_memory(
+        stream, output_mode="append", extra_conf=ROCKSDB_STATE_CONF
+    )
+    got = {
+        (r.user_id, r.start_ms, r.end_ms, r.n_events)
+        for r in streamed.filter(F.col("user_id") >= 0).collect()
+    }
+    ms = lambda hhmm: us(hhmm) // 1000  # noqa: E731
+    assert got == {
+        (1, ms(1030), ms(1030), 1),
+        (1, ms(1145), ms(1200), 2),
+        (2, ms(1200), ms(1200), 1),
+    }
+
+
 def test_ensure_protobuf_gate_behavior(monkeypatch):
     """ensure_protobuf contract: with no fallback dirs and no installed
     module it returns None (tws_available False → entry not registered);
