@@ -4616,8 +4616,12 @@ _MST_W_SQL = "(c * 7 + s * 13) % 97 + 1"
 #: geometrically) at or below this row count are resolved with a
 #: driver-local union-find — the same bounded-driver contract as the
 #: quantizer fit. Above it, distributed pointer jumping with a FIXED
-#: ceil(log2(n)) hop budget (no per-hop convergence probes).
-MST_DRIVER_UNION_MAX = 4_000_000
+#: ceil(log2(n)) hop budget (no per-hop convergence probes). The bound
+#: is MEASURED, not aspirational: at exactly 1M pairs the branch costs
+#: ~7s end-to-end on this box (collect 2.7s + union-find 1.9s +
+#: createDataFrame/broadcast 2.4s; 4M measured 28s — too much driver
+#: serialization for a "bounded" contract, see BENCHNOTES round 10).
+MST_DRIVER_UNION_MAX = 1_000_000
 #: Node tables at or below this row count are broadcast into the
 #: edge-to-component label joins (comp is 16 bytes/row — 2M rows ≈ 32 MB).
 _MST_BROADCAST_NODES = 2_000_000
