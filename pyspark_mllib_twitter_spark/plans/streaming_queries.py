@@ -374,11 +374,21 @@ if tws_available():
         (Spark 4 stateful-processor API, RocksDB state store). Registered
         only where ``google.protobuf`` exists — its driver-side worker
         needs it (see CAPABILITIES above); the batch-twin equivalence test
-        in tests/test_streaming.py runs wherever this registers."""
+        in tests/test_streaming.py runs wherever this registers.
+
+        Bench shape: shares ONE 4-batch zero-late replay dir with
+        q_stream_tws_timers — the TWS protocol cost scales with
+        micro-batch count (RocksDB open + Arrow state-server round trips
+        per trigger), not data volume, and this entry's output (final
+        per-user totals via monotone max over updates) is identical for
+        any batching of the same rows, so the cheap replay measures the
+        same semantics. The semantics tests replay with the default
+        batching (tests/test_streaming.py)."""
         from ..streaming import ROCKSDB_STATE_CONF, tws_user_stats
 
         stream = tws_user_stats(
-            _replayed_stream(spark, sf_dir), watermark=REPLAY_WATERMARK
+            _replayed_stream(spark, sf_dir, late_fraction_pct=0, n_batches=2),
+            watermark=REPLAY_WATERMARK,
         )
         out = run_to_memory(
             stream, output_mode="update", extra_conf=ROCKSDB_STATE_CONF
@@ -410,12 +420,18 @@ if tws_available():
         audits that loss); the zero-late replay keeps this entry's
         output equal to the batch twins' session set, which is what
         makes it checkable. Rows-only: timer emission cadence has no SQL
-        twin (batch twins: ``q_w5_sessionize`` / ``q_dq_sessionize``)."""
+        twin (batch twins: ``q_w5_sessionize`` / ``q_dq_sessionize``).
+
+        Bench shape: shares the 4-batch zero-late replay with
+        q_stream_tws (one dir build, fewer protocol round trips); the
+        session set is batch-slicing-independent — pinned by the
+        exact-equivalence test — so the cheaper replay changes nothing
+        the entry asserts."""
         from ..streaming import ROCKSDB_STATE_CONF
         from ..streaming.streams import tws_session_finalizer
 
         stream = tws_session_finalizer(
-            _replayed_stream(spark, sf_dir, late_fraction_pct=0),
+            _replayed_stream(spark, sf_dir, late_fraction_pct=0, n_batches=2),
             watermark="30 minutes",
         )
         out = run_to_memory(
