@@ -4269,6 +4269,19 @@ def q_b3_containment_join(spark, sf_dir):
     B-side full index is the inherent extra cost of asymmetry (elements
     x docs rows, one shuffle), which is why the symmetric join stays the
     default when inclusion semantics aren't needed.
+
+    Semi-prune experiment (measured, r9+r10, tools/exp_b3_skew.py): a
+    BROADCAST semi-join of the B-full index against the distinct
+    A-prefix grams is ~neutral on the natural fixture (warm 10.6s vs
+    10.2s plain) and wins ~1.5-2x on a skewed vocabulary (one hot gram
+    in 30% of docs: 8.7-12.7s vs 16.9s) — r9's apparent loss was the
+    checkpoint confound, not the prune. It is still NOT the default
+    because its win is broadcast-bounded: prefix grams are the RARE
+    grams (cardinality ~ the distinct-gram vocabulary, billions at
+    100 TB — not broadcastable), and a shuffle-based semi-join pays the
+    same pg-keyed shuffle the candidate join already pays, where a
+    non-matching hot key costs one shuffle pass and zero output. Apply
+    the prune only when the prefix vocabulary provably fits a broadcast.
     """
     d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
     toks = d.select("doc_id", TXT.tokens("text").alias("toks")).filter(
