@@ -1693,3 +1693,403 @@ def q_ds_curriculum_interleave(spark, sf_dir):
         "doc_id",
         "w",
     ).orderBy("seq")
+
+
+# ---------------------------------------------------------------------------
+# Privacy & provenance curation layer (round 10): PII redaction, URL
+# canonicalization, padding-waste bucketing, k-anonymity, blocklist join.
+# ---------------------------------------------------------------------------
+
+#: Deterministic PII injection (both engines verbatim): ~3/4 of docs gain one
+#: synthetic contact string derived from doc_id — emails / phone / IPv4 in
+#: equal shares, 1/4 of docs stay clean so redaction is non-vacuous both
+#: ways. floor(x/256.0) instead of integer division: `//` (DuckDB) and
+#: `DIV` (Spark) don't share a spelling; doc_id >= 0 keeps floor exact.
+_PII_SQL = (
+    "text || CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN ' contact user' || doc_id || '@mail' || (doc_id % 5)"
+    " || '.example.com' "
+    "WHEN 1 THEN ' call 555-' || (1000 + doc_id % 9000) "
+    "WHEN 2 THEN ' from 10.' || (doc_id % 256) || '.'"
+    " || (CAST(floor(doc_id / 256.0) AS BIGINT) % 256) || '.' || (doc_id % 250) "
+    "ELSE '' END"
+)
+
+#: Detection patterns — shared verbatim (Java regex and RE2 agree on this
+#: subset: char classes, bounded/unbounded quantifiers, no lookaround).
+PII_EMAIL = r"[a-z0-9]+@[a-z0-9.]+\.com"
+PII_PHONE = r"555-[0-9]{4}"
+PII_IP = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+@query(
+    "q_du_pii_redact",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, source, {_PII_SQL} AS t FROM documents),
+    m AS (
+      SELECT source,
+             len(regexp_extract_all(t, '{PII_EMAIL}')) AS ne,
+             len(regexp_extract_all(t, '{PII_PHONE}')) AS np,
+             len(regexp_extract_all(t, '{PII_IP}')) AS ni,
+             length(t) - length(
+               regexp_replace(regexp_replace(regexp_replace(
+                 t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{PII_PHONE}', '[PHONE]', 'g'),
+                 '{PII_IP}', '[IP]', 'g')) AS dchars
+      FROM p)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           CAST(sum(ne) AS BIGINT) AS n_emails,
+           CAST(sum(np) AS BIGINT) AS n_phones,
+           CAST(sum(ni) AS BIGINT) AS n_ips,
+           CAST(sum(dchars) AS BIGINT) AS chars_redacted
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def q_du_pii_redact(spark, sf_dir):
+    """PII scan + redaction audit — the privacy pass every LLM training
+    corpus runs before release (emails / phone numbers / IPv4 literals
+    detected by regex, replaced by typed placeholders), reported per
+    source: docs affected, matches per category, and the exact character
+    delta the redaction removed. The fixture's synthetic text carries no
+    PII, so a deterministic doc_id-derived contact string is injected
+    into 3/4 of docs IDENTICALLY in both engines (``_PII_SQL``) — the
+    detection, the redaction rewrite, and the byte accounting are all
+    value-checked, not just the counts.
+
+    Scale shape: one map-only pass — every regex is a codegen'd JVM
+    expression over the text column (detect via ``regexp_extract_all``
+    size, redact via chained global ``regexp_replace``), followed by a
+    per-source partial aggregation; the full text never shuffles and
+    nothing leaves the JVM. At 100 TB this is scan-bound, exactly like
+    the quality gates it composes with (q_dt_filter_funnel).
+    """
+    t = F.expr(_PII_SQL)
+    d = spread(_docs(spark, sf_dir)).select(
+        "source", t.alias("t")
+    )
+    ne = F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), F.lit(0)))
+    np_ = F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), F.lit(0)))
+    ni = F.size(F.regexp_extract_all("t", F.lit(PII_IP), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", F.lit(PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(PII_IP),
+        F.lit("[IP]"),
+    )
+    m = d.select(
+        "source",
+        ne.alias("ne"),
+        np_.alias("np"),
+        ni.alias("ni"),
+        (F.length("t") - F.length(redacted)).alias("dchars"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("ne") + F.col("np") + F.col("ni") > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("ne").cast("bigint").alias("n_emails"),
+            F.sum("np").cast("bigint").alias("n_phones"),
+            F.sum("ni").cast("bigint").alias("n_ips"),
+            F.sum("dchars").cast("bigint").alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Messy-URL synthesis: five raw variants per canonical target (shared page
+#: id = floor(doc_id/5)) — plain, uppercased host, trailing slash, utm_*
+#: tracking params, fragment. Shared verbatim by both engines.
+_PID = "CAST(floor(doc_id / 5.0) AS BIGINT)"
+_RAWURL_SQL = (
+    f"CASE CAST(doc_id % 5 AS INT) "
+    f"WHEN 1 THEN 'https://CDN' || ({_PID} % 3) || '.EXAMPLE.ORG/p/' || {_PID} "
+    f"WHEN 2 THEN 'https://cdn' || ({_PID} % 3) || '.example.org/p/' || {_PID}"
+    f" || '/' "
+    f"WHEN 3 THEN 'https://cdn' || ({_PID} % 3) || '.example.org/p/' || {_PID}"
+    f" || '?utm_source=feed&utm_campaign=x' "
+    f"WHEN 4 THEN 'https://cdn' || ({_PID} % 3) || '.example.org/p/' || {_PID}"
+    f" || '#section-2' "
+    f"ELSE 'https://cdn' || ({_PID} % 3) || '.example.org/p/' || {_PID} END"
+)
+
+
+def _canon_sql(col: str) -> str:
+    """Canonicalization pipeline as ONE shared SQL expression: strip
+    fragment -> strip trailing utm_* query -> lowercase the scheme://host
+    prefix (path case is preserved, per RFC 3986 host case-insensitivity)
+    -> strip trailing slash. Every regexp matches at most once, so
+    3-arg ``regexp_replace`` (first occurrence) means the same thing in
+    Spark (global) and DuckDB (first)."""
+    nofrag = f"regexp_replace({col}, '#.*$', '')"
+    # [?] instead of \? — Spark SQL string literals consume backslash
+    # escapes (DuckDB's don't), so the class spelling is the one that
+    # parses identically in both dialects.
+    noutm = f"regexp_replace({nofrag}, '[?]utm_[^#]*$', '')"
+    lowered = (
+        f"lower(regexp_extract({noutm}, '^https?://[^/]+', 0))"
+        f" || regexp_replace({noutm}, '^https?://[^/]+', '')"
+    )
+    return f"regexp_replace({lowered}, '/$', '')"
+
+
+@query(
+    "q_dv_url_canonical",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_RAWURL_SQL} AS raw_url FROM documents),
+    c AS (SELECT doc_id, raw_url, {_canon_sql("raw_url")} AS canonical_url
+          FROM u)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM c GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def q_dv_url_canonical(spark, sf_dir):
+    """Canonical-URL dedup — the crawl-side twin of content dedup: raw
+    URLs differing only by host case, trailing slash, utm_* tracking
+    params, or fragment collapse to one canonical form, and each
+    canonical group keeps its smallest doc_id. The fixture synthesizes
+    five deterministic variants per page (``_RAWURL_SQL``), so the
+    canonicalizer itself — not just the grouping — is value-checked:
+    every group must reach n_docs=5 from 4+ distinct raw spellings.
+    The canonicalization chain is ONE SQL expression (``_canon_sql``)
+    passed verbatim to both engines.
+
+    Scale shape: map-only string rewrites (codegen'd regexps), then a
+    single hash aggregation keyed by the canonical URL — the standard
+    short-string dedup shuffle; text/payload columns would ride a
+    later keeper semi-join, never this exchange."""
+    u = spread(_docs(spark, sf_dir)).selectExpr(
+        "doc_id", f"{_RAWURL_SQL} AS raw_url"
+    )
+    c = u.selectExpr(
+        "doc_id", "raw_url", f"{_canon_sql('raw_url')} AS canonical_url"
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("raw_url").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+#: Padding buckets are powers of two with a floor of MIN_BUCKET tokens —
+#: the bucketed-batching scheme most training stacks use when they don't
+#: pack (q_x2/q_x7 are the packing alternative this audits against).
+MIN_BUCKET = 16
+
+#: DuckDB twin of functions.text.tokens()'s count (whitespace tokens,
+#: empties dropped) — the same expression other document oracles use.
+_NTOK_SQL = (
+    r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+    r" x -> x <> ''))"
+)
+
+
+@query(
+    "q_dw_length_buckets",
+    oracle=f"""
+    WITH t AS (SELECT {_NTOK_SQL} AS n FROM documents),
+    b AS (
+      SELECT n,
+             CASE WHEN n <= {MIN_BUCKET} THEN {MIN_BUCKET}
+                  ELSE (1::BIGINT << length(bin(n - 1))) END AS bucket
+      FROM t)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+           round(100.0 * (bucket * count(*) - sum(n))
+                 / (bucket * count(*)), 6) AS waste_pct
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_dw_length_buckets(spark, sf_dir):
+    """Token-length power-of-two bucketing with a padding-waste audit —
+    the batch-assembly economics readout: when sequences are padded to
+    the next 2^k bucket (floor {MIN_BUCKET}) instead of packed, how many
+    pad tokens does each bucket burn? Reports docs, real tokens, padded
+    tokens, and waste%. The bucket function is INTEGER-EXACT in both
+    engines — ``2^ceil(log2 n)`` computed as ``1 << length(bin(n-1))``,
+    no float log that could round 2^k across the boundary — so bucket
+    assignment itself is value-checked. Complements sequence packing
+    (q_x2/q_x7): this measures the cost of NOT packing.
+
+    Scale shape: map-only token count + a hash aggregation over ~a
+    dozen bucket keys — partial aggregation collapses everything
+    map-side, the cheapest distributed histogram there is."""
+    t = spread(_docs(spark, sf_dir)).select(
+        TXT.token_count("text").alias("n")
+    )
+    b = t.select(
+        "n",
+        F.when(F.col("n") <= MIN_BUCKET, F.lit(MIN_BUCKET))
+        .otherwise(
+            F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("sum_tokens"),
+    )
+    padded = F.col("bucket") * F.col("n_docs")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        padded.cast("bigint").alias("padded_tokens"),
+        F.round(
+            100.0 * (padded - F.col("sum_tokens")) / padded, 6
+        ).alias("waste_pct"),
+    ).orderBy("bucket")
+
+
+#: k-anonymity threshold: an equivalence class (unique quasi-identifier
+#: combination) with fewer members is a re-identification risk.
+K_ANON = 5
+
+#: Quasi-identifier bucket width for the continuous attribute. 500 keeps
+#: the audit non-vacuous at every fixture scale (~22 balance buckets x 25
+#: nations x 5 segments ~ 2750 classes: sf0.01 makes most classes risky,
+#: sf0.1 leaves a risky tail — both regimes exercised).
+BAL_BUCKET = 500.0
+
+
+@query(
+    "q_dx_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / {BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+             count(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT nation_key, segment, bal_bucket,
+           CAST(class_size AS BIGINT) AS class_size
+    FROM cls WHERE class_size < {K_ANON}
+    ORDER BY nation_key, segment, bal_bucket
+    """,
+)
+def q_dx_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002, public): group records by their
+    quasi-identifier combination — here (nation, market segment,
+    account-balance bucket) — and report every equivalence class smaller
+    than k={K_ANON}: those rows are re-identifiable by an adversary who
+    knows the quasi-identifiers. The release gate a privacy-reviewed
+    data export runs before shipping, and the structured counterpart of
+    the regex PII pass (q_du_pii_redact): one finds identifiers IN the
+    text, this finds identifying COMBINATIONS across columns.
+
+    Scale shape: one hash aggregation on the quasi-identifier tuple +
+    a class-size filter — partial aggs collapse map-side, the output is
+    bounded by the quasi-identifier domain (not the row count), and no
+    row data moves. Generalization search (widening buckets until the
+    audit passes) is a driver loop over THIS query at different widths.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        F.col("c_nationkey").alias("nation_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("bigint").alias("bal_bucket"),
+    ).agg(F.count("*").alias("class_size"))
+    return (
+        cls.filter(F.col("class_size") < K_ANON)
+        .select(
+            "nation_key",
+            "segment",
+            "bal_bucket",
+            F.col("class_size").cast("bigint").alias("class_size"),
+        )
+        .orderBy("nation_key", "segment", "bal_bucket")
+    )
+
+
+#: Host synthesis (shared verbatim) + the blocklist. Rules are DOMAIN
+#: SUFFIXES on label boundaries: 'src1.example.org' blocks every host
+#: under that registered name; the longer exact-host rule overlaps it on
+#: cdn2 deliberately (most-specific-rule selection is part of the check).
+#: Rule lengths are distinct within any host's match set, so the
+#: longest-match pick is tie-free in both engines.
+_HOST_SQL = "'cdn' || (doc_id % 3) || '.' || source || '.example.org'"
+BLOCK_RULES = [
+    "cdn2.src1.example.org",
+    "src1.example.org",
+    "src3.example.org",
+]
+_RULES_VALUES = ", ".join(f"('{r}')" for r in BLOCK_RULES)
+
+
+@query(
+    "q_dy_blocklist_suffix",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_HOST_SQL} AS host FROM documents),
+    p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM u),
+    sfx AS (
+      SELECT doc_id, host,
+             unnest(list_transform(generate_series(1, len(parts)),
+                    i -> array_to_string(parts[i:len(parts)], '.'))) AS sfx
+      FROM p),
+    r(rule) AS (VALUES {_RULES_VALUES}),
+    hits AS (SELECT doc_id, host, rule FROM sfx JOIN r ON sfx.sfx = r.rule)
+    SELECT doc_id, host, arg_max(rule, length(rule)) AS rule
+    FROM hits GROUP BY doc_id, host ORDER BY doc_id
+    """,
+)
+def q_dy_blocklist_suffix(spark, sf_dir):
+    """Domain-blocklist filtering with LABEL-BOUNDARY suffix semantics —
+    the crawl-curation gate string ``endswith`` gets wrong (a rule for
+    ``src1.example.org`` must block ``cdn0.src1.example.org`` but never
+    a host merely ending in the same characters, e.g. ``xsrc1.…``):
+    each host explodes into its label suffixes (4 short strings), the
+    suffix set equi-joins the broadcast blocklist, and each blocked doc
+    reports its MOST SPECIFIC matching rule (longest match — the
+    overlapping cdn2 exact-host rule checks the specificity pick).
+
+    Scale shape: suffix fan-out is O(labels) ~ 4 short strings per doc,
+    map-side; the blocklist (even a production one, ~10^5-10^6 rules)
+    broadcasts, so the candidate join is a map-only hash probe — no
+    shuffle of the corpus at all; the per-doc longest-rule pick is a
+    partial-aggregable max over a (length, rule) struct. The filter
+    composes as an anti-join of the corpus against this output."""
+    u = _docs(spark, sf_dir).selectExpr("doc_id", f"{_HOST_SQL} AS host")
+    sfx = u.select(
+        "doc_id",
+        "host",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(host, '\\\\.'))),"
+                " i -> array_join(slice(split(host, '\\\\.'), i,"
+                " size(split(host, '\\\\.'))), '.'))"
+            )
+        ).alias("sfx"),
+    )
+    rules = spark.createDataFrame([(r,) for r in BLOCK_RULES], "rule string")
+    hits = sfx.join(F.broadcast(rules), F.col("sfx") == F.col("rule")).select(
+        "doc_id", "host", "rule"
+    )
+    return (
+        hits.groupBy("doc_id", "host")
+        .agg(
+            F.max(
+                F.struct(F.length("rule").alias("l"), F.col("rule").alias("r"))
+            )["r"].alias("rule")
+        )
+        .select("doc_id", "host", "rule")
+        .orderBy("doc_id")
+    )

@@ -570,3 +570,40 @@ def test_curriculum_interleave_takeordered_bounded(spark):
     assert "TakeOrderedAndProject" in plan
     hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert len(hashes) == 1 and "source" in hashes[0], hashes
+
+
+def test_blocklist_suffix_broadcasts_rules(spark):
+    """q_dy: the blocklist must broadcast (map-only hash probe) — the
+    corpus side never shuffles for the join; the only hash exchange is
+    the per-doc longest-rule aggregation."""
+    import re
+
+    plan = _plan(spark, "q_dy_blocklist_suffix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("doc_id" in h for h in hashes), hashes
+
+
+def test_pii_redact_scan_prunes_columns(spark):
+    """q_du: the documents scan must read only the three referenced
+    columns (doc_id for injection, source for grouping, text) — regex
+    work stays map-side before the per-source partial agg."""
+    plan = _plan(spark, "q_du_pii_redact")
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "doc_id" in scan and "source" in scan and "text" in scan
+    assert "lang" not in scan and "n_chars" not in scan
+
+
+def test_length_bucket_function_integer_exact():
+    """q_dw's bucket = max(16, 2^ceil(log2 n)) as 1 << len(bin(n-1)):
+    exact at every power-of-two boundary where a float log2 could
+    round either way."""
+    def bucket(n):
+        return 16 if n <= 16 else 1 << len(bin(n - 1)) - 2
+
+    import math
+
+    for n in list(range(1, 300)) + [2**k + d for k in range(4, 20) for d in (-1, 0, 1)]:
+        expect = max(16, 2 ** math.ceil(math.log2(n))) if n > 1 else 16
+        assert bucket(n) == expect, (n, bucket(n), expect)
