@@ -29,9 +29,11 @@ oracle-backed entries that did not fit (``q_dj_woe_iv``,
 ``q_dm_gumbel``, ``q_dn_dyad_census``, ``q_cr_chao1``, ``q_cs_heaps``,
 ``q_ct_burrows``, ``q_dp_dispersion``), the 15 rows-only never-checked
 entries (they emit ``no_oracle`` driver rows — external evidence of
-registration + execution), and this round's additions. Round-10
-registry additions are CAPPED at 5 so the round-11 sweep fits one
-window (7 + 15 + 5 = 27 <= 50).
+registration + execution), and the five round-10 additions
+(``q_du_pii_redact``, ``q_dv_url_canonical``, ``q_dw_length_buckets``,
+``q_dx_k_anonymity``, ``q_dy_blocklist_suffix`` — the full cap of 5
+used, so the round-11 sweep is exactly 7 + 15 + 5 = 27 <= 50 and the
+ledger closes in one more window).
 """
 
 from __future__ import annotations
