@@ -1,0 +1,96 @@
+"""Cumulative driver-correctness ledger — makes window rotation mechanical.
+
+Reads every ``CORRECTNESS_r*.json`` (driver output: top-level dict keyed by
+the then-public query name → {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}), folds it per BASE name, and reports:
+
+- per-entry LAST status (green / rows-only / FAILED) + the round it came from
+- entries that have NEVER had a driver row, split oracle-backed vs rows-only
+- a suggested next CHECK_WINDOW (oldest-registered never-checked first,
+  oracle-backed before rows-only, capped at 50)
+
+Usage: python tools/ledger.py [--window]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_PFX = re.compile(r"^q_\d{3}_")
+
+
+def _base(name: str) -> str:
+    return _PFX.sub("q_", name)
+
+
+def load_ledger(repo_dir: str = ".") -> dict[str, tuple[int, str]]:
+    """base name -> (last round seen, last status)."""
+    ledger: dict[str, tuple[int, str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                # The driver's record for a rows-only entry: registered,
+                # executed, no DuckDB twin — the expected weaker check.
+                status = "rows-only"
+            elif row.get("err"):
+                status = f"ERROR: {str(row['err'])[:60]}"
+            elif row.get("hash_match"):
+                status = "green"
+            elif row.get("hash_match") is None and row.get("rows_match") is not False:
+                status = "rows-only"
+            elif all(
+                row.get(k) is None
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                status = "rows-only"
+            else:
+                status = "FAILED"
+            ledger[_base(name)] = (rnd, status)
+    return ledger
+
+
+def main() -> None:
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.registry import base_name
+
+    # Registration order: REGISTRY is an insertion-ordered dict.
+    reg_order = [base_name(n) for n in REGISTRY]
+    has_oracle = {base_name(n): s.oracle is not None for n, s in REGISTRY.items()}
+    ledger = load_ledger(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    bad = {k: v for k, v in ledger.items() if v[1] not in ("green", "rows-only")}
+    never = [k for k in reg_order if k not in ledger]
+    never_oracle = [k for k in never if has_oracle[k]]
+    never_rowsonly = [k for k in never if not has_oracle[k]]
+    stale = {k for k in ledger if k not in has_oracle}
+
+    print(f"registry entries : {len(reg_order)}")
+    print(f"ever checked     : {len([k for k in reg_order if k in ledger])}")
+    print(f"last-status bad  : {len(bad)}")
+    for k, (rnd, st) in sorted(bad.items()):
+        print(f"  r{rnd} {k}: {st}")
+    if stale:
+        print(f"ledger names not in registry (renamed/removed): {sorted(stale)}")
+    print(f"never checked    : {len(never)} "
+          f"({len(never_oracle)} oracle-backed + {len(never_rowsonly)} rows-only)")
+    print("  oracle-backed:", " ".join(never_oracle) or "(none)")
+    print("  rows-only    :", " ".join(never_rowsonly) or "(none)")
+
+    if "--window" in sys.argv:
+        suggestion = (never_oracle + never_rowsonly)[:50]
+        print("\nsuggested CHECK_WINDOW (paste into plans/registry.py):")
+        for n in suggestion:
+            print(f'    "{n}",')
+
+
+if __name__ == "__main__":
+    main()
