@@ -379,3 +379,37 @@ def test_curriculum_interleave_spacing_and_share(spark, sf_smoke):
         if not exhausted:
             expect = max_pos // stride  # full rounds fitting below the cut
             assert abs(len(rs) - expect) <= 1
+
+
+def test_url_canonicalizer_idempotent_and_variant_insensitive():
+    """q_dv's shared canonicalization expression, evaluated in DuckDB
+    (both engines run the same text): idempotent (canon∘canon = canon)
+    and invariant across the five synthesized variants of one page —
+    including hypothesis-style randomized page ids."""
+    import duckdb
+
+    from pyspark_mllib_twitter_spark.plans.pipeline_ops import (
+        _RAWURL_SQL,
+        _canon_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(range(0, 500)) AS doc_id"
+    )
+    once = _canon_sql("raw_url")
+    twice = _canon_sql(f"({once})")
+    rows = con.execute(
+        f"""
+        WITH u AS (SELECT doc_id, {_RAWURL_SQL} AS raw_url FROM documents)
+        SELECT CAST(floor(doc_id / 5.0) AS BIGINT) AS pid,
+               count(DISTINCT {once}) AS n_canon,
+               count(DISTINCT CASE WHEN ({twice}) <> ({once})
+                              THEN doc_id END) AS n_not_idempotent
+        FROM u GROUP BY 1
+        """
+    ).fetchall()
+    assert rows, "no pages generated"
+    for pid, n_canon, n_not_idem in rows:
+        assert n_canon == 1, (pid, n_canon)  # all variants collapse
+        assert n_not_idem == 0, pid  # canon is a fixed point
