@@ -2067,7 +2067,9 @@ def q_dy_blocklist_suffix(spark, sf_dir):
     shuffle of the corpus at all; the per-doc longest-rule pick is a
     partial-aggregable max over a (length, rule) struct. The filter
     composes as an anti-join of the corpus against this output."""
-    u = _docs(spark, sf_dir).selectExpr("doc_id", f"{_HOST_SQL} AS host")
+    u = spread(_docs(spark, sf_dir)).selectExpr(
+        "doc_id", f"{_HOST_SQL} AS host"
+    )
     sfx = u.select(
         "doc_id",
         "host",

@@ -570,8 +570,17 @@ def _protobuf_shim_dir(src_root: str) -> str:
     link = os.path.join(shim, "google", "protobuf")
     if os.path.islink(link):
         if os.readlink(link) != target:
-            os.remove(link)
-            os.symlink(target, link)
+            # Retarget a stale link; both steps race a concurrent
+            # retargeter on the same host, and the winner wrote the
+            # same (correct) target, so losing either race is fine.
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                pass
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                pass
     elif not os.path.exists(link):
         try:
             os.symlink(target, link)
@@ -698,9 +707,12 @@ def _wire_worker_pythonpath(df: DataFrame, path: str) -> None:
     even when the JVM predates the import of this module. The version
     override travels only when driver-side validation required it."""
     sc = df.sparkSession.sparkContext
-    pp = sc.environment.get("PYTHONPATH", "")
-    if path not in pp.split(os.pathsep):
-        sc.environment["PYTHONPATH"] = pp + os.pathsep + path if pp else path
+    if path:  # "" = natively importable, nothing to add to the path
+        pp = sc.environment.get("PYTHONPATH", "")
+        if path not in pp.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                pp + os.pathsep + path if pp else path
+            )
     if _protobuf_version_override:
         sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
 
@@ -741,7 +753,10 @@ def tws_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
     fallback = ensure_protobuf()
-    if fallback:  # borrowed runtime -> workers need the path too
+    # Wire on "" (native) too: a natively-installed runtime may still have
+    # needed the scoped version override, and sc.environment is the only
+    # channel that reaches Python workers of the already-running session.
+    if fallback is not None:
         _wire_worker_pythonpath(events, fallback)
 
     class _RunningStats(StatefulProcessor):
@@ -816,7 +831,7 @@ def tws_session_finalizer(
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     fallback = ensure_protobuf()
-    if fallback:
+    if fallback is not None:  # "" still carries the version override
         _wire_worker_pythonpath(events, fallback)
 
     class _SessionFinalizer(StatefulProcessor):

@@ -22,11 +22,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_PFX = re.compile(r"^q_\d{3}_")
-
-
 def _base(name: str) -> str:
-    return _PFX.sub("q_", name)
+    # The registry's own prefix-stripping, not a re-implementation — a
+    # format change there must keep reclassifying ledger names correctly.
+    from pyspark_mllib_twitter_spark.plans.registry import base_name
+
+    return base_name(name)
 
 
 def load_ledger(repo_dir: str = ".") -> dict[str, tuple[int, str]]:
