@@ -594,3 +594,33 @@ def test_protobuf_shim_dir_is_minimal_and_idempotent(tmp_path):
     os.symlink(str(root / "google" / "auth"), link)
     assert streams._protobuf_shim_dir(str(root)) == shim
     assert os.readlink(link) == str(root / "google" / "protobuf")
+
+
+def test_wire_worker_pythonpath_native_runtime_override(spark, monkeypatch):
+    """Round-10 review fix: when the runtime is NATIVE (fallback == '')
+    but driver-side validation needed the version-check override, the
+    override must still reach workers via sc.environment — and '' must
+    not be appended to the worker PYTHONPATH."""
+    from pyspark_mllib_twitter_spark.streaming import streams
+
+    sc = spark.sparkContext
+    env_before = dict(sc.environment)
+    monkeypatch.setattr(streams, "_protobuf_version_override", True)
+    try:
+        df = spark.range(1)
+        streams._wire_worker_pythonpath(df, "")
+        assert (
+            sc.environment.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+            == "true"
+        )
+        pp = sc.environment.get("PYTHONPATH", "")
+        assert "" not in [p for p in pp.split(os.pathsep) if pp] or pp == (
+            env_before.get("PYTHONPATH", "")
+        )
+    finally:
+        # Restore: sc.environment is session-global.
+        sc.environment.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+        if "PYTHONPATH" in env_before:
+            sc.environment["PYTHONPATH"] = env_before["PYTHONPATH"]
+        else:
+            sc.environment.pop("PYTHONPATH", None)
