@@ -403,12 +403,18 @@ def test_space_saving_topk_bounds_and_determinism(spark, sf_smoke):
     assert first == second
 
 
-def test_tws_session_finalizer_matches_batch_sessionizer(spark, events):
+@pytest.mark.parametrize("n_batches", [8, 2])
+def test_tws_session_finalizer_matches_batch_sessionizer(
+    spark, events, n_batches
+):
     """q_stream_tws_timers: on a 0%-late replay (nothing dropped by the
     watermark) with the flush sentinel closing every open session, the
     timer-finalized session set must EQUAL a pure-Python gap sessionizer
     over the same events — session boundaries independent of micro-batch
-    slicing (in-batch gaps split inline, cross-batch tails via timers)."""
+    slicing (in-batch gaps split inline, cross-batch tails via timers).
+    Parametrized over the default 8-batch replay AND the 2-batch shape
+    the bench entries share, so the exact bench path is equivalence-
+    covered too."""
     from pyspark_mllib_twitter_spark.streaming.streams import (
         ROCKSDB_STATE_CONF,
         TWS_SESSION_GAP_MS,
@@ -420,7 +426,12 @@ def test_tws_session_finalizer_matches_batch_sessionizer(spark, events):
     if not tws_available():
         pytest.skip("google.protobuf unavailable — TWS cannot execute here")
 
-    rd = replay_events_dir(events, late_fraction_pct=0, flush_margin="60 days")
+    rd = replay_events_dir(
+        events,
+        late_fraction_pct=0,
+        flush_margin="60 days",
+        n_batches=n_batches,
+    )
     stream = tws_session_finalizer(
         read_events_stream(spark, rd), watermark="30 minutes"
     )
