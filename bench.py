@@ -89,6 +89,42 @@ SINGLE_RUN = {
     "q_yr_setsim_prefix_join",
 }
 
+#: Heavy batch entries whose in-suite numbers historically swing 2-3.4x from
+#: suite-position/GC noise (r10 driver detail: q_yr 38.5s in-suite vs 17.2s
+#: solo --runs 3, code unchanged). Each gets a forced driver-JVM GC plus ONE
+#: untimed warm-up execution immediately before its timed run, so the
+#: recorded number reflects the operator at the same steady state the solo
+#: instrument measures (round-10 verdict task #3). Suite cost is neutral:
+#: these were already 1-2 runs; warm-up + 1 timed ~= the old 2 timed.
+WARMED_SINGLE_RUN = {
+    "q_yr_setsim_prefix_join",
+    "q_bf_itemcf",
+    "q_b3_containment_join",
+    "q_dg_price_index",
+    "q_dd_silhouette",
+}
+
+
+def _suite_order(names: list[str], base_name) -> list[str]:
+    """Batch queries first (sorted), streaming entries last (sorted).
+
+    Plain ``sorted(REGISTRY)`` interleaves the streaming block into the
+    middle of the batch alphabet (q_stream_* sorts before q_udf/q_w/q_x/
+    q_y/q_z), so every heavy batch entry after 's' ran with RocksDB state
+    stores, micro-batch threads, and memory-sink residue on the heap —
+    the main source of the 2-3.4x in-suite swings on q_yr/q_bf/q_b3
+    (round-10 verdict task #3). Streaming last keeps the batch numbers
+    clean and the streaming numbers unchanged (they are protocol-bound,
+    not heap-bound)."""
+
+    def is_streaming(n: str) -> bool:
+        b = base_name(n)
+        return b.startswith("q_stream_") or b in ("q_s3_pystream", "q_s5_pystream_sink")
+
+    return [n for n in names if not is_streaming(n)] + [
+        n for n in names if is_streaming(n)
+    ]
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -168,7 +204,7 @@ def main() -> int:
     spark = get_spark("bench")
     sf_dir = args.sf_dir
 
-    names = sorted(REGISTRY)
+    names = _suite_order(sorted(REGISTRY), base_name)
     if args.only:
         only = set(args.only)
         names = [n for n in names if n in only or base_name(n) in only]
@@ -259,14 +295,22 @@ def main() -> int:
     streaming_stats: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
-        if base_name(name) in gc_before:
+        warmed = base_name(name) in WARMED_SINGLE_RUN
+        if warmed or base_name(name) in gc_before:
             try:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
-        runs = 1 if base_name(name) in SINGLE_RUN else args.runs
+        # Warmed entries run once after the warm-up in suite mode; under
+        # --only the explicit --runs still wins (solo triage instrument).
+        if warmed:
+            runs = args.runs if args.only else 1
+        else:
+            runs = 1 if base_name(name) in SINGLE_RUN else args.runs
         samples = []
         try:
+            if warmed:  # untimed steady-state run; see WARMED_SINGLE_RUN
+                _execute(spec.spark(spark, sf_dir))
             for _ in range(runs):
                 t0 = time.perf_counter()
                 _execute(spec.spark(spark, sf_dir))

@@ -1469,6 +1469,33 @@ FUNNEL_LANGS = ("en", "de", "fr", "es")
 _FF_TOKS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"
 
 
+def with_funnel_fail(docs):
+    """Append the funnel ``fail`` column: the 1-based FIRST failing gate
+    (1 len_gate, 2 lang_known, 3 min_tokens, 4 ttr, 5 token_shape), 0 if
+    the document passes every gate. Reads ``n_chars``, ``lang``, ``text``
+    — callers composing the funnel mid-pipeline (after a text rewrite)
+    must recompute ``n_chars`` first. One map-only projection, all gates
+    exact-integer; shared by ``q_dt_filter_funnel`` and the composed
+    privacy release gate (tests/test_pipeline_ops.py), so the audit query
+    and the composition can never disagree on gate semantics."""
+    toks = TXT.tokens("text")
+    n_tok = F.size(toks).cast("bigint")
+    n_dist = F.size(F.array_distinct(toks)).cast("bigint")
+    tok_chars = F.length(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
+    ).cast("bigint")
+    lang = F.coalesce("lang", F.lit(""))
+    fail = (
+        F.when(~F.col("n_chars").between(100, 520), 1)
+        .when(~lang.isin(*FUNNEL_LANGS), 2)
+        .when(n_tok < 25, 3)
+        .when(n_dist * 10 < n_tok * 4, 4)
+        .when(~(tok_chars * 10).between(n_tok * 42, n_tok * 48), 5)
+        .otherwise(0)
+    )
+    return docs.withColumn("fail", fail)
+
+
 @query(
     "q_dt_filter_funnel",
     oracle=f"""
@@ -1532,34 +1559,8 @@ def q_dt_filter_funnel(spark, sf_dir):
     (split/list ops, no explode, no shuffle), one 6-group aggregate, and
     a constant 5-row funnel tail. 100 TB = one scan + a 6-row reduce.
     """
-    d = _docs(spark, sf_dir)
-    toks = TXT.tokens("text")
-    t = d.select(
-        "n_chars",
-        F.coalesce("lang", F.lit("")).alias("lang"),
-        F.size(toks).cast("bigint").alias("n_tok"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_dist"),
-        F.length(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")
-        )
-        .cast("bigint")
-        .alias("tok_chars"),
-    )
-    fail = (
-        F.when(~F.col("n_chars").between(100, 520), 1)
-        .when(~F.col("lang").isin(*FUNNEL_LANGS), 2)
-        .when(F.col("n_tok") < 25, 3)
-        .when(F.col("n_dist") * 10 < F.col("n_tok") * 4, 4)
-        .when(
-            ~(F.col("tok_chars") * 10).between(
-                F.col("n_tok") * 42, F.col("n_tok") * 48
-            ),
-            5,
-        )
-        .otherwise(0)
-        .alias("fail")
-    )
-    drops = t.select(fail).groupBy("fail").agg(
+    t = with_funnel_fail(_docs(spark, sf_dir)).select("fail")
+    drops = t.groupBy("fail").agg(
         F.count("*").cast("bigint").alias("n")
     )
     tot = t.agg(F.count("*").cast("bigint").alias("n_total"))
@@ -2027,6 +2028,15 @@ def q_dx_k_anonymity(spark, sf_dir):
 #: Rule lengths are distinct within any host's match set, so the
 #: longest-match pick is tie-free in both engines.
 _HOST_SQL = "'cdn' || (doc_id % 3) || '.' || source || '.example.org'"
+
+#: Label-boundary suffix fan-out over a ``host`` column (Spark SQL) —
+#: shared by q_dy_blocklist_suffix and the composed release-gate test so
+#: the suffix semantics can never diverge between audit and composition.
+_HOST_SUFFIXES_EXPR = (
+    "transform(sequence(1, size(split(host, '\\\\.'))),"
+    " i -> array_join(slice(split(host, '\\\\.'), i,"
+    " size(split(host, '\\\\.'))), '.'))"
+)
 BLOCK_RULES = [
     "cdn2.src1.example.org",
     "src1.example.org",
@@ -2073,13 +2083,7 @@ def q_dy_blocklist_suffix(spark, sf_dir):
     sfx = u.select(
         "doc_id",
         "host",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(host, '\\\\.'))),"
-                " i -> array_join(slice(split(host, '\\\\.'), i,"
-                " size(split(host, '\\\\.'))), '.'))"
-            )
-        ).alias("sfx"),
+        F.explode(F.expr(_HOST_SUFFIXES_EXPR)).alias("sfx"),
     )
     rules = spark.createDataFrame([(r,) for r in BLOCK_RULES], "rule string")
     hits = sfx.join(F.broadcast(rules), F.col("sfx") == F.col("rule")).select(

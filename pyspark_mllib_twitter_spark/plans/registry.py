@@ -17,23 +17,17 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-10 window — ledger convergence, continued (round-9 verdict task
-#1): the 50 OLDEST of the 57 oracle-backed entries that have never had
-a driver row, in registration order — ``q_sb_docstore_merge``, the
-round-8/9 statistics and behavior blocks (``q_c4``-``q_di``,
-interleaved with their registration order below), the three sketch
-streams (``q_stream_hll/kmv/lateness``), and the round-9 additions
-(``q_dq_sessionize``, ``q_ds_curriculum_interleave``,
-``q_dt_filter_funnel``). Queued for the FINAL round-11 sweep: the 7
-oracle-backed entries that did not fit (``q_dj_woe_iv``,
-``q_dm_gumbel``, ``q_dn_dyad_census``, ``q_cr_chao1``, ``q_cs_heaps``,
-``q_ct_burrows``, ``q_dp_dispersion``), the 15 rows-only never-checked
-entries (they emit ``no_oracle`` driver rows — external evidence of
-registration + execution), and the five round-10 additions
-(``q_du_pii_redact``, ``q_dv_url_canonical``, ``q_dw_length_buckets``,
-``q_dx_k_anonymity``, ``q_dy_blocklist_suffix`` — the full cap of 5
-used, so the round-11 sweep is exactly 7 + 15 + 5 = 27 <= 50 and the
-ledger closes in one more window).
+Round-11 window — the FINAL ledger sweep (round-10 verdict task #1):
+every registry entry that has never had a driver CORRECTNESS row, in
+one window — 12 oracle-backed (the 5 round-10 privacy additions
+``q_du``-``q_dy``, the 7 round-8 lexical-statistics stragglers
+``q_dj_woe_iv``, ``q_dm_gumbel``, ``q_dn_dyad_census``, ``q_cr_chao1``,
+``q_cs_heaps``, ``q_ct_burrows``, ``q_dp_dispersion``) plus the 15
+never-checked rows-only entries (they emit ``no_oracle`` driver rows —
+external evidence of registration + execution), plus this round's
+additions (cap <= 5). After this round's CORRECTNESS file lands, every
+entry in the registry has at least one driver row and the cumulative
+ledger (``tools/ledger.py``) closes for the first time.
 """
 
 from __future__ import annotations
@@ -49,61 +43,39 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- 50 oldest never-driver-checked oracle entries, registration order --
-    "q_sb_docstore_merge",
-    "q_d7_cohens_kappa",
-    "q_c5_dirichlet_ql",
-    "q_ce_g2_collocations",
-    "q_stream_hll",
-    "q_stream_kmv",
-    "q_stream_lateness",
-    "q_dt_filter_funnel",
-    "q_ds_curriculum_interleave",
-    "q_c4_anova",
-    "q_cb_welch_ttest",
-    "q_cc_cramers_v",
-    "q_cf_conformal",
-    "q_cd_holt_winters",
-    "q_ch_granger",
-    "q_cm_viterbi",
-    "q_c6_shapley",
-    "q_c7_ltv_curve",
-    "q_dq_sessionize",
-    "q_d9_abc_class",
-    "q_dk_pareto_knee",
-    "q_c8_quantile_norm",
-    "q_c9_bloom_audit",
-    "q_ca_logistic_irls",
-    "q_cj_gmm_em",
-    "q_ck_perm_entropy",
-    "q_cl_runs_test",
-    "q_dc_kmeans_sql",
-    "q_dl_pacf",
-    "q_cn_kruskal_wallis",
-    "q_co_wasserstein",
-    "q_cq_cvar",
-    "q_cu_lift_gains",
-    "q_cv_ar2_yule_walker",
-    "q_cw_dft_seasonality",
-    "q_cx_rmst",
-    "q_cy_hurst",
-    "q_d1_shape_audit",
-    "q_d3_sbg_churn",
-    "q_d4_bradley_terry",
-    "q_d5_friedman",
-    "q_d6_mcnemar",
-    "q_da_panel_fe",
-    "q_db_cochran_q",
-    "q_dd_silhouette",
-    "q_de_rolling_beta",
-    "q_df_mobility",
-    "q_dg_price_index",
-    "q_dh_apriori_triples",
-    "q_di_brown_forsythe",
-    # Queued for the FINAL round-11 sweep (the window only holds 50):
-    # q_dj_woe_iv, q_dm_gumbel, q_dn_dyad_census, q_cr_chao1, q_cs_heaps,
-    # q_ct_burrows, q_dp_dispersion, the 15 never-checked rows-only
-    # entries, and round-10 additions — see module docstring.
+    # -- FINAL sweep: all 27 never-driver-checked entries + r11 additions --
+    # 12 oracle-backed (5 round-10 privacy + 7 round-8 lexical stragglers):
+    "q_du_pii_redact",
+    "q_dv_url_canonical",
+    "q_dw_length_buckets",
+    "q_dx_k_anonymity",
+    "q_dy_blocklist_suffix",
+    "q_dj_woe_iv",
+    "q_dm_gumbel",
+    "q_dn_dyad_census",
+    "q_cr_chao1",
+    "q_cs_heaps",
+    "q_ct_burrows",
+    "q_dp_dispersion",
+    # 15 rows-only (driver records a no_oracle row — external evidence of
+    # registration + execution for entries whose semantics preclude a
+    # DuckDB twin: sketches, seeded ML, data-dependent float iteration,
+    # non-append streaming):
+    "q_ns_compression_quality",
+    "q_cg_boruvka_mst",
+    "q_stream_tws",
+    "q_stream_tws_timers",
+    "q_ci_huffman",
+    "q_stream_topk",
+    "q_stream_tdigest",
+    "q_xl3_hits",
+    "q_ar_mmr_rerank",
+    "q_az_textrank",
+    "q_cz_lpa",
+    "q_d8_dtw",
+    "q_bw_pca",
+    "q_by_inventory",
+    "q_d2_tdigest",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

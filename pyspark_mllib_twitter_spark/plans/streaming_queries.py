@@ -376,8 +376,10 @@ if tws_available():
         needs it (see CAPABILITIES above); the batch-twin equivalence test
         in tests/test_streaming.py runs wherever this registers.
 
-        Bench shape: shares ONE 4-batch zero-late replay dir with
-        q_stream_tws_timers — the TWS protocol cost scales with
+        Bench shape: shares ONE zero-late replay dir (2 data batches +
+        2 flush-sentinel batches = 4 triggers; ``n_batches=2`` below
+        counts DATA batches) with q_stream_tws_timers — the TWS
+        protocol cost scales with
         micro-batch count (RocksDB open + Arrow state-server round trips
         per trigger), not data volume, and this entry's output (final
         per-user totals via monotone max over updates) is identical for
@@ -422,8 +424,9 @@ if tws_available():
         makes it checkable. Rows-only: timer emission cadence has no SQL
         twin (batch twins: ``q_w5_sessionize`` / ``q_dq_sessionize``).
 
-        Bench shape: shares the 4-batch zero-late replay with
-        q_stream_tws (one dir build, fewer protocol round trips); the
+        Bench shape: shares the zero-late replay (2 data batches + 2
+        flush-sentinel batches = 4 triggers) with q_stream_tws (one dir
+        build, fewer protocol round trips); the
         session set is batch-slicing-independent — pinned by the
         exact-equivalence test — so the cheaper replay changes nothing
         the entry asserts."""

@@ -413,3 +413,113 @@ def test_url_canonicalizer_idempotent_and_variant_insensitive():
     for pid, n_canon, n_not_idem in rows:
         assert n_canon == 1, (pid, n_canon)  # all variants collapse
         assert n_not_idem == 0, pid  # canon is a fixed point
+
+
+def test_privacy_release_gate_composition(spark):
+    """Round-10 verdict task #4: the privacy & provenance layer composes
+    into ONE release gate — PII-injected docs → scrub → quality funnel →
+    canonical-URL dedup → blocklist → PII redact — and the composed row
+    accounting is self-consistent: every stage's n_out is the next
+    stage's n_in, the funnel's own audit table agrees with the filter it
+    implies, and detection-after-redaction is zero. Mirrors
+    q_ns_pipeline's composed shape; each stage reuses the SAME shared
+    expression its audit query registers (with_funnel_fail, _RAWURL_SQL/
+    _canon_sql, _HOST_SQL/_HOST_SUFFIXES_EXPR, PII_* patterns), so the
+    composition and the per-stage audits can never disagree."""
+    from pyspark_mllib_twitter_spark.functions import text as TXT
+
+    P = pipeline_ops
+    docs = P._docs(spark, SF)
+    n0 = docs.count()
+
+    # Stage 1 — scrub (map-only, count-preserving): inject the q_du PII
+    # fixture, then the q_ns_scrub link/email/handle pass. The scrub
+    # consumes the injected EMAILS (layered defense: the link scrubber
+    # catches them first) but not phones/IPs — stage 5 must still find
+    # those. n_chars is recomputed: the funnel gates read current text.
+    injected = docs.select(
+        "doc_id", "source", "lang", F.expr(P._PII_SQL).alias("text")
+    )
+    scrubbed = injected.select(
+        "doc_id", "source", "lang", TXT.scrub_text(F.col("text")).alias("text")
+    ).withColumn("n_chars", F.length("text"))
+    n1 = scrubbed.count()
+    assert n1 == n0
+
+    # Stage 2 — quality funnel (q_dt gates via the shared helper).
+    flagged = P.with_funnel_fail(scrubbed)
+    drops = {
+        r["fail"]: r["n"]
+        for r in flagged.groupBy("fail").agg(F.count("*").alias("n")).collect()
+    }
+    survivors = flagged.filter(F.col("fail") == 0).drop("fail")
+    n2 = survivors.count()
+    # the funnel audit chain: n_in(k+1) = n_out(k), closing at n2
+    n_in = n1
+    for stage in range(1, 6):
+        n_out = n_in - drops.get(stage, 0)
+        assert n_out >= 0, (stage, n_in, drops)
+        n_in = n_out
+    assert n_in == n2 == drops.get(0, 0)
+    assert 0 < n2 < n1, "funnel must be non-vacuous on the fixture"
+
+    # Stage 3 — canonical-URL dedup, keep-min-doc_id (q_dv semantics).
+    with_canon = survivors.selectExpr(
+        "*", f"{P._RAWURL_SQL} AS raw_url"
+    ).selectExpr("*", f"{P._canon_sql('raw_url')} AS canonical_url")
+    keepers = with_canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = with_canon.join(keepers, ["canonical_url", "doc_id"])
+    n3 = kept.count()
+    assert n3 == with_canon.select("canonical_url").distinct().count()
+    assert 0 < n3 < n2, "URL variants of one page must collapse"
+
+    # Stage 4 — domain blocklist, label-boundary suffix anti-join (q_dy).
+    hosted = kept.selectExpr("*", f"{P._HOST_SQL} AS host")
+    rules = spark.createDataFrame([(r,) for r in P.BLOCK_RULES], "rule string")
+    blocked = (
+        hosted.select(
+            "doc_id", F.explode(F.expr(P._HOST_SUFFIXES_EXPR)).alias("sfx")
+        )
+        .join(F.broadcast(rules), F.col("sfx") == F.col("rule"))
+        .select("doc_id")
+        .distinct()
+    )
+    n_blocked = blocked.count()
+    passed = hosted.join(blocked, "doc_id", "left_anti")
+    n4 = passed.count()
+    assert n4 == n3 - n_blocked
+    assert n_blocked > 0, "src1/src3 hosts must hit the blocklist"
+
+    # Stage 5 — PII redact (map-only, count-preserving): q_du patterns;
+    # the release assertion is detection-after-redaction == 0.
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(P.PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(P.PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(P.PII_IP),
+        F.lit("[IP]"),
+    )
+    n_match = lambda c: (  # noqa: E731 - local alias
+        F.size(F.regexp_extract_all(c, F.lit(P.PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(c, F.lit(P.PII_PHONE), F.lit(0)))
+        + F.size(F.regexp_extract_all(c, F.lit(P.PII_IP), F.lit(0)))
+    )
+    audited = passed.select(
+        n_match(F.col("text")).alias("pre"),
+        (F.length("text") - F.length(clean)).alias("dchars"),
+        n_match(clean).alias("post"),
+    )
+    row = audited.agg(
+        F.count("*").alias("n5"),
+        F.sum("pre").alias("pre"),
+        F.sum("post").alias("post"),
+        F.sum("dchars").alias("dchars"),
+    ).collect()[0]
+    assert row["n5"] == n4, "redaction is map-only: no rows may drop"
+    assert row["pre"] > 0, "phones/IPs must survive the scrub to here"
+    assert row["post"] == 0, "detection after redaction must be zero"
+    assert row["dchars"] > 0  # redaction provably shortened the corpus

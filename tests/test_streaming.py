@@ -624,9 +624,11 @@ def test_wire_worker_pythonpath_native_runtime_override(spark, monkeypatch):
             sc.environment.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
             == "true"
         )
-        pp = sc.environment.get("PYTHONPATH", "")
-        assert "" not in [p for p in pp.split(os.pathsep) if pp] or pp == (
-            env_before.get("PYTHONPATH", "")
+        # The '' fallback path must leave the worker PYTHONPATH exactly as
+        # it was — no empty component appended (round-10 ADVICE: the old
+        # list-comp filtered on the whole string, not each component).
+        assert sc.environment.get("PYTHONPATH", "") == env_before.get(
+            "PYTHONPATH", ""
         )
     finally:
         # Restore: sc.environment is session-global.

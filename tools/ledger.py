@@ -8,8 +8,12 @@ spark_rows, oracle_rows, err}), folds it per BASE name, and reports:
 - entries that have NEVER had a driver row, split oracle-backed vs rows-only
 - a suggested next CHECK_WINDOW (oldest-registered never-checked first,
   oracle-backed before rows-only, capped at 50)
+- with ``--survey-table``: the generated per-entry markdown status table
+  embedded in SURVEY.md §2.12 (regenerate + paste after each round's
+  CORRECTNESS file lands; round-10 verdict task #6 replaced the accreted
+  round-notes prose with this table)
 
-Usage: python tools/ledger.py [--window]
+Usage: python tools/ledger.py [--window] [--survey-table]
 """
 
 from __future__ import annotations
@@ -32,8 +36,19 @@ def _base(name: str) -> str:
 
 def load_ledger(repo_dir: str = ".") -> dict[str, tuple[int, str]]:
     """base name -> (last round seen, last status)."""
-    ledger: dict[str, tuple[int, str]] = {}
-    for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
+    return {k: (last, st) for k, (first, last, st) in load_full_ledger(repo_dir).items()}
+
+
+def load_full_ledger(repo_dir: str = ".") -> dict[str, tuple[int, int, str]]:
+    """base name -> (first round seen, last round seen, last status)."""
+    ledger: dict[str, tuple[int, int, str]] = {}
+    # Numeric round order, not lexicographic: zero-padded r01..r99 happens to
+    # sort correctly as strings, but r100 would sort between r10 and r11 and
+    # silently let an older round's status overwrite a newer one.
+    for path in sorted(
+        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    ):
         rnd = int(re.search(r"_r(\d+)", path).group(1))
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict):
@@ -55,7 +70,9 @@ def load_ledger(repo_dir: str = ".") -> dict[str, tuple[int, str]]:
                 status = "rows-only"
             else:
                 status = "FAILED"
-            ledger[_base(name)] = (rnd, status)
+            b = _base(name)
+            first = ledger[b][0] if b in ledger else rnd
+            ledger[b] = (first, rnd, status)
     return ledger
 
 
@@ -91,6 +108,20 @@ def main() -> None:
         print("\nsuggested CHECK_WINDOW (paste into plans/registry.py):")
         for n in suggestion:
             print(f'    "{n}",')
+
+    if "--survey-table" in sys.argv:
+        full = load_full_ledger(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        print("\n| entry | check | first driver row | last driver row | last status |")
+        print("|---|---|---|---|---|")
+        for k in reg_order:
+            kind = "oracle" if has_oracle[k] else "rows-only"
+            if k in full:
+                first, last, st = full[k]
+                print(f"| {k} | {kind} | r{first} | r{last} | {st} |")
+            else:
+                print(f"| {k} | {kind} | — | — | never driver-checked |")
 
 
 if __name__ == "__main__":
