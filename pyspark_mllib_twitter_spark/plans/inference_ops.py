@@ -2034,3 +2034,126 @@ def q_cf_conformal(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pettitt change-point test (rank-based, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: Shared p-value expression — identical doubles in, identical double out.
+_PETTITT_P = (
+    "round(least(CAST(1.0 AS DOUBLE),"
+    " 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)"
+    " / (CAST(n_days AS DOUBLE) * n_days * n_days"
+    " + CAST(n_days AS DOUBLE) * n_days))), 6)"
+)
+
+
+@query(
+    "q_ed_pettitt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(ts AS TIMESTAMP)::DATE) AS day,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, day, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+               + count(*) OVER (PARTITION BY event_type, v) - 1 AS dr,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    u AS (
+      SELECT event_type, day, n,
+             t * (n + 1) - SUM(dr) OVER (PARTITION BY event_type
+                                         ORDER BY t) AS u_t
+      FROM ranked QUALIFY t < n),
+    k AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+             CAST(max(abs(u_t)) AS BIGINT) AS k_stat
+      FROM u GROUP BY 1),
+    best AS (
+      SELECT u.event_type,
+             CAST(min(u.day) AS BIGINT) AS change_day,
+             CAST(arg_min(u.u_t, u.day) AS BIGINT) AS u_at_change
+      FROM u JOIN k ON k.event_type = u.event_type
+                   AND abs(u.u_t) = k.k_stat
+      GROUP BY 1)
+    SELECT k.event_type, k.n_days, b.change_day, b.u_at_change, k.k_stat,
+           {_PETTITT_P} AS p_approx
+    FROM k JOIN best b ON b.event_type = k.event_type
+    ORDER BY k.event_type
+    """,
+)
+def q_ed_pettitt(spark, sf_dir):
+    """Pettitt change-point test per event type (Pettitt 1979, public) —
+    the rank-based companion to the parametric CUSUM (q_zc) and the
+    trend test (q_zn): U_t = sum of sgn(x_j - x_i) over pairs straddling
+    t; the split maximizing |U_t| is the most probable single change
+    point, with the standard two-sided significance approximation
+    2*exp(-6K^2/(n^3+n^2)). Everything the hash sees is exact: U_t
+    comes from the midrank identity U_t = t(n+1) - sum(doubled
+    midranks <= t) — doubled tie-averaged ranks are integers (the
+    q_zr_spearman trick) — and ties on |U_t| resolve to the earliest
+    day. Only the final shared-text p-value is a double.
+
+    Scale shape: the series grain is (event_type, day) — bounded by the
+    calendar, not event volume — so the daily rollup is one partial
+    aggregation over the corpus and every window below it runs on the
+    tiny per-type series, partitioned by event_type (no global sort, no
+    driver loop). The U_t cumulative is one pass over each series."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    by_day = Window.partitionBy("event_type").orderBy("day")
+    by_val = Window.partitionBy("event_type").orderBy("v")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(by_day).alias("t"),
+        (
+            2 * F.rank().over(by_val)
+            + F.count("*").over(Window.partitionBy("event_type", "v"))
+            - 1
+        ).alias("dr"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    u = ranked.select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.col("t") * (F.col("n") + 1)
+            - F.sum("dr").over(by_day.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("u_t"),
+        "t",
+    ).filter(F.col("t") < F.col("n"))
+    k = u.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(F.abs("u_t")).cast("bigint").alias("k_stat"),
+    )
+    best = (
+        u.join(F.broadcast(k), "event_type")
+        .filter(F.abs("u_t") == F.col("k_stat"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").cast("bigint").alias("change_day"),
+            F.min_by("u_t", "day").cast("bigint").alias("u_at_change"),
+        )
+    )
+    return (
+        k.join(best, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "change_day",
+            "u_at_change",
+            "k_stat",
+            f"{_PETTITT_P} AS p_approx",
+        )
+        .orderBy("event_type")
+    )

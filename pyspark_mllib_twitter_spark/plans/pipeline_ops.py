@@ -2072,11 +2072,16 @@ def q_dy_blocklist_suffix(spark, sf_dir):
     overlapping cdn2 exact-host rule checks the specificity pick).
 
     Scale shape: suffix fan-out is O(labels) ~ 4 short strings per doc,
-    map-side; the blocklist (even a production one, ~10^5-10^6 rules)
-    broadcasts, so the candidate join is a map-only hash probe — no
-    shuffle of the corpus at all; the per-doc longest-rule pick is a
-    partial-aggregable max over a (length, rule) struct. The filter
-    composes as an anti-join of the corpus against this output."""
+    map-side; the blocklist broadcasts, so the candidate join is a
+    map-only hash probe — no shuffle of the corpus at all; the per-doc
+    longest-rule pick is a partial-aggregable max over a (length, rule)
+    struct. The filter composes as an anti-join of the corpus against
+    this output. MEASURED ceiling (BENCHNOTES round 11,
+    tools/exp_blocklist_scale.py): broadcast wins through ~4M rules
+    (~100 MB); at 16M rules (~400 MB) a FORCED shuffle equi-join
+    (threshold=-1 — the planner keeps picking broadcast past the point
+    it pays) wins 5.8x, and it still only shuffles the short
+    (doc_id, sfx) fan-out rows, never the text."""
     u = spread(_docs(spark, sf_dir)).selectExpr(
         "doc_id", f"{_HOST_SQL} AS host"
     )
@@ -2097,5 +2102,258 @@ def q_dy_blocklist_suffix(spark, sf_dir):
             )["r"].alias("rule")
         )
         .select("doc_id", "host", "rule")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster profile (dedup yield audit)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of functions.text.fingerprint (md5 of normalized text) —
+#: the exact-dedup key every dedup family in operators/dedup.py shuffles.
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+#: Injected-duplicate fixture (the parquet corpus has no exact dups):
+#: every 5th doc gains one copy, every 25th a second — cluster sizes
+#: 1/2/3, deterministic in both engines.
+_DUP_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0 "
+    "UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0"
+)
+
+
+@query(
+    "q_dz_dup_profile",
+    oracle=f"""
+    WITH corpus AS ({_DUP_SQL}),
+    clusters AS (
+      SELECT {_FP_SQL} AS fp,
+             CAST(count(*) AS BIGINT) AS sz,
+             CAST(min(length(text)) AS BIGINT) AS doc_bytes
+      FROM corpus GROUP BY fp)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS docs_removable,
+           CAST(sum((sz - 1) * doc_bytes) AS BIGINT) AS bytes_removable
+    FROM clusters GROUP BY sz ORDER BY cluster_size
+    """,
+)
+def q_dz_dup_profile(spark, sf_dir):
+    """DUPLICATE-CLUSTER PROFILE — the dedup-yield table every corpus
+    dedup paper publishes (Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", public, reports exactly this
+    histogram): group documents by content fingerprint, then report, per
+    cluster size k, how many clusters exist and what removing all but
+    one copy would save (docs and bytes). The decision input for
+    WHETHER to dedup — run before q_ns_dedup_exact, not after. The
+    fixture has no exact duplicates, so deterministic copies are
+    injected (sizes 1/2/3) identically in both engines; the fingerprint
+    is the SAME md5-of-normalized-text every dedup family shuffles
+    (functions/text.py:fingerprint), so this profile predicts exactly
+    what content_dedup would remove.
+
+    Scale shape: one shuffle of 16-byte digests (never text) into
+    fingerprint clusters with partial counts map-side, then a
+    re-aggregation over ~a dozen cluster-size keys. The byte accounting
+    rides min(length(text)) — computed map-side before the digest
+    shuffle, so payload still never moves. 100 TB = the exact-dedup
+    shuffle it prices out, minus the keeper semi-join."""
+    d = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    dups1 = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    dups2 = d.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    corpus = d.unionByName(dups1).unionByName(dups2)
+    clusters = (
+        corpus.select(
+            TXT.fingerprint("text").alias("fp"),
+            F.length("text").cast("bigint").alias("doc_bytes"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("sz"),
+            F.min("doc_bytes").alias("doc_bytes"),
+        )
+    )
+    return (
+        clusters.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("docs_removable"),
+            F.sum((F.col("sz") - 1) * F.col("doc_bytes"))
+            .cast("bigint")
+            .alias("bytes_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ea_source_overlap",
+    oracle=rf"""
+    WITH st AS (
+      SELECT DISTINCT source,
+             unnest({_FF_TOKS_SQL}) AS token
+      FROM documents),
+    vocab AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT s.source_a, s.source_b, va.v AS vocab_a, vb.v AS vocab_b,
+           s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / (va.v + vb.v - s.n_shared), 6) AS jaccard
+    FROM shared s
+    JOIN vocab va ON va.source = s.source_a
+    JOIN vocab vb ON vb.source = s.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_ea_source_overlap(spark, sf_dir):
+    """CROSS-SOURCE VOCABULARY OVERLAP MATRIX — the source-similarity
+    readout a corpus mixing plan starts from (near-identical sources are
+    redundant; disjoint ones add coverage — the analysis behind mixing
+    weights in Gao et al. 2020 "The Pile", public): for every source
+    pair, the shared-vocabulary count and Jaccard over distinct token
+    sets. Exact set arithmetic (counts, not estimates), so the matrix
+    is hash-checkable; the sketch path for very wide source counts is
+    q_zg_kmv_setops on the same keys.
+
+    Scale shape: one distinct over (source, token) — partial map-side,
+    output bounded by vocab x sources, not corpus size — then a
+    token-keyed self-join whose fan-out per token is at most S^2 rows
+    (S = source count, ~20), aggregated straight back down to S^2/2
+    pairs. The corpus text never moves; only (source, token) pairs
+    shuffle once. 100 TB with S sources = the same bounded matrix."""
+    st = (
+        spread(_docs(spark, sf_dir))
+        .select("source", F.explode(TXT.tokens("text")).alias("token"))
+        .distinct()
+    )
+    vocab = st.groupBy("source").agg(F.count("*").cast("bigint").alias("v"))
+    a = st.select(F.col("source").alias("source_a"), "token")
+    b = st.select(F.col("source").alias("source_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    va = vocab.select(
+        F.col("source").alias("source_a"), F.col("v").alias("vocab_a")
+    )
+    vb = vocab.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        shared.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-path prefix blocklist (robots.txt semantics)
+# ---------------------------------------------------------------------------
+
+#: Synthetic path per doc (shared verbatim by both engines) + the rules.
+#: Rules are SEGMENT-BOUNDARY path prefixes: '/src1' blocks everything
+#: under that source; the longer '/src1/page/7' rule overlaps it so the
+#: most-specific (longest) rule selection is part of the value check.
+_PATH_SQL = "'/' || source || '/page/' || (doc_id % 50) || '/v' || (doc_id % 3)"
+PATH_BLOCK_RULES = [
+    "/src1",
+    "/src1/page/7",
+    "/src3/page",
+]
+_PATH_RULES_VALUES = ", ".join(f"('{r}')" for r in PATH_BLOCK_RULES)
+
+#: Segment-boundary prefix fan-out over a ``path`` column (Spark SQL) —
+#: the prefix twin of _HOST_SUFFIXES_EXPR. split('/a/b','/') yields a
+#: leading '' element, so prefixes join elements 2..i+1.
+_PATH_PREFIXES_EXPR = (
+    "transform(sequence(2, size(split(path, '/'))),"
+    " i -> '/' || array_join(slice(split(path, '/'), 2, i - 1), '/'))"
+)
+
+
+@query(
+    "q_eb_path_blocklist",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_PATH_SQL} AS path FROM documents),
+    p AS (SELECT doc_id, path, string_split(path, '/') AS parts FROM u),
+    pfx AS (
+      SELECT doc_id, path,
+             unnest(list_transform(generate_series(2, len(parts)),
+                    i -> '/' || array_to_string(parts[2:i], '/'))) AS pfx
+      FROM p),
+    r(rule) AS (VALUES {_PATH_RULES_VALUES}),
+    hits AS (SELECT doc_id, path, rule FROM pfx JOIN r ON pfx.pfx = r.rule)
+    SELECT doc_id, path, arg_max(rule, length(rule)) AS rule
+    FROM hits GROUP BY doc_id, path ORDER BY doc_id
+    """,
+)
+def q_eb_path_blocklist(spark, sf_dir):
+    """URL-PATH prefix blocklist with robots.txt Disallow semantics —
+    the path twin of the domain-suffix gate (q_dy_blocklist_suffix): a
+    rule for ``/src1/page/7`` must block every URL under that directory
+    on a SEGMENT boundary (never ``/src1/page/71``, which a raw
+    ``startswith`` would also hit), and a blocked doc reports its most
+    specific (longest) matching rule. Together with q_dy this is the
+    full crawl-origin gate: host rules catch domains, path rules catch
+    sections (robots.txt exclusion standard, RFC 9309, public).
+
+    Scale shape: identical to q_dy — prefix fan-out is O(segments) ~ 4
+    short strings per doc, map-side; the rule table broadcasts (the
+    round-11 ceiling experiment in BENCHNOTES bounds how far); the
+    longest-rule pick is a partial-aggregable max over a (length, rule)
+    struct. The filter composes as an anti-join on the output ids."""
+    u = spread(_docs(spark, sf_dir)).selectExpr(
+        "doc_id", f"{_PATH_SQL} AS path"
+    )
+    pfx = u.select(
+        "doc_id",
+        "path",
+        F.explode(F.expr(_PATH_PREFIXES_EXPR)).alias("pfx"),
+    )
+    rules = spark.createDataFrame(
+        [(r,) for r in PATH_BLOCK_RULES], "rule string"
+    )
+    hits = pfx.join(F.broadcast(rules), F.col("pfx") == F.col("rule")).select(
+        "doc_id", "path", "rule"
+    )
+    return (
+        hits.groupBy("doc_id", "path")
+        .agg(
+            F.max(
+                F.struct(F.length("rule").alias("l"), F.col("rule").alias("r"))
+            )["r"].alias("rule")
+        )
+        .select("doc_id", "path", "rule")
         .orderBy("doc_id")
     )

@@ -76,6 +76,12 @@ CHECK_WINDOW: list[str] = [
     "q_bw_pca",
     "q_by_inventory",
     "q_d2_tdigest",
+    # round-11 additions (cap 5), all oracle-backed, checked same-round:
+    "q_dz_dup_profile",
+    "q_ea_source_overlap",
+    "q_eb_path_blocklist",
+    "q_ec_matryoshka_audit",
+    "q_ed_pettitt",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

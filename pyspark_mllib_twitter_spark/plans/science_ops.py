@@ -4105,3 +4105,139 @@ def q_d8_dtw(spark, sf_dir):
         .groupBy("g")
         .applyInPandas(run, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka embedding-truncation audit
+# ---------------------------------------------------------------------------
+
+#: Truncation prefixes audited (full fixture dim = 64). Powers of two —
+#: the dims an MRL-trained model ships (Kusupati et al. 2022, public).
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_cos_sql(d: int) -> str:
+    """Left-fold cosine over the first ``d`` coordinates — the identical
+    double-add order as Spark's F.aggregate (see q_ah_cosine_hist)."""
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {d}),"
+        f" i -> va[i] * vb[i]), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        lambda v: f"sqrt(list_reduce(list_transform(generate_series(1, {d}),"
+        f" i -> {v}[i] * {v}[i]), (acc, x) -> acc + x))"
+    )
+    return f"round({dot} / ({nrm('va')} * {nrm('vb')}), 6)"
+
+
+@query(
+    "q_ec_matryoshka_audit",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    raw AS (
+      SELECT a.v AS va, b.v AS vb
+      FROM ev a JOIN ev b ON b.vec_id = a.vec_id + 1),
+    pairs AS (
+      SELECT d,
+             CAST(round(sim_d * 1000000.0) AS BIGINT) AS qd,
+             CAST(round(sim_full * 1000000.0) AS BIGINT) AS qf
+      FROM (
+        SELECT dims.d,
+               CASE dims.d
+                 WHEN 8 THEN {_mrl_cos_sql(8)}
+                 WHEN 16 THEN {_mrl_cos_sql(16)}
+                 WHEN 32 THEN {_mrl_cos_sql(32)}
+                 ELSE {_mrl_cos_sql(64)} END AS sim_d,
+               {_mrl_cos_sql(64)} AS sim_full
+        FROM raw CROSS JOIN (VALUES (8), (16), (32), (64)) dims(d)))
+    SELECT CAST(d AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(qd AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS mean_cos,
+           round(CAST(SUM(CAST(abs(qd - qf) AS DECIMAL(38,0))) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS mean_abs_err,
+           round(CAST(SUM(CASE WHEN (qd >= 0) = (qf >= 0) THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS sign_agree
+    FROM pairs GROUP BY d ORDER BY dim
+    """,
+)
+def q_ec_matryoshka_audit(spark, sf_dir):
+    """MATRYOSHKA TRUNCATION AUDIT — how much neighbor geometry survives
+    when embeddings are truncated to a prefix (the deployment question
+    behind Matryoshka Representation Learning, Kusupati et al. 2022,
+    public: serve dim-8/16 for cheap retrieval, re-rank at full dim):
+    for consecutive-id pairs (the q_ah_cosine_hist pairing), the cosine
+    at each prefix dim vs the full-dim cosine — mean cosine, mean
+    absolute error, and the sign-agreement rate (does truncation flip
+    similar/dissimilar?). Errors are computed on the 6dp-QUANTIZED
+    cosines (identical integers in both engines — the same left-fold
+    trick as q_ah), so the audit is hash-checkable.
+
+    Scale shape: the consecutive-id pairing is a co-partitioned
+    self-join (no fan-out); all four prefix cosines come from ONE
+    projection over the joined row — the dim axis is a 4-way stack of
+    codegen'd column expressions, not a 4x data explode — and the final
+    aggregate has 4 groups. At 100 TB this is one zipped scan, exactly
+    like the histogram audit it extends."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
+
+    def cos_q(d: int):
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice("va", 1, d), F.slice("vb", 1, d), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731 - local alias
+            F.aggregate(
+                F.transform(F.slice(c, 1, d), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.round(
+            dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6
+        ) * 1000000.0
+
+    joined = a.join(b, "vec_id")
+    quantized = joined.select(
+        *[
+            F.round(cos_q(d)).cast("bigint").alias(f"q{d}")
+            for d in _MRL_DIMS
+        ]
+    )
+    stacked = quantized.selectExpr(
+        "stack(4, "
+        + ", ".join(f"{d}L, q{d}" for d in _MRL_DIMS)
+        + ") AS (dim, qd)",
+        f"q{_MRL_DIMS[-1]} AS qf",
+    )
+    return (
+        stacked.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("qd").cast("decimal(38,0)")).alias("sq"),
+            F.sum(F.abs(F.col("qd") - F.col("qf")).cast("decimal(38,0)")).alias(
+                "serr"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("qd") >= 0) == (F.col("qf") >= 0), 1
+                ).otherwise(0)
+            ).alias("agree"),
+        )
+        .selectExpr(
+            "dim",
+            "n_pairs",
+            "round(CAST(sq AS DOUBLE) / n_pairs / 1000000.0, 6) AS mean_cos",
+            "round(CAST(serr AS DOUBLE) / n_pairs / 1000000.0, 6)"
+            " AS mean_abs_err",
+            "round(CAST(agree AS DOUBLE) / n_pairs, 6) AS sign_agree",
+        )
+        .orderBy("dim")
+    )

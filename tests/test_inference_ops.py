@@ -361,3 +361,60 @@ def test_ks_matches_scipy_style_recompute(spark, sf_smoke):
     assert r.na == len(a) and r.nb == len(b)
     assert abs(r.ks_d - round(d, 6)) < 1e-9
     assert 0 <= r.ks_d <= 1
+
+
+# ---------------------------------------------------------------------------
+# Pettitt change-point (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_pettitt_matches_bruteforce_pair_sum(spark):
+    """q_ed's midrank identity vs the definitional double sum
+    U_t = sum_{i<=t} sum_{j>t} sgn(x_j - x_i), on the real fixture series:
+    recompute every U_t in pure Python from the daily counts (ties
+    included) and check K, the change day, and the signed U there."""
+    sf = "/root/testdata/sf0.001"
+    import collections
+
+    from pyspark.sql import functions as F  # noqa: F811 - local use
+
+    daily = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        )
+        .count()
+        .collect()
+    )
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["count"]))
+    expected = {}
+    for et, pts in series.items():
+        pts.sort()
+        xs = [v for _, v in pts]
+        n = len(xs)
+        best = None  # (K, day, u)
+        for t in range(1, n):
+            u = sum(
+                (xs[j] > xs[i]) - (xs[j] < xs[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            k = abs(u)
+            if best is None or k > best[0]:
+                best = (k, pts[t - 1][0], u)
+        p = min(1.0, 2.0 * math.exp(-6.0 * best[0] ** 2 / (n**3 + n**2)))
+        expected[et] = (n, best[1], best[2], best[0], round(p, 6))
+    got = {
+        r["event_type"]: (
+            r["n_days"],
+            r["change_day"],
+            r["u_at_change"],
+            r["k_stat"],
+            r["p_approx"],
+        )
+        for r in REGISTRY["q_ed_pettitt"].spark(spark, sf).collect()
+    }
+    assert got == expected

@@ -523,3 +523,90 @@ def test_privacy_release_gate_composition(spark):
     assert row["pre"] > 0, "phones/IPs must survive the scrub to here"
     assert row["post"] == 0, "detection after redaction must be zero"
     assert row["dchars"] > 0  # redaction provably shortened the corpus
+
+
+def test_dup_profile_accounts_for_injected_copies(spark):
+    """q_dz: with the deterministic 1/2/3-copy injection, the profile's
+    totals must equal the injection arithmetic exactly: every 5th doc
+    gains a copy, every 25th a second, and removable docs equal the
+    number of injected rows (dedup would restore the original corpus)."""
+    rows = {
+        r["cluster_size"]: r
+        for r in REGISTRY["q_dz_dup_profile"].spark(spark, SF).collect()
+    }
+    n0 = spark.read.parquet(f"{SF}/documents.parquet").count()
+    n5 = sum(1 for i in range(n0) if i % 5 == 0)
+    n25 = sum(1 for i in range(n0) if i % 25 == 0)
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["n_clusters"] == n25
+    assert rows[2]["n_clusters"] == n5 - n25
+    assert rows[1]["n_clusters"] == n0 - n5
+    total_removable = sum(r["docs_removable"] for r in rows.values())
+    assert total_removable == n5 + n25  # exactly the injected rows
+    for r in rows.values():
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["bytes_removable"] >= r["docs_removable"]  # docs non-empty
+
+
+def test_source_overlap_set_algebra_bounds(spark):
+    """q_ea: every pair's shared count obeys set algebra against the
+    per-source vocabularies, jaccard matches the counts, and the matrix
+    covers every unordered source pair exactly once."""
+    rows = REGISTRY["q_ea_source_overlap"].spark(spark, SF).collect()
+    sources = {
+        r["source"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert len(rows) == len(sources) * (len(sources) - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_shared"] <= min(r["vocab_a"], r["vocab_b"])
+        union = r["vocab_a"] + r["vocab_b"] - r["n_shared"]
+        assert abs(r["jaccard"] - r["n_shared"] / union) < 1e-6
+
+
+def test_path_blocklist_segment_boundary(spark):
+    """q_eb's prefix semantics on adversarial paths: '/src1' must block
+    '/src1/page/3/v0' but NEVER '/src1x/...' (raw startswith would);
+    overlapping rules resolve to the longest (most specific)."""
+    from pyspark_mllib_twitter_spark.plans.pipeline_ops import (
+        _PATH_PREFIXES_EXPR,
+        PATH_BLOCK_RULES,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "/src1/page/3/v0"),     # blocked by /src1
+            (2, "/src1x/page/3/v0"),    # NOT blocked (segment boundary)
+            (3, "/src1/page/7/v2"),     # blocked; longest = /src1/page/7
+            (4, "/src3/page/9/v1"),     # blocked by /src3/page
+            (5, "/src2/page/9/v1"),     # clean
+            (6, "/src1"),               # exact rule-length path
+        ],
+        "doc_id long, path string",
+    )
+    pfx = docs.select(
+        "doc_id", F.explode(F.expr(_PATH_PREFIXES_EXPR)).alias("pfx")
+    )
+    rules = spark.createDataFrame(
+        [(r,) for r in PATH_BLOCK_RULES], "rule string"
+    )
+    hits = (
+        pfx.join(F.broadcast(rules), F.col("pfx") == F.col("rule"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.length("rule").alias("l"), F.col("rule").alias("r"))
+            )["r"].alias("rule")
+        )
+    )
+    got = {r["doc_id"]: r["rule"] for r in hits.collect()}
+    assert got == {
+        1: "/src1",
+        3: "/src1/page/7",
+        4: "/src3/page",
+        6: "/src1",
+    }

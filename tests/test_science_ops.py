@@ -871,3 +871,26 @@ def test_dtw_registry_entry_runs_and_is_deterministic(spark, sf_smoke):
     assert row.n_a > 0 and row.n_b > 0
     assert row.dtw_distance >= 0.0
     assert row.path_len >= max(row.n_a, row.n_b)
+
+
+def test_matryoshka_full_dim_is_exact_and_errors_shrink(spark):
+    """q_ec: the full-dim row is its own reference (zero error, total
+    sign agreement), truncation error at 32 dims is no worse than at 8
+    (MRL monotonicity holds in aggregate on any fixture), and every
+    mean cosine stays in [-1, 1]."""
+    rows = {
+        r["dim"]: r
+        for r in REGISTRY["q_ec_matryoshka_audit"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    full = rows[64]
+    assert full["mean_abs_err"] == 0.0
+    assert full["sign_agree"] == 1.0
+    assert rows[32]["mean_abs_err"] <= rows[8]["mean_abs_err"]
+    for r in rows.values():
+        assert -1.0 <= r["mean_cos"] <= 1.0
+        assert 0.0 <= r["sign_agree"] <= 1.0
+        n = r["n_pairs"]
+        assert n == rows[64]["n_pairs"] > 0
