@@ -607,3 +607,63 @@ def test_length_bucket_function_integer_exact():
     for n in list(range(1, 300)) + [2**k + d for k in range(4, 20) for d in (-1, 0, 1)]:
         expect = max(16, 2 ** math.ceil(math.log2(n))) if n > 1 else 16
         assert bucket(n) == expect, (n, bucket(n), expect)
+
+
+def test_path_blocklist_broadcasts_rules(spark):
+    """q_eb: same contract as its q_dy host twin — rules broadcast
+    (map-only probe), the only hash exchange is the per-doc
+    longest-rule aggregation."""
+    import re
+
+    plan = _plan(spark, "q_eb_path_blocklist")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("doc_id" in h for h in hashes), hashes
+
+
+def test_dup_profile_shuffles_digests_not_text(spark):
+    """q_dz: the fingerprint cluster shuffle must carry (fp, doc_bytes)
+    only — the text column is consumed map-side by md5/length and never
+    rides an exchange."""
+    import re
+
+    plan = _plan(spark, "q_dz_dup_profile")
+    for h in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in h, h
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "lang" not in scan and "source" not in scan  # pruned
+
+
+def test_source_overlap_broadcasts_vocab_frames(spark):
+    """q_ea: the two per-source vocabulary frames (~S rows) must
+    broadcast onto the pair matrix — the only sort-merge-free shuffles
+    are the (source, token) distinct and the token-keyed pair join."""
+    plan = _plan(spark, "q_ea_source_overlap")
+    assert plan.count("BroadcastHashJoin") >= 2
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "text" in scan and "source" in scan
+    assert "n_chars" not in scan and "lang" not in scan
+
+
+def test_matryoshka_single_pair_join_no_explode(spark):
+    """q_ec: one co-partitioned pair join; the 4-dim axis is a column
+    stack (generate/expand), never a row explode of the vectors, and no
+    dim ever joins back — exactly one join node in the whole plan."""
+    plan = _plan(spark, "q_ec_matryoshka_audit")
+    assert plan.count("Join") == 1, plan.count("Join")
+    assert "CartesianProduct" not in plan
+
+
+def test_pettitt_windows_partition_by_event_type(spark):
+    """q_ed: every window/sort below the daily rollup must be
+    partitioned by event_type — no global single-partition sort over
+    the series (the calendar-bounded grain stays distributed)."""
+    import re
+
+    plan = _plan(spark, "q_ed_pettitt")
+    assert "windowspecdefinition(event_type" in plan
+    # no single-partition exchange anywhere
+    assert "SinglePartition" not in plan, re.findall(
+        r"Exchange [^\n]*", plan
+    )
