@@ -173,3 +173,33 @@ def test_semantic_dedup_tiny_and_empty_corpus(spark):
     empty = tiny.filter("vec_id < 0")
     assert semantic_dedup_pairs(empty).count() == 0
     assert semantic_dedup(empty).count() == 0
+
+
+def test_bench_suite_order_batch_then_streaming():
+    """bench._suite_order (round-11 verdict task 3): every streaming
+    entry runs after every batch entry, nothing is lost or duplicated,
+    and relative order within each block stays sorted."""
+    import bench
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.registry import base_name
+
+    names = sorted(REGISTRY)
+    ordered = bench._suite_order(names, base_name)
+    assert sorted(ordered) == names
+
+    def is_stream(n):
+        b = base_name(n)
+        return b.startswith("q_stream_") or b in (
+            "q_s3_pystream",
+            "q_s5_pystream_sink",
+        )
+
+    flags = [is_stream(n) for n in ordered]
+    first_stream = flags.index(True)
+    assert all(flags[first_stream:]), "a batch entry ran inside the streaming tail"
+    assert not any(flags[:first_stream])
+    batch, stream = ordered[:first_stream], ordered[first_stream:]
+    assert batch == sorted(batch) and stream == sorted(stream)
+    # the five warmed heavy entries are all batch-side
+    for w in bench.WARMED_SINGLE_RUN:
+        assert not is_stream(w)
