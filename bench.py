@@ -296,7 +296,7 @@ def main() -> int:
     for name in names:
         spec = REGISTRY[name]
         warmed = base_name(name) in WARMED_SINGLE_RUN
-        if warmed or base_name(name) in gc_before:
+        if not warmed and base_name(name) in gc_before:
             try:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
@@ -309,8 +309,16 @@ def main() -> int:
             runs = 1 if base_name(name) in SINGLE_RUN else args.runs
         samples = []
         try:
-            if warmed:  # untimed steady-state run; see WARMED_SINGLE_RUN
+            if warmed:
+                # Untimed steady-state run, then a forced GC so the timed
+                # run doesn't pay to collect the warm-up's own dead
+                # broadcasts/shuffle state (q_b3 read 43s in-suite with the
+                # GC before the warm-up; see WARMED_SINGLE_RUN).
                 _execute(spec.spark(spark, sf_dir))
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
             for _ in range(runs):
                 t0 = time.perf_counter()
                 _execute(spec.spark(spark, sf_dir))
