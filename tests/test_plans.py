@@ -667,3 +667,36 @@ def test_pettitt_windows_partition_by_event_type(spark):
     assert "SinglePartition" not in plan, re.findall(
         r"Exchange [^\n]*", plan
     )
+
+
+def test_survey_status_table_structurally_synced():
+    """SURVEY §2.12's generated status table (round-11 verdict task 6)
+    must name EVERY live registry entry and nothing else — catching a
+    forgotten `tools/ledger.py --survey-table` regeneration after
+    registering operators. Statuses may lag a round (the driver's
+    CORRECTNESS file lands after the table is generated), so only the
+    row SET is asserted, not the per-row status."""
+    import os
+    import re
+
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+    from pyspark_mllib_twitter_spark.plans.registry import base_name
+    from pyspark_mllib_twitter_spark.plans.streaming_queries import CAPABILITIES
+
+    survey = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SURVEY.md",
+        ),
+        encoding="utf-8",
+    ).read()
+    start = survey.index("| entry | check |")
+    block = survey[start:].split("\n\n")[0]
+    table_rows = set(re.findall(r"^\| (q_\w+) \|", block, re.MULTILINE))
+    live = {base_name(n) for n in REGISTRY}
+    if not CAPABILITIES["transform_with_state"]:
+        live |= {"q_stream_tws", "q_stream_tws_timers"}  # doc'd container
+    assert table_rows == live, (
+        f"missing from table: {sorted(live - table_rows)}; "
+        f"stale rows: {sorted(table_rows - live)}"
+    )
