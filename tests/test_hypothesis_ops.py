@@ -393,3 +393,53 @@ def test_sessionize_equals_python_spec(spark, tmp_path_factory, ev):
         for uid, ss in by_user.items()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=5), min_size=2, max_size=40)
+)
+def test_pettitt_midrank_identity_any_series(spark, xs):
+    """q_ed's U_t identity — U_t = t(n+1) - sum of doubled midranks up to
+    t — must equal the definitional double sum sgn(x_j - x_i) on ANY
+    integer series, including heavy ties and constant runs (the value
+    range [0,5] forces ties constantly). Pure column algebra, evaluated
+    through the same Spark expressions the query uses."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = len(xs)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "t_idx long, v long"
+    )
+    by_t = Window.orderBy("t_idx")
+    by_v = Window.orderBy("v")
+    ranked = df.select(
+        "t_idx",
+        (F.row_number().over(by_t)).alias("t"),
+        (
+            2 * F.rank().over(by_v)
+            + F.count("*").over(Window.partitionBy("v"))
+            - 1
+        ).alias("dr"),
+    )
+    got = {
+        r["t"]: r["u"]
+        for r in ranked.select(
+            "t",
+            (
+                F.col("t") * (n + 1)
+                - F.sum("dr").over(
+                    by_t.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("u"),
+        ).collect()
+        if r["t"] < n
+    }
+    for t in range(1, n):
+        expect = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(t)
+            for j in range(t, n)
+        )
+        assert got[t] == expect, (t, xs)

@@ -610,3 +610,29 @@ def test_path_blocklist_segment_boundary(spark):
         4: "/src3/page",
         6: "/src1",
     }
+
+
+def test_dup_profile_predicts_content_dedup_exactly(spark):
+    """q_dz's removable-docs accounting must equal what content_dedup
+    actually removes on the identical injected corpus — the profile is
+    the PRICE QUOTE for the dedup operator, so the two must agree to
+    the row."""
+    from pyspark_mllib_twitter_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dups1 = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    dups2 = docs.filter(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    corpus = docs.unionByName(dups1).unionByName(dups2)
+    n_corpus = corpus.count()
+    n_kept = D.content_dedup(corpus).count()
+    removable = sum(
+        r["docs_removable"]
+        for r in REGISTRY["q_dz_dup_profile"].spark(spark, SF).collect()
+    )
+    assert n_corpus - n_kept == removable
