@@ -2236,12 +2236,18 @@ def q_ea_source_overlap(spark, sf_dir):
     output bounded by vocab x sources, not corpus size — then a
     token-keyed self-join whose fan-out per token is at most S^2 rows
     (S = source count, ~20), aggregated straight back down to S^2/2
-    pairs. The corpus text never moves; only (source, token) pairs
-    shuffle once. 100 TB with S sources = the same bounded matrix."""
+    pairs. The distinct frame is localCheckpoint-PINNED (the q_yj/q_cz
+    idiom): four consumers (vocab x2, join sides x2) would otherwise
+    each re-run the corpus scan (measured: 4 parquet scans, zero
+    exchange reuse — the consumers' partitionings differ, so Catalyst
+    cannot dedupe them), and the pinned frame is executor-storage
+    bounded (vocab x S short rows), never driver-collected. 100 TB =
+    ONE corpus scan + the bounded matrix."""
     st = (
         spread(_docs(spark, sf_dir))
         .select("source", F.explode(TXT.tokens("text")).alias("token"))
         .distinct()
+        .localCheckpoint()
     )
     vocab = st.groupBy("source").agg(F.count("*").cast("bigint").alias("v"))
     a = st.select(F.col("source").alias("source_a"), "token")

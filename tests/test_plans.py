@@ -637,13 +637,13 @@ def test_dup_profile_shuffles_digests_not_text(spark):
 
 def test_source_overlap_broadcasts_vocab_frames(spark):
     """q_ea: the two per-source vocabulary frames (~S rows) must
-    broadcast onto the pair matrix — the only sort-merge-free shuffles
-    are the (source, token) distinct and the token-keyed pair join."""
+    broadcast onto the pair matrix, and the (source, token) distinct is
+    localCheckpoint-pinned so its four consumers share ONE corpus scan
+    (unpinned, the plan re-ran the parquet scan four times)."""
     plan = _plan(spark, "q_ea_source_overlap")
     assert plan.count("BroadcastHashJoin") >= 2
-    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
-    assert "text" in scan and "source" in scan
-    assert "n_chars" not in scan and "lang" not in scan
+    assert "Scan ExistingRDD" in plan  # checkpoint-pinned distinct
+    assert "Scan parquet" not in plan  # no consumer re-scans the corpus
 
 
 def test_matryoshka_single_pair_join_no_explode(spark):
