@@ -21,13 +21,23 @@ from . import lexical_ops  # noqa: E402,F401
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides
 # into the externally-checked block. Hard error, not an assert: the guard
-# must survive python -O.
+# must survive python -O. Capability-gated entries (the TWS pair registers
+# only where google.protobuf exists) are exempt when their capability is
+# absent — pinning them into a window must not make the whole package
+# unimportable on a host that legitimately cannot register them.
 from .registry import CHECK_WINDOW, public_name  # noqa: E402
 
-_missing = [b for b in CHECK_WINDOW if public_name(b) not in REGISTRY]
+_gated = (
+    set()
+    if streaming_queries.CAPABILITIES["transform_with_state"]
+    else {"q_stream_tws", "q_stream_tws_timers"}
+)
+_missing = [
+    b for b in CHECK_WINDOW if public_name(b) not in REGISTRY and b not in _gated
+]
 if _missing:
     raise ValueError(f"CHECK_WINDOW names without a registration: {_missing}")
-del _missing
+del _missing, _gated
 
 __all__ = [
     "REGISTRY", "QuerySpec", "query",

@@ -2077,10 +2077,13 @@ def q_dy_blocklist_suffix(spark, sf_dir):
     longest-rule pick is a partial-aggregable max over a (length, rule)
     struct. The filter composes as an anti-join of the corpus against
     this output. MEASURED ceiling (BENCHNOTES round 11,
-    tools/exp_blocklist_scale.py): broadcast wins through ~4M rules
-    (~100 MB); at 16M rules (~400 MB) a FORCED shuffle equi-join
-    (threshold=-1 — the planner keeps picking broadcast past the point
-    it pays) wins 5.8x, and it still only shuffles the short
+    tools/exp_blocklist_scale.py, warm medians): the rules-broadcast is
+    rule-count-flat through ~1M rules, build-dominated past that (3.0s
+    at 4M/~100 MB, 11.3s at 16M/~400 MB vs 0.7-1.6s for the forced
+    shuffle). Past the ceiling, FORCE the shuffle (threshold=-1 or a
+    MERGE hint) — left alone the planner flips the broadcast to the
+    corpus fan-out side, which only works when the probe side is small
+    and never at 100 TB; the forced shuffle still moves only the short
     (doc_id, sfx) fan-out rows, never the text."""
     u = spread(_docs(spark, sf_dir)).selectExpr(
         "doc_id", f"{_HOST_SQL} AS host"

@@ -108,35 +108,18 @@ def main() -> int:
     if args.skip_slow:
         names = [n for n in names if base_name(n) not in SLOW]
 
-    def reset_session(done: int) -> None:
-        """Harness hygiene between queries (NOT a session conf — the
-        session stays vanilla): a full-registry sweep accumulates cached
-        RDDs, memory-sink views, and dead broadcasts that a default-heap
-        vanilla driver cannot absorb for 380+ queries — round 11 measured
-        a Java-heap OOM at query ~377 (the pair-heavy Theil-Sen) that
-        then failed the 11 queries behind it on a dead gateway."""
-        for q in spark.streams.active:
-            try:
-                q.stop()
-            except Exception:
-                pass
-        spark.catalog.clearCache()
-        try:
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
-        except Exception:
-            pass
-        for table in spark.catalog.listTables():
-            if table.isTemporary and table.name.startswith("mem_"):
-                spark.catalog.dropTempView(table.name)
-        if done % 10 == 0:
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
+    # Harness hygiene between queries (NOT a session conf — the session
+    # stays vanilla): a full-registry sweep accumulates cached RDDs,
+    # memory-sink views, and dead broadcasts that a default-heap vanilla
+    # driver cannot absorb for 380+ queries — round 11 measured a
+    # Java-heap OOM at query ~377 (the pair-heavy Theil-Sen) that then
+    # failed the 11 queries behind it on a dead gateway. Reuse bench's
+    # _reset_session_state (same measured rationale, incl. the amortized
+    # every-10-queries GC) rather than re-implementing it here.
+    from bench import _reset_session_state as reset_session
 
     failures: list[str] = []
-    for done, name in enumerate(names, start=1):
+    for name in names:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -162,9 +145,9 @@ def main() -> int:
         except Exception:
             failures.append(name)
             print(f"FAIL {name}\n{traceback.format_exc()}", flush=True)
-            reset_session(done)
+            reset_session(spark)
             continue
-        reset_session(done)
+        reset_session(spark)
         base = base_name(name)
         alias = f" ({base})" if base != name else ""
         print(
