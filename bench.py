@@ -106,7 +106,8 @@ WARMED_SINGLE_RUN = {
 
 
 def _suite_order(names: list[str], base_name) -> list[str]:
-    """Batch queries first (sorted), streaming entries last (sorted).
+    """Warmed heavy entries first (sorted), then the batch block
+    (sorted), streaming entries last (sorted).
 
     Plain ``sorted(REGISTRY)`` interleaves the streaming block into the
     middle of the batch alphabet (q_stream_* sorts before q_udf/q_w/q_x/
@@ -115,15 +116,24 @@ def _suite_order(names: list[str], base_name) -> list[str]:
     the main source of the 2-3.4x in-suite swings on q_yr/q_bf/q_b3
     (round-10 verdict task #3). Streaming last keeps the batch numbers
     clean and the streaming numbers unchanged (they are protocol-bound,
-    not heap-bound)."""
+    not heap-bound). The WARMED_SINGLE_RUN entries additionally run
+    FIRST, on a quiet post-warm-up heap: measured round 11, warm-up +
+    GC alone left q_b3_containment_join at 35s in its alphabetical slot
+    (behind the iterative/applyInPandas heavies) vs 11.7-14.5s solo —
+    a quiet deterministic slot is the fix the in-place GC isn't."""
 
     def is_streaming(n: str) -> bool:
         b = base_name(n)
         return b.startswith("q_stream_") or b in ("q_s3_pystream", "q_s5_pystream_sink")
 
-    return [n for n in names if not is_streaming(n)] + [
-        n for n in names if is_streaming(n)
-    ]
+    def is_warmed(n: str) -> bool:
+        return base_name(n) in WARMED_SINGLE_RUN
+
+    return (
+        [n for n in names if is_warmed(n)]
+        + [n for n in names if not is_warmed(n) and not is_streaming(n)]
+        + [n for n in names if is_streaming(n)]
+    )
 
 
 def _sf_from_dir(sf_dir: str) -> float:

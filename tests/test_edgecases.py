@@ -198,8 +198,16 @@ def test_bench_suite_order_batch_then_streaming():
     first_stream = flags.index(True)
     assert all(flags[first_stream:]), "a batch entry ran inside the streaming tail"
     assert not any(flags[:first_stream])
-    batch, stream = ordered[:first_stream], ordered[first_stream:]
+    # warmed heavy entries lead the suite (quiet-heap slot), each block
+    # internally sorted
+    n_warm = len(bench.WARMED_SINGLE_RUN)
+    warm, batch, stream = (
+        ordered[:n_warm],
+        ordered[n_warm:first_stream],
+        ordered[first_stream:],
+    )
+    assert {base_name(n) for n in warm} == bench.WARMED_SINGLE_RUN
+    assert warm == sorted(warm)
     assert batch == sorted(batch) and stream == sorted(stream)
-    # the five warmed heavy entries are all batch-side
     for w in bench.WARMED_SINGLE_RUN:
         assert not is_stream(w)
