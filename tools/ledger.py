@@ -105,7 +105,21 @@ def main() -> None:
 
     if "--window" in sys.argv:
         suggestion = (never_oracle + never_rowsonly)[:50]
-        print("\nsuggested CHECK_WINDOW (paste into plans/registry.py):")
+        if not suggestion:
+            # Ledger closed (round 11): every entry has a driver row. The
+            # rotation policy becomes evidence FRESHNESS — re-check the
+            # entries whose last driver row is oldest, oracle-backed
+            # first within each round, registration order as tie-break.
+            reg_pos = {k: i for i, k in enumerate(reg_order)}
+            stale_first = sorted(
+                (k for k in reg_order if k in ledger),
+                key=lambda k: (ledger[k][0], not has_oracle[k], reg_pos[k]),
+            )
+            suggestion = stale_first[:50]
+            print("\nledger CLOSED — suggesting the 50 stalest-evidence "
+                  "entries for re-validation:")
+        else:
+            print("\nsuggested CHECK_WINDOW (paste into plans/registry.py):")
         for n in suggestion:
             print(f'    "{n}",')
 
