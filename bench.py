@@ -91,11 +91,12 @@ SINGLE_RUN = {
 
 #: Heavy batch entries whose in-suite numbers historically swing 2-3.4x from
 #: suite-position/GC noise (r10 driver detail: q_yr 38.5s in-suite vs 17.2s
-#: solo --runs 3, code unchanged). Each gets a forced driver-JVM GC plus ONE
-#: untimed warm-up execution immediately before its timed run, so the
-#: recorded number reflects the operator at the same steady state the solo
-#: instrument measures (round-10 verdict task #3). Suite cost is neutral:
-#: these were already 1-2 runs; warm-up + 1 timed ~= the old 2 timed.
+#: solo --runs 3, code unchanged). Each runs in a leading quiet slot (see
+#: _suite_order) with ONE untimed warm-up execution, then a forced
+#: driver-JVM GC (collecting the warm-up's own dead broadcasts), then the
+#: single timed run — the same steady state the solo instrument measures
+#: (round-10 verdict task #3). Suite cost is neutral: these were already
+#: 1-2 runs; warm-up + 1 timed ~= the old 2 timed.
 WARMED_SINGLE_RUN = {
     "q_yr_setsim_prefix_join",
     "q_bf_itemcf",
