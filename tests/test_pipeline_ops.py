@@ -636,3 +636,36 @@ def test_dup_profile_predicts_content_dedup_exactly(spark):
         for r in REGISTRY["q_dz_dup_profile"].spark(spark, SF).collect()
     )
     assert n_corpus - n_kept == removable
+
+
+def test_source_overlap_matches_python_sets(spark):
+    """q_ea vs a pure-Python set recomputation (independent of both
+    engines): tokenize every doc with the same whitespace rule, build
+    per-source vocab sets, and compare every pair's counts and 6dp
+    Jaccard."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    vocab: dict[str, set] = {}
+    for r in docs:
+        toks = [t for t in r["text"].lower().strip().split() if t]
+        vocab.setdefault(r["source"], set()).update(toks)
+    expected = {}
+    for a in vocab:
+        for b in vocab:
+            if a < b:
+                shared = len(vocab[a] & vocab[b])
+                expected[(a, b)] = (
+                    len(vocab[a]),
+                    len(vocab[b]),
+                    shared,
+                    round(shared / len(vocab[a] | vocab[b]), 6),
+                )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["vocab_a"],
+            r["vocab_b"],
+            r["n_shared"],
+            r["jaccard"],
+        )
+        for r in REGISTRY["q_ea_source_overlap"].spark(spark, SF).collect()
+    }
+    assert got == expected

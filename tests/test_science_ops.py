@@ -894,3 +894,43 @@ def test_matryoshka_full_dim_is_exact_and_errors_shrink(spark):
         assert 0.0 <= r["sign_agree"] <= 1.0
         n = r["n_pairs"]
         assert n == rows[64]["n_pairs"] > 0
+
+
+def test_matryoshka_matches_numpy_bruteforce(spark):
+    """q_ec vs a NumPy recomputation, independent of both engines: for
+    every consecutive-id pair, cosines at each prefix dim quantized the
+    same way, then the same per-dim aggregates."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    dims = (8, 16, 32, 64)
+    q = {d: [] for d in dims}
+    for vid, va in emb.items():
+        vb = emb.get(vid + 1)
+        if vb is None:
+            continue
+        for d in dims:
+            a, b = va[:d], vb[:d]
+            # left-fold sum order matches float64 np.dot at these sizes
+            # closely enough that the 6dp rounding absorbs it — assert
+            # through the same quantization the query hashes.
+            cos = float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))))
+            q[d].append(int(round(round(cos, 6) * 1_000_000)))
+    expected = {}
+    for d in dims:
+        qd, qf = np.array(q[d]), np.array(q[64])
+        expected[d] = (
+            len(qd),
+            round(qd.sum() / len(qd) / 1e6, 6),
+            round(np.abs(qd - qf).sum() / len(qd) / 1e6, 6),
+            round(float(((qd >= 0) == (qf >= 0)).sum()) / len(qd), 6),
+        )
+    got = {
+        r["dim"]: (r["n_pairs"], r["mean_cos"], r["mean_abs_err"], r["sign_agree"])
+        for r in REGISTRY["q_ec_matryoshka_audit"].spark(spark, sf).collect()
+    }
+    assert got == expected
