@@ -669,3 +669,67 @@ def test_source_overlap_matches_python_sets(spark):
         for r in REGISTRY["q_ea_source_overlap"].spark(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_release_gate_k_anonymity_stage(spark):
+    """Stage 6 of the composed release gate (round-10 verdict task 4
+    names k-anonymity explicitly): over the documents that survive the
+    full gate (scrub -> funnel -> URL dedup -> blocklist), audit the
+    (source, lang, token-length-bucket) quasi-identifier classes with
+    the q_dx threshold and the q_dw bucket function. The audit's class
+    accounting must cover every released row exactly once, and every
+    reported risky class must be genuinely under k."""
+    from pyspark_mllib_twitter_spark.functions import text as TXT
+
+    P = pipeline_ops
+    docs = P._docs(spark, SF)
+    scrubbed = docs.select(
+        "doc_id", "source", "lang",
+        TXT.scrub_text(F.expr(P._PII_SQL)).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+    survivors = P.with_funnel_fail(scrubbed).filter(F.col("fail") == 0)
+    with_canon = survivors.selectExpr(
+        "*", f"{P._RAWURL_SQL} AS raw_url"
+    ).selectExpr("*", f"{P._canon_sql('raw_url')} AS canonical_url")
+    keepers = with_canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = with_canon.join(keepers, ["canonical_url", "doc_id"])
+    hosted = kept.selectExpr("*", f"{P._HOST_SQL} AS host")
+    rules = spark.createDataFrame([(r,) for r in P.BLOCK_RULES], "rule string")
+    blocked = (
+        hosted.select(
+            "doc_id", F.explode(F.expr(P._HOST_SUFFIXES_EXPR)).alias("sfx")
+        )
+        .join(F.broadcast(rules), F.col("sfx") == F.col("rule"))
+        .select("doc_id")
+        .distinct()
+    )
+    released = hosted.join(blocked, "doc_id", "left_anti")
+    n_released = released.count()
+
+    qi = released.select(
+        "source",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        TXT.token_count("text").alias("n"),
+    ).select(
+        "source",
+        "lang",
+        F.when(F.col("n") <= P.MIN_BUCKET, P.MIN_BUCKET)
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))"))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    classes = qi.groupBy("source", "lang", "bucket").agg(
+        F.count("*").alias("class_size")
+    )
+    rows = classes.collect()
+    assert sum(r["class_size"] for r in rows) == n_released
+    risky = [r for r in rows if r["class_size"] < P.K_ANON]
+    for r in risky:
+        assert 0 < r["class_size"] < P.K_ANON
+    # Non-vacuous: the post-gate release set at sf0.001 is small enough
+    # that risky classes must exist (the safe regime is exercised by
+    # q_dx's own oracle run at sf0.01 on the full customer table).
+    assert risky
+    assert n_released > 50  # the gate didn't trivially empty the corpus
