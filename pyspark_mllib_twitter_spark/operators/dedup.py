@@ -281,6 +281,31 @@ def portable_minhash_signatures(
     )
 
 
+def portable_band_keys(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band_key): one LSH band key per (doc, band) from a portable
+    MinHash signature — the band INDEX is folded into the key
+    (``md5(band || '|' || slot values)``) so the banded equi-join needs a
+    single column, which a hash-bucketed PERSISTED index can cluster on
+    (the delta-ingest shape: ``q_ef_minhash_delta_index``). Folding is
+    semantically identical to joining on (band_idx, band_key) separately —
+    md5 collisions across band indexes are negligible — and portable:
+    any ANSI engine reproduces the key bit-for-bit."""
+    r = rows_per_band
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws("|", b.cast("string"), F.slice("sig", b * r + 1, r))
+                ),
+            )
+        ).alias("band_key"),
+    )
+
+
 def minhash_pairs_portable(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -21,17 +21,18 @@ from . import lexical_ops  # noqa: E402,F401
 # Every CHECK_WINDOW base name must correspond to a registered query —
 # otherwise a window slot is silently wasted and an unintended entry slides
 # into the externally-checked block. Hard error, not an assert: the guard
-# must survive python -O. Capability-gated entries (the TWS pair registers
-# only where google.protobuf exists) are exempt when their capability is
-# absent — pinning them into a window must not make the whole package
-# unimportable on a host that legitimately cannot register them.
+# must survive python -O. Capability-gated entries (streaming_queries.
+# GATED_ENTRIES, e.g. the TWS pair registers only where google.protobuf
+# exists) are exempt when their capability is absent — pinning them into a
+# window must not make the whole package unimportable on a host that
+# legitimately cannot register them.
 from .registry import CHECK_WINDOW, public_name  # noqa: E402
 
-_gated = (
-    set()
-    if streaming_queries.CAPABILITIES["transform_with_state"]
-    else {"q_stream_tws", "q_stream_tws_timers"}
-)
+_gated = {
+    name
+    for name, cap in streaming_queries.GATED_ENTRIES.items()
+    if not streaming_queries.CAPABILITIES[cap]
+}
 _missing = [
     b for b in CHECK_WINDOW if public_name(b) not in REGISTRY and b not in _gated
 ]

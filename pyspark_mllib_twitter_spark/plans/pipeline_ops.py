@@ -2366,3 +2366,560 @@ def q_eb_path_blocklist(spark, sf_dir):
         .select("doc_id", "path", "rule")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 curation layer: flag-term gate, incremental fuzzy-dedup index,
+# keep-best dedup, shard planning, release manifest
+# ---------------------------------------------------------------------------
+
+#: Flag-term lexicon (term -> category, severity). The fixture vocabulary is
+#: ~27 words, so the six terms below flag a non-vacuous ~20% token share; a
+#: production lexicon (toxicity / brand-safety word lists, the C4 "bad
+#: words" filter, Raffel et al. 2020 §2.2, public) carries thousands of
+#: terms — below ~100k terms compile into the scan expression as here,
+#: beyond that broadcast-join the lexicon (the q_dy/q_eb shape; the round-11
+#: broadcast ceiling experiment bounds how far that carries).
+FLAG_TERMS: dict[str, tuple[str, int]] = {
+    "hash": ("security", 3),
+    "key": ("security", 3),
+    "slow": ("performance", 2),
+    "fast": ("performance", 2),
+    "big": ("size", 1),
+    "small": ("size", 1),
+}
+
+#: Gate: flagged-token share >= 1/5 of the document's tokens (exact-integer
+#: cross-multiplication, never a float ratio — the q_dt discipline).
+FLAG_GATE_NUM, FLAG_GATE_DEN = 1, 5
+
+_FLAG_ALL_SQL_IN = ", ".join(f"'{t}'" for t in sorted(FLAG_TERMS))
+_FLAG_SEV_SQL_IN = {
+    sev: ", ".join(
+        f"'{t}'" for t in sorted(t for t, (_, s) in FLAG_TERMS.items() if s == sev)
+    )
+    for sev in sorted({s for _, s in FLAG_TERMS.values()})
+}
+
+
+def with_flag_stats(docs):
+    """Adds exact-integer flag statistics to a documents frame: ``n_tok``
+    (whitespace tokens), ``n_flagged`` (token OCCURRENCES matching the
+    FLAG_TERMS lexicon — repeats count: density is the gate input), and
+    ``max_severity`` (worst category present, 0 = clean). Shared by the
+    gate audit (q_ee) and the release manifest (q_ei) so the two can never
+    disagree on flag semantics. Pure JVM array ops — no explode, no join,
+    no shuffle: the lexicon compiles into the scan expression."""
+    toks = TXT.tokens("text")
+
+    # Closure factory, NOT `lambda t, _ts=...:` — PySpark treats a
+    # two-parameter callable as an (element, index) lambda and binds the
+    # second parameter to the array index (the portable_minhash_signatures
+    # trap, operators/dedup.py).
+    def _in_terms(terms: tuple[str, ...]):
+        return lambda t: t.isin(*terms)
+
+    flagged = {
+        sev: F.size(
+            F.filter(
+                toks,
+                _in_terms(tuple(t for t, (_, s) in FLAG_TERMS.items() if s == sev)),
+            )
+        ).cast("bigint")
+        for sev in sorted({s for _, s in FLAG_TERMS.values()}, reverse=True)
+    }
+    max_sev = F.lit(0).cast("bigint")
+    for sev in sorted(flagged):  # ascending: later (higher) WHEN wins
+        max_sev = F.when(flagged[sev] > 0, F.lit(sev).cast("bigint")).otherwise(
+            max_sev
+        )
+    n_flagged = sum(flagged.values())
+    return docs.withColumns(
+        {
+            "n_tok": F.size(toks).cast("bigint"),
+            "n_flagged": n_flagged.cast("bigint"),
+            "max_severity": max_sev,
+        }
+    )
+
+
+_FLAG_STATS_SQL = f"""
+      SELECT *,
+             CAST(len({_FF_TOKS_SQL}) AS BIGINT) AS n_tok,
+             CAST({" + ".join(
+                 f"len(list_filter({_FF_TOKS_SQL}, t -> t IN ({terms})))"
+                 for terms in _FLAG_SEV_SQL_IN.values()
+             )} AS BIGINT) AS n_flagged,
+             CAST({"".join(
+                 f"CASE WHEN len(list_filter({_FF_TOKS_SQL}, t -> t IN ({terms}))) > 0 THEN {sev} ELSE "
+                 for sev, terms in sorted(_FLAG_SEV_SQL_IN.items(), reverse=True)
+             )}0{" END" * len(_FLAG_SEV_SQL_IN)} AS BIGINT) AS max_severity
+"""
+
+
+@query(
+    "q_ee_flag_term_gate",
+    oracle=f"""
+    WITH t AS ({_FLAG_STATS_SQL} FROM documents)
+    SELECT doc_id, n_tok, n_flagged, max_severity,
+           CAST(n_flagged * {FLAG_GATE_DEN} >= n_tok * {FLAG_GATE_NUM}
+                AS BIGINT) AS gated
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_ee_flag_term_gate(spark, sf_dir):
+    """FLAG-TERM DENSITY GATE — the lexicon-based content filter every
+    production corpus runs (C4 removed any page containing a "bad words"
+    list term, Raffel et al. 2020 §2.2, public; density variants gate on
+    flagged-token share instead of any-hit so a single quoted word does
+    not nuke a clean document). Per document: token count, flagged-token
+    OCCURRENCES (repeats count — density is the signal), worst category
+    severity present, and the gate decision at share >= 1/5 via
+    exact-integer cross-multiplication, so both engines make identical
+    keep/drop calls with zero float comparisons. Composes with
+    q_dt_filter_funnel as one more charged stage (q_ei_release_manifest
+    does exactly that composition).
+
+    Scale shape: the lexicon compiles into the scan expression (array
+    filter + IN over six terms) — map-only, no explode, no join, no
+    shuffle; output is doc-grain. 100 TB = one scan. A 100k+-term
+    lexicon switches to a broadcast token join (the q_dy shape)."""
+    return (
+        with_flag_stats(spread(_docs(spark, sf_dir)))
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_flagged",
+            "max_severity",
+            (
+                F.col("n_flagged") * FLAG_GATE_DEN
+                >= F.col("n_tok") * FLAG_GATE_NUM
+            )
+            .cast("bigint")
+            .alias("gated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Delta-ingest fixture for the incremental MinHash index: every 11th lake
+#: document arrives again in the next crawl with a 3-token header prepended
+#: (page chrome changed, body identical) under a fresh id — 3-gram Jaccard
+#: vs its origin ~ |G|/(|G|+5) >> 0.5, so the banded probe must find it.
+DELTA_MOD = 11
+DELTA_ID_OFFSET = 500_000
+DELTA_PREFIX = "delta revision marker "
+
+#: Portable-MinHash CTE chain over an arbitrary corpus CTE (3-gram
+#: shingles, 16 hashes via quartered md5, 4 bands FOLDED into one key —
+#: must mirror operators.dedup.portable_shingles/portable_minhash_signatures/
+#: portable_band_keys exactly; the folded band key is value-tested against
+#: Spark in tests and by this entry's hash check).
+def _mh_band_ctes(prefix: str, corpus: str) -> str:
+    return rf"""
+    {prefix}g AS (
+      SELECT doc_id, grams FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM {corpus}))
+      WHERE len(grams) >= 1),
+    {prefix}mh AS (
+      SELECT doc_id, 4 * seed + q AS slot,
+             min(substring(md5(seed::VARCHAR || '|' || gram), q * 8 + 1, 8)) AS v
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM {prefix}g),
+           range(4) h(seed), range(4) qq(q)
+      GROUP BY doc_id, seed, q),
+    {prefix}sig AS (
+      SELECT doc_id, list(v ORDER BY slot) AS sig FROM {prefix}mh GROUP BY doc_id),
+    {prefix}band AS (
+      SELECT doc_id,
+             md5(b.band::VARCHAR || '|' ||
+                 array_to_string(sig[b.band*4+1 : b.band*4+4], '|')) AS band_key
+      FROM {prefix}sig, range(4) b(band))"""
+
+
+@query(
+    "q_ef_minhash_delta_index",
+    oracle=f"""
+    WITH lake AS (SELECT doc_id, text FROM documents),
+    delta AS (
+      SELECT doc_id + {DELTA_ID_OFFSET} AS doc_id,
+             '{DELTA_PREFIX}' || text AS text
+      FROM documents WHERE doc_id % {DELTA_MOD} = 0),
+    {_mh_band_ctes("l", "lake")},
+    {_mh_band_ctes("d", "delta")},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS lake_id, d.doc_id AS delta_id
+      FROM lband l JOIN dband d ON l.band_key = d.band_key),
+    pairs AS (
+      SELECT c.lake_id, c.delta_id,
+             len(list_intersect(gl.grams, gd.grams))::DOUBLE
+               / len(list_distinct(list_concat(gl.grams, gd.grams))) AS jaccard
+      FROM cand c
+      JOIN lg gl ON gl.doc_id = c.lake_id
+      JOIN dg gd ON gd.doc_id = c.delta_id)
+    SELECT lake_id, delta_id, jaccard FROM pairs
+    WHERE jaccard >= 0.5 ORDER BY lake_id, delta_id
+    """,
+)
+def q_ef_minhash_delta_index(spark, sf_dir):
+    """INCREMENTAL FUZZY-DEDUP INDEX — the delta-ingest shape for MinHash
+    (the q_xg pattern applied to NEAR-dup instead of exact-chunk dedup,
+    round-11 verdict's named candidate): the lake's LSH band table —
+    (doc_id, folded band key), portable md5 hashing throughout — is
+    PERSISTED as a hash-bucketed table, and each new crawl batch probes
+    it with a band-key equi-join, then verifies every candidate with the
+    exact shingle-set Jaccard (banding affects recall only, never
+    precision). The fixture's delta batch re-crawls every 11th lake doc
+    with a 3-token header prepended, so true near-dup pairs exist at
+    every sf and the probe's hit set is value-checked end to end (the
+    oracle replays the identical md5 pipeline on both corpora —
+    persistence must not change the answer, the q_xg contract).
+
+    Scale shape: the index write pays the lake's signature scan ONCE per
+    corpus version; the probe shuffles ONLY the delta batch's (id,
+    32-byte key) rows — the index side is read bucket-aligned with no
+    exchange (write_bucketed on band_key, the single join column: band
+    index is FOLDED into the key precisely so the bucket clustering
+    covers the whole join condition). Verification joins move shingle
+    arrays for candidate ids only. At 100 TB the lake index dwarfs any
+    daily batch, so which side re-shuffles is the whole cost model."""
+    import re as _re
+
+    from ..operators import dedup
+    from ..sources.bucketing import write_bucketed
+
+    lake = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    delta = lake.filter(F.col("doc_id") % DELTA_MOD == 0).select(
+        (F.col("doc_id") + DELTA_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(DELTA_PREFIX), F.col("text")).alias("text"),
+    )
+    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3).cache()
+    lake_bands = dedup.portable_band_keys(
+        dedup.portable_minhash_signatures(lake_grams, "doc_id", 16), "doc_id", 4, 4
+    )
+
+    # Persist the lake index (rebuilt each run for determinism; a
+    # production pipeline writes it once per corpus version). Same
+    # drop-table + orphaned-location hygiene as build_chunk_fp_index.
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    table = f"minhash_band_index_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        shutil.rmtree(
+            f"{urlparse(warehouse).path}/{table}", ignore_errors=True
+        )
+    write_bucketed(
+        lake_bands.withColumnRenamed("doc_id", "lake_id"), table, ["band_key"], 8
+    )
+    idx = spark.table(table)
+
+    delta_grams = dedup.portable_shingles(delta, "doc_id", "text", 3).cache()
+    delta_bands = dedup.portable_band_keys(
+        dedup.portable_minhash_signatures(delta_grams, "doc_id", 16), "doc_id", 4, 4
+    ).withColumnRenamed("doc_id", "delta_id")
+    cand = (
+        delta_bands.join(idx, "band_key")
+        .select("lake_id", "delta_id")
+        .distinct()
+    )
+    gl = lake_grams.select(
+        F.col("doc_id").alias("lake_id"), F.col("grams").alias("g_l")
+    )
+    gd = delta_grams.select(
+        F.col("doc_id").alias("delta_id"), F.col("grams").alias("g_d")
+    )
+    jac = F.size(F.array_intersect("g_l", "g_d")) / F.size(
+        F.array_union("g_l", "g_d")
+    )
+    return (
+        cand.join(gl, "lake_id")
+        .join(gd, "delta_id")
+        .select("lake_id", "delta_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("lake_id", "delta_id")
+    )
+
+
+#: Injected exact-duplicate fixture shared by q_eg/q_ei (the corpus has no
+#: exact dups): every 5th doc gains an UPPERCASED copy with a punctuation
+#: tail (same fingerprint — normalization strips case and punctuation —
+#: but LONGER raw text, so keep-best and keep-min-id pick DIFFERENT
+#: survivors: the policy difference is part of the value check), every
+#: 25th a second copy. Copies keep the parent's source/lang/n_chars.
+_KEEPBEST_COPIES_SQL = """
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) || ' !!', lang, source, n_chars
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' ??', lang, source, n_chars
+      FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+def _docs_with_copies(spark, sf_dir):
+    d = spread(_docs(spark, sf_dir)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    c1 = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    c2 = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ??")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return d.unionByName(c1).unionByName(c2)
+
+
+@query(
+    "q_eg_dedup_keep_best",
+    oracle=f"""
+    WITH corpus AS ({_KEEPBEST_COPIES_SQL}),
+    t AS (
+      SELECT doc_id, {_FP_SQL} AS fp,
+             CAST(length(text) AS BIGINT) AS len FROM corpus),
+    c AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_copies,
+             max(len) AS ml, sum(len) AS tot
+      FROM t GROUP BY fp),
+    k AS (
+      SELECT t.fp, min(t.doc_id) AS keep_id
+      FROM t JOIN c ON t.fp = c.fp AND t.len = c.ml GROUP BY t.fp)
+    SELECT k.keep_id, c.n_copies, CAST(c.ml AS BIGINT) AS kept_len,
+           CAST(c.tot - c.ml AS BIGINT) AS bytes_saved
+    FROM k JOIN c ON k.fp = c.fp ORDER BY keep_id
+    """,
+)
+def q_eg_dedup_keep_best(spark, sf_dir):
+    """QUALITY-AWARE DEDUP REPRESENTATIVE SELECTION — keep-BEST instead
+    of keep-min-id: within each exact-duplicate cluster (the same
+    md5-of-normalized-text fingerprint every dedup family shuffles),
+    survive the copy with the MOST raw content (longest raw text; ties
+    break to the lowest id). Production dedup keeps the cleanest/longest
+    copy, not the first-crawled one — boilerplate-stripped or truncated
+    mirrors lose to the full page (the keep policy in RefinedWeb and
+    CCNet, public). The fixture injects uppercased/punctuation-tailed
+    copies (identical fingerprint, longer raw text), so keep-best
+    provably picks a DIFFERENT survivor than q_ns_dedup_exact's
+    keep-min-id on the same clusters. Per cluster: survivor id, copy
+    count, kept length, and bytes removing the losers saves.
+
+    Scale shape: text length is computed map-side; ONE partial-aggregable
+    groupBy over 16-byte digests (count/max/sum + min_by over an
+    exact-integer (−len, id) struct — no window, no sort, no text
+    shuffle). 100 TB = the q_dz digest shuffle with a 3-word-wider row."""
+    t = _docs_with_copies(spark, sf_dir).select(
+        "doc_id",
+        TXT.fingerprint("text").alias("fp"),
+        F.length("text").cast("bigint").alias("len"),
+    )
+    return (
+        t.groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.max("len").alias("kept_len"),
+            (F.sum("len") - F.max("len")).cast("bigint").alias("bytes_saved"),
+            F.min_by(
+                "doc_id",
+                F.struct((-F.col("len")).alias("nl"), F.col("doc_id").alias("i")),
+            ).alias("keep_id"),
+        )
+        .select("keep_id", "n_copies", "kept_len", "bytes_saved")
+        .orderBy("keep_id")
+    )
+
+
+#: Tokens per output shard. Sized to the fixture (docs are 10-99 tokens,
+#: 25 docs/source at sf0.01) so every source fills several shards;
+#: production shards are ~100M-1B tokens.
+SHARD_TOKEN_BUDGET = 400
+
+
+@query(
+    "q_eh_shard_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({_FF_TOKS_SQL}) AS BIGINT) AS n_tok
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS tok_before
+      FROM t)
+    SELECT source,
+           CAST(tok_before // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / {SHARD_TOKEN_BUDGET}, 6) AS fill
+    FROM cum GROUP BY source, shard_idx ORDER BY source, shard_idx
+    """,
+)
+def q_eh_shard_plan(spark, sf_dir):
+    """TRAINING-SHARD PLAN — the physical-layout step between "curated
+    corpus" and "training job": assign documents to fixed-token-budget
+    output shards, sequentially per source in a deterministic order
+    (doc_id), and report each shard's document count, token count, and
+    fill ratio. This is how corpora are actually written for data
+    loaders (WebDataset/TFRecord shard conventions; Megatron's indexed
+    datasets — all public): the trainer needs shards of near-equal token
+    counts for balanced data-parallel reads. A document lands in the
+    shard its CUMULATIVE-tokens-before falls in (sequential fill — the
+    streaming-write semantics), so shard boundaries are exact integers
+    and both engines cut identically; only the final fill ratio is a
+    rounded float.
+
+    Scale shape: one token-count scan (JVM split, map-side), one
+    window per source (single shuffle, exact-integer running sum), one
+    (source, shard) aggregate. At 100 TB the per-source window is the
+    one unavoidable order dependency — it parallelizes across sources
+    (repartitionByRange on the window key) and each source's cumsum is
+    one pass; the shard count output is corpus_tokens/budget rows."""
+    t = spread(_docs(spark, sf_dir)).select(
+        "source", "doc_id", TXT.token_count("text").cast("bigint").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = t.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_before"),
+    )
+    return (
+        cum.groupBy(
+            "source",
+            F.expr(f"tok_before DIV {SHARD_TOKEN_BUDGET}")
+            .cast("bigint")
+            .alias("shard_idx"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / SHARD_TOKEN_BUDGET, 6
+            ).alias("fill"),
+        )
+        .orderBy("source", "shard_idx")
+    )
+
+
+@query(
+    "q_ei_release_manifest",
+    oracle=f"""
+    WITH corpus AS ({_KEEPBEST_COPIES_SQL}),
+    s AS ({_FLAG_STATS_SQL},
+             {_FP_SQL} AS fp,
+             CAST(len(list_distinct({_FF_TOKS_SQL})) AS BIGINT) AS n_dist,
+             CAST(length(regexp_replace(lower(trim(text)), '\\s+', '', 'g'))
+                  AS BIGINT) AS tok_chars,
+             coalesce(lang, '') AS lang_c
+      FROM corpus),
+    f AS (
+      SELECT *,
+             CASE
+               WHEN n_chars NOT BETWEEN 100 AND 520 THEN 1
+               WHEN lang_c NOT IN {FUNNEL_LANGS!r} THEN 2
+               WHEN n_tok < 25 THEN 3
+               WHEN n_dist * 10 < n_tok * 4 THEN 4
+               WHEN tok_chars * 10 NOT BETWEEN n_tok * 42 AND n_tok * 48
+                 THEN 5
+               ELSE 0 END AS fail,
+             CAST(n_flagged * {FLAG_GATE_DEN} >= n_tok * {FLAG_GATE_NUM}
+                  AS BIGINT) AS gated
+      FROM s),
+    k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+    j AS (
+      SELECT f.*, CAST(f.doc_id <> k.keep_id AS BIGINT) AS dup_extra
+      FROM f JOIN k ON f.fp = k.fp)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE fail <> 0) AS BIGINT) AS n_funnel_fail,
+           CAST(sum(dup_extra) AS BIGINT) AS n_dup_extra,
+           CAST(sum(gated) AS BIGINT) AS n_flagged,
+           CAST(count(*) FILTER (WHERE fail = 0 AND dup_extra = 0
+                                   AND gated = 0) AS BIGINT) AS n_released,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE fail = 0 AND dup_extra = 0
+                                              AND gated = 0), 0) AS BIGINT)
+             AS tokens_released
+    FROM j GROUP BY source ORDER BY source
+    """,
+)
+def q_ei_release_manifest(spark, sf_dir):
+    """PER-SOURCE RELEASE MANIFEST — the datasheet table a curated-corpus
+    release ships (Datasheets for Datasets, Gebru et al. 2021; the
+    per-source accounting tables in The Pile and RefinedWeb — all
+    public): for every source, how many documents arrived, how many each
+    gate rejects — the q_dt quality funnel (first-failing-stage
+    semantics via the SHARED with_funnel_fail), exact-dup extras
+    (keep-min-id over the shared fingerprint), the q_ee flag-term
+    density gate (the SHARED with_flag_stats) — and what ships: released
+    docs and released tokens. Gates are counted INDEPENDENTLY (each
+    column is the gate's own hit count) while n_released is their
+    conjunction, so the manifest exposes gate overlap rather than hiding
+    it in sequential attribution (q_dt publishes the sequential view).
+    Uses the same injected-copies corpus as q_eg so the dedup column is
+    non-vacuous.
+
+    Scale shape: every per-doc signal (funnel stats, flag stats,
+    fingerprint) is computed map-side in ONE scan; the only shuffle is
+    the 16-byte-digest keeper aggregation + its back-join (the
+    q_xh min-per-group idiom — no window), then a source-grain
+    aggregate. All output columns are exact integers. 100 TB = one scan
+    + one digest shuffle + a |sources|-row tail."""
+    base = _docs_with_copies(spark, sf_dir)
+    f = with_flag_stats(with_funnel_fail(base)).select(
+        "doc_id",
+        "source",
+        "fail",
+        "n_tok",
+        TXT.fingerprint("text").alias("fp"),
+        (
+            F.col("n_flagged") * FLAG_GATE_DEN >= F.col("n_tok") * FLAG_GATE_NUM
+        )
+        .cast("bigint")
+        .alias("gated"),
+    )
+    keep = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    j = f.join(keep, "fp").withColumn(
+        "dup_extra", (F.col("doc_id") != F.col("keep_id")).cast("bigint")
+    )
+    released = (F.col("fail") == 0) & (F.col("dup_extra") == 0) & (
+        F.col("gated") == 0
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("fail") != 0).cast("int"))
+            .cast("bigint")
+            .alias("n_funnel_fail"),
+            F.sum("dup_extra").cast("bigint").alias("n_dup_extra"),
+            F.sum("gated").cast("bigint").alias("n_flagged"),
+            F.sum(released.cast("int")).cast("bigint").alias("n_released"),
+            F.coalesce(
+                F.sum(F.when(released, F.col("n_tok"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tokens_released"),
+        )
+        .orderBy("source")
+    )

@@ -17,17 +17,15 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-11 window — the FINAL ledger sweep (round-10 verdict task #1):
-every registry entry that has never had a driver CORRECTNESS row, in
-one window — 12 oracle-backed (the 5 round-10 privacy additions
-``q_du``-``q_dy``, the 7 round-8 lexical-statistics stragglers
-``q_dj_woe_iv``, ``q_dm_gumbel``, ``q_dn_dyad_census``, ``q_cr_chao1``,
-``q_cs_heaps``, ``q_ct_burrows``, ``q_dp_dispersion``) plus the 15
-never-checked rows-only entries (they emit ``no_oracle`` driver rows —
-external evidence of registration + execution), plus this round's
-additions (cap <= 5). After this round's CORRECTNESS file lands, every
-entry in the registry has at least one driver row and the cumulative
-ledger (``tools/ledger.py``) closes for the first time.
+Round-12 window — the ledger CLOSED with CORRECTNESS_r11 (388/388
+entries have a driver row, zero ever-bad), so from this round the
+window rotates to the STALEST-evidence entries for re-validation
+(``python tools/ledger.py --window``): the 45 entries whose last
+driver row is oldest — led by the two REFERENCE workloads
+(``q_w1_user_similarity``, ``q_w2_als_recommend``, last checked r1/r2)
+plus the r1-r4 join/grouping/function blocks and the early north-star
+dedup surface — plus this round's 5 additions (cap <= 5), checked
+same-round as in r11.
 """
 
 from __future__ import annotations
@@ -43,45 +41,59 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- FINAL sweep: all 27 never-driver-checked entries + r11 additions --
-    # 12 oracle-backed (5 round-10 privacy + 7 round-8 lexical stragglers):
-    "q_du_pii_redact",
-    "q_dv_url_canonical",
-    "q_dw_length_buckets",
-    "q_dx_k_anonymity",
-    "q_dy_blocklist_suffix",
-    "q_dj_woe_iv",
-    "q_dm_gumbel",
-    "q_dn_dyad_census",
-    "q_cr_chao1",
-    "q_cs_heaps",
-    "q_ct_burrows",
-    "q_dp_dispersion",
-    # 15 rows-only (driver records a no_oracle row — external evidence of
-    # registration + execution for entries whose semantics preclude a
-    # DuckDB twin: sketches, seeded ML, data-dependent float iteration,
-    # non-append streaming):
-    "q_ns_compression_quality",
-    "q_cg_boruvka_mst",
-    "q_stream_tws",
-    "q_stream_tws_timers",
-    "q_ci_huffman",
-    "q_stream_topk",
-    "q_stream_tdigest",
-    "q_xl3_hits",
-    "q_ar_mmr_rerank",
-    "q_az_textrank",
-    "q_cz_lpa",
-    "q_d8_dtw",
-    "q_bw_pca",
-    "q_by_inventory",
-    "q_d2_tdigest",
-    # round-11 additions (cap 5), all oracle-backed, checked same-round:
-    "q_dz_dup_profile",
-    "q_ea_source_overlap",
-    "q_eb_path_blocklist",
-    "q_ec_matryoshka_audit",
-    "q_ed_pettitt",
+    # -- stalest-evidence rotation (tools/ledger.py --window, r12): the 45
+    # entries with the oldest last driver row, reference workloads first --
+    "q_ns_ann_pq",
+    "q_w1_user_similarity",
+    "q_w2_als_recommend",
+    "q_stream_stateful",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_j_inner",
+    "q_j_outer",
+    "q_j_semi",
+    "q_j_anti",
+    "q_j_theta",
+    "q_j_range",
+    "q_g1_rollup",
+    "q_g2_cube",
+    "q_g3_pivot",
+    "q_j_overlap",
+    "q_f_string",
+    "q_f_date",
+    "q_f_math",
+    "q_f_array",
+    "q_f_hof",
+    "q_f_explode",
+    "q_e2e_w2pairs",
+    "q_j_skew_salted",
+    "q_f_bitwise",
+    "q_ns_fingerprint",
+    "q_ns_dedup_exact",
+    "q_ns_jaccard_pairs",
+    "q_ns_knn_exact",
+    "q_x1_chunk_docs",
+    "q_x2_pack_sequences",
+    "q_x3_contamination",
+    "q_x4_mix_sources",
+    "q_x5_tfidf_topterms",
+    "q_x6_cc_clusters",
+    "q_x7_pack_greedy",
+    "q_x8_repetition",
+    "q_x9_lm_score",
+    "q_xa_split_holdout",
+    "q_xb_boilerplate",
+    "q_xd_incremental_dedup",
+    "q_ns_emb_neardup",
+    "q_ns_dedup_minhash",
+    "q_ns_dedup_simhash",
+    "q_ns_multimodal",
+    # round-12 additions (cap 5), all oracle-backed, checked same-round:
+    "q_ee_flag_term_gate",
+    "q_ef_minhash_delta_index",
+    "q_eg_dedup_keep_best",
+    "q_eh_shard_plan",
+    "q_ei_release_manifest",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

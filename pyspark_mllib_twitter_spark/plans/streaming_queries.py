@@ -46,6 +46,17 @@ from .corpus_ops import _HLL_RHO as _HLL_RHO_SQL
 #: reachable package index); un-gated round 9 via the fallback.
 CAPABILITIES: dict[str, bool] = {"transform_with_state": tws_available()}
 
+#: Capability-gated registry entries: base name -> the CAPABILITIES key
+#: that must be true for the entry to register. ``plans/__init__``'s
+#: CHECK_WINDOW guard derives its exemption set from this mapping, so a
+#: future gated entry pinned into a window stays import-safe on hosts
+#: that legitimately lack the capability — no hardcoded name list to
+#: forget (round-11 advice).
+GATED_ENTRIES: dict[str, str] = {
+    "q_stream_tws": "transform_with_state",
+    "q_stream_tws_timers": "transform_with_state",
+}
+
 
 #: The events fixture spans ~1 month and the replayer shifts late rows by 2
 #: of 8 batches → worst-case event-time lateness ~1/4 of the span (~8 days).

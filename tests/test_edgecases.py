@@ -207,7 +207,11 @@ def test_bench_suite_order_batch_then_streaming():
         ordered[first_stream:],
     )
     assert {base_name(n) for n in warm} == bench.WARMED_SINGLE_RUN
-    assert warm == sorted(warm)
+    # the warmed block is sorted EXCEPT q_b3_containment_join, which is
+    # deliberately demoted to the last warmed slot (round-11 verdict #6:
+    # the heaviest warmed entry must not pay the freshest-JVM slot)
+    assert base_name(warm[-1]) == "q_b3_containment_join"
+    assert warm[:-1] == sorted(warm[:-1])
     assert batch == sorted(batch) and stream == sorted(stream)
     for w in bench.WARMED_SINGLE_RUN:
         assert not is_stream(w)

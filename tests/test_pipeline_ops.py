@@ -733,3 +733,186 @@ def test_release_gate_k_anonymity_stage(spark):
     # q_dx's own oracle run at sf0.01 on the full customer table).
     assert risky
     assert n_released > 50  # the gate didn't trivially empty the corpus
+
+
+# ---------------------------------------------------------------------------
+# Round-12 curation layer: flag gate, delta MinHash index, keep-best dedup,
+# shard plan, release manifest
+# ---------------------------------------------------------------------------
+
+
+def _tokens_py(text: str) -> list[str]:
+    return [t for t in text.lower().strip().split() if t]
+
+
+def test_flag_gate_matches_python_brute_force(spark):
+    """q_ee flag statistics vs an independent pure-Python recount of the
+    lexicon semantics (occurrences counted with repeats, worst severity,
+    exact-integer density gate)."""
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q_ee_flag_term_gate"].spark(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert set(rows) == {d["doc_id"] for d in docs}
+    for d in docs:
+        toks = _tokens_py(d["text"])
+        n_flagged = sum(1 for t in toks if t in pipeline_ops.FLAG_TERMS)
+        max_sev = max(
+            (pipeline_ops.FLAG_TERMS[t][1] for t in toks if t in pipeline_ops.FLAG_TERMS),
+            default=0,
+        )
+        r = rows[d["doc_id"]]
+        assert r["n_tok"] == len(toks)
+        assert r["n_flagged"] == n_flagged
+        assert r["max_severity"] == max_sev
+        assert r["gated"] == int(
+            n_flagged * pipeline_ops.FLAG_GATE_DEN
+            >= len(toks) * pipeline_ops.FLAG_GATE_NUM
+        )
+
+
+def test_flag_gate_plan_is_scan_only(spark):
+    """The lexicon compiles into the scan expression: no join, no
+    aggregate exchange — the only exchanges are spread()'s round-robin
+    and the final presentation sort."""
+    df = REGISTRY["q_ee_flag_term_gate"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Exchange") <= 2, plan[:1200]
+
+
+def test_minhash_delta_index_pairs_verified_and_recall(spark):
+    """Every returned pair passes an independent Python exact-Jaccard
+    verify at >= 0.5 over 3-gram shingle sets, and the banded probe finds
+    the injected origin->revision pair for >= 90% of delta docs (banding
+    trades recall, never precision)."""
+    out = REGISTRY["q_ef_minhash_delta_index"].spark(spark, SF).collect()
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def grams(text):
+        t = _tokens_py(text)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    lake = {i: grams(t) for i, t in docs.items()}
+    delta = {
+        i + pipeline_ops.DELTA_ID_OFFSET: grams(pipeline_ops.DELTA_PREFIX + t)
+        for i, t in docs.items()
+        if i % pipeline_ops.DELTA_MOD == 0 and grams(pipeline_ops.DELTA_PREFIX + t)
+    }
+    assert out, "probe found no pairs"
+    for r in out:
+        gl, gd = lake[r["lake_id"]], delta[r["delta_id"]]
+        jac = len(gl & gd) / len(gl | gd)
+        assert jac >= 0.5 and abs(jac - r["jaccard"]) < 1e-9
+    found_origins = {
+        r["delta_id"]
+        for r in out
+        if r["lake_id"] + pipeline_ops.DELTA_ID_OFFSET == r["delta_id"]
+    }
+    assert len(found_origins) >= 0.9 * len(delta), (
+        f"{len(found_origins)}/{len(delta)} injected revisions found"
+    )
+
+
+def test_minhash_band_index_probe_no_exchange_on_index(spark):
+    """The q_ef delta-ingest contract: probing the persisted bucketed band
+    index shuffles ONLY the probe side (the q_xg contract applied to
+    fuzzy dedup). Build the index via the query itself, then probe with
+    a literal key set under a forced sort-merge join."""
+    import re as _re
+
+    REGISTRY["q_ef_minhash_delta_index"].spark(spark, SF).collect()
+    tag = _re.sub(r"\W+", "_", SF).strip("_")
+    idx = spark.table(f"minhash_band_index_{tag}")
+    probe = spark.createDataFrame([("0" * 32,), ("f" * 32,)], "band_key string")
+    joined = probe.hint("shuffle_merge").join(idx, "band_key", "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan[:1200]
+
+
+def test_keep_best_picks_longest_copy(spark):
+    """In every multi-copy cluster the survivor must be an INJECTED copy
+    (they are strictly longer than the original), never the min-id
+    original — the policy difference vs q_ns_dedup_exact is the point —
+    and the byte accounting must reconcile with a Python recount."""
+    rows = REGISTRY["q_eg_dedup_keep_best"].spark(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_docs = len(docs)
+    n5 = sum(1 for d in docs if d["doc_id"] % 5 == 0)
+    n25 = sum(1 for d in docs if d["doc_id"] % 25 == 0)
+    assert sum(r["n_copies"] for r in rows) == n_docs + n5 + n25
+    for r in rows:
+        if r["n_copies"] > 1:
+            assert r["keep_id"] >= 100000, r
+            assert r["bytes_saved"] > 0
+        else:
+            assert r["bytes_saved"] == 0
+    # total bytes_saved == sum over injected clusters of (sum - max)
+    by_cluster: dict[int, list[int]] = {}
+    for d in docs:
+        lens = [len(d["text"])]
+        if d["doc_id"] % 5 == 0:
+            lens.append(len(d["text"]) + 3)
+        if d["doc_id"] % 25 == 0:
+            lens.append(len(d["text"]) + 3)
+        by_cluster[d["doc_id"]] = lens
+    expect_saved = sum(sum(ls) - max(ls) for ls in by_cluster.values())
+    assert sum(r["bytes_saved"] for r in rows) == expect_saved
+
+
+def test_shard_plan_sequential_fill_invariants(spark):
+    """Shard indexes per source are contiguous from 0; per-source token
+    totals reconcile with the corpus; every non-final shard is 'full':
+    the cumulative tokens through shard s reach past the (s+1)*budget
+    boundary (sequential fill assigns a doc to the shard its
+    tokens-before falls in)."""
+    rows = REGISTRY["q_eh_shard_plan"].spark(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    budget = pipeline_ops.SHARD_TOKEN_BUDGET
+    tok_per_source: dict[str, int] = {}
+    for d in docs:
+        tok_per_source[d["source"]] = tok_per_source.get(d["source"], 0) + len(
+            _tokens_py(d["text"])
+        )
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(tok_per_source)
+    for src, shards in by_src.items():
+        shards.sort(key=lambda r: r["shard_idx"])
+        assert [s["shard_idx"] for s in shards] == list(range(len(shards)))
+        assert sum(s["n_tokens"] for s in shards) == tok_per_source[src]
+        cum = 0
+        for s in shards[:-1]:
+            cum += s["n_tokens"]
+            assert cum >= (s["shard_idx"] + 1) * budget, (src, s)
+        for s in shards:
+            assert abs(s["fill"] - round(s["n_tokens"] / budget, 6)) < 1e-9
+
+
+def test_release_manifest_gate_arithmetic(spark):
+    """Per source: released is the conjunction, so it can never exceed
+    n_docs minus any single gate's hits; dup extras across the corpus
+    equal exactly the injected copy count (copies always lose keep-min-id
+    to their originals); token accounting is internally consistent."""
+    rows = REGISTRY["q_ei_release_manifest"].spark(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n5 = sum(1 for d in docs if d["doc_id"] % 5 == 0)
+    n25 = sum(1 for d in docs if d["doc_id"] % 25 == 0)
+    assert sum(r["n_docs"] for r in rows) == len(docs) + n5 + n25
+    assert sum(r["n_dup_extra"] for r in rows) == n5 + n25
+    for r in rows:
+        for gate in ("n_funnel_fail", "n_dup_extra", "n_flagged"):
+            assert r["n_released"] <= r["n_docs"] - r[gate], r
+        if r["n_released"] == 0:
+            assert r["tokens_released"] == 0
+        else:
+            # released docs pass min_tokens (funnel stage 3), so tokens
+            # average at least 25 per released doc
+            assert r["tokens_released"] >= 25 * r["n_released"]

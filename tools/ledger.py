@@ -45,11 +45,17 @@ def load_full_ledger(repo_dir: str = ".") -> dict[str, tuple[int, int, str]]:
     # Numeric round order, not lexicographic: zero-padded r01..r99 happens to
     # sort correctly as strings, but r100 would sort between r10 and r11 and
     # silently let an older round's status overwrite a newer one.
+    # Anchored to the basename: a checkout directory containing "_r<digits>"
+    # (e.g. /tmp/repo_r2/) must not misparse every file's round (r11 advice).
+    def _round_of(path: str) -> int:
+        return int(
+            re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path)).group(1)
+        )
+
     for path in sorted(
-        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")), key=_round_of
     ):
-        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        rnd = _round_of(path)
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict):
                 continue
