@@ -335,12 +335,14 @@ def main() -> int:
 
     for name in names:
         spec = REGISTRY[name]
-        # Warm-ups apply to SUITE runs only: under --only the instrument is
-        # the historical solo protocol (no warm-up, no forced GC, median of
-        # --runs; SINGLE_RUN honored) so solo numbers stay comparable across
-        # rounds (round-11 advice — r11 briefly let --only override both).
+        # WARMED warm-ups apply to SUITE runs only: under --only the
+        # instrument is the historical solo protocol (no untimed warm-up,
+        # SINGLE_RUN honored, median of --runs) so solo numbers stay
+        # comparable across rounds (round-11 advice — r11 briefly let
+        # --only override both). The gc_before pre-GC is NOT suite-gated:
+        # it has been part of the solo protocol since round 6.
         warmed = base_name(name) in WARMED_SINGLE_RUN and not args.only
-        if not args.only and not warmed and base_name(name) in gc_before:
+        if not warmed and base_name(name) in gc_before:
             try:
                 spark.sparkContext._jvm.System.gc()
             except Exception:
