@@ -2880,11 +2880,17 @@ def q_ei_release_manifest(spark, sf_dir):
     non-vacuous.
 
     Scale shape: every per-doc signal (funnel stats, flag stats,
-    fingerprint) is computed map-side in ONE scan; the only shuffle is
-    the 16-byte-digest keeper aggregation + its back-join (the
-    q_xh min-per-group idiom — no window), then a source-grain
+    fingerprint) is computed map-side in ONE scan; the keeper decision is
+    a partition-only window min over the fingerprint — NOT the q_xh
+    min-per-group + back-join idiom, deliberately: q_xh keeps only the
+    keepers (groupBy collapses early, digests-only shuffle), but the
+    manifest keeps EVERY row for the source rollup, so a join would
+    shuffle the same doc-grain rows on fp anyway AND recompute the whole
+    signal subtree on its second consumer (measured: the join form scans
+    the corpus twice and runs 10 exchanges; the window form scans once
+    with 3). One fp exchange of short integer rows, one source-grain
     aggregate. All output columns are exact integers. 100 TB = one scan
-    + one digest shuffle + a |sources|-row tail."""
+    + one fp-keyed shuffle + a |sources|-row tail."""
     base = _docs_with_copies(spark, sf_dir)
     f = with_flag_stats(with_funnel_fail(base)).select(
         "doc_id",
@@ -2898,9 +2904,10 @@ def q_ei_release_manifest(spark, sf_dir):
         .cast("bigint")
         .alias("gated"),
     )
-    keep = f.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    j = f.join(keep, "fp").withColumn(
-        "dup_extra", (F.col("doc_id") != F.col("keep_id")).cast("bigint")
+    j = f.withColumn(
+        "dup_extra",
+        (F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("fp")))
+        .cast("bigint"),
     )
     released = (F.col("fail") == 0) & (F.col("dup_extra") == 0) & (
         F.col("gated") == 0

@@ -916,3 +916,36 @@ def test_release_manifest_gate_arithmetic(spark):
             # released docs pass min_tokens (funnel stage 3), so tokens
             # average at least 25 per released doc
             assert r["tokens_released"] >= 25 * r["n_released"]
+
+
+def test_round12_plan_shapes(spark):
+    """Executed-plan shapes for the round-12 entries (the scale story each
+    docstring claims): keep-best is one partial-aggregable groupBy (no
+    join, no window); shard plan is one source-window + one aggregate (no
+    join); the release manifest computes its per-doc signals once and
+    decides keepers with a partition-only window (no join — the measured
+    10-exchange double-scan join form is the regression this pins)."""
+
+    def plan(name):
+        return (
+            REGISTRY[name]
+            .spark(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("q_eg_dedup_keep_best")
+    assert "Join" not in p, p[:800]
+    assert "Window" not in p, p[:800]
+    assert p.count("hashpartitioning(fp") == 1, p[:1200]
+
+    p = plan("q_eh_shard_plan")
+    assert "Join" not in p, p[:800]
+    assert p.count("Window") == 1, p[:800]
+    assert p.count("hashpartitioning(source") >= 1, p[:1200]
+
+    p = plan("q_ei_release_manifest")
+    assert "Join" not in p, p[:800]
+    assert p.count("Window") == 1, p[:800]
+    assert p.count("hashpartitioning(fp") == 1, p[:1200]
