@@ -2588,7 +2588,16 @@ def q_ef_minhash_delta_index(spark, sf_dir):
     index is FOLDED into the key precisely so the bucket clustering
     covers the whole join condition). Verification joins move shingle
     arrays for candidate ids only. At 100 TB the lake index dwarfs any
-    daily batch, so which side re-shuffles is the whole cost model."""
+    daily batch, so which side re-shuffles is the whole cost model.
+    Measured (tools/exp_minhash_index_scale.py, lake grown 30x under a
+    fixed delta batch): the banded candidate probe is FLAT in lake size
+    (~0.4-0.5s at every scale) while index build grows ~linearly — the
+    persisted-index claim, confirmed. In a probe-ONLY session (index
+    exists, lake grams not cached) the Jaccard verify additionally pays
+    an id-filtered lake TEXT fetch that grows with the lake, so a
+    production lake should be laid out doc_id-sorted/zone-mapped to
+    prune that point fetch; this entry is immune because its grams
+    cache from the same-job index build."""
     import re as _re
 
     from ..operators import dedup
