@@ -2377,9 +2377,13 @@ def q_eb_path_blocklist(spark, sf_dir):
 #: ~27 words, so the six terms below flag a non-vacuous ~20% token share; a
 #: production lexicon (toxicity / brand-safety word lists, the C4 "bad
 #: words" filter, Raffel et al. 2020 §2.2, public) carries thousands of
-#: terms — below ~100k terms compile into the scan expression as here,
-#: beyond that broadcast-join the lexicon (the q_dy/q_eb shape; the round-11
-#: broadcast ceiling experiment bounds how far that carries).
+#: terms. MEASURED ceiling (tools/exp_flag_lexicon_scale.py, sf0.1): the
+#: compiled-expression shape wins only to ~1k terms — its cost is linear
+#: in N on the DRIVER (py4j literal construction + plan serialization:
+#: 0.9s at 1k, 5.8s at 10k, 63s at 100k) while the broadcast token join
+#: stays ~flat (0.8-2.2s through 100k) — so beyond ~1k terms switch to
+#: the broadcast join (the q_dy/q_eb shape; the round-11 broadcast
+#: ceiling experiment bounds how far THAT carries: ~4M rules).
 FLAG_TERMS: dict[str, tuple[str, int]] = {
     "hash": ("security", 3),
     "key": ("security", 3),
@@ -2482,8 +2486,13 @@ def q_ee_flag_term_gate(spark, sf_dir):
 
     Scale shape: the lexicon compiles into the scan expression (array
     filter + IN over six terms) — map-only, no explode, no join, no
-    shuffle; output is doc-grain. 100 TB = one scan. A 100k+-term
-    lexicon switches to a broadcast token join (the q_dy shape)."""
+    shuffle; output is doc-grain. 100 TB = one scan. MEASURED ceiling
+    (tools/exp_flag_lexicon_scale.py): the compiled expression wins only
+    to ~1k terms — its cost grows linearly in lexicon size on the driver
+    (literal construction + plan serialization, 63s at 100k) — so larger
+    lexicons switch to a broadcast token join (the q_dy shape, ~flat
+    through 100k terms), NOT the 100k figure this docstring originally
+    guessed."""
     return (
         with_flag_stats(spread(_docs(spark, sf_dir)))
         .select(
