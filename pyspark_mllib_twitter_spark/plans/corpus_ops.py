@@ -4303,6 +4303,15 @@ def q_b3_containment_join(spark, sf_dir):
         .groupBy("g")
         .agg(F.count("*").alias("df"))
     )
+    # NO pin — measured, twice now (same verdict as q_yr): `ordered` feeds
+    # four consumers and the sf0.001 static plan shows zero ReusedExchange
+    # (8 scans / 24 exchanges), yet an eager localCheckpoint still LOSES
+    # at sf0.1 solo: plain 14.0s vs pinned 25.4s (r12 A/B, BENCHNOTES) —
+    # materializing the corpus-sized shingle arrays to block storage and
+    # defeating AQE's runtime sizing costs more than the recomputes, which
+    # are cheap scan+explode chains (the expensive rare-first aggregation
+    # IS reused at runtime by AQE's stage-level exchange reuse even though
+    # the pre-execution plan doesn't print ReusedExchange nodes).
     ordered = (
         grams.select("doc_id", F.explode("gs").alias("g"))
         .join(g_df, "g")
