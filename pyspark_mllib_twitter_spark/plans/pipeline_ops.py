@@ -2397,7 +2397,6 @@ FLAG_TERMS: dict[str, tuple[str, int]] = {
 #: cross-multiplication, never a float ratio — the q_dt discipline).
 FLAG_GATE_NUM, FLAG_GATE_DEN = 1, 5
 
-_FLAG_ALL_SQL_IN = ", ".join(f"'{t}'" for t in sorted(FLAG_TERMS))
 _FLAG_SEV_SQL_IN = {
     sev: ", ".join(
         f"'{t}'" for t in sorted(t for t, (_, s) in FLAG_TERMS.items() if s == sev)

@@ -17,15 +17,13 @@ in the checked slots) while everything else keeps its base name. Rotating
 the window between rounds is a one-list edit here — no registration or test
 changes. Lookup by base name always resolves regardless of current window.
 
-Round-12 window — the ledger CLOSED with CORRECTNESS_r11 (388/388
-entries have a driver row, zero ever-bad), so from this round the
-window rotates to the STALEST-evidence entries for re-validation
-(``python tools/ledger.py --window``): the 45 entries whose last
-driver row is oldest — led by the two REFERENCE workloads
-(``q_w1_user_similarity``, ``q_w2_als_recommend``, last checked r1/r2)
-plus the r1-r4 join/grouping/function blocks and the early north-star
-dedup surface — plus this round's 5 additions (cap <= 5), checked
-same-round as in r11.
+Round-13 window — stalest-evidence rotation continues (``python
+tools/ledger.py --window``): the 45 entries whose last driver row is
+oldest — the r4-r5 curation/lakehouse/graph block (q_xc…q_xs), the
+r5 chunk-dedup + portable-MinHash family, the r5/r6 analytics batch
+(q_y1…q_y8), the r5 streaming joins/sinks, and the two TPC-H
+stragglers last checked r5 (q_sql_q10/q_sql_q18) — plus this round's
+<= 5 additions in the window's last slots, checked same-round.
 """
 
 from __future__ import annotations
@@ -41,59 +39,53 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # Base names (in prefix order) pinned into the externally-checked window this
 # round. Must name registered entries; length <= 50 asserted at import.
 CHECK_WINDOW: list[str] = [
-    # -- stalest-evidence rotation (tools/ledger.py --window, r12): the 45
-    # entries with the oldest last driver row, reference workloads first --
-    "q_ns_ann_pq",
-    "q_w1_user_similarity",
-    "q_w2_als_recommend",
-    "q_stream_stateful",
-    "q_stream_session",
-    "q_stream_dedup",
-    "q_j_inner",
-    "q_j_outer",
-    "q_j_semi",
-    "q_j_anti",
-    "q_j_theta",
-    "q_j_range",
-    "q_g1_rollup",
-    "q_g2_cube",
-    "q_g3_pivot",
-    "q_j_overlap",
-    "q_f_string",
-    "q_f_date",
-    "q_f_math",
-    "q_f_array",
-    "q_f_hof",
-    "q_f_explode",
-    "q_e2e_w2pairs",
-    "q_j_skew_salted",
-    "q_f_bitwise",
-    "q_ns_fingerprint",
-    "q_ns_dedup_exact",
-    "q_ns_jaccard_pairs",
-    "q_ns_knn_exact",
-    "q_x1_chunk_docs",
-    "q_x2_pack_sequences",
-    "q_x3_contamination",
-    "q_x4_mix_sources",
-    "q_x5_tfidf_topterms",
-    "q_x6_cc_clusters",
-    "q_x7_pack_greedy",
-    "q_x8_repetition",
-    "q_x9_lm_score",
-    "q_xa_split_holdout",
-    "q_xb_boilerplate",
-    "q_xd_incremental_dedup",
-    "q_ns_emb_neardup",
-    "q_ns_dedup_minhash",
-    "q_ns_dedup_simhash",
-    "q_ns_multimodal",
-    # round-12 additions (cap 5), all oracle-backed, checked same-round:
-    "q_ee_flag_term_gate",
-    "q_ef_minhash_delta_index",
-    "q_eg_dedup_keep_best",
-    "q_eh_shard_plan",
-    "q_ei_release_manifest",
+    # -- stalest-evidence rotation (tools/ledger.py --window, r13): the 45
+    # entries with the oldest last driver row --
+    "q_xc_semantic_dedup",
+    "q_ml_word2vec",
+    "q_ml_quality_clf",
+    "q_s2_pysource",
+    "q_w7_range_frame",
+    "q_w8_session_window",
+    "q_udf_grouped_agg",
+    "q_xn_funnel",
+    "q_xo_cohort_retention",
+    "q_xp_gapfill",
+    "q_xq_editdist_join",
+    "q_sql_recursive",
+    "q_f_variant",
+    "q_xt_profile",
+    "q_xu_drift_psi",
+    "q_sql_q10",
+    "q_sql_q18",
+    "q_f_try",
+    "q_ns_minhash_portable",
+    "q_ns_minhash_dedup_e2e",
+    "q_xv_domain_quota",
+    "q_xw_inverted_index",
+    "q_xx_cms_heavy_hitters",
+    "q_xy_emb_centroids",
+    "q_xz_zorder_layout",
+    "q_y1_rank_metrics",
+    "q_y2_bpe_merge_step",
+    "q_y3_pmi_cooccur",
+    "q_y4_expectations",
+    "q_y5_mix_temperature",
+    "q_y6_equidepth_bins",
+    "q_y7_time_weighted_avg",
+    "q_y8_ohlc",
+    "q_stream_ohlc",
+    "q_stream_join_outer",
+    "q_stream_static_join",
+    "q_stream_foreach_sink",
+    "q_stream_state_reader",
+    "q_s3_pystream",
+    "q_xe_cdc_chunks",
+    "q_xf_chunk_dedup",
+    "q_xg_chunk_dedup_bucketed",
+    "q_xh_para_dedup",
+    "q_xi_span_dedup",
+    "q_xj_merge_upsert",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -47,14 +47,18 @@ def load_full_ledger(repo_dir: str = ".") -> dict[str, tuple[int, int, str]]:
     # silently let an older round's status overwrite a newer one.
     # Anchored to the basename: a checkout directory containing "_r<digits>"
     # (e.g. /tmp/repo_r2/) must not misparse every file's round (r11 advice).
-    def _round_of(path: str) -> int:
-        return int(
-            re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path)).group(1)
-        )
+    def _round_of(path: str) -> int | None:
+        # None for non-canonical names the glob can still match (e.g.
+        # CORRECTNESS_r12_old.json) — skipped, not an AttributeError (r12 advice).
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        return int(m.group(1)) if m else None
 
-    for path in sorted(
-        glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json")), key=_round_of
-    ):
+    paths = [
+        p
+        for p in glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))
+        if _round_of(p) is not None
+    ]
+    for path in sorted(paths, key=_round_of):
         rnd = _round_of(path)
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict):
