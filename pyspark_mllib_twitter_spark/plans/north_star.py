@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
-from ..operators import dedup, multimodal, similarity
+from ..operators import dedup, multimodal, phash, similarity
 from ..sources import read_table, spread
 from .registry import query
 
@@ -593,6 +593,32 @@ def q_ns_multimodal(spark, sf_dir):
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     ).orderBy("asset_id")
+
+
+@query("q_ej_image_phash_neardup", oracle=None)  # PNG decode: no SQL twin
+def q_ej_image_phash_neardup(spark, sf_dir):
+    """IMAGE-CONTENT NEAR-DUP — the multimodal family's content-level dedup
+    (round-12 verdict's named candidate; until now image assets deduped
+    byte-exact only): 64-bit dHash over REAL decoded PNG pixels
+    (``functions.png``), near-dup pairs via the SimHash-style banded
+    equi-join + exact ``bit_count(XOR)`` verify (``operators/phash.py``,
+    Manku et al. 2007 banding). The planted corpus contains brightness
+    variants (+3 all pixels → Hamming exactly 0) and one-band-inverted
+    variants (≤8 bits flip, confined to one 16-bit block → found via the
+    3 intact blocks); unrelated pseudo-random pairs sit at expected
+    Hamming 32. Rows-only by necessity (DuckDB cannot inflate PNG IDAT
+    streams); the golden test recomputes every expected pair driver-side
+    through the SAME ``dhash_py`` kernel and requires exact equality, and
+    property tests pin the variant distances (tests/test_phash.py).
+
+    Scale shape: payload bytes never leave the decode stage (what
+    shuffles is (id, 8-byte hash)); candidates come from a 4x16-bit
+    band equi-join — never all-pairs; verification is a JVM bit_count
+    on two longs. 100 TB of images cost one decode pass + a banded
+    join on 32-byte rows."""
+    corpus = phash.synthetic_png_neardup_corpus(spark, n_base=96)
+    pairs = phash.hamming_neardup_pairs(phash.dhash_features(corpus))
+    return pairs.orderBy("id_a", "id_b")
 
 
 @query(

@@ -86,6 +86,8 @@ CHECK_WINDOW: list[str] = [
     "q_xh_para_dedup",
     "q_xi_span_dedup",
     "q_xj_merge_upsert",
+    # round-13 additions (cap <= 5), checked same-round:
+    "q_ej_image_phash_neardup",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd
