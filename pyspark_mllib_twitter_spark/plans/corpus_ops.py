@@ -1578,6 +1578,155 @@ def q_yd_bpe_train(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION (frozen merge list, corpus-scale encode)
+# ---------------------------------------------------------------------------
+
+#: The FROZEN tokenizer artifact this entry applies — a released tokenizer
+#: is trained once (``bpe_train`` / q_yd is the trainer) and then applied
+#: unchanged to every batch forever; retraining per corpus would change
+#: token ids under the model's feet, so the apply step pins its merges as
+#: a constant exactly like a production vocab file. TRAINING-CONSISTENT by
+#: construction (each side of a merge is a single char or the output of an
+#: EARLIER merge, and no later merge creates an earlier merge's pair): for
+#: such lists one left-to-right greedy pass per merge, in order, is exactly
+#: Sennrich et al. (2016)'s iterative best-pair apply — the invariant a
+#: test asserts (tests/test_corpus_ops.py).
+BPE_APPLY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+]
+
+
+def bpe_apply_symbols(word) -> "F.Column":
+    """Encode one (lowercase alpha) word column: ';'-joined BPE symbols
+    after applying ``BPE_APPLY_MERGES`` in order.
+
+    Each merge is ONE left-to-right greedy pass, expressed as a JVM
+    higher-order ``aggregate`` over the current symbol list with a string
+    accumulator: merge when the accumulator's LAST symbol equals ``a``
+    (the ``;``-anchored ``endswith`` makes "…;a" unambiguous — symbols are
+    alpha-only, so ';' never occurs inside one) and the next element is
+    ``b``. The DuckDB oracle runs the IDENTICAL reduce (``list_reduce``
+    with the same CASE), so both engines execute the same algorithm rather
+    than two implementations argued equivalent."""
+    def _pass(a: str, b: str):
+        # Two-arg closure: PySpark derives the HOF's arity from the Python
+        # signature, so the merge pair binds via an enclosing scope.
+        def merge(acc, x):
+            return (
+                F.when(acc == "", x)
+                .when(
+                    ((acc == a) | acc.endswith(";" + a)) & (x == b),
+                    F.concat(
+                        acc.substr(F.lit(1), F.length(acc) - len(a)),
+                        F.lit(a + b),
+                    ),
+                )
+                .otherwise(F.concat(acc, F.lit(";"), x))
+            )
+
+        return merge
+
+    w = F.col(word) if isinstance(word, str) else word
+    sym = F.array_join(F.split(w, ""), ";")
+    for a, b in BPE_APPLY_MERGES:
+        sym = F.aggregate(F.split(sym, ";"), F.lit(""), _pass(a, b))
+    return sym
+
+
+def _bpe_apply_sql(word_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_apply_symbols`: the same per-merge greedy
+    reduce, generated from the same pinned merge list."""
+    sym = f"array_to_string(string_split({word_expr}, ''), ';')"
+    for a, b in BPE_APPLY_MERGES:
+        sym = (
+            f"list_reduce(string_split({sym}, ';'), (acc, x) -> "
+            f"CASE WHEN (acc = '{a}' OR ends_with(acc, ';{a}')) AND x = '{b}' "
+            f"THEN substr(acc, 1, length(acc) - {len(a)}) || '{a}{b}' "
+            f"ELSE acc || ';' || x END)"
+        )
+    return sym
+
+
+@query(
+    "q_ek_bpe_apply",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               x -> regexp_full_match(x, '[a-z]+'))) AS w
+      FROM documents),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    enc AS (
+      SELECT w, length(w) AS n_char_w,
+             len(string_split({_bpe_apply_sql("w")}, ';')) AS n_sym_w
+      FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(e.n_char_w) AS BIGINT) AS n_char,
+           CAST(sum(e.n_sym_w) AS BIGINT) AS n_sym
+    FROM toks t JOIN enc e USING (w)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q_ek_bpe_apply(spark, sf_dir):
+    """BPE tokenizer APPLICATION at corpus scale (round-12 verdict's named
+    candidate — completes train→apply: q_yd learns merges, this entry
+    encodes every document with a FROZEN merge list, the production
+    semantics of a released tokenizer artifact). Per document: alpha
+    token count, character count, and the post-merge symbol count — the
+    numbers a token-budget planner (q_eh) consumes.
+
+    Spark shape: the merge passes run ONCE PER DISTINCT WORD — the
+    vocabulary table (Heaps-law-bounded, grows ~sqrt of corpus) is
+    encoded with 8 chained JVM ``aggregate`` higher-order functions (no
+    Python anywhere), then joined back to the (doc_id, word) token
+    stream and partial-aggregated per doc. At 100 TB the corpus scan
+    dominates and the encode cost is amortized over every occurrence of
+    a word; encoding per-occurrence would multiply the HOF work by the
+    corpus/vocab ratio (orders of magnitude).
+
+    Value check: the DuckDB oracle executes the IDENTICAL greedy reduce
+    per merge (generated from the same ``BPE_APPLY_MERGES`` constant),
+    so the hash match pins the exact symbol counts, not just row
+    counts; a golden test additionally replays Sennrich-style iterative
+    best-pair apply in pure Python and requires equality — proving the
+    sequential-pass form equals true BPE for this training-consistent
+    merge list."""
+    toks = (
+        spread(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(TXT.tokens("text"), lambda t: t.rlike("^[a-z]+$"))
+            ).alias("w"),
+        )
+    )
+    vocab = toks.select("w").distinct()
+    enc = vocab.select(
+        "w",
+        F.length("w").alias("n_char_w"),
+        F.size(F.split(bpe_apply_symbols("w"), ";")).alias("n_sym_w"),
+    )
+    return (
+        toks.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum("n_char_w").cast("bigint").alias("n_char"),
+            F.sum("n_sym_w").cast("bigint").alias("n_sym"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis-Spirakis)
 # ---------------------------------------------------------------------------
 

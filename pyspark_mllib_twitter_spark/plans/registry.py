@@ -88,6 +88,7 @@ CHECK_WINDOW: list[str] = [
     "q_xj_merge_upsert",
     # round-13 additions (cap <= 5), checked same-round:
     "q_ej_image_phash_neardup",
+    "q_ek_bpe_apply",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -706,3 +706,105 @@ def test_boruvka_distributed_jump_branch_matches_kruskal(spark, monkeypatch):
     df = spark.createDataFrame(edges, "u long, v long, w long")
     got = {(r.u, r.v, r.w) for r in corpus_ops.boruvka_mst(df).collect()}
     assert got == _kruskal(edges)
+
+
+# ---------------------------------------------------------------------------
+# BPE apply (frozen merge list)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_sennrich(word: str, merges) -> list[str]:
+    """True BPE apply (Sennrich et al. 2016): repeatedly merge every
+    occurrence of the highest-priority pair present, until none applies."""
+    syms = list(word)
+    rank = {pair: i for i, pair in enumerate(merges)}
+    while len(syms) > 1:
+        pairs = {(a, b) for a, b in zip(syms, syms[1:])}
+        ranked = [p for p in pairs if p in rank]
+        if not ranked:
+            break
+        a, b = min(ranked, key=lambda p: rank[p])
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_merges_training_consistent():
+    """The frozen list's invariant (what makes one sequential pass per
+    merge equal to true BPE): every side of merge k is a single char or
+    the OUTPUT of an earlier merge — so no later merge can create an
+    earlier merge's pair."""
+    produced: set[str] = set()
+    for a, b in corpus_ops.BPE_APPLY_MERGES:
+        assert len(a) == 1 or a in produced, (a, b)
+        assert len(b) == 1 or b in produced, (a, b)
+        assert ";" not in a + b and a.isalpha() and b.isalpha()
+        produced.add(a + b)
+
+
+def test_bpe_apply_symbols_equal_sennrich_reference(spark):
+    """The chained sequential-pass encode (JVM aggregate HOFs) must equal
+    true iterative best-pair BPE on words exercising every hazard:
+    overlapping same-pair runs, merge chains (t+h then th+e), adjacent
+    candidate pairs, and words with no applicable merge."""
+    words = [
+        "the", "then", "thethe", "ththt", "and", "anand", "banana",
+        "inner", "winter", "ondon", "rere", "error", "zzz", "a", "qqq",
+        "thunderstorm", "international", "rethink", "randonnee",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", corpus_ops.bpe_apply_symbols("w").alias("sym")
+    )
+    got = {r["w"]: r["sym"].split(";") for r in df.collect()}
+    for w in words:
+        assert got[w] == _bpe_apply_sennrich(w, corpus_ops.BPE_APPLY_MERGES), w
+
+
+def test_bpe_apply_counts_reconcile_python(spark, sf_smoke):
+    """Per-doc (n_tok, n_char, n_sym) must reconcile with a pure-Python
+    recount that tokenizes, filters to alpha words, and Sennrich-applies
+    the frozen merges per word."""
+    rows = {r["doc_id"]: r for r in _rows(spark, sf_smoke, "q_ek_bpe_apply")}
+    pdf = spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    import re as _re
+
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = [
+            w
+            for w in (text or "").lower().strip().split()
+            if _re.fullmatch(r"[a-z]+", w)
+        ]
+        if not toks:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert r["n_tok"] == len(toks)
+        assert r["n_char"] == sum(len(w) for w in toks)
+        assert r["n_sym"] == sum(
+            len(_bpe_apply_sennrich(w, corpus_ops.BPE_APPLY_MERGES))
+            for w in toks
+        )
+        # merging strictly compresses somewhere in a natural-language doc
+    assert any(r["n_sym"] < r["n_char"] for r in rows.values())
+
+
+def test_bpe_apply_plan_is_jvm_only_vocab_encode(spark, sf_smoke):
+    """Plan shape: no Python evaluation anywhere (the encode is JVM HOFs),
+    and the merge chain runs above a DISTINCT vocabulary aggregate, not
+    per token occurrence."""
+    df = REGISTRY["q_ek_bpe_apply"].spark(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInPandas" not in plan, plan[:900]
+    # the distinct-vocab aggregate keyed on the word, with the encode
+    # living in its result projection (n_sym_w computed once per word)
+    assert "HashAggregate(keys=[w#" in plan, plan[:1500]
+    assert "n_sym_w" in plan
