@@ -81,6 +81,7 @@ SINGLE_RUN = {
     "q_stream_tdigest",
     "q_stream_tws",
     "q_stream_tws_timers",
+    "q_stream_minhash_delta",
     "q_ml_fpgrowth",
     "q_ml_word2vec",
     "q_yc_bfs_sssp",
@@ -304,6 +305,13 @@ def main() -> int:
             {"late_fraction_pct": 0, "n_batches": 2},
         ):
             _replay_dir(spark, sf_dir, **kwargs)
+        # The document-batch replay used by the streaming MinHash probe —
+        # same one-time disk-keyed build, same reason to pre-pay it.
+        from pyspark_mllib_twitter_spark.plans.streaming_queries import (
+            _delta_docs_replay_dir,
+        )
+
+        _delta_docs_replay_dir(spark, sf_dir)
         _reset_session_state(spark)
     except Exception:
         pass

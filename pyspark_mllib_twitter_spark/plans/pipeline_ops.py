@@ -2551,9 +2551,55 @@ def _mh_band_ctes(prefix: str, corpus: str) -> str:
       FROM {prefix}sig, range(4) b(band))"""
 
 
-@query(
-    "q_ef_minhash_delta_index",
-    oracle=f"""
+def minhash_delta_fixture(spark, sf_dir):
+    """(lake, delta) document frames for the delta-ingest fixture shared by
+    the batch probe (q_ef) and its streaming twin (q_stream_minhash_delta):
+    every ``DELTA_MOD``-th lake doc re-arrives with ``DELTA_PREFIX``
+    prepended under ``doc_id + DELTA_ID_OFFSET``."""
+    lake = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    delta = lake.filter(F.col("doc_id") % DELTA_MOD == 0).select(
+        (F.col("doc_id") + DELTA_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit(DELTA_PREFIX), F.col("text")).alias("text"),
+    )
+    return lake, delta
+
+
+def build_minhash_band_index(spark, sf_dir, lake, suffix: str = ""):
+    """Persist the lake's LSH band table hash-bucketed on ``band_key`` and
+    return ``(index_df, cached_lake_grams)``. Rebuilt each run for
+    determinism; a production pipeline writes it once per corpus version.
+    Same drop-table + orphaned-location hygiene as build_chunk_fp_index."""
+    import re as _re
+
+    from ..operators import dedup
+    from ..sources.bucketing import write_bucketed
+
+    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3).cache()
+    lake_bands = dedup.portable_band_keys(
+        dedup.portable_minhash_signatures(lake_grams, "doc_id", 16), "doc_id", 4, 4
+    )
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    table = f"minhash_band_index_{tag}{suffix}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        import shutil
+        from urllib.parse import urlparse
+
+        shutil.rmtree(
+            f"{urlparse(warehouse).path}/{table}", ignore_errors=True
+        )
+    write_bucketed(
+        lake_bands.withColumnRenamed("doc_id", "lake_id"), table, ["band_key"], 8
+    )
+    return spark.table(table), lake_grams
+
+
+#: One oracle, two engines' worth of entries: the batch probe (q_ef) and
+#: its streaming twin (q_stream_minhash_delta) must both equal this —
+#: per-delta-doc probing is batch-slicing-independent, so the union of
+#: micro-batch probe outputs equals the whole-delta probe.
+_MINHASH_DELTA_ORACLE = f"""
     WITH lake AS (SELECT doc_id, text FROM documents),
     delta AS (
       SELECT doc_id + {DELTA_ID_OFFSET} AS doc_id,
@@ -2573,8 +2619,10 @@ def _mh_band_ctes(prefix: str, corpus: str) -> str:
       JOIN dg gd ON gd.doc_id = c.delta_id)
     SELECT lake_id, delta_id, jaccard FROM pairs
     WHERE jaccard >= 0.5 ORDER BY lake_id, delta_id
-    """,
-)
+    """
+
+
+@query("q_ef_minhash_delta_index", oracle=_MINHASH_DELTA_ORACLE)
 def q_ef_minhash_delta_index(spark, sf_dir):
     """INCREMENTAL FUZZY-DEDUP INDEX — the delta-ingest shape for MinHash
     (the q_xg pattern applied to NEAR-dup instead of exact-chunk dedup,
@@ -2606,39 +2654,10 @@ def q_ef_minhash_delta_index(spark, sf_dir):
     production lake should be laid out doc_id-sorted/zone-mapped to
     prune that point fetch; this entry is immune because its grams
     cache from the same-job index build."""
-    import re as _re
-
     from ..operators import dedup
-    from ..sources.bucketing import write_bucketed
 
-    lake = spread(_docs(spark, sf_dir)).select("doc_id", "text")
-    delta = lake.filter(F.col("doc_id") % DELTA_MOD == 0).select(
-        (F.col("doc_id") + DELTA_ID_OFFSET).alias("doc_id"),
-        F.concat(F.lit(DELTA_PREFIX), F.col("text")).alias("text"),
-    )
-    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3).cache()
-    lake_bands = dedup.portable_band_keys(
-        dedup.portable_minhash_signatures(lake_grams, "doc_id", 16), "doc_id", 4, 4
-    )
-
-    # Persist the lake index (rebuilt each run for determinism; a
-    # production pipeline writes it once per corpus version). Same
-    # drop-table + orphaned-location hygiene as build_chunk_fp_index.
-    tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
-    table = f"minhash_band_index_{tag}"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if warehouse.startswith("file:"):
-        import shutil
-        from urllib.parse import urlparse
-
-        shutil.rmtree(
-            f"{urlparse(warehouse).path}/{table}", ignore_errors=True
-        )
-    write_bucketed(
-        lake_bands.withColumnRenamed("doc_id", "lake_id"), table, ["band_key"], 8
-    )
-    idx = spark.table(table)
+    lake, delta = minhash_delta_fixture(spark, sf_dir)
+    idx, lake_grams = build_minhash_band_index(spark, sf_dir, lake)
 
     delta_grams = dedup.portable_shingles(delta, "doc_id", "text", 3).cache()
     delta_bands = dedup.portable_band_keys(

@@ -89,6 +89,7 @@ CHECK_WINDOW: list[str] = [
     # round-13 additions (cap <= 5), checked same-round:
     "q_ej_image_phash_neardup",
     "q_ek_bpe_apply",
+    "q_stream_minhash_delta",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

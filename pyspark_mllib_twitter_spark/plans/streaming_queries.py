@@ -517,6 +517,148 @@ def q_stream_dedup_lake(spark, sf_dir):
     )
 
 
+def _delta_docs_replay_dir(spark, sf_dir, n_batches: int = 4) -> str:
+    """Ordered parquet chunk files of the delta-crawl document batch
+    (the q_ef fixture), for file-source replay — same disk-keyed cache
+    discipline as ``_replay_dir`` (one chunk per micro-batch, `_COMPLETE`
+    marker commits a build, `_`-prefixed files invisible to Spark)."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .pipeline_ops import minhash_delta_fixture
+
+    key = (_os.path.abspath(sf_dir), "minhash_delta", n_batches)
+    digest = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
+    final = _os.path.join(tempfile.gettempdir(), f"spark_graft_docreplay_{digest}")
+    if _os.path.exists(_os.path.join(final, "_COMPLETE")):
+        return final
+    _, delta = minhash_delta_fixture(spark, sf_dir)
+    pdf = delta.orderBy("doc_id").toPandas()
+    tmp = f"{final}.tmp{_os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(tmp)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(pdf)
+    per = max(1, (n + n_batches - 1) // n_batches)
+    for i in range(0, n, per):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i : i + per], preserve_index=False),
+            _os.path.join(tmp, f"chunk_{i // per:04d}.parquet"),
+        )
+    with open(_os.path.join(tmp, "_COMPLETE"), "w"):
+        pass
+    try:
+        _os.rename(tmp, final)
+    except OSError:  # lost a concurrent race — the winner's dir is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def _stream_minhash_delta_oracle() -> str:
+    from .pipeline_ops import _MINHASH_DELTA_ORACLE
+
+    return _MINHASH_DELTA_ORACLE
+
+
+@query(
+    "q_stream_minhash_delta",
+    oracle=_stream_minhash_delta_oracle(),
+)
+def q_stream_minhash_delta(spark, sf_dir):
+    """STREAMING delta-probe fuzzy dedup — the streaming twin of the
+    persisted MinHash band index (q_ef), the q_stream_dedup_lake pattern
+    applied to NEAR-dup instead of exact dedup (round-12 verdict's named
+    candidate): each micro-batch of newly crawled documents computes its
+    portable MinHash band keys and probes the lake's PERSISTED bucketed
+    band index, then exact-Jaccard-verifies candidates — continuously,
+    as batches arrive, instead of in a nightly batch job.
+
+    Shape: ``foreachBatch`` is the right operator, not a watermarked
+    streaming aggregate — the per-doc signature pipeline needs groupBys
+    that have no event-time semantics (the lake index is a STATIC side
+    re-resolvable every trigger, exactly like q_stream_static_join's
+    dimension). Each batch writes its verified pairs into its own
+    ``batch_id=N`` partition (overwrite — idempotent replay, effective
+    exactly-once, the q_s5 sink discipline). Per-delta-doc probing is
+    batch-slicing-independent, so the union over micro-batches equals
+    the whole-delta batch probe: this entry shares q_ef's DuckDB oracle
+    VERBATIM and is hash-checked, not rows-only.
+
+    Scale: per trigger the stream side shuffles only that batch's
+    (id, 32-byte band key) rows; the index side stays bucket-aligned
+    with no exchange (q_ef's plan-asserted contract); verification
+    fetches lake shingles for candidate ids only. A 100 TB lake serves
+    a continuous crawl with per-batch cost proportional to the batch,
+    never the lake."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators import dedup
+    from .pipeline_ops import build_minhash_band_index, minhash_delta_fixture
+
+    lake, _ = minhash_delta_fixture(spark, sf_dir)
+    idx, lake_grams = build_minhash_band_index(
+        spark, sf_dir, lake, suffix="_stream"
+    )
+    gl = lake_grams.select(
+        F.col("doc_id").alias("lake_id"), F.col("grams").alias("g_l")
+    )
+
+    replay = _delta_docs_replay_dir(spark, sf_dir)
+    digest = hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = _os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mhdelta_{digest}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+
+    def probe_batch(batch_df, batch_id: int) -> None:
+        grams = dedup.portable_shingles(batch_df, "doc_id", "text", 3)
+        bands = dedup.portable_band_keys(
+            dedup.portable_minhash_signatures(grams, "doc_id", 16),
+            "doc_id",
+            4,
+            4,
+        ).withColumnRenamed("doc_id", "delta_id")
+        cand = bands.join(idx, "band_key").select("lake_id", "delta_id").distinct()
+        gd = grams.select(
+            F.col("doc_id").alias("delta_id"), F.col("grams").alias("g_d")
+        )
+        jac = F.size(F.array_intersect("g_l", "g_d")) / F.size(
+            F.array_union("g_l", "g_d")
+        )
+        (
+            cand.join(gl, "lake_id")
+            .join(gd, "delta_id")
+            .select("lake_id", "delta_id", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(out_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir).drop("batch_id")
+    return back.select("lake_id", "delta_id", "jaccard").orderBy(
+        "lake_id", "delta_id"
+    )
+
+
 @query(
     "q_stream_static_join",
     oracle="""

@@ -637,3 +637,27 @@ def test_wire_worker_pythonpath_native_runtime_override(spark, monkeypatch):
             sc.environment["PYTHONPATH"] = env_before["PYTHONPATH"]
         else:
             sc.environment.pop("PYTHONPATH", None)
+
+
+def test_stream_minhash_delta_equals_batch_probe(spark, sf_smoke):
+    """The streaming delta probe (foreachBatch over the persisted band
+    index) must emit EXACTLY the batch probe's pair set — per-delta-doc
+    probing is batch-slicing-independent, the property that makes the
+    entry share q_ef's oracle — and every batch partition must be
+    non-overlapping in delta ids (each doc probed exactly once)."""
+    from pyspark_mllib_twitter_spark.plans import REGISTRY
+
+    stream_rows = REGISTRY["q_stream_minhash_delta"].spark(
+        spark, sf_smoke
+    ).collect()
+    batch_rows = REGISTRY["q_ef_minhash_delta_index"].spark(
+        spark, sf_smoke
+    ).collect()
+    key = lambda r: (r["lake_id"], r["delta_id"])  # noqa: E731
+    assert {key(r) for r in stream_rows} == {key(r) for r in batch_rows}
+    sj = {key(r): r["jaccard"] for r in stream_rows}
+    for r in batch_rows:
+        assert abs(sj[key(r)] - r["jaccard"]) < 1e-12
+    # partition discipline: the sink's batch_id layout kept one row per
+    # pair (idempotent overwrite, no duplicate emission across batches)
+    assert len(stream_rows) == len({key(r) for r in stream_rows})
