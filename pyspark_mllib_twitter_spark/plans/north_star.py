@@ -555,7 +555,20 @@ def q_ns_ann_ivfpq_idx(spark, sf_dir):
     cells puts a literal IN predicate on the partitioned scan, so unprobed
     cells are never read from storage (partition pruning, plan-asserted in
     tests/test_properties.py). Results are bit-identical to the in-memory
-    q_ns_ann_ivfpq at the same parameters (tested)."""
+    q_ns_ann_ivfpq at the same parameters (tested).
+
+    Measured scale curve (tools/exp_ann_index_scale.py, corpus grown
+    1x/10x/30x/100x, fixed 10-query batch, BENCHNOTES r13): at this
+    entry's FIXED geometry (16 centroids, n_probe=8) the probe is FLAT
+    (1.8-2.3s) through 100x — overhead-bound at local scale, with the
+    read bounded to n_probe/n_centroids of the corpus by the pruning.
+    The constant-cell-size regime (n_centroids grown with the corpus,
+    IVF practice) keeps probed BYTES constant but pays a measured
+    plan-side cost that grows with n_centroids (7.6s at 480, 5.8s at
+    1600 vs ~2s at 16): the quantizer tables ride the plan as literals —
+    the q_ee lexicon ceiling recurring. Remedy recorded, not yet needed
+    at our scales: beyond a few hundred centroids, ship the coarse table
+    as a broadcast-joined DataFrame instead of a literal."""
     import re as _re
 
     tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
