@@ -634,6 +634,43 @@ def q_ej_image_phash_neardup(spark, sf_dir):
     return pairs.orderBy("id_a", "id_b")
 
 
+@query("q_el_image_dedup_e2e", oracle=None)  # PNG decode: no SQL twin
+def q_el_image_dedup_e2e(spark, sf_dir):
+    """IMAGE DEDUP END TO END — pairs are not a dedup decision yet: this
+    entry composes the pHash near-dup pairs (q_ej) with the
+    connected-components representative picker the TEXT dedup family
+    uses (``operators/dedup.keep_one_representatives``, Kiveris et al.
+    SoCC'14 pointer-jumping CC), producing one row per image CLUSTER:
+    the surviving representative (min asset_id — always the base image,
+    variants carry +10k/+20k offsets), member count, and the sorted
+    member list. The transitive case is exercised by construction:
+    every 12th base has BOTH a brightness and a band-inverted variant,
+    and the variant-variant edge merges the triple into one cluster.
+    Rows-only (PNG decode has no SQL twin); the golden test union-finds
+    the driver-side brute-force pairs and requires the exact cluster
+    partition (tests/test_phash.py).
+
+    Scale: decode once (hashes cached — 16 bytes/image), banded pair
+    join, then CC over the PAIR graph only — O(log diameter) rounds of
+    3 bounded shuffles; image bytes never enter any of it."""
+    corpus = phash.synthetic_png_neardup_corpus(spark, n_base=96)
+    hashes = phash.dhash_features(corpus).cache()
+    pairs = phash.hamming_neardup_pairs(hashes)
+    reps = dedup.keep_one_representatives(
+        pairs, hashes.select("asset_id"), id_col="asset_id"
+    )
+    return (
+        reps.groupBy("rep_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("asset_id")))
+            ).alias("members"),
+        )
+        .orderBy("rep_id")
+    )
+
+
 @query(
     "q_ns_scrub",
     oracle=r"""

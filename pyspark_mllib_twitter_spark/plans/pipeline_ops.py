@@ -2647,13 +2647,17 @@ def q_ef_minhash_delta_index(spark, sf_dir):
     daily batch, so which side re-shuffles is the whole cost model.
     Measured (tools/exp_minhash_index_scale.py, lake grown 30x under a
     fixed delta batch): the banded candidate probe is FLAT in lake size
-    (~0.4-0.5s at every scale) while index build grows ~linearly — the
+    (~0.3-0.5s at every scale) while index build grows ~linearly — the
     persisted-index claim, confirmed. In a probe-ONLY session (index
     exists, lake grams not cached) the Jaccard verify additionally pays
-    an id-filtered lake TEXT fetch that grows with the lake, so a
-    production lake should be laid out doc_id-sorted/zone-mapped to
-    prune that point fetch; this entry is immune because its grams
-    cache from the same-job index build."""
+    an id-filtered lake TEXT fetch; the round-13 remedy
+    (``sources/layout.write_zone_sorted`` + ``fetch_by_ids``: lake
+    written doc_id-RANGE-SORTED, the bounded candidate id list pushed
+    as a literal In filter that footer stats prune) makes that fetch
+    FLAT too — measured 1.2-1.3s at every lake scale vs 1.3→6.6s
+    growing on the unsorted layout (30x: 6.58s → 1.32s, BENCHNOTES
+    r13). This entry itself stays immune because its grams cache from
+    the same-job index build."""
     from ..operators import dedup
 
     lake, delta = minhash_delta_fixture(spark, sf_dir)

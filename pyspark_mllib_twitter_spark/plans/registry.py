@@ -90,6 +90,7 @@ CHECK_WINDOW: list[str] = [
     "q_ej_image_phash_neardup",
     "q_ek_bpe_apply",
     "q_stream_minhash_delta",
+    "q_el_image_dedup_e2e",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

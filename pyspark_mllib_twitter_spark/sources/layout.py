@@ -1,0 +1,63 @@
+"""Zone-mapped (sort-clustered) parquet layout for point/range fetches.
+
+The q_ef probe-time residual (round-12 verdict task 6, docstring'd in
+``plans/pipeline_ops.q_ef_minhash_delta_index``): in a probe-ONLY session
+the Jaccard verify fetches candidate TEXT rows from the lake by id. Over
+an unclustered lake that fetch scans every row group (the filter prunes
+rows after decode, not storage); writing the lake RANGE-SORTED on the
+fetch key gives every file/row group a narrow ``[min, max]`` id span, so
+a pushed ``In``/range predicate skips the non-overlapping groups from
+their footer stats alone — the classic zone-map. This is a LAYOUT
+property, not a new operator: the same parquet, the same reader, the
+same plan shape; only the footer statistics become selective.
+
+At 100 TB this is the difference between a candidate-text fetch that
+reads the whole text column and one that reads ~(candidates / rows-per-
+group) groups. Bucketed tables (``sources/bucketing``) solve the JOIN
+co-location problem; zone sorting solves the bounded POINT-FETCH
+problem — a lake wants both (bucket by join key, sort within by the
+fetch key) where the keys differ, or one clustered layout where, as
+here, both are the document id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_zone_sorted(
+    df: DataFrame, path: str, col: str, n_files: int = 32, mode: str = "overwrite"
+) -> None:
+    """Write ``df`` as plain parquet, RANGE-partitioned + sorted on
+    ``col``: file i covers a contiguous, disjoint span of the key, and
+    rows inside are sorted, so every row group's footer ``[min, max]`` is
+    narrow. ``repartitionByRange`` samples the key distribution, so file
+    spans stay balanced under skew (an id-hash split would interleave the
+    key and destroy the zone map)."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def fetch_by_ids(
+    spark: SparkSession, path: str, col: str, ids, max_ids: int = 100_000
+) -> DataFrame:
+    """Point-fetch rows whose ``col`` is in the BOUNDED literal id set —
+    the probe-session verify fetch. The ``isin`` literal (unlike a semi
+    join) reaches the parquet reader as a pushed ``In`` filter, which is
+    what lets footer stats skip row groups; callers therefore pass a
+    driver-side id list. Bounded by contract (candidate sets are sized by
+    the probe batch, never the lake): ``max_ids`` guards against a caller
+    feeding an unbounded set, which should use a join instead."""
+    ids = list(ids)
+    if len(ids) > max_ids:
+        raise ValueError(
+            f"fetch_by_ids got {len(ids)} ids (> {max_ids}); an id set this "
+            "large should join, not filter — the zone-map point-fetch is "
+            "for bounded candidate sets"
+        )
+    return spark.read.parquet(path).filter(F.col(col).isin(ids))

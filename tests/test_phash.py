@@ -131,3 +131,39 @@ def test_payloads_never_reach_the_join(spark, corpus):
 
 def _signed(x: int) -> int:
     return x - 2**64 if x >= 2**63 else x
+
+
+def test_image_dedup_e2e_clusters_match_unionfind(spark, py_hashes):
+    """The end-to-end entry's cluster partition must equal a driver-side
+    union-find over the brute-force pair set: representative = min id,
+    exact member lists, and the 12k bases form transitive TRIPLES."""
+    parent = {i: i for i in py_hashes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (ia, ha), (ib, hb) in itertools.combinations(
+        sorted(py_hashes.items()), 2
+    ):
+        if bin((ha ^ hb) & (2**64 - 1)).count("1") <= phash.MAX_HAMMING:
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for i in py_hashes:
+        clusters.setdefault(find(i), []).append(i)
+    expect = {
+        rep: (len(ms), ",".join(str(m) for m in sorted(ms)))
+        for rep, ms in clusters.items()
+    }
+    got = {
+        r["rep_id"]: (r["n_members"], r["members"])
+        for r in REGISTRY["q_el_image_dedup_e2e"].spark(spark, SF).collect()
+    }
+    assert got == expect
+    # transitive triples: bases divisible by 12 cluster with BOTH variants
+    for i in range(0, 96, 12):
+        assert got[i][0] == 3, (i, got[i])

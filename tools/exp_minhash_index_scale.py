@@ -119,6 +119,32 @@ def verified_df(spark, lake_path, delta_grams, cand):
     )
 
 
+def verified_zonemap_df(spark, sorted_lake_path, delta_grams, cand_ids_list, cand):
+    """Probe-only verify over a ZONE-SORTED lake (r12 verdict task 6): the
+    bounded candidate id list becomes a literal pushed ``In`` filter, so
+    the doc_id-sorted layout's footer stats skip every non-overlapping
+    row group — vs the unsorted lake where the semi-filtered text fetch
+    decodes every group."""
+    from pyspark_mllib_twitter_spark.sources import layout
+
+    fetched = layout.fetch_by_ids(spark, sorted_lake_path, "doc_id", cand_ids_list)
+    lake_cand_grams = dedup.portable_shingles(fetched, "doc_id", "text", 3).select(
+        F.col("doc_id").alias("lake_id"), F.col("grams").alias("g_l")
+    )
+    gd = delta_grams.select(
+        F.col("doc_id").alias("delta_id"), F.col("grams").alias("g_d")
+    )
+    jac = F.size(F.array_intersect("g_l", "g_d")) / F.size(
+        F.array_union("g_l", "g_d")
+    )
+    return (
+        cand.join(lake_cand_grams, "lake_id")
+        .join(gd, "delta_id")
+        .select("lake_id", "delta_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
 def timed(make_df, spark, runs=3):
     make_df().write.format("noop").mode("overwrite").save()
     try:
@@ -141,8 +167,11 @@ def main():
     tmp = tempfile.mkdtemp(prefix="mh_index_scale_")
     print(f"# sf_dir={sf_dir} tmp={tmp}")
     delta_grams, delta_bands = delta_frames(spark, sf_dir)
-    print("| k | lake_docs | n_cand | n_hits | build(1shot) | cand | verify |")
-    print("|---|---|---|---|---|---|---|")
+    print(
+        "| k | lake_docs | n_cand | n_hits | build(1shot) | cand | verify "
+        "| verify_zonemap |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     try:
         for k in SCALES:
             lake_path = os.path.join(tmp, f"lake_x{k}")
@@ -169,11 +198,32 @@ def main():
                 ),
                 spark,
             )
+            # Zone-mapped probe-only verify (r12 task 6): lake rewritten
+            # doc_id-sorted (a layout decision made at ingest time in
+            # production — untimed here, like the index build), candidate
+            # ids collected (bounded: n_cand rows) into a pushed In
+            # filter. The candidate generation is re-run inside the timer
+            # so both verify columns time the same end-to-end probe.
+            from pyspark_mllib_twitter_spark.sources import layout as _layout
+
+            sorted_path = os.path.join(tmp, f"lake_sorted_x{k}")
+            _layout.write_zone_sorted(
+                spark.read.parquet(lake_path), sorted_path, "doc_id",
+                n_files=max(8, 8 * k),
+            )
+
+            def zonemap_probe():
+                c = candidates_df(delta_bands, idx)
+                ids = [r["lake_id"] for r in c.select("lake_id").distinct().collect()]
+                return verified_zonemap_df(spark, sorted_path, delta_grams, ids, c)
+
+            t_verify_zm = timed(zonemap_probe, spark)
             print(
                 f"| {k} | {n_lake} | {n_cand} | {n_hits} | {t_build:.2f}s "
-                f"| {t_cand:.2f}s | {t_verify:.2f}s |",
+                f"| {t_cand:.2f}s | {t_verify:.2f}s | {t_verify_zm:.2f}s |",
                 flush=True,
             )
+            shutil.rmtree(sorted_path, ignore_errors=True)
             spark.sql(f"DROP TABLE IF EXISTS {table}")
             spark.catalog.clearCache()
             delta_grams.cache().count()  # keep the fixed probe side pinned
