@@ -2690,6 +2690,161 @@ def q_ef_minhash_delta_index(spark, sf_dir):
     )
 
 
+#: Fuzzy-decontamination fixture: every 13th lake doc "leaks" into the
+#: eval set with a 3-token answer-key suffix under a fresh id (the edit
+#: that defeats EXACT contamination checks — q_x3's 8-gram fingerprints
+#: miss it at the tail, and whole-doc fingerprints always miss it); every
+#: 26th doc also contributes a token-REVERSED eval doc — same vocabulary,
+#: zero shared 3-grams — the negative control the probe must NOT flag.
+EVAL_MOD = 13
+EVAL_TAINT_OFFSET = 900_000
+EVAL_CLEAN_MOD = 26
+EVAL_CLEAN_OFFSET = 950_000
+EVAL_SUFFIX = " eval answer key"
+
+_DECON_EVAL_SQL = rf"""
+      SELECT doc_id + {EVAL_TAINT_OFFSET} AS doc_id,
+             text || '{EVAL_SUFFIX}' AS text
+      FROM documents WHERE doc_id % {EVAL_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {EVAL_CLEAN_OFFSET} AS doc_id,
+             array_to_string(list_reverse(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')), ' ') AS text
+      FROM documents WHERE doc_id % {EVAL_CLEAN_MOD} = 0
+"""
+
+
+@query(
+    "q_em_fuzzy_decontaminate",
+    oracle=f"""
+    WITH lake AS (SELECT doc_id, text FROM documents),
+    eval AS ({_DECON_EVAL_SQL}),
+    {_mh_band_ctes("l", "lake")},
+    {_mh_band_ctes("e", "eval")},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS train_id, e.doc_id AS eval_id
+      FROM lband l JOIN eband e ON l.band_key = e.band_key),
+    pairs AS (
+      SELECT c.eval_id, c.train_id,
+             len(list_intersect(gl.grams, ge.grams))::DOUBLE
+               / len(list_distinct(list_concat(gl.grams, ge.grams))) AS jaccard
+      FROM cand c
+      JOIN lg gl ON gl.doc_id = c.train_id
+      JOIN eg ge ON ge.doc_id = c.eval_id),
+    matches AS (SELECT * FROM pairs WHERE jaccard >= 0.5),
+    agg AS (
+      SELECT eval_id, CAST(count(*) AS BIGINT) AS n_matches,
+             max(jaccard) AS best_jaccard
+      FROM matches GROUP BY eval_id),
+    best AS (
+      SELECT m.eval_id, CAST(min(m.train_id) AS BIGINT) AS best_train_id
+      FROM matches m JOIN agg a
+        ON m.eval_id = a.eval_id AND m.jaccard = a.best_jaccard
+      GROUP BY m.eval_id)
+    SELECT e.doc_id AS eval_id,
+           CAST(CASE WHEN a.eval_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS contaminated,
+           CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+           b.best_train_id,
+           a.best_jaccard
+    FROM eval e
+    LEFT JOIN agg a ON a.eval_id = e.doc_id
+    LEFT JOIN best b ON b.eval_id = e.doc_id
+    ORDER BY eval_id
+    """,
+)
+def q_em_fuzzy_decontaminate(spark, sf_dir):
+    """FUZZY DECONTAMINATION — near-dup eval-set leakage detection, the
+    standard LLM-pipeline audit (Brown et al. 2020 appendix C n-gram
+    decontamination; Dodge et al. 2021 C4 benchmark-leak analysis): the
+    repo's q_x3 catches EXACT contamination; a leaked benchmark that
+    gained an answer-key suffix (this fixture) or light edits defeats
+    exact fingerprints and needs the banded-MinHash probe. Per eval doc:
+    a contaminated flag, match count, the best-matching training doc and
+    its exact Jaccard — the evidence row an eval-integrity report ships.
+    The token-REVERSED negative controls (same vocabulary, zero shared
+    3-grams) prove the probe's precision: they must come back clean.
+
+    Spark shape: the asymmetric probe broadcast-joins the (tiny) eval
+    side's band keys against the lake's — at 100 TB the lake never
+    re-shuffles for an eval audit (same economics as q_ef's persisted
+    index; a recurring audit would persist the band table and reuse it
+    verbatim). Verification fetches lake shingles for candidate ids
+    only; argmax match is an exact (max, then min-id) two-step, no
+    window over the corpus. The DuckDB oracle replays the identical md5
+    pipeline, so flags, counts, AND jaccards are value-checked."""
+    from ..operators import dedup
+
+    lake = spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    tainted = lake.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        (F.col("doc_id") + EVAL_TAINT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(EVAL_SUFFIX)).alias("text"),
+    )
+    clean = lake.filter(F.col("doc_id") % EVAL_CLEAN_MOD == 0).select(
+        (F.col("doc_id") + EVAL_CLEAN_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(TXT.tokens("text"))).alias("text"),
+    )
+    ev = tainted.unionByName(clean)
+
+    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3).cache()
+    lake_bands = dedup.portable_band_keys(
+        dedup.portable_minhash_signatures(lake_grams, "doc_id", 16), "doc_id", 4, 4
+    ).withColumnRenamed("doc_id", "train_id")
+    ev_grams = dedup.portable_shingles(ev, "doc_id", "text", 3).cache()
+    ev_bands = dedup.portable_band_keys(
+        dedup.portable_minhash_signatures(ev_grams, "doc_id", 16), "doc_id", 4, 4
+    ).withColumnRenamed("doc_id", "eval_id")
+
+    cand = (
+        lake_bands.join(F.broadcast(ev_bands), "band_key")
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    gl = lake_grams.select(
+        F.col("doc_id").alias("train_id"), F.col("grams").alias("g_l")
+    )
+    ge = ev_grams.select(
+        F.col("doc_id").alias("eval_id"), F.col("grams").alias("g_e")
+    )
+    jac = F.size(F.array_intersect("g_l", "g_e")) / F.size(
+        F.array_union("g_l", "g_e")
+    )
+    matches = (
+        cand.join(gl, "train_id")
+        .join(F.broadcast(ge), "eval_id")
+        .select("eval_id", "train_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .cache()
+    )
+    agg = matches.groupBy("eval_id").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    best = (
+        matches.join(agg.select("eval_id", "best_jaccard"), "eval_id")
+        .filter(F.col("jaccard") == F.col("best_jaccard"))
+        .groupBy("eval_id")
+        .agg(F.min("train_id").cast("bigint").alias("best_train_id"))
+    )
+    return (
+        ev.select(F.col("doc_id").alias("eval_id"))
+        .join(agg, "eval_id", "left")
+        .join(best, "eval_id", "left")
+        .select(
+            "eval_id",
+            F.when(F.col("n_matches").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+            "best_train_id",
+            "best_jaccard",
+        )
+        .orderBy("eval_id")
+    )
+
+
 #: Injected exact-duplicate fixture shared by q_eg/q_ei (the corpus has no
 #: exact dups): every 5th doc gains an UPPERCASED copy with a punctuation
 #: tail (same fingerprint — normalization strips case and punctuation —

@@ -91,6 +91,7 @@ CHECK_WINDOW: list[str] = [
     "q_ek_bpe_apply",
     "q_stream_minhash_delta",
     "q_el_image_dedup_e2e",
+    "q_em_fuzzy_decontaminate",
 ]
 
 # Hard errors, not asserts: these guards must survive python -O (a typo'd

@@ -949,3 +949,50 @@ def test_round12_plan_shapes(spark):
     assert "Join" not in p, p[:800]
     assert p.count("Window") == 1, p[:800]
     assert p.count("hashpartitioning(fp") == 1, p[:1200]
+
+
+def test_fuzzy_decontaminate_flags_and_controls(spark):
+    """Every suffix-tainted eval doc must be flagged with its ORIGIN as
+    the best match at the Python-recomputed exact Jaccard; every
+    token-reversed negative control must come back clean (precision);
+    and the exact-fingerprint check q_x3 would miss these leaks —
+    no tainted text equals any lake text."""
+    rows = {
+        r["eval_id"]: r
+        for r in REGISTRY["q_em_fuzzy_decontaminate"].spark(spark, SF).collect()
+    }
+    docs = {
+        d["doc_id"]: d["text"]
+        for d in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def grams(text):
+        t = _tokens_py(text)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    n_taint = n_clean = 0
+    for doc_id, text in docs.items():
+        if doc_id % pipeline_ops.EVAL_MOD == 0:
+            n_taint += 1
+            r = rows[doc_id + pipeline_ops.EVAL_TAINT_OFFSET]
+            assert r["contaminated"] == 1 and r["n_matches"] >= 1
+            assert r["best_train_id"] == doc_id, r
+            ge = grams(text + pipeline_ops.EVAL_SUFFIX)
+            gl = grams(text)
+            assert abs(r["best_jaccard"] - len(ge & gl) / len(ge | gl)) < 1e-9
+            assert text + pipeline_ops.EVAL_SUFFIX not in docs.values()
+        if doc_id % pipeline_ops.EVAL_CLEAN_MOD == 0:
+            n_clean += 1
+            r = rows[doc_id + pipeline_ops.EVAL_CLEAN_OFFSET]
+            assert r["contaminated"] == 0 and r["n_matches"] == 0
+            assert r["best_train_id"] is None and r["best_jaccard"] is None
+    assert len(rows) == n_taint + n_clean
+
+
+def test_fuzzy_decontaminate_broadcasts_the_eval_side(spark):
+    """Plan shape: the band-key candidate join must be a broadcast hash
+    join (the tiny eval side ships; the lake never re-shuffles for an
+    eval audit)."""
+    df = REGISTRY["q_em_fuzzy_decontaminate"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]
