@@ -1689,8 +1689,14 @@ def q_ek_bpe_apply(spark, sf_dir):
     Python anywhere), then joined back to the (doc_id, word) token
     stream and partial-aggregated per doc. At 100 TB the corpus scan
     dominates and the encode cost is amortized over every occurrence of
-    a word; encoding per-occurrence would multiply the HOF work by the
-    corpus/vocab ratio (orders of magnitude).
+    a word; encoding per-occurrence multiplies the merge-chain work by
+    the corpus/vocab ratio. Measured A/B (tools/exp_bpe_apply_scale.py,
+    BENCHNOTES r13): the chain is cheap on short words, so the
+    wall-clock crossover sits at ~1-2M occurrences on local[32] (3.19s
+    vs 3.97s at 2.7M, gap widening monotonically with corpus growth;
+    the tiny encode side auto-broadcasts, so the join back is
+    map-side) — below that the plans tie; at real vocab/occurrence
+    ratios the per-occurrence chain dominates far harder.
 
     Value check: the DuckDB oracle executes the IDENTICAL greedy reduce
     per merge (generated from the same ``BPE_APPLY_MERGES`` constant),
