@@ -527,9 +527,23 @@ def _delta_docs_replay_dir(spark, sf_dir, n_batches: int = 4) -> str:
     import shutil
     import tempfile
 
-    from .pipeline_ops import minhash_delta_fixture
+    from .pipeline_ops import (
+        DELTA_ID_OFFSET,
+        DELTA_MOD,
+        DELTA_PREFIX,
+        minhash_delta_fixture,
+    )
 
-    key = (_os.path.abspath(sf_dir), "minhash_delta", n_batches)
+    # Fixture constants belong in the cache key: a future change to the
+    # delta shape must invalidate the on-disk replay, not reuse it.
+    key = (
+        _os.path.abspath(sf_dir),
+        "minhash_delta",
+        n_batches,
+        DELTA_MOD,
+        DELTA_ID_OFFSET,
+        DELTA_PREFIX,
+    )
     digest = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
     final = _os.path.join(tempfile.gettempdir(), f"spark_graft_docreplay_{digest}")
     if _os.path.exists(_os.path.join(final, "_COMPLETE")):
