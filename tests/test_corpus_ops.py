@@ -808,3 +808,28 @@ def test_bpe_apply_plan_is_jvm_only_vocab_encode(spark, sf_smoke):
     # living in its result projection (n_sym_w computed once per word)
     assert "HashAggregate(keys=[w#" in plan, plan[:1500]
     assert "n_sym_w" in plan
+
+
+def test_bpe_apply_randomized_words_equal_sennrich(spark):
+    """Seeded-random fuzz over the merge alphabet: 300 words drawn from
+    the letters the frozen merges touch (maximizing merge-rule traffic,
+    including degenerate runs) must encode identically to the iterative
+    Sennrich reference — one Spark round trip for the whole batch."""
+    import random
+
+    rng = random.Random(1313)
+    alphabet = "theandorin"  # letters of BPE_APPLY_MERGES plus filler
+    words = list(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(300)
+        }
+    )
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", corpus_ops.bpe_apply_symbols("w").alias("sym")
+    )
+    got = {r["w"]: r["sym"].split(";") for r in df.collect()}
+    for w in words:
+        assert got[w] == _bpe_apply_sennrich(
+            w, corpus_ops.BPE_APPLY_MERGES
+        ), w
