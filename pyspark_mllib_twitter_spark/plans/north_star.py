@@ -558,16 +558,17 @@ def q_ns_ann_ivfpq_idx(spark, sf_dir):
     q_ns_ann_ivfpq at the same parameters (tested).
 
     Measured scale curve (tools/exp_ann_index_scale.py, corpus grown
-    1x/10x/30x/100x, fixed 10-query batch, BENCHNOTES r13): at this
-    entry's FIXED geometry (16 centroids, n_probe=8) the probe is FLAT
-    (1.8-2.3s) through 100x — overhead-bound at local scale, with the
-    read bounded to n_probe/n_centroids of the corpus by the pruning.
-    The constant-cell-size regime (n_centroids grown with the corpus,
-    IVF practice) keeps probed BYTES constant but pays a measured
-    plan-side cost that grows with n_centroids (7.6s at 480, 5.8s at
-    1600 vs ~2s at 16): the quantizer tables ride the plan as literals —
-    the q_ee lexicon ceiling recurring. Remedy recorded, not yet needed
-    at our scales: beyond a few hundred centroids, ship the coarse table
+    1x/10x/30x/100x with distinct rotated/sign-flipped replicas, fixed
+    10-query batch, BENCHNOTES r13): at this entry's FIXED geometry
+    (16 centroids, n_probe=8) the probe is FLAT (2.3-3.1s) through
+    100x — overhead-bound at local scale, with the read bounded to
+    n_probe/n_centroids of the corpus by the pruning. The
+    constant-cell-size regime (n_centroids grown with the corpus, IVF
+    practice) keeps probed BYTES constant but pays a measured plan-side
+    cost that grows with n_centroids (3.7s at 480, 7.9s at 1600 vs
+    ~2-3s at 16): the quantizer tables ride the plan as literals — the
+    q_ee lexicon ceiling recurring. Remedy recorded, not yet needed at
+    our scales: beyond a few hundred centroids, ship the coarse table
     as a broadcast-joined DataFrame instead of a literal."""
     import re as _re
 

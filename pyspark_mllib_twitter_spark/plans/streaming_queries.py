@@ -78,28 +78,58 @@ REPLAY_FLUSH_MARGIN = "60 days"
 #: build-into-tmp + rename keeps concurrent builders from seeing partials.
 
 
-def _replay_dir(spark, sf_dir, **replay_kwargs):
+def _cached_build_dir(prefix: str, key: tuple, build_into) -> str:
+    """Disk-keyed build-once directory cache shared by every replayer:
+    sha1(key) names the final dir; a ``_COMPLETE`` marker commits a build
+    (Spark's file listing ignores ``_``-prefixed files); building into
+    ``tmp{pid}`` + rename keeps concurrent builders from seeing partials.
+
+    Stale-dir recovery (round-13 review finding): a builder that crashed
+    between rename and marker — or a partially-copied dir — leaves
+    ``final`` EXISTING but without ``_COMPLETE``; the old code's rename
+    would fail, be swallowed as a lost race, and return the broken path.
+    Now an incomplete ``final`` is cleared before the rename, and a
+    rename that still fails re-checks the marker: only a COMPLETE
+    winner's dir is accepted, anything else raises instead of silently
+    serving a partial replay."""
     import hashlib
     import shutil
     import tempfile
 
-    replay_kwargs.setdefault("flush_margin", REPLAY_FLUSH_MARGIN)
-    key = (os.path.abspath(sf_dir), tuple(sorted(replay_kwargs.items())))
     digest = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
-    final = os.path.join(tempfile.gettempdir(), f"spark_graft_replay_{digest}")
-    if os.path.exists(os.path.join(final, "_COMPLETE")):
+    final = os.path.join(tempfile.gettempdir(), f"{prefix}_{digest}")
+    marker = os.path.join(final, "_COMPLETE")
+    if os.path.exists(marker):
         return final
-    ev = read_table(spark, sf_dir, "events")
     tmp = f"{final}.tmp{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    replay_events_dir(ev, out_dir=tmp, **replay_kwargs)
+    build_into(tmp)
     with open(os.path.join(tmp, "_COMPLETE"), "w"):
         pass
+    if os.path.exists(final) and not os.path.exists(marker):
+        shutil.rmtree(final, ignore_errors=True)  # crashed builder's leftovers
     try:
         os.rename(tmp, final)
-    except OSError:  # lost a concurrent race — the winner's dir is equivalent
+    except OSError:  # concurrent race — accept only a COMPLETE winner
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(
+                f"replay cache dir {final} exists without _COMPLETE after a "
+                "rename race — clear it and retry"
+            )
     return final
+
+
+def _replay_dir(spark, sf_dir, **replay_kwargs):
+    replay_kwargs.setdefault("flush_margin", REPLAY_FLUSH_MARGIN)
+    key = (os.path.abspath(sf_dir), tuple(sorted(replay_kwargs.items())))
+
+    def build(tmp: str) -> None:
+        replay_events_dir(
+            read_table(spark, sf_dir, "events"), out_dir=tmp, **replay_kwargs
+        )
+
+    return _cached_build_dir("spark_graft_replay", key, build)
 
 
 def _replayed_stream(spark, sf_dir, **replay_kwargs):
@@ -519,14 +549,11 @@ def q_stream_dedup_lake(spark, sf_dir):
 
 def _delta_docs_replay_dir(spark, sf_dir, n_batches: int = 4) -> str:
     """Ordered parquet chunk files of the delta-crawl document batch
-    (the q_ef fixture), for file-source replay — same disk-keyed cache
-    discipline as ``_replay_dir`` (one chunk per micro-batch, `_COMPLETE`
-    marker commits a build, `_`-prefixed files invisible to Spark)."""
-    import hashlib
-    import os as _os
-    import shutil
-    import tempfile
-
+    (the q_ef fixture), for file-source replay — one chunk per
+    micro-batch, committed through the shared ``_cached_build_dir``
+    protocol. Fixture constants live in the cache key: a future change
+    to the delta shape must invalidate the on-disk replay, not reuse
+    it."""
     from .pipeline_ops import (
         DELTA_ID_OFFSET,
         DELTA_MOD,
@@ -534,42 +561,31 @@ def _delta_docs_replay_dir(spark, sf_dir, n_batches: int = 4) -> str:
         minhash_delta_fixture,
     )
 
-    # Fixture constants belong in the cache key: a future change to the
-    # delta shape must invalidate the on-disk replay, not reuse it.
     key = (
-        _os.path.abspath(sf_dir),
+        os.path.abspath(sf_dir),
         "minhash_delta",
         n_batches,
         DELTA_MOD,
         DELTA_ID_OFFSET,
         DELTA_PREFIX,
     )
-    digest = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
-    final = _os.path.join(tempfile.gettempdir(), f"spark_graft_docreplay_{digest}")
-    if _os.path.exists(_os.path.join(final, "_COMPLETE")):
-        return final
-    _, delta = minhash_delta_fixture(spark, sf_dir)
-    pdf = delta.orderBy("doc_id").toPandas()
-    tmp = f"{final}.tmp{_os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    _os.makedirs(tmp)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    n = len(pdf)
-    per = max(1, (n + n_batches - 1) // n_batches)
-    for i in range(0, n, per):
-        pq.write_table(
-            pa.Table.from_pandas(pdf.iloc[i : i + per], preserve_index=False),
-            _os.path.join(tmp, f"chunk_{i // per:04d}.parquet"),
-        )
-    with open(_os.path.join(tmp, "_COMPLETE"), "w"):
-        pass
-    try:
-        _os.rename(tmp, final)
-    except OSError:  # lost a concurrent race — the winner's dir is equivalent
-        shutil.rmtree(tmp, ignore_errors=True)
-    return final
+    def build(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _, delta = minhash_delta_fixture(spark, sf_dir)
+        pdf = delta.orderBy("doc_id").toPandas()
+        os.makedirs(tmp)
+        n = len(pdf)
+        per = max(1, (n + n_batches - 1) // n_batches)
+        for i in range(0, n, per):
+            pq.write_table(
+                pa.Table.from_pandas(pdf.iloc[i : i + per], preserve_index=False),
+                os.path.join(tmp, f"chunk_{i // per:04d}.parquet"),
+            )
+
+    return _cached_build_dir("spark_graft_docreplay", key, build)
 
 
 def _stream_minhash_delta_oracle() -> str:
@@ -617,6 +633,11 @@ def q_stream_minhash_delta(spark, sf_dir):
     from .pipeline_ops import build_minhash_band_index, minhash_delta_fixture
 
     lake, _ = minhash_delta_fixture(spark, sf_dir)
+    # Own index table (suffix), rebuilt by THIS entry: every registry entry
+    # must be self-contained — the external checker runs each query in a
+    # fresh process, so sharing q_ef's build would only help same-session
+    # suites while coupling this entry's correctness to q_ef's execution
+    # order (round-13 review: deliberate duplication, not an oversight).
     idx, lake_grams = build_minhash_band_index(
         spark, sf_dir, lake, suffix="_stream"
     )
@@ -638,28 +659,36 @@ def q_stream_minhash_delta(spark, sf_dir):
     )
 
     def probe_batch(batch_df, batch_id: int) -> None:
-        grams = dedup.portable_shingles(batch_df, "doc_id", "text", 3)
-        bands = dedup.portable_band_keys(
-            dedup.portable_minhash_signatures(grams, "doc_id", 16),
-            "doc_id",
-            4,
-            4,
-        ).withColumnRenamed("doc_id", "delta_id")
-        cand = bands.join(idx, "band_key").select("lake_id", "delta_id").distinct()
-        gd = grams.select(
-            F.col("doc_id").alias("delta_id"), F.col("grams").alias("g_d")
-        )
-        jac = F.size(F.array_intersect("g_l", "g_d")) / F.size(
-            F.array_union("g_l", "g_d")
-        )
-        (
-            cand.join(gl, "lake_id")
-            .join(gd, "delta_id")
-            .select("lake_id", "delta_id", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.5)
-            .write.mode("overwrite")
-            .parquet(_os.path.join(out_dir, f"batch_id={batch_id}"))
-        )
+        # Cache the batch's shingles: the plan consumes them twice (band
+        # keys -> candidates, and the Jaccard-verify side) and would
+        # otherwise re-tokenize the batch per consumer (round-13 review).
+        grams = dedup.portable_shingles(batch_df, "doc_id", "text", 3).cache()
+        try:
+            bands = dedup.portable_band_keys(
+                dedup.portable_minhash_signatures(grams, "doc_id", 16),
+                "doc_id",
+                4,
+                4,
+            ).withColumnRenamed("doc_id", "delta_id")
+            cand = (
+                bands.join(idx, "band_key").select("lake_id", "delta_id").distinct()
+            )
+            gd = grams.select(
+                F.col("doc_id").alias("delta_id"), F.col("grams").alias("g_d")
+            )
+            jac = F.size(F.array_intersect("g_l", "g_d")) / F.size(
+                F.array_union("g_l", "g_d")
+            )
+            (
+                cand.join(gl, "lake_id")
+                .join(gd, "delta_id")
+                .select("lake_id", "delta_id", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= 0.5)
+                .write.mode("overwrite")
+                .parquet(_os.path.join(out_dir, f"batch_id={batch_id}"))
+            )
+        finally:
+            grams.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(probe_batch)
@@ -667,6 +696,10 @@ def q_stream_minhash_delta(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # The returned frame reads the sink parquet only — the lake grams
+    # cache served the stream and can be released now instead of staying
+    # pinned for the rest of the session (round-13 review).
+    lake_grams.unpersist()
     back = spark.read.parquet(out_dir).drop("batch_id")
     return back.select("lake_id", "delta_id", "jaccard").orderBy(
         "lake_id", "delta_id"

@@ -45,8 +45,11 @@ N_QUERIES, K, N_PROBE, REFINE = 10, 5, 8, 8
 
 def build_corpus(spark, sf_dir: str, k: int, out: str) -> None:
     """k replicas of the embeddings table; replica r rotates each vector
-    by r positions (deterministic, norm-preserving) so replicas are not
-    identical points and centroid cells stay balanced."""
+    by r % 64 positions AND sign-flips it on every second 64-cycle
+    (both deterministic and norm-preserving), so ALL replicas are
+    distinct points even past r=64 (round-13 review: a bare r % 64
+    rotation made replicas 64-99 duplicate 0-35 at the 100x scale) and
+    centroid cells stay balanced."""
     base = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     parts = []
     for r in range(k):
@@ -59,6 +62,8 @@ def build_corpus(spark, sf_dir: str, k: int, out: str) -> None:
                 F.slice("embedding", 1, rot),
             )
         )
+        if (r // 64) % 2 == 1:
+            emb = F.transform(emb, lambda x: -x)
         parts.append(
             base.select(
                 (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
