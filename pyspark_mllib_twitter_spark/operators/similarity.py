@@ -468,6 +468,7 @@ def _rank_probed(
     n_probe: int,
     refine: int,
     prune_scan: bool = False,
+    group_mod: int | None = None,
 ) -> DataFrame:
     """Shared IVF+PQ search over an encoded corpus: probe the ``n_probe``
     nearest cells per query, ADC-scan codes inside those cells, exact
@@ -479,7 +480,11 @@ def _rank_probed(
     n_probe ints — bounded, driver-side by design) and filters the codes
     scan with a literal IN predicate. For a PERSISTED index partitioned by
     ``centroid_id`` that predicate becomes a partition filter: unprobed
-    cells are never read — the candidate cut becomes an I/O cut."""
+    cells are never read — the candidate cut becomes an I/O cut.
+    ``group_mod`` (a grouped index layout, see ``build_ivfpq_index``'s
+    ``max_dirs``) adds the matching ``cell_group`` partition filter; the
+    cell-level IN then prunes ROW GROUPS inside each directory (the files
+    are centroid-sorted — the zone-map idea applied to the index)."""
     spark = codes.sparkSession
     cent_df = spark.createDataFrame(
         list(enumerate(coarse_lists)), "centroid_id int, centroid array<double>"
@@ -498,6 +503,10 @@ def _rank_probed(
     ).select("query_id", "q_vec", "centroid_id")
     if prune_scan:
         cells = [r.centroid_id for r in q_cent.select("centroid_id").distinct().collect()]
+        if group_mod:
+            codes = codes.filter(
+                F.col("cell_group").isin(sorted({c % group_mod for c in cells}))
+            )
         codes = codes.filter(F.col("centroid_id").isin(cells))
     probes = q_cent.select(
         "query_id",
@@ -561,6 +570,7 @@ def build_ivfpq_index(
     max_fit_rows: int = 65536,
     max_iter: int = 8,
     codebook_max_iter: int = 8,
+    max_dirs: int | None = None,
 ) -> None:
     """Persist an IVF+PQ index: the encoded corpus as parquet PARTITIONED
     BY ``centroid_id`` (probing n_probe cells later reads only those
@@ -568,7 +578,18 @@ def build_ivfpq_index(
     tests/test_properties.py) plus the fitted quantizers as a JSON
     sidecar. Encode-once-probe-many is the production retrieval shape: the
     fit + encode cost amortizes over every later query batch, exactly like
-    the bucketed chunk-fingerprint index amortizes its distinct shuffle."""
+    the bucketed chunk-fingerprint index amortizes its distinct shuffle.
+
+    ``max_dirs`` bounds the DIRECTORY count for large-``n_centroids``
+    geometries (the measured linear-in-C probe cost is parquet file
+    LISTING over one-directory-per-cell, re-paid by every probe's fresh
+    file index — tools/exp_ann_index_scale.py + BENCHNOTES r13, the
+    small-files problem, not plan literals): cells are grouped into
+    ``centroid_id % max_dirs`` partition directories with files
+    CENTROID-SORTED inside, so a probe prunes directories by group and
+    then prunes ROW GROUPS inside each via footer stats — the
+    ``sources/layout`` zone-map idea applied to the index. The grouping
+    is recorded in the sidecar; results are bit-identical (tested)."""
     import json
     import os
 
@@ -582,11 +603,33 @@ def build_ivfpq_index(
         max_fit_rows=max_fit_rows,
     )
     codes = _encode_ivfpq(c, coarse_lists, cb_lists)
-    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        os.path.join(path, "codes")
+    group_mod = (
+        max_dirs if max_dirs is not None and n_centroids > max_dirs else None
     )
+    if group_mod:
+        (
+            codes.withColumn(
+                "cell_group", (F.col("centroid_id") % group_mod).cast("int")
+            )
+            .repartition(group_mod, F.col("cell_group"))
+            .sortWithinPartitions("cell_group", "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("cell_group")
+            .parquet(os.path.join(path, "codes"))
+        )
+    else:
+        codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(path, "codes")
+        )
     with open(os.path.join(path, "quantizer.json"), "w") as f:
-        json.dump({"coarse": coarse_lists, "codebooks": cb_lists}, f)
+        json.dump(
+            {
+                "coarse": coarse_lists,
+                "codebooks": cb_lists,
+                "cell_group_mod": group_mod,
+            },
+            f,
+        )
 
 
 def probe_ivfpq_index(
@@ -615,4 +658,5 @@ def probe_ivfpq_index(
     return _rank_probed(
         codes, q, quant["coarse"], quant["codebooks"], k, n_probe, refine,
         prune_scan=True,
+        group_mod=quant.get("cell_group_mod"),
     )

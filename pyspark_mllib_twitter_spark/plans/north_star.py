@@ -564,12 +564,20 @@ def q_ns_ann_ivfpq_idx(spark, sf_dir):
     100x — overhead-bound at local scale, with the read bounded to
     n_probe/n_centroids of the corpus by the pruning. The
     constant-cell-size regime (n_centroids grown with the corpus, IVF
-    practice) keeps probed BYTES constant but pays a measured plan-side
-    cost that grows with n_centroids (3.7s at 480, 7.9s at 1600 vs
-    ~2-3s at 16): the quantizer tables ride the plan as literals — the
-    q_ee lexicon ceiling recurring. Remedy recorded, not yet needed at
-    our scales: beyond a few hundred centroids, ship the coarse table
-    as a broadcast-joined DataFrame instead of a literal."""
+    practice) keeps probed BYTES constant but pays a cost that grows
+    with n_centroids (3.7s at 480, 7.9s at 1600 vs ~2-3s at 16).
+    ATTRIBUTION (measured, BENCHNOTES r13): it is the SMALL-FILES
+    problem — one parquet directory per cell means every probe's fresh
+    file index lists C directories and the write schedules C tasks —
+    not plan literals (a pruned 8-cell count at C=256 runs in 0.23s
+    once listed). Remedy IMPLEMENTED: ``build_ivfpq_index(...,
+    max_dirs=N)`` groups cells into bounded directories with
+    centroid-sorted files (partition-prune the group, row-group-prune
+    the cell — the sources/layout zone-map idea applied to the index);
+    at C=1600 it cuts probe 6.13s → 3.30s and build 41.6s → 12.4s with
+    bit-identical results (plan- and value-asserted in
+    tests/test_properties.py). This entry keeps the flat layout —
+    right for its 16-cell geometry."""
     import re as _re
 
     tag = _re.sub(r"\W+", "_", sf_dir).strip("_")
