@@ -117,12 +117,20 @@ def main():
             build_corpus(spark, sf_dir, k, corpus_path)
             corpus = spark.read.parquet(corpus_path)
             n_vec = corpus.count()
-            for regime, n_cent in (("fixed", 16), ("scaled", 16 * k)):
+            # "grouped" = the scaled geometry under the bounded-directory
+            # layout (max_dirs=32) — the measured small-files remedy; its
+            # probe column should stay near-flat where bare "scaled" grows.
+            regimes = (
+                ("fixed", 16, None),
+                ("scaled", 16 * k, None),
+                ("grouped", 16 * k, 32),
+            )
+            for regime, n_cent, max_dirs in regimes:
                 idx_path = os.path.join(tmp, f"idx_{regime}_x{k}")
                 t0 = time.perf_counter()
                 similarity.build_ivfpq_index(
                     corpus, idx_path, n_centroids=n_cent,
-                    n_subvectors=8, n_codes=64,
+                    n_subvectors=8, n_codes=64, max_dirs=max_dirs,
                 )
                 t_build = time.perf_counter() - t0
                 t_probe = timed_probe(spark, idx_path, queries)
