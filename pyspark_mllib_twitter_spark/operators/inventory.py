@@ -3,9 +3,13 @@
 The classic "cumulative sum with a floor and conditional refill" —
 NOT window-expressible in SQL (each day's stock depends on the
 previous day's post-decision state, a non-associative recurrence), so
-this is one of the engine's sanctioned Python escape hatches: an
-Arrow-batched ``applyInPandas`` per item, sequential only WITHIN an
-item's (calendar-bounded) day series, fully parallel ACROSS items.
+this is one of the engine's sanctioned Python escape hatches: each
+item's day series is collapsed JVM-side into sorted arrays and ONE
+Arrow-batched ``mapInPandas`` pass runs the recurrence — sequential
+only WITHIN an item's (calendar-bounded) series, fully parallel
+ACROSS items, one Python row per item instead of one Arrow group
+frame per item (the r14 measured fix: per-group protocol overhead
+across ~20k items was the operator's entire 16.5s solo cost).
 
 Policy (the textbook (s, Q) reorder rule, any operations-research
 text): start at ``start_stock``; each day satisfy demand from stock
@@ -94,31 +98,64 @@ def simulate_inventory(
     order_qty: int = 500,
     lead_days: int = 1,
 ) -> DataFrame:
-    """Distributed (s, Q) simulation: one summary row per item."""
+    """Distributed (s, Q) simulation: one summary row per item.
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(day_col)
-        days = list(
-            zip(pdf[day_col].astype(int).tolist(), pdf[qty_col].astype(int).tolist())
-        )
-        total, unmet, stockouts, reorders, stock = simulate_inventory_py(
-            days, start_stock, reorder_point, order_qty, lead_days
-        )
-        return pd.DataFrame(
-            {
-                "item_id": [int(pdf[item_col].iloc[0])],
-                "n_days": [len(days)],
-                "total_demand": [total],
-                "unmet_demand": [unmet],
-                "n_stockout_days": [stockouts],
-                "n_reorders": [reorders],
-                "end_stock": [stock],
+    The recurrence still runs in Python (non-associative, the sanctioned
+    escape hatch), but the Python boundary is ONE row per item: each
+    item's calendar-bounded day series is collapsed JVM-side into two
+    day-sorted arrays (``array_sort`` over (day, qty) structs — days are
+    unique after the grain aggregate, so the struct order IS day order),
+    and a single ``mapInPandas`` pass walks the batched item rows. The
+    previous shape — ``groupBy(item).applyInPandas`` — paid one pandas
+    DataFrame construction + Arrow group frame per item (~20k groups of
+    ~30 rows at bench scale), which WAS the measured 16.5s solo cost;
+    the per-item series arrays amortize that protocol cost over whole
+    Arrow batches while shuffling the same (item, day, qty) bytes."""
+
+    def run(batches):
+        for pdf in batches:
+            items = pdf[item_col].tolist()
+            out = {
+                "item_id": [],
+                "n_days": [],
+                "total_demand": [],
+                "unmet_demand": [],
+                "n_stockout_days": [],
+                "n_reorders": [],
+                "end_stock": [],
             }
-        )
+            for item, days_arr, qty_arr in zip(
+                items, pdf["__days"].tolist(), pdf["__qtys"].tolist()
+            ):
+                days = list(zip((int(d) for d in days_arr), (int(q) for q in qty_arr)))
+                total, unmet, stockouts, reorders, stock = simulate_inventory_py(
+                    days, start_stock, reorder_point, order_qty, lead_days
+                )
+                out["item_id"].append(int(item))
+                out["n_days"].append(len(days))
+                out["total_demand"].append(total)
+                out["unmet_demand"].append(unmet)
+                out["n_stockout_days"].append(stockouts)
+                out["n_reorders"].append(reorders)
+                out["end_stock"].append(stock)
+            yield pd.DataFrame(out)
 
     # Collapse to (item, day) grain FIRST — the Python stage must see
     # calendar-bounded series, not raw lines.
     daily = demand.groupBy(item_col, day_col).agg(
         F.sum(qty_col).cast("bigint").alias(qty_col)
     )
-    return daily.groupBy(item_col).applyInPandas(run, SIM_SCHEMA)
+    series = (
+        daily.groupBy(item_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(day_col), F.col(qty_col)))
+            ).alias("__s")
+        )
+        .select(
+            item_col,
+            F.transform("__s", lambda s: s[day_col]).alias("__days"),
+            F.transform("__s", lambda s: s[qty_col]).alias("__qtys"),
+        )
+    )
+    return series.mapInPandas(run, SIM_SCHEMA)

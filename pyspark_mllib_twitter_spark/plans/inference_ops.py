@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..sources import read_table
+from ..sources import read_table, spread
 from .registry import query
 
 
@@ -134,9 +134,17 @@ def q_zh_poisson_bootstrap(spark, sf_dir):
     means by discrete quantile. Spark's plan: one scan, one exchange of
     32 rows.
     """
-    base = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    # spread: the single-row-group scan is ONE partition, and everything
+    # heavy here (R-way explode, one md5 + inverse-CDF CASE per exploded
+    # row, the decimal partial aggregation) runs BEFORE the first
+    # exchange — without the repartition the whole R x n map stage is
+    # single-core (measured r14: 10.0s -> 1.9s solo). Row-wise md5 is
+    # deterministic, so placement cannot change any replicate.
+    base = spread(
+        read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
     )
     reps = base.select(
         "o_orderkey",
@@ -796,12 +804,19 @@ def q_zo_theil_sen(spark, sf_dir):
 
     Exactness: every pair slope is one shared-text division of exact
     integers (cents delta / day delta); the median is a discrete
-    quantile — selection, not summation, so no float-order hazard.
+    quantile — selection, not summation, so no float-order hazard. The
+    selection is the SAME value percentile_disc(0.5) returns (smallest
+    slope whose cumulative count reaches ceil(n/2), i.e. the k-th order
+    statistic at k = (n+1)//2), computed by ``_kth_smallest`` — r14: the
+    percentile_disc aggregate buffered all ~2.9M distinct pair slopes
+    into per-partition hash maps and merged them single-threaded
+    (measured 7.5s of the entry's 10.1s); histogram narrowing keeps
+    every pass map-side combinable and bounded.
 
     Scale shape: same document-and-contain O(days^2) envelope as q_zn —
-    the self-join runs on the post-aggregate series, and the median runs
-    on the pair set (a few million rows at a decade of days; Spark
-    percentile_disc partial-aggregates map-side). For series too long
+    the self-join runs on the post-aggregate series, and the median is
+    the bounded-histogram selection over the pair set (driver sees only
+    <=4097-row histograms per level, never slopes). For series too long
     for exact pairs, the published scale path is slope sampling or
     approx_percentile over bucketed pair slopes — the q_yn/q_yo swap.
     """
@@ -814,21 +829,111 @@ def q_zo_theil_sen(spark, sf_dir):
             )
         )
     )
-    a = daily.select(F.col("day").alias("a_day"), F.col("cents").alias("a_cents"))
-    b = daily.select(F.col("day").alias("b_day"), F.col("cents").alias("b_cents"))
+    # The day-grain aggregate is tiny (~2.4k rows), so AQE coalesces it to
+    # ONE partition — which then makes the O(days^2) nested-loop pair
+    # stage AND the percentile partial-aggregation single-core (measured
+    # r14: 10.1s solo). Pin the small side as the broadcast build and
+    # fan the stream side out to session parallelism: ~n_days^2/32 pair
+    # evaluations per task, exact selection unchanged by placement.
+    par = spark.sparkContext.defaultParallelism
+    a = daily.select(
+        F.col("day").alias("a_day"), F.col("cents").alias("a_cents")
+    ).repartition(par)
+    b = F.broadcast(
+        daily.select(F.col("day").alias("b_day"), F.col("cents").alias("b_cents"))
+    )
+    # try_divide, not '/': the selection below filters on bucket(slope),
+    # and Catalyst merges that filter INTO the nested-loop join condition,
+    # where it is evaluated for SAME-DAY pairs the b_day > a_day conjunct
+    # rejects — datediff = 0 there, and ANSI '/' throws DIVIDE_BY_ZERO.
+    # For every pair the join keeps (datediff >= 1) try_divide IS '/';
+    # the null it returns for rejected pairs never survives the join.
     slopes = a.join(b, F.col("b_day") > F.col("a_day")).select(
-        (
-            (F.col("b_cents") - F.col("a_cents")).cast("double")
-            / 100.0
-            / F.datediff(F.col("b_day"), F.col("a_day")).cast("double")
+        F.try_divide(
+            (F.col("b_cents") - F.col("a_cents")).cast("double") / 100.0,
+            F.datediff(F.col("b_day"), F.col("a_day")).cast("double"),
         ).alias("slope")
     )
-    return slopes.agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.round(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"), 6
-        ).alias("slope_per_day"),
+    return _kth_smallest_report(spark, slopes, "slope")
+
+
+def _kth_smallest_report(spark, slopes, col, nbuckets=4096, max_levels=3):
+    """(n_pairs, round(median, 6)) via exact distributed selection of the
+    k-th order statistic, k = (n+1)//2 — value-identical to
+    ``percentile_disc(0.5) WITHIN GROUP (ORDER BY col)`` (the smallest
+    value whose cumulative count reaches ceil(n/2)), without its
+    collect-every-distinct-value aggregation state.
+
+    Protocol: one (count, min, max) aggregate; then per level one
+    histogram aggregate ``groupBy(bucket).agg(count, min, max)`` whose
+    bucket expression uses only Python-float literals (so the count pass
+    and the narrowing filter evaluate bit-identical doubles), walking the
+    <=nbuckets rows on the driver to find the bucket containing rank k;
+    the next level re-narrows using the bucket's ACTUAL [min, max] (no
+    float boundary arithmetic). The final remainder (a few rows after two
+    levels at bench scale; all-tied values short-circuit on lo == hi) is
+    an orderBy + limit(k - rank_below) + max — the m-th smallest inside
+    the bucket. Driver-side data is bounded by nbuckets per level (the
+    ``_doubled_tie_ranks`` offset-collect discipline), never value-sized.
+    """
+    first = slopes.agg(
+        F.count("*").alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    n, lo, hi = first["n"], first["lo"], first["hi"]
+    if not n:
+        # empty input: match the original aggregate's (0, NULL) row.
+        return slopes.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {col})"), 6
+            ).alias("slope_per_day"),
+        )
+    k = (n + 1) // 2
+    conds = []
+    rank_below = 0  # values strictly before the current narrowed range
+    for _ in range(max_levels):
+        if not (lo < hi):
+            break
+        w = (hi - lo) / nbuckets
+        if w <= 0:
+            break
+        bucket = F.least(
+            F.floor((F.col(col) - F.lit(lo)) / F.lit(w)), F.lit(nbuckets - 1)
+        ).cast("int")
+        narrowed = slopes
+        for c in conds:
+            narrowed = narrowed.filter(c)
+        hist = (
+            narrowed.groupBy(bucket.alias("b"))
+            .agg(F.count("*").alias("c"), F.min(col).alias("blo"), F.max(col).alias("bhi"))
+            .orderBy("b")
+            .collect()
+        )
+        cum = rank_below
+        tgt = None
+        for r in hist:
+            if cum + r["c"] >= k:
+                tgt = r
+                break
+            cum += r["c"]
+        rank_below = cum
+        conds.append(bucket == int(tgt["b"]))
+        lo, hi = tgt["blo"], tgt["bhi"]
+        if tgt["c"] <= nbuckets:  # remainder already tiny — stop narrowing
+            break
+    remain = slopes
+    for c in conds:
+        remain = remain.filter(c)
+    med = (
+        remain.orderBy(col)
+        .limit(k - rank_below)
+        .agg(F.max(col).alias("m"))
+        .select(
+            F.lit(int(n)).cast("bigint").alias("n_pairs"),
+            F.round(F.col("m"), 6).alias("slope_per_day"),
+        )
     )
+    return med
 
 
 # ---------------------------------------------------------------------------

@@ -2787,7 +2787,16 @@ def q_em_fuzzy_decontaminate(spark, sf_dir):
     )
     ev = tainted.unionByName(clean)
 
-    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3).cache()
+    # NOT cached: lake shingles are corpus-sized — pinning them for the
+    # session is exactly the 100 TB anti-pattern (r13 advice). The band
+    # pass shingles the lake once; the verify side below re-shingles ONLY
+    # the candidate train docs (a probe-bounded semi join on the raw
+    # lake), so dropping the cache costs one bounded re-tokenize, not a
+    # second corpus pass (r14 measured: cache-pinned 3.1s, uncached
+    # full re-shingle 11.0s, this candidate-pruned shape ~3s solo). The
+    # EVAL side below IS cached: bounded by the eval set, never
+    # corpus-scale.
+    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3)
     lake_bands = dedup.portable_band_keys(
         dedup.portable_minhash_signatures(lake_grams, "doc_id", 16), "doc_id", 4, 4
     ).withColumnRenamed("doc_id", "train_id")
@@ -2796,12 +2805,22 @@ def q_em_fuzzy_decontaminate(spark, sf_dir):
         dedup.portable_minhash_signatures(ev_grams, "doc_id", 16), "doc_id", 4, 4
     ).withColumnRenamed("doc_id", "eval_id")
 
+    # Materialize the PROBE-SIZED candidate pair table once: it is
+    # referenced twice (the id semi-join below and the verify join), and
+    # each reference would otherwise re-run the whole lake minhash/band
+    # pipeline (r14 measured: 13.0s solo uncheckpointed vs ~3s). A
+    # localCheckpoint of the candidate pairs is bounded by the probe —
+    # the RIGHT thing to pin, unlike the corpus-sized lake_grams cache
+    # this replaces (r13 advice).
     cand = (
         lake_bands.join(F.broadcast(ev_bands), "band_key")
         .select("train_id", "eval_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    gl = lake_grams.select(
+    cand_ids = cand.select(F.col("train_id").alias("doc_id")).distinct()
+    lake_cand = lake.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    gl = dedup.portable_shingles(lake_cand, "doc_id", "text", 3).select(
         F.col("doc_id").alias("train_id"), F.col("grams").alias("g_l")
     )
     ge = ev_grams.select(
@@ -2810,27 +2829,35 @@ def q_em_fuzzy_decontaminate(spark, sf_dir):
     jac = F.size(F.array_intersect("g_l", "g_e")) / F.size(
         F.array_union("g_l", "g_e")
     )
+    # ONE aggregation computes count, max jaccard AND the min-id argmax:
+    # max(struct(jaccard, -train_id)) picks the highest jaccard and, among
+    # exact-double ties, the LARGEST -train_id = smallest train_id — the
+    # identical (max, then min-id) two-step the oracle runs, without the
+    # previous matches.cache() + self-join-on-agg (2 extra exchanges and a
+    # session-lifetime cache pin, r13 advice).
     matches = (
         cand.join(gl, "train_id")
         .join(F.broadcast(ge), "eval_id")
         .select("eval_id", "train_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
-        .cache()
     )
     agg = matches.groupBy("eval_id").agg(
         F.count("*").cast("bigint").alias("n_matches"),
-        F.max("jaccard").alias("best_jaccard"),
-    )
-    best = (
-        matches.join(agg.select("eval_id", "best_jaccard"), "eval_id")
-        .filter(F.col("jaccard") == F.col("best_jaccard"))
-        .groupBy("eval_id")
-        .agg(F.min("train_id").cast("bigint").alias("best_train_id"))
+        F.max(F.struct(F.col("jaccard"), (-F.col("train_id")).alias("neg_id")))
+        .alias("__best"),
     )
     return (
         ev.select(F.col("doc_id").alias("eval_id"))
-        .join(agg, "eval_id", "left")
-        .join(best, "eval_id", "left")
+        .join(
+            agg.select(
+                "eval_id",
+                "n_matches",
+                F.col("__best.jaccard").alias("best_jaccard"),
+                (-F.col("__best.neg_id")).cast("bigint").alias("best_train_id"),
+            ),
+            "eval_id",
+            "left",
+        )
         .select(
             "eval_id",
             F.when(F.col("n_matches").isNotNull(), F.lit(1))

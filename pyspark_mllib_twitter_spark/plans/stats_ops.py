@@ -1787,17 +1787,21 @@ def q_by_inventory(spark, sf_dir):
     (operators/inventory.py) — the capped-running-balance recurrence
     (each day's stock depends on the previous day's POST-DECISION
     state) that no window function expresses, so it runs as the
-    sanctioned Arrow-batched applyInPandas escape hatch: sequential
-    within an item's calendar-bounded day series, parallel across
-    items. Rows-only BY DESIGN (non-associative recurrence; DuckDB
+    sanctioned Arrow-batched Python escape hatch: each item's
+    calendar-bounded day series is collapsed JVM-side to sorted arrays
+    and ONE ``mapInPandas`` pass walks the batched item rows (r14: the
+    old per-item ``applyInPandas`` paid one Arrow group frame + pandas
+    construction per item — ~20k groups — which WAS its 16.5s solo
+    cost; same recurrence, same shuffled bytes, one Python row per
+    item). Rows-only BY DESIGN (non-associative recurrence; DuckDB
     would need a recursive CTE per item) — the policy is golden- and
     hypothesis-tested against the pure-Python reference in
     tests/test_inventory.py.
 
     Scale shape: demand collapses to (item, day, qty) grain in one
-    map-side-combinable shuffle BEFORE Python; each applyInPandas group
-    is one item's bounded series. At 100 TB items fan out across
-    executors and no group outgrows the calendar.
+    map-side-combinable shuffle BEFORE Python; each item row carries
+    only its calendar-bounded series. At 100 TB items fan out across
+    executors and no series outgrows the calendar.
     """
     from ..operators.inventory import simulate_inventory
 

@@ -107,7 +107,26 @@ def _cached_build_dir(prefix: str, key: tuple, build_into) -> str:
     with open(os.path.join(tmp, "_COMPLETE"), "w"):
         pass
     if os.path.exists(final) and not os.path.exists(marker):
-        shutil.rmtree(final, ignore_errors=True)  # crashed builder's leftovers
+        # Crashed builder's leftovers — but between the marker check and
+        # any delete, a CONCURRENT builder may rename a COMPLETE dir into
+        # ``final`` (r13 advice TOCTOU). Claim the suspect dir with an
+        # atomic rename first; only an actually-incomplete claim is
+        # deleted. A claimed dir that turns out COMPLETE is restored (or,
+        # if another winner landed meanwhile, dropped — builds are
+        # deterministic per key, so any COMPLETE dir is interchangeable).
+        stale = f"{final}.stale{os.getpid()}"
+        try:
+            os.rename(final, stale)
+        except OSError:
+            pass  # another process already claimed/cleared it
+        else:
+            if os.path.exists(os.path.join(stale, "_COMPLETE")):
+                try:
+                    os.rename(stale, final)
+                except OSError:
+                    shutil.rmtree(stale, ignore_errors=True)
+            else:
+                shutil.rmtree(stale, ignore_errors=True)
     try:
         os.rename(tmp, final)
     except OSError:  # concurrent race — accept only a COMPLETE winner

@@ -44,7 +44,7 @@ def write_zone_sorted(
 
 
 def fetch_by_ids(
-    spark: SparkSession, path: str, col: str, ids, max_ids: int = 100_000
+    spark: SparkSession, path: str, col: str, ids, max_ids: int = 8192
 ) -> DataFrame:
     """Point-fetch rows whose ``col`` is in the BOUNDED literal id set —
     the probe-session verify fetch. The ``isin`` literal (unlike a semi
@@ -52,12 +52,33 @@ def fetch_by_ids(
     what lets footer stats skip row groups; callers therefore pass a
     driver-side id list. Bounded by contract (candidate sets are sized by
     the probe batch, never the lake): ``max_ids`` guards against a caller
-    feeding an unbounded set, which should use a join instead."""
+    feeding an unbounded set, which should use a join instead.
+
+    The zone-map benefit requires the EXACT ``In`` set to reach the
+    parquet reader: above ``spark.sql.parquet.pushdown.inFilterThreshold``
+    (default 10) Spark degrades the pushed predicate to the
+    ``[min(ids), max(ids)]`` RANGE, which prunes nothing once candidates
+    scatter across the lake (r13 advice — the old 100k ``max_ids`` was
+    far past the verified-pushdown regime). The threshold is raised to
+    cover the set, and ``max_ids`` now defaults to a size where a literal
+    ``In`` of that many values is still a sane plan/predicate; larger
+    sets must join (bloom/semi), not filter. Exact-In row-group pruning
+    at a scattered multi-hundred-id set is asserted in
+    tests/test_layout.py."""
     ids = list(ids)
     if len(ids) > max_ids:
         raise ValueError(
             f"fetch_by_ids got {len(ids)} ids (> {max_ids}); an id set this "
             "large should join, not filter — the zone-map point-fetch is "
             "for bounded candidate sets"
+        )
+    thresh = int(
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+    )
+    if len(ids) > thresh:
+        # Runtime SQL conf, read at scan execution: must cover the set or
+        # the reader silently falls back to the useless range predicate.
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold", str(len(ids))
         )
     return spark.read.parquet(path).filter(F.col(col).isin(ids))

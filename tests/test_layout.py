@@ -71,3 +71,40 @@ def test_fetch_guards_unbounded_id_sets(spark, sorted_lake):
         layout.fetch_by_ids(
             spark, sorted_lake, "doc_id", range(200), max_ids=100
         )
+
+
+def test_fetch_prunes_row_groups_at_realistic_candidate_size(
+    spark, tmp_path_factory
+):
+    """r13 advice: the 4-id pushdown assertion said nothing about the
+    regime real candidate sets live in — above the parquet
+    ``inFilterThreshold`` (10) Spark silently degrades the pushed ``In``
+    to the [min, max] RANGE, which prunes nothing once ids scatter.
+    This test probes 400 ids in TWO DISTANT clusters of a 100k-row
+    zone-sorted lake: a range fallback would cover ~90% of the row
+    groups; exact-In pushdown must leave the scan's output rows at the
+    few row groups the clusters overlap."""
+    path = str(tmp_path_factory.mktemp("lake") / "wide_sorted")
+    df = spark.range(100_000).select(
+        F.col("id").alias("doc_id"), F.sha1(F.col("id").cast("string")).alias("text")
+    )
+    layout.write_zone_sorted(df, path, "doc_id", n_files=32)
+    # two distant, non-contiguous clusters (step 3 inside each)
+    probe = [i * 3 for i in range(200)] + [90_000 + i * 3 for i in range(200)]
+    fetched = layout.fetch_by_ids(spark, path, "doc_id", probe)
+    got = sorted(r["doc_id"] for r in fetched.collect())
+    assert got == sorted(probe)
+    # scan-node output rows = rows surviving ROW-GROUP pruning (vectorized
+    # reader; no record-level filter), BEFORE the post-scan Filter. Walk
+    # to the leaf of the executed plan (scan has no children).
+    node = fetched._jdf.queryExecution().executedPlan()
+    while node.children().length() > 0:
+        node = node.children().apply(0)
+    scan_rows = node.metrics().apply("numOutputRows").value()
+    total = 100_000
+    # each 600-wide cluster overlaps a bounded number of row groups; a
+    # range fallback (span 0..90_597) would scan ~90% of the lake.
+    assert scan_rows < total * 0.2, (
+        f"scan produced {scan_rows} of {total} rows — In pushdown "
+        "degraded to a range (row groups not pruned)"
+    )
