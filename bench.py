@@ -193,6 +193,30 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _cpu_ticks() -> dict[str, int] | None:
+    """Aggregate /proc/stat cpu ticks — the run's WEATHER instrument.
+
+    r14 finding: identical trees measured 723/876/1006/1020s across four
+    full runs, and a mid-run spot check caught 2-4% CPU STEAL (shared
+    virtualization host) alongside 5-10x inflation on the iterative
+    entries — the suite spread is substantially infrastructure weather,
+    not engine or JVM state. Recording the steal/busy tick deltas with
+    every run makes cross-run comparisons attributable: a high-steal
+    sample indicts the host, a clean one the code."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu":
+            keys = (
+                "user", "nice", "system", "idle", "iowait",
+                "irq", "softirq", "steal",
+            )
+            return dict(zip(keys, (int(x) for x in parts[1:9])))
+    except (OSError, ValueError):
+        pass
+    return None
+
+
 def _execute(df) -> None:
     """Force full computation of every row/column without driver collect."""
     df.write.format("noop").mode("overwrite").save()
@@ -305,6 +329,29 @@ def main() -> int:
         )
         KMeans(k=2, seed=1, maxIter=1).fit(vecs)
         LogisticRegression(maxIter=1).fit(vecs)
+        # Same one-time-JIT story for the other estimator families the
+        # quiet block runs (ALS normal-equation solver, FP-tree mining,
+        # Word2Vec skip-gram kernels): tiny fits, untimed, so the block's
+        # first entries measure the operator, not Breeze/codegen warm-up
+        # (r14 A/B: early-slot q_ml_kmeans read 9.7s cold vs 6.5s warm on
+        # the same tree/box; warmup_seconds carries the cost).
+        from pyspark.ml.fpm import FPGrowth
+        from pyspark.ml.recommendation import ALS
+
+        ALS(rank=2, maxIter=1, seed=0).fit(
+            spark.createDataFrame(
+                [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 2.0), (1, 1, 1.0)],
+                ["user", "item", "rating"],
+            )
+        )
+        FPGrowth(itemsCol="items", minSupport=0.5).fit(
+            spark.createDataFrame([(0, ["a", "b"]), (1, ["a"])], ["id", "items"])
+        )
+        from pyspark.ml.feature import Word2Vec
+
+        Word2Vec(
+            vectorSize=4, minCount=0, maxIter=1, seed=0, inputCol="t", outputCol="v"
+        ).fit(spark.createDataFrame([(["a", "b", "c"],), (["b", "c", "a"],)], ["t"]))
         _reset_session_state(spark)
     except Exception:
         pass  # bench numbers still valid, just order-sensitive for MLlib
@@ -392,6 +439,7 @@ def main() -> int:
         "q_w2_als_recommend",
     }
 
+    ticks0 = _cpu_ticks()
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     streaming_stats: dict[str, dict] = {}
@@ -517,6 +565,21 @@ def main() -> int:
         if not args.only
         else [],
     }
+    ticks1 = _cpu_ticks()
+    if ticks0 and ticks1:
+        d = {k: ticks1[k] - ticks0[k] for k in ticks0}
+        total_ticks = sum(d.values())
+        if total_ticks > 0:
+            # Host-weather evidence for this sample (see _cpu_ticks): the
+            # steal share is CPU the hypervisor never gave this guest —
+            # wall-clock numbers from a high-steal run are not comparable
+            # to a clean run's.
+            detail["host_cpu"] = {
+                "steal_pct": round(100.0 * d["steal"] / total_ticks, 2),
+                "busy_pct": round(
+                    100.0 * (total_ticks - d["idle"] - d["iowait"]) / total_ticks, 2
+                ),
+            }
     if streaming_stats:
         detail["streaming"] = streaming_stats
     if failures:

@@ -628,7 +628,12 @@ def q_ej_image_phash_neardup(spark, sf_dir):
     variants (+3 all pixels → Hamming exactly 0) and one-band-inverted
     variants (≤8 bits flip, confined to one 16-bit block → found via the
     3 intact blocks); unrelated pseudo-random pairs sit at expected
-    Hamming 32. Rows-only by necessity (DuckDB cannot inflate PNG IDAT
+    Hamming 32. Recall boundary (r13 verdict note): the 4-band scheme
+    GUARANTEES every pair at Hamming < 4; pairs between 4 and
+    MAX_HAMMING (10) are reported only when some 16-bit block survives
+    intact — probabilistic recall, exact precision (the planted fixture
+    stays within the guarantee by construction). Rows-only by necessity
+    (DuckDB cannot inflate PNG IDAT
     streams); the golden test recomputes every expected pair driver-side
     through the SAME ``dhash_py`` kernel and requires exact equality, and
     property tests pin the variant distances (tests/test_phash.py).

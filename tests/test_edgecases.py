@@ -212,6 +212,14 @@ def test_bench_suite_order_batch_then_streaming():
     # the heaviest warmed entry must not pay the freshest-JVM slot)
     assert base_name(warm[-1]) == "q_b3_containment_join"
     assert warm[:-1] == sorted(warm[:-1])
-    assert batch == sorted(batch) and stream == sorted(stream)
-    for w in bench.WARMED_SINGLE_RUN:
+    # the ML/ANN quiet block (round-13 verdict task 2b) leads the batch
+    # section: the JIT/GC-sensitive estimator entries run on an early
+    # quiet heap instead of mid-suite; block itself sorted, remainder of
+    # the batch alphabet sorted after it.
+    quiet = [n for n in batch if base_name(n) in bench.ML_ANN_QUIET]
+    rest = [n for n in batch if base_name(n) not in bench.ML_ANN_QUIET]
+    assert batch[: len(quiet)] == quiet, "quiet ML/ANN block must lead the batch"
+    assert quiet == sorted(quiet) and rest == sorted(rest)
+    assert stream == sorted(stream)
+    for w in bench.WARMED_SINGLE_RUN | bench.ML_ANN_QUIET:
         assert not is_stream(w)
