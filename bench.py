@@ -352,9 +352,13 @@ def main() -> int:
         Word2Vec(
             vectorSize=4, minCount=0, maxIter=1, seed=0, inputCol="t", outputCol="v"
         ).fit(spark.createDataFrame([(["a", "b", "c"],), (["b", "c", "a"],)], ["t"]))
-        _reset_session_state(spark)
     except Exception:
         pass  # bench numbers still valid, just order-sensitive for MLlib
+    finally:
+        # reset even when a warm-up fit throws — a partial warm-up must not
+        # leak persisted MLlib RDDs into the first timed query (same
+        # discipline as the replay prewarm's finally below).
+        _reset_session_state(spark)
     # Arrow/Python-worker warm-up: the first pandas-UDF/applyInPandas exec in
     # a session forks the python daemon + workers and initializes the Arrow
     # serializer (~1 s). Window renumbering decides which query runs first,
