@@ -295,6 +295,11 @@ def main() -> int:
         only = set(args.only)
         names = [n for n in names if n in only or base_name(n) in only]
 
+    # Session warm-up cost is timed into `session_warmup_seconds` (detail
+    # JSON) so suite_seconds + warmup_seconds + session_warmup_seconds
+    # decompose the wall clock (r14 advice #3: this block used to be
+    # reported in no field at all).
+    session_warmup_t0 = time.perf_counter()
     # Session warm-up: JVM/codegen/parquet-footer caches, one tiny query.
     _execute(REGISTRY["q_s1_scan"].spark(spark, sf_dir))
     # MLlib warm-up: the first estimator fit in a session pays ~4-5 s of JIT
@@ -334,7 +339,7 @@ def main() -> int:
         # Word2Vec skip-gram kernels): tiny fits, untimed, so the block's
         # first entries measure the operator, not Breeze/codegen warm-up
         # (r14 A/B: early-slot q_ml_kmeans read 9.7s cold vs 6.5s warm on
-        # the same tree/box; warmup_seconds carries the cost).
+        # the same tree/box; session_warmup_seconds carries the cost).
         from pyspark.ml.fpm import FPGrowth
         from pyspark.ml.recommendation import ALS
 
@@ -443,10 +448,13 @@ def main() -> int:
         "q_w2_als_recommend",
     }
 
+    session_warmup_seconds = time.perf_counter() - session_warmup_t0
+
     ticks0 = _cpu_ticks()
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     streaming_stats: dict[str, dict] = {}
+    query_weather: dict[str, dict] = {}
     warmup_seconds = 0.0
     streaming_boundary_done = False
 
@@ -508,6 +516,7 @@ def main() -> int:
                 _reset_session_state(spark)
         runs = 1 if (warmed or base_name(name) in SINGLE_RUN) else args.runs
         samples = []
+        q_ticks0 = _cpu_ticks()
         try:
             if warmed:
                 # Untimed steady-state run, then a forced GC so the timed
@@ -531,6 +540,22 @@ def main() -> int:
                 print(f"# FAIL {name}: {failures[name]}", file=sys.stderr)
             continue
         per_query[name] = round(statistics.median(samples), 3)
+        # Per-entry weather for the heavies (r14 verdict task 7): a suite-
+        # level steal_pct cannot tell WHICH entries a steal storm hit; the
+        # per-entry tick delta (spanning the entry's warm-up + timed runs)
+        # lets the next cross-round comparison discard individual
+        # steal-window entries instead of whole runs.
+        q_ticks1 = _cpu_ticks()
+        if q_ticks0 and q_ticks1 and per_query[name] >= 5.0:
+            qd = {k: q_ticks1[k] - q_ticks0[k] for k in q_ticks0}
+            q_total = sum(qd.values())
+            if q_total > 0:
+                query_weather[name] = {
+                    "steal_pct": round(100.0 * qd["steal"] / q_total, 2),
+                    "busy_pct": round(
+                        100.0 * (q_total - qd["idle"] - qd["iowait"]) / q_total, 2
+                    ),
+                }
         if base_name(name).startswith("q_stream_"):
             # Attribute replay-harness cadence vs data-plane work: the
             # non-addBatch part of each trigger (offset/plan/commit) is a
@@ -563,6 +588,10 @@ def main() -> int:
         # "warmed" list tags which per-query medians use the warmed
         # single-run protocol (suite mode only; --only never warms).
         "warmup_seconds": round(warmup_seconds, 3),
+        # One-time session warm-up (tiny estimator fits, Arrow worker fork,
+        # replay-dir prebuilds) — untimed by any per-query number; reported
+        # so the wall clock decomposes (r14 advice #3).
+        "session_warmup_seconds": round(session_warmup_seconds, 3),
         "warmed": sorted(
             n for n in per_query if base_name(n) in WARMED_SINGLE_RUN
         )
@@ -586,6 +615,9 @@ def main() -> int:
             }
     if streaming_stats:
         detail["streaming"] = streaming_stats
+    if query_weather:
+        # Weather per >=5s entry (r14 verdict task 7) — see _cpu_ticks.
+        detail["host_cpu_per_query"] = query_weather
     if failures:
         detail["failures"] = failures
     # Full per-query map: to a file and an EARLIER stdout line. The FINAL

@@ -893,7 +893,13 @@ def _kth_smallest_report(spark, slopes, col, nbuckets=4096, max_levels=3):
     rank_below = 0  # values strictly before the current narrowed range
     for _ in range(max_levels):
         if not (lo < hi):
-            break
+            # All values in the narrowed range are equal (level 0: the whole
+            # input is one tied value) — the k-th smallest IS lo; returning
+            # it directly avoids a sort+limit over ~n/2 rows (r14 advice).
+            return spark.range(1).select(
+                F.lit(int(n)).cast("bigint").alias("n_pairs"),
+                F.round(F.lit(float(lo)), 6).alias("slope_per_day"),
+            )
         w = (hi - lo) / nbuckets
         if w <= 0:
             break
@@ -916,6 +922,16 @@ def _kth_smallest_report(spark, slopes, col, nbuckets=4096, max_levels=3):
                 tgt = r
                 break
             cum += r["c"]
+        if tgt is None:
+            # Cannot happen for well-ordered doubles (the histogram's total
+            # count reaches k by construction); a NaN-polluted input whose
+            # agg min/max ordering disagrees with >= comparisons could get
+            # here — fail loudly instead of a bare TypeError (r14 advice).
+            raise ValueError(
+                f"_kth_smallest_report: rank-{k} bucket not found while "
+                f"narrowing {col} (n={n}, range [{lo}, {hi}]); input may "
+                "contain NaNs"
+            )
         rank_below = cum
         conds.append(bucket == int(tgt["b"]))
         lo, hi = tgt["blo"], tgt["bhi"]

@@ -2566,15 +2566,23 @@ def minhash_delta_fixture(spark, sf_dir):
 
 def build_minhash_band_index(spark, sf_dir, lake, suffix: str = ""):
     """Persist the lake's LSH band table hash-bucketed on ``band_key`` and
-    return ``(index_df, cached_lake_grams)``. Rebuilt each run for
-    determinism; a production pipeline writes it once per corpus version.
-    Same drop-table + orphaned-location hygiene as build_chunk_fp_index."""
+    return the index DataFrame. Rebuilt each run for determinism; a
+    production pipeline writes it once per corpus version. Same
+    drop-table + orphaned-location hygiene as build_chunk_fp_index.
+
+    The lake shingles are NOT cached or returned (r14 verdict #1: the old
+    session-lifetime ``lake_grams.cache()`` pinned a corpus-sized table —
+    the exact 100 TB anti-pattern q_em had just shed): the band build
+    scans them once into the persisted table, and probe-time Jaccard
+    verifies re-shingle CANDIDATE lake docs only, via a broadcast semi
+    join on the probe's id set (the q_em candidate-pruned recipe — see
+    q_ef below / q_stream_minhash_delta)."""
     import re as _re
 
     from ..operators import dedup
     from ..sources.bucketing import write_bucketed
 
-    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3).cache()
+    lake_grams = dedup.portable_shingles(lake, "doc_id", "text", 3)
     lake_bands = dedup.portable_band_keys(
         dedup.portable_minhash_signatures(lake_grams, "doc_id", 16), "doc_id", 4, 4
     )
@@ -2592,7 +2600,7 @@ def build_minhash_band_index(spark, sf_dir, lake, suffix: str = ""):
     write_bucketed(
         lake_bands.withColumnRenamed("doc_id", "lake_id"), table, ["band_key"], 8
     )
-    return spark.table(table), lake_grams
+    return spark.table(table)
 
 
 #: One oracle, two engines' worth of entries: the batch probe (q_ef) and
@@ -2656,23 +2664,39 @@ def q_ef_minhash_delta_index(spark, sf_dir):
     as a literal In filter that footer stats prune) makes that fetch
     FLAT too — measured 1.2-1.3s at every lake scale vs 1.3→6.6s
     growing on the unsorted layout (30x: 6.58s → 1.32s, BENCHNOTES
-    r13). This entry itself stays immune because its grams cache from
-    the same-job index build."""
+    r13).
+
+    Memory shape (r14 verdict #1 — r15 fix): NO corpus-sized pin
+    anywhere. The old shape cached the lake shingles for the session
+    (and never unpersisted them in the batch path); now the verify side
+    re-shingles ONLY candidate lake docs via a broadcast semi join, and
+    the one pinned intermediate is the PROBE-SIZED candidate pair table
+    (``localCheckpoint`` — note: eager, so building this DataFrame runs
+    the delta band pass + index probe as a job at construction time;
+    the q_em discipline, see tools/dump_plans.py). The delta shingles
+    cache is bounded by the crawl batch, never the corpus — the q_em
+    ``ev_grams`` class of pin."""
     from ..operators import dedup
 
     lake, delta = minhash_delta_fixture(spark, sf_dir)
-    idx, lake_grams = build_minhash_band_index(spark, sf_dir, lake)
+    idx = build_minhash_band_index(spark, sf_dir, lake)
 
     delta_grams = dedup.portable_shingles(delta, "doc_id", "text", 3).cache()
     delta_bands = dedup.portable_band_keys(
         dedup.portable_minhash_signatures(delta_grams, "doc_id", 16), "doc_id", 4, 4
     ).withColumnRenamed("doc_id", "delta_id")
+    # Probe-sized; referenced twice (the id semi-join and the verify
+    # join) — each reference would otherwise re-run the delta band pass
+    # and the index probe join.
     cand = (
         delta_bands.join(idx, "band_key")
         .select("lake_id", "delta_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    gl = lake_grams.select(
+    cand_ids = cand.select(F.col("lake_id").alias("doc_id")).distinct()
+    lake_cand = lake.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    gl = dedup.portable_shingles(lake_cand, "doc_id", "text", 3).select(
         F.col("doc_id").alias("lake_id"), F.col("grams").alias("g_l")
     )
     gd = delta_grams.select(
@@ -2773,7 +2797,14 @@ def q_em_fuzzy_decontaminate(spark, sf_dir):
     verbatim). Verification fetches lake shingles for candidate ids
     only; argmax match is an exact (max, then min-id) two-step, no
     window over the corpus. The DuckDB oracle replays the identical md5
-    pipeline, so flags, counts, AND jaccards are value-checked."""
+    pipeline, so flags, counts, AND jaccards are value-checked.
+
+    NOTE (r14 advice #4): the candidate pin below is
+    ``localCheckpoint(eager=True)`` — BUILDING this query's DataFrame runs
+    the lake minhash/band pipeline as a job at construction time (plan
+    dumps of this entry are not job-free, see tools/dump_plans.py), and
+    the checkpoint severs lineage, so an external unpersist of persistent
+    RDDs invalidates later reuse of the returned frame (rebuild instead)."""
     from ..operators import dedup
 
     lake = spread(_docs(spark, sf_dir)).select("doc_id", "text")

@@ -657,12 +657,7 @@ def q_stream_minhash_delta(spark, sf_dir):
     # fresh process, so sharing q_ef's build would only help same-session
     # suites while coupling this entry's correctness to q_ef's execution
     # order (round-13 review: deliberate duplication, not an oversight).
-    idx, lake_grams = build_minhash_band_index(
-        spark, sf_dir, lake, suffix="_stream"
-    )
-    gl = lake_grams.select(
-        F.col("doc_id").alias("lake_id"), F.col("grams").alias("g_l")
-    )
+    idx = build_minhash_band_index(spark, sf_dir, lake, suffix="_stream")
 
     replay = _delta_docs_replay_dir(spark, sf_dir)
     digest = hashlib.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
@@ -689,8 +684,21 @@ def q_stream_minhash_delta(spark, sf_dir):
                 4,
                 4,
             ).withColumnRenamed("doc_id", "delta_id")
+            # Batch-probe-sized candidates, pinned once per batch (the
+            # q_em/q_ef recipe — r14 verdict #1): referenced by the id
+            # semi-join and the verify join; the verify side re-shingles
+            # ONLY candidate lake docs instead of reading a session-pinned
+            # corpus-sized lake_grams cache.
             cand = (
-                bands.join(idx, "band_key").select("lake_id", "delta_id").distinct()
+                bands.join(idx, "band_key")
+                .select("lake_id", "delta_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            cand_ids = cand.select(F.col("lake_id").alias("doc_id")).distinct()
+            lake_cand = lake.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+            gl = dedup.portable_shingles(lake_cand, "doc_id", "text", 3).select(
+                F.col("doc_id").alias("lake_id"), F.col("grams").alias("g_l")
             )
             gd = grams.select(
                 F.col("doc_id").alias("delta_id"), F.col("grams").alias("g_d")
@@ -709,16 +717,19 @@ def q_stream_minhash_delta(spark, sf_dir):
         finally:
             grams.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(probe_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # The returned frame reads the sink parquet only — the lake grams
-    # cache served the stream and can be released now instead of staying
-    # pinned for the rest of the session (round-13 review).
-    lake_grams.unpersist()
+    from ..streaming.streams import fast_checkpoint_dir
+
+    ckpt = fast_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     back = spark.read.parquet(out_dir).drop("batch_id")
     return back.select("lake_id", "delta_id", "jaccard").orderBy(
         "lake_id", "delta_id"
@@ -868,11 +879,18 @@ def q_stream_state_reader(spark, sf_dir):
     download; at production state sizes the projection and any key filter
     push into that scan."""
     import hashlib
+    import os.path as _osp
     import shutil
-    import tempfile
+
+    from ..streaming.streams import fast_checkpoint_dir
 
     digest = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    ckpt = os.path.join(tempfile.gettempdir(), f"spark_graft_state_{digest}")
+    # Deterministic name under the fast-volume base (this entry READS the
+    # state back after the run, so the dir must outlive the stream; the
+    # per-run rmtree below keeps exactly one copy alive).
+    ckpt = _osp.join(
+        _osp.dirname(fast_checkpoint_dir()), f"spark_graft_state_{digest}"
+    )
     shutil.rmtree(ckpt, ignore_errors=True)
     ev = _replayed_stream(spark, sf_dir).filter(
         F.col("event_type") != FLUSH_EVENT_TYPE
@@ -981,26 +999,29 @@ def q_s5_pystream_sink(spark, sf_dir):
     import tempfile
 
     from ..sources.pydatasource import register
+    from ..streaming.streams import fast_checkpoint_dir
 
     register(spark)
     key = _hl.md5(sf_dir.encode()).hexdigest()[:10]
     store = os.path.join(tempfile.gettempdir(), f"spark_graft_docstream_{key}")
-    ckpt = store + "_ckpt"
+    ckpt = fast_checkpoint_dir()
     shutil.rmtree(store, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
 
     ev = _replayed_stream(spark, sf_dir).filter(
         F.col("event_type") != FLUSH_EVENT_TYPE
     ).select("event_id", "event_type", F.col("value").cast("double").alias("value"))
-    q = (
-        ev.writeStream.format("docstore")
-        .option("path", store)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            ev.writeStream.format("docstore")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.format("docstore").load(store).orderBy("event_id")
 
 

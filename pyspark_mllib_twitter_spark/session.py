@@ -79,6 +79,40 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0 AND
+        # isnotnull(arr)` above every explode/posexplode. For a STORED
+        # array column that can prune rows at the scan; for the COMPUTED
+        # arrays every text/minhash pipeline here explodes (tokenize →
+        # ngram → array_distinct chains), the inferred predicate inlines
+        # the whole expression tree and Catalyst then pushes it below the
+        # scan-fanout exchange — the full shingle front re-evaluated,
+        # INTERPRETED (lambda HOFs never reach codegen) and single-core at
+        # the 1-partition scan, per enclosing subexpression (r15 measured:
+        # a bare explode(grams)→groupBy over 5k docs ran 6.8s with the
+        # rule, 0.8s without; q_b3_containment_join 13.0s → 3.2s,
+        # q_yr_setsim_prefix_join 11.0s → 5.6s warm solo). Exclusion is
+        # semantics-free: non-outer explode already emits nothing for
+        # empty/null arrays, so the filter only ever pruned rows the
+        # Generate would drop anyway. The r14 shingle fix removed the
+        # same duplication for EXPLICIT filters; this closes the
+        # optimizer-inferred instance (guide §4.4: stop the optimizer
+        # duplicating expensive expressions). Plan-shape regression test:
+        # tests/test_plan_shape.py::test_no_inferred_generate_filter_pushdown.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # Parquet exact-In pushdown must cover the largest literal id set
+        # the zone-map point-fetch path passes (sources/layout.fetch_by_ids,
+        # max_ids=8192): above this threshold Spark silently degrades the
+        # pushed In to the [min, max] RANGE, which prunes nothing once ids
+        # scatter (r13 advice / r14 fix). Set ONCE at session build — the
+        # conf is read at scan execution, so a per-fetch override could
+        # only be restored after an unspecified materialization time; the
+        # session-level setting removes that hidden cross-query mutation
+        # (r14 advice #1). 8192 exact literals is a verified-sane predicate
+        # size (tests/test_layout.py).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "8192")
         # NOT set: spark.cleaner.periodicGC.interval. Forcing frequent GC
         # to flush ContextCleaner-tracked broadcasts was measured WORSE —
         # the full-GC pauses land on whichever query is running (suite

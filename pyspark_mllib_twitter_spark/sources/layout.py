@@ -56,15 +56,20 @@ def fetch_by_ids(
 
     The zone-map benefit requires the EXACT ``In`` set to reach the
     parquet reader: above ``spark.sql.parquet.pushdown.inFilterThreshold``
-    (default 10) Spark degrades the pushed predicate to the
-    ``[min(ids), max(ids)]`` RANGE, which prunes nothing once candidates
-    scatter across the lake (r13 advice — the old 100k ``max_ids`` was
-    far past the verified-pushdown regime). The threshold is raised to
-    cover the set, and ``max_ids`` now defaults to a size where a literal
+    Spark degrades the pushed predicate to the ``[min(ids), max(ids)]``
+    RANGE, which prunes nothing once candidates scatter across the lake
+    (r13 advice — the old 100k ``max_ids`` was far past the
+    verified-pushdown regime). The threshold is a session conf read at
+    SCAN EXECUTION time, so mutating it here would leak past this call
+    into every later query's plans (r14 advice #1); the engine's session
+    factory (``session.get_spark``) instead sets it once, at build, to
+    cover ``max_ids``. ``max_ids`` defaults to a size where a literal
     ``In`` of that many values is still a sane plan/predicate; larger
     sets must join (bloom/semi), not filter. Exact-In row-group pruning
     at a scattered multi-hundred-id set is asserted in
     tests/test_layout.py."""
+    import warnings
+
     ids = list(ids)
     if len(ids) > max_ids:
         raise ValueError(
@@ -76,9 +81,15 @@ def fetch_by_ids(
         spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
     )
     if len(ids) > thresh:
-        # Runtime SQL conf, read at scan execution: must cover the set or
-        # the reader silently falls back to the useless range predicate.
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold", str(len(ids))
+        # No silent session mutation (and no silent range fallback either):
+        # an externally-built session without the factory's threshold gets
+        # correct rows but zero row-group pruning — say so loudly.
+        warnings.warn(
+            f"fetch_by_ids: {len(ids)} ids exceed "
+            f"spark.sql.parquet.pushdown.inFilterThreshold={thresh}; the "
+            "pushed In degrades to a [min,max] range and prunes nothing — "
+            "build the session via session.get_spark (which covers "
+            f"max_ids={max_ids}) or set the conf at session build",
+            stacklevel=2,
         )
     return spark.read.parquet(path).filter(F.col(col).isin(ids))

@@ -166,6 +166,36 @@ def _pd_interval(spec: str):
                                         "minute": "m"}[unit])
 
 
+def fast_checkpoint_dir() -> str:
+    """A fresh checkpoint/state-store location on the fastest writable
+    volume — callers pass it as ``checkpointLocation`` and remove it when
+    the run ends.
+
+    Every micro-batch pays offset-log + commit-log writes and one state
+    store delta-file commit PER state partition (a stream-stream join
+    commits four stores per partition); on a disk-backed ``/tmp`` those
+    fsync-class writes are a fixed per-trigger tax that scales with batch
+    count, not data volume (r15 measured, q_stream_attribution: 18.2s on
+    /tmp vs 16.0s on /dev/shm, identical plans and results). Production
+    guidance is the same idea at cluster scale: put state stores on fast
+    local disks (or RocksDB on NVMe) and keep the CHECKPOINT of record on
+    durable storage — the replay harness here has no durability
+    requirement, so shared memory is the honest local equivalent.
+    ``SPARK_GRAFT_STREAM_CKPT_DIR`` overrides the base (e.g. to durable
+    storage, or tmpfs on hosts where /dev/shm is unavailable)."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if not base:
+        shm = "/dev/shm"
+        base = (
+            shm
+            if os.path.isdir(shm) and os.access(shm, os.W_OK)
+            else tempfile.gettempdir()
+        )
+    return os.path.join(base, f"sg_ckpt_{uuid.uuid4().hex[:12]}")
+
+
 def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     """File-source stream over a replay dir: one chunk file per micro-batch,
     declared schema (no inference scan — same discipline as batch)."""
@@ -209,11 +239,13 @@ def run_to_memory(
     for k, v in overrides.items():
         prev[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
+    ckpt = fast_checkpoint_dir()
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -241,6 +273,9 @@ def run_to_memory(
         except Exception:
             LAST_RUN_STATS.clear()
     finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         for k, old in prev.items():
             if old is None:
                 spark.conf.unset(k)
@@ -411,15 +446,20 @@ def foreach_batch_parquet_sink(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
+    ckpt = fast_checkpoint_dir()
     try:
         q = (
             stream_df.writeStream.foreachBatch(write_batch)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
@@ -982,30 +1022,46 @@ def stateful_attribution(
     lookback_us = lookback_days * 86_400_000_000
 
     def update(key, pdfs, state: GroupState):
+        # The function runs once PER (user, micro-batch) — ~15k calls per
+        # replay at sf0.1 — so its fixed cost is the entry's data plane
+        # (guide §4.2 applied to the stateful boundary). numpy column
+        # extraction + lexsort replaces the old per-group pandas
+        # concat/assign/sort_values chain (three ~0.3-0.5 ms pandas calls
+        # on a ~7-row frame); r15 micro-bench: 1.59 ms -> 0.24 ms per
+        # group, value-identical ordering ((ts, event_id) lexsort == the
+        # old stable mergesort on the same keys).
+        import numpy as np
         import pandas as pd
 
         t_us, t_eid, t_type = state.get if state.exists else (-1, -1, "")
         rows = []
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         if len(pdf):
-            pdf = pdf.assign(_us=pdf["ts"].astype("int64") // 1000).sort_values(
-                ["_us", "event_id"], kind="mergesort"
-            )
-            for us, eid, etype in zip(pdf["_us"], pdf["event_id"], pdf["event_type"]):
+            us_arr = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+            eid_arr = pdf["event_id"].to_numpy()
+            et_arr = pdf["event_type"].to_numpy()
+            for i in np.lexsort((eid_arr, us_arr)):
+                etype = et_arr[i]
                 if etype == "purchase":
+                    us = int(us_arr[i])
                     if t_us >= 0 and us - t_us <= lookback_us:
-                        rows.append((int(eid), int(key[0]), t_type, int(t_eid),
-                                     int(us - t_us)))
+                        rows.append((int(eid_arr[i]), int(key[0]), t_type,
+                                     int(t_eid), us - t_us))
                     else:
-                        rows.append((int(eid), int(key[0]), None, None, None))
+                        rows.append((int(eid_arr[i]), int(key[0]), None, None,
+                                     None))
                 if etype in touch_types:
-                    t_us, t_eid, t_type = int(us), int(eid), etype
+                    t_us, t_eid, t_type = int(us_arr[i]), int(eid_arr[i]), etype
         state.update((t_us, t_eid, t_type))
-        yield pd.DataFrame(
-            rows,
-            columns=["event_id", "user_id", "attributed_type",
-                     "touch_event_id", "gap_us"],
-        )
+        # ~26% of (user, batch) calls see no purchase — skip the empty
+        # output frame entirely (state updates flow regardless of yields).
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["event_id", "user_id", "attributed_type",
+                         "touch_event_id", "gap_us"],
+            )
 
     return (
         events.withWatermark("ts", watermark)

@@ -312,6 +312,30 @@ def test_theil_sen_is_median_of_pair_slopes(spark, sf_smoke):
     assert abs(r.slope_per_day - round(med, 6)) < 1e-9
 
 
+def test_kth_smallest_report_all_tied_short_circuits(spark):
+    """All-tied input (lo == hi at level 0) must return the tied value
+    directly — not via a global sort+limit of ~n/2 rows (r14 advice)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mllib_twitter_spark.plans.inference_ops import (
+        _kth_smallest_report,
+    )
+
+    tied = spark.range(10_001).select(F.lit(2.5).alias("slope"))
+    out = _kth_smallest_report(spark, tied, "slope")
+    # the short-circuit plan is a 1-row range, no Sort/Limit over the input
+    assert "Sort" not in out._jdf.queryExecution().executedPlan().toString()
+    r = out.collect()[0]
+    assert r.n_pairs == 10_001 and abs(r.slope_per_day - 2.5) < 1e-12
+
+    mixed = spark.range(101).select(
+        (F.col("id") % 2).cast("double").alias("slope")
+    )
+    r2 = _kth_smallest_report(spark, mixed, "slope").collect()[0]
+    # 51 zeros, 50 ones -> k = 51 -> median 0.0
+    assert r2.n_pairs == 101 and r2.slope_per_day == 0.0
+
+
 # ---------------------------------------------------------------------------
 # Concentration
 # ---------------------------------------------------------------------------

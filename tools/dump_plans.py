@@ -5,9 +5,14 @@ Usage::
 
     python tools/dump_plans.py --out plans/r14 --suffix _before q_zh_poisson_bootstrap ...
 
-Writes ``<out>/<base_name><suffix>.txt`` per query. Plan-only: builds each
-DataFrame and formats its plan; nothing is executed (no jobs except the
-bounded scan-partition probes some recipes do while planning).
+Writes ``<out>/<base_name><suffix>.txt`` per query. Plan-only for most
+queries: builds each DataFrame and formats its plan without executing it
+(beyond the bounded scan-partition probes some recipes do while planning).
+EXCEPTIONS (r14 advice #4): recipes that pin a probe-sized intermediate
+with ``localCheckpoint(eager=True)`` — q_em_fuzzy_decontaminate and
+q_ef_minhash_delta_index (which also rebuilds its bucketed index table) —
+run those upstream jobs at DataFrame-construction time; dumping their
+plans is not job-free.
 """
 
 from __future__ import annotations
